@@ -1,24 +1,44 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries (SparkEntry.benchQueries) on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
+  * (BENCH_r{N}.json). One warmup pass amortizes JIT + codegen compilation so
+  * the timed pass measures execution, not compilation.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.benchQueries
+    val qs = SparkEntry.queries
+
+    // warmup: plan + codegen + parquet footer reads
+    names.foreach { n =>
+      try qs(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

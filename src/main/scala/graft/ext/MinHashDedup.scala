@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding near-duplicate detection (SURVEY.md §2.9 I5).
+  *
+  * Pipeline (all codegen'd higher-order functions, no UDF, no cross join):
+  *   1. shingle: 3-gram shingles of the token stream (distinct)
+  *   2. minhash: k independent seeded hash functions h_i(x) = xxhash64(i, x),
+  *      signature_i = min over shingles — one narrow pass per row
+  *   3. band: split the k-signature into `bands` bands of k/bands rows each;
+  *      band key = murmur3 hash of the band slice
+  *   4. candidate pairs = equi-join on (band_idx, band_hash) — the shuffle key
+  *      is small and uniform; at 100 TB this is the only shuffle and it moves
+  *      (doc_id, band) pairs, not documents
+  *   5. estimate similarity = fraction of matching signature positions
+  *
+  * Deterministic: xxhash64 and murmur3 are stable Spark built-ins.
+  */
+object MinHashDedup {
+
+  /** 3-gram shingle array for a text column (distinct, space-joined). */
+  def shingles(text: Column): Column = {
+    val t = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** MinHash signature (array<bigint> of length numHashes) of a shingle set.
+    * The i-th hash function is seeded xxhash64(i, x) — no arithmetic that
+    * could overflow under ANSI mode, and deterministic across runs.
+    */
+  def signature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)), i =>
+      array_min(transform(sh, x => xxhash64(i, x))))
+
+  /** Candidate near-dup pairs via banded LSH over a `documents(doc_id, text)`
+    * frame. Returns (a, b, est_jaccard) ordered by est_jaccard desc.
+    */
+  def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), signature(shingles(col("text")), numHashes).as("sig"))
+
+    val banded = withSig.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band_idx"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash"))))
+        .as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_idx"), col("band.band_hash"))
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .distinct()
+      .orderBy(col("est_jaccard").desc, col("a"), col("b"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash document fingerprinting (north-star dedup op).
+  *
+  * 64-bit simhash: each token hashes to 64 bits (xxhash64); every bit votes
+  * +1/-1; the fingerprint sets bit b iff the vote for b is positive. Documents
+  * with small hamming distance between fingerprints are near-duplicates.
+  *
+  * Implemented as composed higher-order functions (one `aggregate` pass over
+  * the token array with an array<long> vote accumulator) — stays inside
+  * codegen, no UDF, narrow per-row work; the dedup join is then an equi-join
+  * on fingerprint prefix buckets, never a cross join.
+  */
+object SimHash {
+
+  private val bitsIdx = sequence(lit(0), lit(63))
+
+  // functions.shiftleft/shiftright only accept a literal Int bit count;
+  // the underlying SQL functions accept expressions — call them directly.
+  private def shr(v: Column, bits: Column): Column =
+    call_function("shiftright", v, bits)
+  private def shl(v: Column, bits: Column): Column =
+    call_function("shiftleft", v, bits)
+
+  /** The 64-bit simhash of a whitespace-tokenized text column. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val zero = transform(bitsIdx, _ => lit(0L))
+    val votes = aggregate(hashes, zero, (acc, h) =>
+      zip_with(acc, bitsIdx, (a, b) =>
+        a + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitsIdx, (v, b) =>
+        when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  def withSimHash(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("simhash", simhash(text))
+
+  /** Near-dup pairs: bucket by the 16-bit fingerprint prefix, then filter by
+    * hamming distance within buckets (scale path: equi-join on prefix).
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val withFp = withSimHash(docs, col("text"))
+      .select(col("doc_id"), col("simhash"),
+        shiftright(col("simhash"), 48).as("bucket"))
+    val a = withFp.select(col("bucket"), col("doc_id").as("a"), col("simhash").as("fa"))
+    val b = withFp.select(col("bucket"), col("doc_id").as("b"), col("simhash").as("fb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("fa"), col("fb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("a"), col("b"))
+  }
+}

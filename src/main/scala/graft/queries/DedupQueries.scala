@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication extension surface (SURVEY.md §2.9 I4/I5 + north-star):
+  * exact dedup, content-hash dedup, n-gram Jaccard near-dup, MinHash-LSH,
+  * SimHash.
+  *
+  * Scale notes: exact dedup is a hash shuffle on the key — the cheapest
+  * possible form. Content dedup keys on md5(normalized text) so the shuffle
+  * key is 16 bytes regardless of document size. Near-dup avoids the O(n²)
+  * cross join: MinHash-LSH (graft.ext.MinHashDedup) buckets by signature band
+  * and joins only within buckets; the brute-force Jaccard query here runs on
+  * a fixed 60-doc subset purely as the oracle-checkable correctness anchor.
+  */
+object DedupQueries {
+
+  /** 3-gram shingles (space-joined, distinct) as a SQL expression —
+    * shared by the Jaccard query and MinHash (graft.ext). */
+  private[graft] val shingleExpr: String =
+    """array_distinct(transform(
+         sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+         i -> concat_ws(' ',
+                element_at(split(text, ' '), i),
+                element_at(split(text, ' '), i + 1),
+                element_at(split(text, ' '), i + 2))))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- I4: exact dedup by key — doubled input collapses to original -----
+    QueryDef(
+      "d_exact_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        docs.unionAll(docs)
+          .dropDuplicates("doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- Content-hash dedup summary ----------------------------------------
+    QueryDef(
+      "d_content_dedup",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"fp").as("n_unique"),
+            (count(lit(1)) - countDistinct($"fp")).as("n_dups"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+        COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique,
+        COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_dups
+        FROM documents""")),
+
+    // ---- N-gram Jaccard near-dup over a fixed subset (oracle anchor) -------
+    QueryDef(
+      "d_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .filter($"doc_id" < 60 && size(split($"text", " ")) >= 3)
+          .select($"doc_id", expr(shingleExpr).as("sh"))
+        val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
+        val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))
+        a.join(broadcast(b), $"a" < $"b")
+          .select($"a", $"b",
+            round(size(array_intersect($"sha", $"shb")).cast("double") /
+              size(array_union($"sha", $"shb")), 6).as("jaccard"))
+          .filter($"jaccard" > 0)
+          .orderBy($"jaccard".desc, $"a", $"b")
+          .limit(100)
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                   string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS sh
+          FROM documents
+          WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0
+        ORDER BY jaccard DESC, a, b LIMIT 100""")),
+
+    // ---- I5: MinHash-LSH near-dup candidate pairs (rows-only) --------------
+    QueryDef(
+      "d_minhash_pairs",
+      (s, d) => graft.ext.MinHashDedup.candidatePairs(
+        Tables.documents(s, d), numHashes = 32, bands = 8),
+      None),
+
+    // ---- SimHash fingerprint (rows-only) -----------------------------------
+    QueryDef(
+      "d_simhash",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.SimHash.withSimHash(
+            Tables.documents(s, d).filter($"doc_id" < 100), $"text")
+          .select($"doc_id", $"simhash")
+          .orderBy($"doc_id")
+      },
+      None)
+  )
+}

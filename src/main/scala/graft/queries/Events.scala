@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-time window surface (SURVEY.md §2.12 T4) in batch form, oracle-checked,
+  * plus JSON scalar access (F15) and exact dedup (I4).
+  *
+  * These are the *same* expressions a Structured Streaming query uses
+  * (`window()`, `session_window()`); streaming wiring (watermark + readStream)
+  * lives in graft.streaming and is exercised by tests — batch form is what the
+  * DuckDB oracle can check.
+  *
+  * Note on timestamps: `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it
+  * truncated to microseconds. Oracle SQL applies `CAST(ts AS TIMESTAMP)` (also
+  * a truncation to micros) so both engines agree bit-for-bit.
+  */
+object Events {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- T4: tumbling window (1 hour) --------------------------------------
+    QueryDef(
+      "t4_tumbling_hour",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ---- T4: tumbling window (1 day) ---------------------------------------
+    QueryDef(
+      "t4_tumbling_day",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "1 day"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"user_id").as("n_users"))
+          .select($"window.start".as("w_start"), $"n", $"n_users")
+          .orderBy($"w_start")
+      },
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY w_start""")),
+
+    // ---- T4: sliding window (2h window, 1h hop) ----------------------------
+    // Each event lands in exactly two windows; oracle expands via unnest.
+    QueryDef(
+      "t4_sliding",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("w_start"), $"n")
+          .orderBy($"w_start")
+      },
+      Some("""SELECT w_start, COUNT(*) AS n FROM (
+        SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS w_start
+        FROM events) GROUP BY w_start ORDER BY w_start""")),
+
+    // ---- T4: session window (30 min gap) per user --------------------------
+    // Spark merges events whose gap < 30 min; session end = last ts + gap.
+    // Oracle is the classic gaps-and-islands rewrite.
+    QueryDef(
+      "t4_session",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", $"session_window.start".as("w_start"),
+            $"session_window.end".as("w_end"), $"n_events")
+          .orderBy($"user_id", $"w_start")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        f AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+        SELECT user_id, MIN(ts) AS w_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""")),
+
+    // ---- I4: exact dedup — doubled input collapses back to the original ----
+    QueryDef(
+      "e_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        e.unionAll(e)
+          .dropDuplicates("event_id")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- F15: JSON access over the props column ----------------------------
+    QueryDef(
+      "f_json_props",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+        COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

@@ -1,0 +1,473 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query surface: scans, filters, scalar functions, aggregations,
+  * joins, set ops, sorts/limits, pivot (SURVEY.md §2.1, §2.3–§2.7, §2.10).
+  *
+  * Every query is declarative DataFrame code — Catalyst does predicate
+  * pushdown, column pruning, broadcast selection and AQE re-planning. At
+  * 100 TB the same plans hold: small dims (region/nation/supplier/part at
+  * TPC-H proportions) broadcast; the only large-large shuffle is
+  * lineitem⋈orders, which AQE handles (skew-join + coalesce).
+  */
+object Relational {
+
+  /** Exact cross-engine sum of a double column: cast to DECIMAL first so the
+    * accumulation is exact (order-independent), return DOUBLE.
+    * Mirrors `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` in the oracle.
+    */
+  private[queries] def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact cross-engine average: exact decimal sum, one double division. */
+  private[queries] def davg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- A6: TPC-H Q1-style pricing summary (flagship + bench) -------------
+    QueryDef(
+      "q1_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+              .as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6)
+              .as("sum_charge"),
+            davg($"l_quantity").as("avg_qty"),
+            davg($"l_extendedprice").as("avg_price"),
+            davg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ---- A1: group-by distinct pairs (ref: problem_name/problem_id seed) ---
+    QueryDef(
+      "a1_group_pairs",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).groupBy($"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority", $"o_orderstatus")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, o_orderstatus""")),
+
+    // ---- A2: global max/min (ref: select max(id)) --------------------------
+    QueryDef(
+      "a2_global_max",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).agg(
+          max($"o_orderkey").as("max_key"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_totalprice").as("max_price"),
+          min($"o_orderdate").as("min_date"),
+          max($"o_orderdate").as("max_date"))
+      },
+      Some("""SELECT MAX(o_orderkey) AS max_key, MIN(o_orderkey) AS min_key,
+        MAX(o_totalprice) AS max_price,
+        CAST(MIN(o_orderdate) AS TIMESTAMP) AS min_date,
+        CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date
+        FROM orders""")),
+
+    // ---- A3 + F14: filtered count with LIKE (ref: existence count) ---------
+    QueryDef(
+      "a3_filtered_count",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d)
+          .filter($"o_orderstatus" === "F" && $"o_orderpriority".like("%URGENT%"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '%URGENT%'""")),
+
+    // ---- A4: count distinct ------------------------------------------------
+    QueryDef(
+      "a4_count_distinct",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct($"l_partkey").as("n_part"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A5: per-group max (ref: summary maxgen) ---------------------------
+    QueryDef(
+      "a5_per_group_max",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).groupBy($"l_orderkey")
+          .agg(max($"l_linenumber").as("max_line"),
+            dsum($"l_quantity").as("total_qty"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""SELECT l_orderkey, MAX(l_linenumber) AS max_line,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ---- A6+J1/J2/J7: revenue by nation — the star-join (bench) ------------
+    // customer⋈nation are broadcast; orders⋈lineitem is the one genuine
+    // shuffle join (both sides large at scale). AQE picks SMJ/SHJ.
+    QueryDef(
+      "a6_revenue_by_nation",
+      (s, d) => {
+        import s.implicits._
+        val rev = li(s, d)
+          .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        rev.groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      bench = true),
+
+    // ---- A7: rollup over region/nation -------------------------------------
+    QueryDef(
+      "a7_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // ---- A7b: cube ---------------------------------------------------------
+    QueryDef(
+      "a7_cube",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- A8: approx distinct (HLL++) — rows-only check (approx ≠ oracle) ---
+    QueryDef(
+      "a8_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d).groupBy($"event_type")
+          .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      None),
+
+    // ---- J1/J2: broadcast dimension lookup chain ---------------------------
+    QueryDef(
+      "j1_broadcast_lookup",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_cust"), davg($"c_acctbal").as("avg_bal"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- J3: theta (non-equi range) join — BroadcastNestedLoop -------------
+    QueryDef(
+      "j3_theta_range",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d)
+          .join(broadcast(Tables.region(s, d)),
+            $"o_totalprice" > $"r_regionkey" * 50000)
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n
+        FROM orders JOIN region ON o_totalprice > r_regionkey * 50000
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- J3b: LIKE join (ref: probname LIKE '%leaf%') ----------------------
+    QueryDef(
+      "j3_like_join",
+      (s, d) => {
+        import s.implicits._
+        val words = Seq("ECO", "PROMO", "LARGE", "STANDARD").toDF("word")
+        Tables.part(s, d)
+          .join(broadcast(words), $"p_type".like("%") && $"p_type".contains($"word"))
+          .groupBy($"word")
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy($"word")
+      },
+      Some("""SELECT word, COUNT(*) AS n_parts
+        FROM part JOIN (VALUES ('ECO'),('PROMO'),('LARGE'),('STANDARD')) AS t(word)
+          ON p_type LIKE '%' || word || '%'
+        GROUP BY word ORDER BY word""")),
+
+    // ---- J4: anti-join (ref: skip already-loaded files) --------------------
+    QueryDef(
+      "j4_anti_join",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(ord(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- J5: semi-join (ref: get-or-create "exists" arm) -------------------
+    QueryDef(
+      "j5_semi_join",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(ord(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_active FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- J7: large-large equi join (SMJ/SHJ at scale; bench) ---------------
+    QueryDef(
+      "j7_large_equi",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).join(ord(s, d), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+            .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      bench = true),
+
+    // ---- J7b: left outer join ----------------------------------------------
+    QueryDef(
+      "j7_left_outer",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(ord(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- J7c: full outer join ----------------------------------------------
+    QueryDef(
+      "j7_full_outer",
+      (s, d) => {
+        import s.implicits._
+        val sn = Tables.supplier(s, d).select($"s_nationkey".as("nk")).distinct()
+          .withColumn("has_supp", lit(1))
+        val cn = Tables.customer(s, d).select($"c_nationkey".as("nk")).distinct()
+          .withColumn("has_cust", lit(1))
+        sn.join(cn, Seq("nk"), "full_outer")
+          .select($"nk", coalesce($"has_supp", lit(0)).as("has_supp"),
+            coalesce($"has_cust", lit(0)).as("has_cust"))
+          .orderBy($"nk")
+      },
+      Some("""SELECT COALESCE(s.nk, c.nk) AS nk,
+        COALESCE(has_supp, 0) AS has_supp, COALESCE(has_cust, 0) AS has_cust
+        FROM (SELECT DISTINCT s_nationkey AS nk, 1 AS has_supp FROM supplier) s
+        FULL OUTER JOIN (SELECT DISTINCT c_nationkey AS nk, 1 AS has_cust FROM customer) c
+          USING (nk)
+        ORDER BY nk""")),
+
+    // ---- §2.10: set ops ----------------------------------------------------
+    QueryDef(
+      "setop_union",
+      (s, d) => {
+        import s.implicits._
+        Tables.supplier(s, d).select($"s_nationkey".as("nk"))
+          .union(Tables.customer(s, d).select($"c_nationkey".as("nk")))
+          .distinct().orderBy($"nk")
+      },
+      Some("""SELECT s_nationkey AS nk FROM supplier
+        UNION SELECT c_nationkey AS nk FROM customer ORDER BY nk""")),
+
+    QueryDef(
+      "setop_intersect",
+      (s, d) => {
+        import s.implicits._
+        Tables.supplier(s, d).select($"s_nationkey".as("nk"))
+          .intersect(Tables.customer(s, d).select($"c_nationkey".as("nk")))
+          .orderBy($"nk")
+      },
+      Some("""SELECT s_nationkey AS nk FROM supplier
+        INTERSECT SELECT c_nationkey AS nk FROM customer ORDER BY nk""")),
+
+    QueryDef(
+      "setop_except",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d).select($"c_nationkey".as("nk"))
+          .except(Tables.supplier(s, d).select($"s_nationkey".as("nk")))
+          .orderBy($"nk")
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+        EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    // ---- §2.10: top-k (TakeOrderedAndProject) ------------------------------
+    QueryDef(
+      "topk_orders",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    QueryDef(
+      "sort_multi_limit",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(l_shipdate AS TIMESTAMP) AS l_shipdate, l_quantity
+        FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100""")),
+
+    // ---- R6: pivot (EAV long→wide analog) ----------------------------------
+    QueryDef(
+      "r6_pivot",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum($"l_quantity".cast("decimal(18,4)")))
+          .select($"l_linestatus",
+            $"A".cast("double").as("qty_a"),
+            $"N".cast("double").as("qty_n"),
+            $"R".cast("double").as("qty_r"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='A') AS DOUBLE) AS qty_a,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='N') AS DOUBLE) AS qty_n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='R') AS DOUBLE) AS qty_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- F1..F15: scalar function suite ------------------------------------
+    QueryDef(
+      "f_scalar_suite",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).filter($"o_orderkey" <= 500)
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("yr"),
+            month($"o_orderdate").as("mo"),
+            date_format($"o_orderdate", "yyyy-MM-dd").as("d_str"),
+            date_format(date_add($"o_orderdate".cast("date"), 30), "yyyy-MM-dd")
+              .as("d_plus30"),
+            upper($"o_orderstatus").as("status_up"),
+            substring($"o_orderpriority", 1, 1).as("prio_digit"),
+            regexp_extract($"o_orderpriority", "^(\\d+)", 1).as("prio_re"),
+            element_at(split($"o_orderpriority", "-"), 2).as("prio_word"),
+            concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("joined"),
+            length($"o_orderpriority").as("prio_len"),
+            trim(lit("  x  ")).as("trimmed"),
+            abs($"o_totalprice" * lit(-1)).as("abs_price"),
+            floor($"o_totalprice").cast("double").as("floor_price"),
+            ceil($"o_totalprice").cast("double").as("ceil_price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d_plus30,
+        upper(o_orderstatus) AS status_up,
+        substring(o_orderpriority, 1, 1) AS prio_digit,
+        regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_re,
+        string_split(o_orderpriority, '-')[2] AS prio_word,
+        concat_ws('|', o_orderstatus, o_orderpriority) AS joined,
+        CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        trim('  x  ') AS trimmed,
+        abs(o_totalprice * -1) AS abs_price,
+        CAST(floor(o_totalprice) AS DOUBLE) AS floor_price,
+        CAST(ceil(o_totalprice) AS DOUBLE) AS ceil_price
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
+  )
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension surface (SURVEY.md §2.11 X1–X3/X5 + north-star
+  * text ops): tokenization, term frequency, token counting, quality scoring,
+  * language-ID heuristic, content fingerprinting.
+  *
+  * Everything is built from codegen'd Spark built-ins + higher-order
+  * functions — no UDFs — so the whole pipeline stays inside WholeStageCodegen
+  * and scales linearly with document count (narrow, per-row; the only shuffle
+  * is the final groupBy/orderBy).
+  *
+  * Scoring formulas are deliberately rational arithmetic only (int counts +
+  * one double division) — no exp/log — so the DuckDB oracle is bit-exact.
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "and")
+  private def inList(xs: Seq[String]): String =
+    xs.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- X1+X3: tokenize + global term frequency, top 50 -------------------
+    QueryDef(
+      "x3_term_freq",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(50)
+      },
+      Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE length(token) > 0
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    // ---- Token counting: whitespace tokens + BPE-ish regex token estimate --
+    QueryDef(
+      "x_token_count",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            size(split($"text", " ")).as("n_ws_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))")
+              .as("n_bpe_tokens"),
+            length($"text").as("len"),
+            (length(regexp_replace($"text", " ", "")).cast("double") /
+              size(split($"text", " "))).as("avg_token_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+        CAST(length(text) AS INTEGER) AS len,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Quality scoring: stopword ratio + length score (rational only) ----
+    QueryDef(
+      "x_quality_score",
+      (s, d) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        val stopCount =
+          expr(s"size(filter(split(text, ' '), t -> t IN ${inList(stopwords)}))")
+        Tables.documents(s, d)
+          .select(
+            $"doc_id", $"lang",
+            size(toks).as("n_tokens"),
+            stopCount.as("n_stop"),
+            (stopCount.cast("double") / size(toks)).as("stop_ratio"),
+            ((stopCount.cast("double") / size(toks)) * 0.5 +
+              (least(size(toks), lit(100)).cast("double") / 100.0) * 0.5)
+              .as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS INTEGER) AS n_stop,
+        CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio,
+        CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+          / len(string_split(text, ' ')) * 0.5
+          + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0 * 0.5 AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Language-ID heuristic: marker-token voting ------------------------
+    // The testdata corpus is synthetic (same vocabulary in all langs) so the
+    // guess is mostly 'en' — the *operator* (deterministic marker scoring with
+    // fixed precedence) is what's under test.
+    QueryDef(
+      "x_lang_id",
+      (s, d) => {
+        import s.implicits._
+        def score(ws: Seq[String]) =
+          expr(s"size(filter(split(text, ' '), t -> t IN ${inList(ws)}))")
+        val en = score(Seq("the", "a", "of"))
+        val de = score(Seq("der", "die", "das"))
+        val fr = score(Seq("le", "la", "et"))
+        val es = score(Seq("el", "los", "y"))
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
+            when(en >= de && en >= fr && en >= es, "en")
+              .when(de >= fr && de >= es, "de")
+              .when(fr >= es, "fr")
+              .otherwise("es").as("lang_guess"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def sc(ws: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
+        val (en, de, fr, es) = (sc(Seq("the", "a", "of")), sc(Seq("der", "die", "das")),
+          sc(Seq("le", "la", "et")), sc(Seq("el", "los", "y")))
+        s"""SELECT doc_id, lang,
+          CAST($en AS INTEGER) AS s_en, CAST($de AS INTEGER) AS s_de,
+          CAST($fr AS INTEGER) AS s_fr, CAST($es AS INTEGER) AS s_es,
+          CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+               WHEN $de >= $fr AND $de >= $es THEN 'de'
+               WHEN $fr >= $es THEN 'fr'
+               ELSE 'es' END AS lang_guess
+          FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- Document fingerprinting: md5 of whitespace-normalized content -----
+    QueryDef(
+      "x_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter($"doc_id" < 200)
+          .select($"doc_id",
+            md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // ---- X5: facet rollup over lang × source -------------------------------
+    QueryDef(
+      "x5_facet_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+  )
+}

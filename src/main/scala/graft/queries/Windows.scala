@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.8 W1–W3): running aggregates,
+  * ranking, lag/lead, frame specs. Partition keys are the natural data keys
+  * (o_custkey) so at scale each window computes inside one shuffle partition;
+  * no global ordering is ever required.
+  *
+  * Running sums over doubles go through DECIMAL (exact) — see QueryDef docs.
+  */
+object Windows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- W3 (declared): per-customer running order total -------------------
+    QueryDef(
+      "w1_running_total",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey",
+            sum($"o_totalprice".cast("decimal(18,4)")).over(w)
+              .cast("double").as("running_total"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- W2: row_number ranking (id-minting analog, ref atom counter) ------
+    QueryDef(
+      "w2_rank_top3",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- W3: lag / lead / first_value with explicit frames -----------------
+    QueryDef(
+      "w3_lag_lead",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey",
+            lag($"o_totalprice", 1).over(w).as("prev_price"),
+            lead($"o_totalprice", 1).over(w).as("next_price"),
+            ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"),
+            first($"o_orderkey").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("first_key"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        o_totalprice - lag(o_totalprice, 1) OVER w AS delta,
+        first_value(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- W3b: moving average over a bounded ROWS frame ---------------------
+    QueryDef(
+      "w3_moving_avg",
+      (s, d) => {
+        import s.implicits._
+        val f = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-2, 0)
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey",
+            (sum($"o_totalprice".cast("decimal(18,4)")).over(f).cast("double") /
+              count(lit(1)).over(f)).as("mavg3"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+          / COUNT(*) OVER w AS mavg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey"""))
+  )
+}
