@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (north-star): image/audio/video as opaque
+  * `binary` columns with typed metadata, processed per-partition.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch iteration shape —
+  * is real; the codec itself is STUBBED (this container has no image/audio
+  * libraries) behind `decodeStub`, a deterministic fake that reads a
+  * 12-byte fake header. Swapping in a real codec changes only that function.
+  *
+  * Scale design: media bytes never shuffle — decode/feature-extraction is
+  * `mapPartitions` (narrow); only the small extracted-feature columns flow
+  * into joins/aggregations. Batch shape mirrors `mapInPandas`: an iterator
+  * of rows per partition, so a real decoder can amortize codec init
+  * per-partition exactly like a Pandas UDF amortizes per-batch.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + provenance. */
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Extracted (fake-)decoded metadata. */
+  final case class MediaMeta(
+      media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, sample_rate: Int, checksum: Long)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false)))
+
+  /** STUB codec: deterministic fake "decode" — a real implementation would
+    * call the image/audio library here (library init once per partition).
+    * Fake header layout: bytes 0-3 width, 4-7 height, 8-11 sample_rate
+    * (big-endian), falling back to derived values for short payloads.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    def be32(off: Int): Int =
+      if (bytes.length >= off + 4)
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      else bytes.length * (off + 1)
+    (be32(0).abs % 8192, be32(4).abs % 8192, be32(8).abs % 192000)
+  }
+
+  private def checksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+
+  /** Decode/feature-extract each media row — per-partition, codec init
+    * amortized (the `mapInPandas` batch shape).
+    */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codec: initialize the decoder library HERE, once per partition
+      rows.map { r =>
+        val (w, h, sr) = decodeStub(r.bytes)
+        MediaMeta(r.media_id, r.kind, r.bytes.length, w, h, sr, checksum(r.bytes))
+      }
+    }
+  }
+
+  /** Frame sampling: pick every `stride`-th chunk of `frameSize` bytes —
+    * the real plumbing of video frame-sampling with a stub "frame". Output
+    * explodes into (media_id, frame_idx, frame_bytes).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = r.bytes.length / frameSize
+      (0 until nFrames by stride).map { i =>
+        (r.media_id, i, r.bytes.slice(i * frameSize, (i + 1) * frameSize))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** "Resize": stub transform that keeps the plumbing honest — a binary →
+    * binary map with new metadata, chunk-strided to the target size.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val step = math.max(1, r.bytes.length / math.max(1, targetBytes))
+      r.copy(bytes = r.bytes.indices.by(step).map(r.bytes).toArray)
+    }
+  }
+}

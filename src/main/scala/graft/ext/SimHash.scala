@@ -45,19 +45,29 @@ object SimHash {
   def withSimHash(df: DataFrame, text: Column): DataFrame =
     df.withColumn("simhash", simhash(text))
 
-  /** Near-dup pairs: bucket by the 16-bit fingerprint prefix, then filter by
-    * hamming distance within buckets (scale path: equi-join on prefix).
+  /** Near-dup pairs via 4×16-bit banding: candidates collide on ANY band
+    * (pigeonhole: hamming ≤ 3 guarantees a clean band; larger distances are
+    * caught with high probability), then exact hamming filters. At scale this
+    * is an equi-join on (band_idx, band_bits) — never a cross join.
     */
   def nearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val withFp = withSimHash(docs, col("text"))
+    val banded = withSimHash(docs, col("text"))
       .select(col("doc_id"), col("simhash"),
-        shiftright(col("simhash"), 48).as("bucket"))
-    val a = withFp.select(col("bucket"), col("doc_id").as("a"), col("simhash").as("fa"))
-    val b = withFp.select(col("bucket"), col("doc_id").as("b"), col("simhash").as("fb"))
-    a.join(b, Seq("bucket"))
+        explode(transform(sequence(lit(0), lit(3)), b =>
+          struct(b.as("band_idx"),
+            shr(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_bits"))))
+          .as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx"), col("band.band_bits"))
+    val a = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("a"), col("simhash").as("fa"))
+    val b = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("b"), col("simhash").as("fb"))
+    a.join(b, Seq("band_idx", "band_bits"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), hamming(col("fa"), col("fb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("hamming"), col("a"), col("b"))
   }
 }

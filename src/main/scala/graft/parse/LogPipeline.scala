@@ -1,0 +1,135 @@
+package graft.parse
+
+import graft.ids.IdMinter
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark wrapper for the Clojush log-load pipeline (reference
+  * src/db_loader.clj:228-243 / SURVEY.md §3.1), Spark-first:
+  *
+  *  - one row per file via `wholetext` text source — segmentation is
+  *    file-local and order-sensitive, so parsing runs inside one task per
+  *    file with ZERO shuffles on the parse path; parallelism is across files;
+  *  - provenance (`_metadata.file_path`) and run date
+  *    (`_metadata.file_modification_time`, reference src/db_loader.clj:106-109)
+  *    come from file metadata columns, not driver-side File calls;
+  *  - `.gz` logs decompress transparently in the source (no gunzip shell-out,
+  *    reference src/db_loader.clj:339-341);
+  *  - ids are minted deterministically per batch (IdMinter) — the lone wide
+  *    dependency, over file-level (not row-level) cardinality;
+  *  - problem ids come from dictionary encoding (reference problem_data map,
+  *    src/db_loader.clj:82-84) as a broadcast-joined dimension.
+  */
+object LogPipeline {
+
+  final case class LoadConfig(
+      user: String = "spark",
+      skipNils: Boolean = true,
+      baseId: Long = 0L,
+      problemName: Option[String] = None)
+
+  final case class LoadedTables(
+      experiments: DataFrame,
+      experiment: DataFrame,
+      generations: DataFrame,
+      summary: DataFrame)
+
+  private val DateFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** One parsed file with its provenance + minted id. */
+  private final case class FileRun(
+      id: Long, path: String, mtime: String, run: ParsedRun)
+
+  /** Read + parse every `*.log` / `*.log.gz` under `logDir`. */
+  def parse(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
+      : Dataset[(Long, String, String, ParsedRun)] = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", "true").text(logDir)
+      .select(
+        $"value",
+        $"_metadata.file_path".as("path"),
+        date_format($"_metadata.file_modification_time", DateFmt).as("mtime"))
+    val withId = IdMinter.mintIds(raw, cfg.baseId, "id", col("path"))
+    withId.select($"id", $"path", $"mtime", $"value")
+      .as[(Long, String, String, String)]
+      .map { case (id, path, mtime, content) =>
+        (id, path, mtime, LogParser.parseClojush(content, cfg.skipNils))
+      }
+  }
+
+  /** Full load: the four Clojush tables (reference src/db_loader.clj:36-39). */
+  def load(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
+      : LoadedTables = {
+    import spark.implicits._
+    val parsed = parse(spark, logDir, cfg).cache()
+
+    // problem name: explicit config or the log folder leaf (reference arg
+    // :problemname, src/db_loader.clj:110-111)
+    val problemNameCol = cfg.problemName
+      .map(lit)
+      .getOrElse(element_at(split(col("path"), "/"), -2))
+
+    val base = parsed.toDF("id", "path", "mtime", "run")
+      .withColumn("problem_name", problemNameCol)
+
+    // dictionary-encode problem names (I2/J1): tiny dim, broadcast join
+    val problemDim = IdMinter.dictionaryEncode(base, "problem_name", "problem_id")
+
+    val experiments = base
+      .join(broadcast(problemDim), Seq("problem_name"))
+      .select(
+        col("id"),
+        lit(cfg.user).as("user"),
+        col("mtime").as("rundate"),
+        col("problem_name"),
+        col("problem_id"),
+        coalesce(col("run.clojushVersion"), lit("")).as("clojush_version"),
+        col("path").as("logfile_location"),
+        date_format(current_timestamp(), DateFmt).as("csv_write_time"))
+
+    val experiment = parsed.flatMap { case (id, _, _, run) =>
+      run.headerParams.map { case (k, v) => ParamRow(id, k, v) }
+    }.toDF()
+
+    val generations = parsed.flatMap { case (id, _, _, run) =>
+      run.generations.flatMap { case (gennum, kvs) =>
+        kvs.map { case (k, v) => GenerationRow(id, gennum, k, v) }
+      }
+    }.toDF()
+
+    val summary = parsed.flatMap { case (id, _, _, run) =>
+      run.summary.map { case (successp, maxgen) => SummaryRow(id, successp, maxgen) }
+    }.toDF()
+
+    LoadedTables(experiments, experiment, generations, summary)
+  }
+
+  /** EDN sidecar join (S4/J6, reference src/db_loader.clj:269-298): read
+    * `index.clj` next to the logs (driver-side — one tiny file per folder),
+    * join command-map argmaps to runs by filename-embedded uuid, and emit the
+    * extra `experiment` EAV rows.
+    */
+  def sidecarParams(
+      spark: SparkSession,
+      logDir: String,
+      parsed: Dataset[(Long, String, String, ParsedRun)]): DataFrame = {
+    import spark.implicits._
+    val indexFile = new java.io.File(logDir, "index.clj")
+    val cms: Seq[CommandMap] =
+      if (indexFile.isFile)
+        Edn.commandMaps(new String(
+          java.nio.file.Files.readAllBytes(indexFile.toPath), "UTF-8"))
+      else Seq.empty
+    if (cms.isEmpty) return spark.emptyDataset[ParamRow].toDF()
+
+    val sidecar = cms.flatMap(cm => cm.argmap.map { case (k, v) => (cm.uuid, k, v) })
+      .toDF("uuid", "parameter", "value")
+    val runs = parsed.map { case (id, path, _, _) =>
+      (id, LogParser.uuidFromFilename(path).getOrElse(""))
+    }.toDF("id", "uuid")
+
+    runs.join(broadcast(sidecar), Seq("uuid"))
+      .select(col("id"), col("parameter"), col("value"))
+  }
+}

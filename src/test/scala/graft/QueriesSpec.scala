@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + pinned-value checks for a representative slice of the declared
+  * query surface at sf0.001. Full oracle coverage is the driver's DuckDB
+  * gate (tools/check_oracle.py locally); this spec guards regressions in
+  * fast CI without the 90s full Verify run.
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every declared query has either oracle SQL or is explicitly rows-only") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(qs))
+    val rowsOnly = qs -- oracles
+    assert(rowsOnly == Set(
+      "a8_approx_distinct", "d_minhash_pairs", "d_simhash", "x4_ann_lsh_pairs"))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 pinned: six flag/status groups at sf0.001") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    // 3225 of 6000 sf0.001 lineitems pass the shipdate filter (seed=42 data)
+    assert(rows.map(_.getAs[Long]("count_order")).sum == 3225L)
+  }
+
+  test("topk is ordered desc and bounded") {
+    val rows = SparkEntry.queries("topk_orders")(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("session windows: no session shorter than its event count demands") {
+    val rows = SparkEntry.queries("t4_session")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_events") >= 1))
+  }
+
+  test("cosine topk: self-similarity first") {
+    val rows = SparkEntry.queries("x4_cosine_topk")(spark, sf).collect()
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("bench set is a subset of queries") {
+    assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.benchQueries.nonEmpty)
+  }
+}

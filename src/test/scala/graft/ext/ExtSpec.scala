@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** North-star extension ops: MinHash-LSH finds planted near-dups, SimHash
+  * hamming locality, multimodal plumbing (stubbed codec).
+  */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("MinHash-LSH surfaces planted near-duplicates first") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val nearDup = base.replace("lazy", "sleepy") // one token changed
+    val unrelated = "completely different words forming another document " +
+      "with nothing shared at all between the two texts " * 3
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base + " tail"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashDedup.candidatePairs(docs, numHashes = 32, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)), "near-dup pair must collide in some band")
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs((0L, 1L)) > 0.5)
+    assert(!pairs.contains((0L, 2L)) || pairs((0L, 2L)) < 0.2)
+  }
+
+  test("MinHash signature is deterministic across evaluations") {
+    val docs = Seq((0L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val sig1 = docs.select(MinHashDedup.signature(
+      MinHashDedup.shingles(col("text")), 16)).head().getSeq[Long](0)
+    val sig2 = docs.select(MinHashDedup.signature(
+      MinHashDedup.shingles(col("text")), 16)).head().getSeq[Long](0)
+    assert(sig1 == sig2 && sig1.length == 16)
+  }
+
+  test("SimHash: near-identical texts land within small hamming distance") {
+    val base = "spark engine query plan optimizer shuffle partition join " * 8
+    val near = base.replace("join", "merge")
+    val far = "totally unrelated vocabulary about cooking pasta recipes " * 8
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val fp = SimHash.withSimHash(df, col("text"))
+      .select($"doc_id", $"simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+    assert(ham(fp(0L), fp(1L)) <= 16)
+  }
+
+  test("SimHash nearDupPairs returns banded close pairs") {
+    val unit = "alpha beta gamma delta epsilon zeta eta theta "
+    val base = unit * 10
+    val near = unit * 9 + unit.replace("zeta", "zzz") // one occurrence changed
+    val df = Seq((0L, base.trim), (1L, near.trim),
+      (2L, ("other thing entirely unrelated words " * 10).trim)).toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairs(df, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("multimodal: stubbed decode extracts metadata per partition") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),
+      Multimodal.MediaRow(2L, "audio", Array.tabulate(1000)(i => (i % 127).toByte)))
+    val meta = Multimodal.extractMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).n_bytes == 64)
+    assert(meta(2L).n_bytes == 1000)
+    // deterministic: same bytes → same checksum/dims
+    val again = Multimodal.extractMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L) == again(1L))
+  }
+
+  test("multimodal: frame sampling shape") {
+    val media = Seq(Multimodal.MediaRow(7L, "video",
+      Array.tabulate(100)(_.toByte))).toDS()
+    val frames = Multimodal.sampleFrames(media, frameSize = 10, stride = 2)
+      .collect()
+    assert(frames.length == 5) // 10 frames, every 2nd
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 10))
+  }
+
+  test("multimodal: resize stub shrinks payload deterministically") {
+    val media = Seq(Multimodal.MediaRow(9L, "image",
+      Array.tabulate(1024)(_.toByte))).toDS()
+    val out = Multimodal.resizeStub(media, targetBytes = 128).collect().head
+    assert(out.bytes.length <= 128 + 8)
+    assert(out.media_id == 9L)
+  }
+}

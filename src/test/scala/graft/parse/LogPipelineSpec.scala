@@ -1,0 +1,108 @@
+package graft.parse
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** End-to-end pipeline test: fixture logs (+gz +EDN sidecar) in a temp dir →
+  * four tables → the SURVEY.md §7.1 minimum-slice query.
+  */
+class LogPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def fixtureLog(version: String, success: Boolean, maxGen: Int): String = {
+    val outcome = if (success) "SUCCESS" else "FAILURE"
+    s"""Clojush version = $version
+       |population-size = 1000
+       |tournament-size = nil
+       |;;;;;;;;;;;;;;;;;;;;
+       |-*- Report at generation 0
+       |best-fitness: 12.5
+       |;;;;;;;;;;;;;;;;;;;;
+       |-*- Report at generation $maxGen
+       |best-fitness: 3.0
+       |;;;;;;;;;;;;;;;;;;;;
+       |$outcome at generation $maxGen""".stripMargin
+  }
+
+  def writeFixtures(dir: Path): Unit = {
+    Files.writeString(dir.resolve("runA_u1.log"), fixtureLog("1.2.3", true, 4))
+    Files.writeString(dir.resolve("runB_u2.log"), fixtureLog("1.2.3", false, 9))
+    val gz = new GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("runC_u3.log.gz")))
+    gz.write(fixtureLog("2.0.0", true, 2).getBytes("UTF-8")); gz.close()
+    Files.writeString(dir.resolve("index.clj"),
+      """{:command-maps [{:uuid u1 :argmap {:max-generations "100"}}
+        |                {:uuid u3 :argmap {:seed "77"}}]}""".stripMargin)
+  }
+
+  lazy val dir: Path = {
+    val d = Files.createTempDirectory(Paths.get("target"), "logs")
+    writeFixtures(d)
+    d
+  }
+  lazy val tables = LogPipeline.load(spark, dir.toString + "/*.log*")
+
+  test("experiments: one row per log file incl. transparent gzip (S1/S2)") {
+    val exps = tables.experiments.collect()
+    assert(exps.length == 3)
+    assert(exps.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L)) // dense ids
+    assert(exps.forall(_.getAs[String]("rundate").matches(
+      "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}")))
+    val byFile = exps.map(r => r.getAs[String]("logfile_location") ->
+      r.getAs[String]("clojush_version")).toMap
+    assert(byFile.exists { case (f, v) => f.endsWith("runC_u3.log.gz") && v == "2.0.0" })
+  }
+
+  test("experiment EAV: nil params dropped, version row present (P3/R4)") {
+    val rows = tables.experiment.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.count(_._2 == "population-size") == 3)
+    assert(!rows.exists(_._2 == "tournament-size"))
+    assert(rows.count(_._2 == "Clojush version") == 3)
+  }
+
+  test("generations EAV keyed by gennum (R1/R4)") {
+    val rows = tables.generations.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.count { case (_, g, k, v) => g == 0 && k == "best-fitness" && v == "12.5" } == 3)
+    assert(rows.exists { case (_, g, _, v) => g == 9 && v == "3.0" })
+  }
+
+  test("summary: one row per run, intended semantics (A5/§0 bug fix)") {
+    val rows = tables.summary.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2)))
+    assert(rows.length == 3)
+    assert(rows.count(_._2) == 2) // two SUCCESS
+    assert(rows.map(_._3).sorted.toSeq == Seq(2, 4, 9))
+  }
+
+  test("sidecar EDN uuid join emits extra EAV rows (S4/J6)") {
+    val parsed = LogPipeline.parse(spark, dir.toString + "/*.log*")
+    val extra = LogPipeline.sidecarParams(spark, dir.toString, parsed).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(extra == Set("max-generations" -> "100", "seed" -> "77"))
+  }
+
+  test("minimum-slice query (SURVEY §7.1): experiments ⋈ summary group-by") {
+    tables.experiments.createOrReplaceTempView("experiments")
+    tables.summary.createOrReplaceTempView("summary")
+    val out = spark.sql(
+      """SELECT problem_name, count(*) AS runs, max(maxgen) AS max_maxgen
+        |FROM experiments JOIN summary USING (id)
+        |GROUP BY problem_name ORDER BY problem_name""".stripMargin).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("runs") == 3L)
+    assert(out.head.getAs[Int]("max_maxgen") == 9)
+  }
+
+  test("ids are stable across sessions (I1)") {
+    val a = LogPipeline.parse(spark, dir.toString + "/*.log*")
+      .collect().map(t => (t._1, t._2)).toSet
+    val b = LogPipeline.parse(
+      spark.newSession(), dir.toString + "/*.log*")
+      .collect().map(t => (t._1, t._2)).toSet
+    assert(a == b)
+  }
+}
