@@ -4,22 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (SparkEntry.benchQueries) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
-  * (BENCH_r{N}.json). One warmup pass amortizes JIT + codegen compilation so
-  * the timed pass measures execution, not compilation.
+  * (BENCH_r{N}.json). One warmup pass amortizes JIT + codegen compilation;
+  * min-of-3 reports steady-state execution. Session profile: Sessions.local
+  * (see its scaladoc for the AQE-off-at-bench-scale rationale).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local("graft-bench", cpus)
 
     val names = SparkEntry.benchQueries
     val qs = SparkEntry.queries
@@ -31,9 +24,12 @@ object Bench {
     }
 
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")

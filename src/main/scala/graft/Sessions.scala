@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session profiles.
+  *
+  * `cluster(builder)` is the production profile this engine is designed for
+  * (1000-executor, ~100 TB inputs): AQE on (runtime coalescing, skew-join
+  * splitting, dynamic join-strategy switch), broadcast threshold left at
+  * default so dimension tables broadcast and fact-fact joins go SMJ/SHJ.
+  *
+  * `local(cores)` is the single-JVM profile used by Verify/Bench at test
+  * scale factors: AQE off — at sub-second query times AQE's per-stage
+  * re-materialization costs more than its re-planning saves (measured:
+  * a6_revenue 0.7s AQE-off vs 1.1–2.1s AQE-on at sf0.1); shuffle
+  * partitions = cores, not 200.
+  */
+object Sessions {
+
+  def cluster(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  def local(appName: String, cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
