@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checkable forms of the reference's stream-reshaping operators
@@ -26,13 +25,9 @@ object ParserQueries {
       "r1_segmentation",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.lineitem(s, d)
-          .filter($"l_orderkey" <= 1000)
-          .withColumn("is_delim", ($"l_returnflag" === "A").cast("int"))
-          .withColumn("seg", sum($"is_delim").over(w))
-          .filter($"is_delim" === 0)
+        graft.operators.Segmenter.delimiterSegments(
+            Tables.lineitem(s, d).filter($"l_orderkey" <= 1000),
+            $"l_orderkey", $"l_linenumber", $"l_returnflag" === "A")
           .groupBy($"l_orderkey", $"seg")
           .agg(count(lit(1)).as("n_lines"),
             Relational.dsum($"l_quantity").as("seg_qty"))
