@@ -428,6 +428,33 @@ object Relational {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag='R') AS DOUBLE) AS qty_r
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ---- F15: array + higher-order function suite --------------------------
+    QueryDef(
+      "f_array_hof",
+      (s, d) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        Tables.documents(s, d).filter($"doc_id" < 100)
+          .select(
+            $"doc_id",
+            size(toks).as("n_tokens"),
+            array_contains(toks, "the").as("has_the"),
+            array_join(slice(toks, 1, 3), "|").as("first3"),
+            element_at(toks, -1).as("last_tok"),
+            size(array_distinct(toks)).as("n_unique"),
+            expr("aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, x) -> a + x)")
+              .as("sum_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        list_contains(string_split(text, ' '), 'the') AS has_the,
+        array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+        string_split(text, ' ')[-1] AS last_tok,
+        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+        CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INTEGER) AS sum_len
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
     // ---- F1..F15: scalar function suite ------------------------------------
     QueryDef(
       "f_scalar_suite",

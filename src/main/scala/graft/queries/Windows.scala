@@ -55,6 +55,31 @@ object Windows {
             ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // ---- W2b: rank / dense_rank / ntile / percent_rank ---------------------
+    QueryDef(
+      "w2_rank_family",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d).filter($"o_orderkey" <= 2000)
+          .select($"o_orderstatus", $"o_orderkey",
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("prnk"))
+          .orderBy($"o_orderstatus", $"rnk", $"o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+        CAST(RANK() OVER w AS INTEGER) AS rnk,
+        CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+        CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        PERCENT_RANK() OVER w AS prnk
+        FROM orders WHERE o_orderkey <= 2000
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderstatus, rnk, o_orderkey""")),
+
     // ---- W3: lag / lead / first_value with explicit frames -----------------
     QueryDef(
       "w3_lag_lead",
