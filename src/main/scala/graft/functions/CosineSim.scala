@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two `array<double>`
+  * columns, with whole-stage codegen (SURVEY.md §7.2 — custom Expression
+  * justified for the X4 hot path).
+  *
+  * Semantics match the HOF formulation in graft.queries.Similarity exactly
+  * (sequential fold: dot / (sqrt(norm_a) * sqrt(norm_b))) so oracle results
+  * are bit-identical; execution avoids the per-element lambda dispatch and
+  * intermediate arrays of `zip_with` + `aggregate` — one fused loop over the
+  * two unsafe array buffers.
+  *
+  * Null/edge behavior: null if either side is null or lengths differ;
+  * NaN for zero-norm inputs (0/0), like the HOF form.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Column-API entry point. */
+  def cosine_sim(a: Column, b: Column): Column =
+    CatalystBridge.column(CosineSim(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+}

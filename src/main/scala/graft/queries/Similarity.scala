@@ -26,8 +26,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** cosine(a, b) for double arrays. */
+  /** cosine(a, b) for double arrays — native codegen Expression
+    * (graft.functions.CosineSim): one fused loop, no intermediate arrays.
+    * Bit-identical to the HOF form below (same sequential accumulation).
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
+
+  /** Reference HOF formulation — kept for the equivalence spec and as the
+    * fallback if an engine build lacks the custom expression. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** The embeddings table with the vector pre-cast to array<double>. */
