@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.queries.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the partition-pruned scale path for similarity search
+  * (SURVEY.md §2.11 X4, north-star).
+  *
+  * Build: pick `nCentroids` deterministic seed vectors (evenly-spaced ids),
+  * assign every vector to its nearest centroid (one narrow pass + a window).
+  * At rest the assignment is a `cluster` column — at 100 TB you'd write the
+  * table partitioned by it, so a probe reads only `nProbe`/`nCentroids` of
+  * the data (partition pruning does the work).
+  *
+  * Search: rank centroids by query similarity, scan only the top `nProbe`
+  * clusters, exact cosine (native codegen expression) within them.
+  * Recall/latency trades via nProbe; nProbe = nCentroids degrades to exact.
+  */
+object IvfAnn {
+
+  final case class Index(assigned: DataFrame, centroids: Array[(Int, Seq[Double])])
+
+  /** Assign each (vec_id, ev: array<double>) row to its nearest seed
+    * centroid. Seeds = the `nCentroids` evenly-spaced existing vectors —
+    * deterministic, no iterative clustering (k-means refinement would slot
+    * in here; seeding is enough to demonstrate and test the pruned path).
+    */
+  def build(emb: DataFrame, nCentroids: Int): Index = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.count()
+    val step = math.max(1L, n / nCentroids)
+    val seedIds = emb.select($"vec_id").orderBy($"vec_id")
+      .collect().map(_.getLong(0)).grouped(step.toInt).map(_.head)
+      .take(nCentroids).toSeq
+    val centroids = emb.filter($"vec_id".isin(seedIds: _*))
+      .orderBy($"vec_id").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("ev"))) }
+
+    val centroidDf = centroids
+      .map { case (c, v) => (c, v) }.toSeq.toDF("cluster", "cv")
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster")
+    val assigned = emb.crossJoin(broadcast(centroidDf))
+      .select($"vec_id", $"ev", $"cluster",
+        Similarity.cosine($"ev", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"ev", $"cluster")
+    Index(assigned, centroids)
+  }
+
+  /** Top-k by cosine for `queryVec`, probing the `nProbe` closest clusters. */
+  def search(index: Index, queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = index.centroids
+      .map { case (c, v) => (c, cosLocal(queryVec, v)) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nProbe).map(_._1)
+
+    val qLit = array(queryVec.map(lit): _*)
+    index.assigned
+      .filter($"cluster".isin(probed.toIndexedSeq: _*)) // partition pruning at scale
+      .select($"vec_id", round(Similarity.cosine($"ev", qLit), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.ext.IvfAnn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewAndIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin matches plain join results on skewed data") {
+    // 90% of big-side rows share one hot key
+    val big = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k${i % 7}", i.toLong)).toDF("key", "v")
+    val small = Seq(("hot", 1), ("k1", 2), ("k3", 3)).toDF("key", "w")
+    val plain = big.join(small, "key").agg(sum($"v" * $"w")).head().getLong(0)
+    val salted = SkewJoin.saltedJoin(big, small, "key", 8, Seq($"v"))
+      .agg(sum($"v" * $"w")).head().getLong(0)
+    assert(salted == plain)
+  }
+
+  test("salt spreads a hot key over many buckets") {
+    val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "v")
+    val buckets = big.select(SkewJoin.salt(8, $"v").as("s"))
+      .distinct().count()
+    assert(buckets == 8)
+  }
+
+  test("saltedCount equals plain count per key") {
+    val df = (1 to 500).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
+    val plain = df.groupBy($"key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedCount(df, "key", 4, Seq($"v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("IVF ANN: full-probe search equals brute force; pruned probe overlaps") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val index = IvfAnn.build(emb, nCentroids = 8)
+    assert(index.assigned.count() == 500)
+
+    val qv = emb.filter($"vec_id" === 0).head().getSeq[Double](1)
+    val brute = graft.SparkEntry.queries("x4_cosine_topk")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    val full = IvfAnn.search(index, qv, nProbe = 8, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, "probing all clusters must equal brute force")
+
+    val pruned = IvfAnn.search(index, qv, nProbe = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.contains(0L)) // query's own cluster always probed first
+    assert((pruned & brute.toSet).size >= 5,
+      s"pruned recall too low: ${(pruned & brute.toSet).size}/10")
+  }
+}
