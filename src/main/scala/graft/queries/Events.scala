@@ -96,6 +96,46 @@ object Events {
           MAX(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""")),
 
+    // ---- J7 as-of join: latest preceding click per purchase ----------------
+    QueryDef(
+      "t_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("click_ts"), $"value".as("click_value"))
+        graft.operators.AsOfJoin.backward(
+            purchases, clicks, Seq("user_id"), "ts", "click_ts",
+            Seq("click_ts", "click_value"))
+          // nullable timestamp rendered as text: cross-engine parquet/pandas
+          // timestamp-unit handling of NULLs is not reliable
+          .select($"event_id", $"user_id", $"ts",
+            date_format($"asof_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("asof_click_ts"),
+            $"asof_click_value")
+          .orderBy($"event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+            event_type, value FROM events),
+        u AS (
+          SELECT user_id, ts, 1 AS side, event_id,
+                 NULL AS click_ts, NULL AS click_value
+          FROM e WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 0, NULL, ts, value
+          FROM e WHERE event_type = 'click'),
+        c AS (SELECT *,
+          last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts,
+          last_value(click_value IGNORE NULLS) OVER w AS asof_click_value
+          FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+            ROWS UNBOUNDED PRECEDING))
+        SELECT event_id, user_id, ts,
+          strftime(asof_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_click_ts,
+          asof_click_value
+        FROM c WHERE side = 1 ORDER BY event_id""")),
+
     // ---- I4: exact dedup — doubled input collapses back to the original ----
     QueryDef(
       "e_dedup_exact",

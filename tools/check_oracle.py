@@ -17,7 +17,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes for comparison: timestamps → ns, ints → int64
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
         elif str(df[c].dtype) in ("int32", "int16", "int8", "uint32", "Int64", "Int32"):
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "float32":
