@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature expression (SURVEY.md §7.2 — the justified
+  * custom-aggregate case): `array<string>` shingles → `array<long>` of
+  * `numHashes` minima, where hash_i(x) = xxhash64(i, x) (bit-identical to
+  * the SQL built-in's seed chaining, so results match the HOF formulation
+  * in MinHashDedup exactly).
+  *
+  * One tight loop, one output array — replaces the HOF fold whose
+  * interpreted evaluation allocates a k-element accumulator array per
+  * shingle (measured 1.5ms/doc HOF vs ~0.1ms/doc native at k=32).
+  * CodegenFallback: the loop is already allocation-free; codegen would only
+  * save the per-row virtual call.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        var i = 0
+        while (i < numHashes) {
+          // mirror xxhash64(i+1, s): seed 42 -> int seed -> string
+          val h1 = XxHash64Function.hash(i + 1, IntegerType, 42L)
+          val h2 = XxHash64Function.hash(s, StringType, h1)
+          if (h2 < mins(i)) mins(i) = h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+object MinHashSignature {
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    CatalystBridge.column(
+      MinHashSignature(CatalystBridge.expression(shingles), numHashes))
+}

@@ -30,9 +30,63 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Single-pass wall time of EVERY declared query (cold then warm). */
+  def allQueries(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("bench-all", 32)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      val t0 = System.nanoTime()
+      val res = try { fn(spark, sfDir).count(); "" }
+        catch { case e: Throwable => s"  FAILED ${e.getMessage.take(60)}" }
+      println(f"[all] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s$res")
+    }
+    spark.stop()
+  }
+
+  /** Profile the MinHash LSH stages: banded row count, raw candidate pairs. */
+  def minhashProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("minhash-probe", 32)
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sig = docs.filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id",
+        graft.ext.MinHashDedup.signature(
+          graft.ext.MinHashDedup.shingles($"text"), 32).as("sig")).cache()
+    var t0 = System.nanoTime()
+    println(s"[probe] docs=${sig.count()} sigTime=${(System.nanoTime()-t0)/1e9}")
+    val banded = sig.select($"doc_id",
+      explode(transform(sequence(lit(0), lit(7)), b =>
+        struct(b.as("band_idx"),
+          hash(slice($"sig", b * 4 + 1, lit(4))).as("band_hash")))).as("band"))
+      .select($"doc_id", $"band.band_idx", $"band.band_hash").cache()
+    t0 = System.nanoTime()
+    println(s"[probe] banded=${banded.count()} t=${(System.nanoTime()-t0)/1e9}")
+    val buckets = banded.groupBy($"band_idx", $"band_hash").count()
+    println("[probe] top buckets:")
+    buckets.orderBy($"count".desc).limit(5).collect()
+      .foreach(r => println(s"[probe]   ${r.getLong(2)}"))
+    t0 = System.nanoTime()
+    val pairs = banded.as("a").join(banded.as("b"),
+      Seq("band_idx", "band_hash")).filter($"a.doc_id" < $"b.doc_id")
+    println(s"[probe] rawPairs=${pairs.count()} t=${(System.nanoTime()-t0)/1e9}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
+    if (args.headOption.contains("all")) { allQueries(sfDir); return }
+    if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
+    if (args.headOption.contains("mh2")) {
+      val spark = graft.Sessions.local("mh2", 32)
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.ext.MinHashDedup.candidatePairs(
+          graft.Tables.documents(spark, sfDir), 32, 8).count()
+        println(f"[mh2] iter$i pairs=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     Seq(("aqe_on", "true"), ("aqe_off", "false")).foreach { case (tag, aqe) =>
       val spark = SparkSession.builder()
         .master("local[32]")

@@ -35,6 +35,18 @@ class ExtSpec extends AnyFunSuite {
     assert(sig1 == sig2 && sig1.length == 16)
   }
 
+  test("native MinHash signature is bit-identical to the HOF fold") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    val sh = MinHashDedup.shingles(col("text"))
+    val both = docs.select(
+      MinHashDedup.signature(sh, 32).as("native"),
+      MinHashDedup.signatureHof(sh, 32).as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("SimHash: near-identical texts land within small hamming distance") {
     val base = "spark engine query plan optimizer shuffle partition join " * 8
     val near = base.replace("join", "merge")
