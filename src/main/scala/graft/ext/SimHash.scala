@@ -25,8 +25,13 @@ object SimHash {
   private def shl(v: Column, bits: Column): Column =
     call_function("shiftleft", v, bits)
 
-  /** The 64-bit simhash of a whitespace-tokenized text column. */
-  def simhash(text: Column): Column = {
+  /** The 64-bit simhash of a whitespace-tokenized text column
+    * (native expression — see graft.functions.SimHash64). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(split(text, " "))
+
+  /** HOF formulation — kept for the equivalence spec. */
+  def simhashHof(text: Column): Column = {
     val hashes = transform(split(text, " "), t => xxhash64(t))
     val zero = transform(bitsIdx, _ => lit(0L))
     val votes = aggregate(hashes, zero, (acc, h) =>

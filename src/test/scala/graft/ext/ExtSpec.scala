@@ -60,6 +60,14 @@ class ExtSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(1L)) <= 16)
   }
 
+  test("native SimHash64 is bit-identical to the HOF fold") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    docs.select(SimHash.simhash(col("text")).as("native"),
+      SimHash.simhashHof(col("text")).as("hof"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("SimHash nearDupPairs returns banded close pairs") {
     val unit = "alpha beta gamma delta epsilon zeta eta theta "
     val base = unit * 10
