@@ -133,6 +133,18 @@ object Similarity {
       },
       None),
 
+    // ---- X4 scale path 2: IVF partition-pruned ANN (rows-only) -------------
+    QueryDef(
+      "x4_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8)
+        val qv = e.filter($"vec_id" === 0).head().getSeq[Double](2)
+        graft.ext.IvfAnn.search(index, qv, nProbe = 3, k = 10)
+      },
+      None),
+
     // ---- Embedding near-dup pairs over a fixed subset (oracle-checked) -----
     QueryDef(
       "emb_neardup_pairs",

@@ -148,6 +148,21 @@ object Text {
         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
 
+    // ---- Multimodal plumbing: binary column -> extracted metadata ----------
+    // (rows-only: the codec is stubbed — graft.ext.Multimodal — but the
+    // schema/partitioning/batch shape is the real media pipeline)
+    QueryDef(
+      "m_media_meta",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).filter($"doc_id" < 100)
+          .select($"doc_id".as("media_id"), lit("text").as("kind"),
+            $"text".cast("binary").as("bytes"))
+          .as[graft.ext.Multimodal.MediaRow]
+        graft.ext.Multimodal.extractMeta(media).toDF().orderBy($"media_id")
+      },
+      None),
+
     // ---- X5: facet rollup over lang × source -------------------------------
     QueryDef(
       "x5_facet_rollup",

@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs))
     val rowsOnly = qs -- oracles
     assert(rowsOnly == Set(
-      "a8_approx_distinct", "d_minhash_pairs", "d_simhash", "x4_ann_lsh_pairs"))
+      "a8_approx_distinct", "d_minhash_pairs", "d_simhash",
+      "x4_ann_lsh_pairs", "x4_ann_ivf", "m_media_meta"))
   }
 
   test("flagship entry returns rows") {
