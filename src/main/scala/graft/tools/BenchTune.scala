@@ -72,11 +72,43 @@ object BenchTune {
     spark.stop()
   }
 
+  /** ETL throughput: generate N synthetic Clojush logs, time the full
+    * LogPipeline.load + count of all four tables. The reference processes
+    * one log per sequential JVM subprocess; this measures the parallel
+    * file-per-task path.
+    */
+  def etlThroughput(nLogs: Int = 500): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("etl_bench")
+    val rnd = new scala.util.Random(42)
+    (1 to nLogs).foreach { i =>
+      val gens = (0 to 20).map { g =>
+        s"-*- Report at generation $g\n" +
+          (1 to 10).map(k => s"metric-$k: ${rnd.nextDouble()}").mkString("\n")
+      }.mkString("\n;;;;\n")
+      val log = s"Clojush version = 1.2.3\n" +
+        (1 to 20).map(k => s"param-$k = ${rnd.nextInt(1000)}").mkString("\n") +
+        s"\n;;;;\n$gens\n;;;;\nSUCCESS at generation 20"
+      java.nio.file.Files.writeString(dir.resolve(f"run$i%04d_u$i.log"), log)
+    }
+    val spark = graft.Sessions.local("etl-bench", 32)
+    (1 to 2).foreach { iter =>
+      val t0 = System.nanoTime()
+      val t = graft.parse.LogPipeline.load(spark, dir.toString + "/*.log")
+      val rows = t.experiments.count() + t.experiment.count() +
+        t.generations.count() + t.summary.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[etl] iter$iter $nLogs logs, $rows rows in $sec%.2f s " +
+        f"(${nLogs / sec}%.0f logs/s)")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
+    if (args.headOption.contains("etl")) { etlThroughput(); return }
     if (args.headOption.contains("mh2")) {
       val spark = graft.Sessions.local("mh2", 32)
       (1 to 3).foreach { i =>
