@@ -348,6 +348,104 @@ object Relational {
           USING (nk)
         ORDER BY nk""")),
 
+    // ---- J7d: cross join ---------------------------------------------------
+    QueryDef(
+      "j7_cross",
+      (s, d) => {
+        import s.implicits._
+        Tables.region(s, d).crossJoin(Tables.nation(s, d))
+          .select($"r_name", $"n_name")
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    // ---- A6b: collect_set aggregation (sorted for determinism) -------------
+    QueryDef(
+      "a6_collect",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).groupBy($"l_returnflag")
+          .agg(array_join(array_sort(collect_set($"l_linestatus")), ",")
+            .as("statuses"),
+            countDistinct($"l_linestatus").as("n_statuses"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        COUNT(DISTINCT l_linestatus) AS n_statuses
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A9: exact interpolated percentiles (rounded) ----------------------
+    QueryDef(
+      "a9_percentiles",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).groupBy($"o_orderstatus")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(min($"o_totalprice"), 4).as("p0"),
+            round(max($"o_totalprice"), 4).as("p100"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        round(MIN(o_totalprice), 4) AS p0,
+        round(MAX(o_totalprice), 4) AS p100
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- F15b: math function suite -----------------------------------------
+    QueryDef(
+      "f_math_suite",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).filter($"o_orderkey" <= 500)
+          .select($"o_orderkey",
+            sqrt($"o_totalprice").as("sqrt_price"),
+            ($"o_orderkey" % 7).as("mod7"),
+            signum($"o_totalprice" - 150000.0).as("sign_vs"),
+            round($"o_totalprice", 1).as("round1"),
+            ($"o_totalprice" * $"o_totalprice").as("sq"),
+            greatest($"o_totalprice", lit(100000.0)).as("hi"),
+            least($"o_totalprice", lit(100000.0)).as("lo"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        sqrt(o_totalprice) AS sqrt_price,
+        o_orderkey % 7 AS mod7,
+        sign(o_totalprice - 150000.0) AS sign_vs,
+        round(o_totalprice, 1) AS round1,
+        o_totalprice * o_totalprice AS sq,
+        greatest(o_totalprice, 100000.0) AS hi,
+        least(o_totalprice, 100000.0) AS lo
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ---- F15c: date function suite -----------------------------------------
+    QueryDef(
+      "f_date_suite",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).filter($"o_orderkey" <= 500)
+          .select($"o_orderkey",
+            dayofmonth($"o_orderdate").as("dom"),
+            quarter($"o_orderdate").as("qtr"),
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd")
+              .as("month_start"),
+            datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+              .as("days_since"),
+            date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(day(o_orderdate) AS INTEGER) AS dom,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
     // ---- §2.10: set ops ----------------------------------------------------
     QueryDef(
       "setop_union",
