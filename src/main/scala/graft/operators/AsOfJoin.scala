@@ -30,6 +30,12 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The carry-forward last(_, ignoreNulls) must only ever see right-side
+    // values in the carried columns; a rightVals name that also exists on the
+    // left would make left rows "match" themselves.
+    require(rightVals.forall(c => !leftCols.contains(c)),
+      s"rightVals ${rightVals.filter(leftCols.contains).mkString(", ")} collide " +
+        "with left columns; rename the right value columns before joining")
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -38,7 +44,7 @@ object AsOfJoin {
       .withColumn("_side", lit(0))
     // align schemas: left keeps its columns + null right-vals; right keeps
     // keys + right-vals + null left-only columns
-    val rightOnly = rightVals.filterNot(leftCols.contains)
+    val rightOnly = rightVals
     val lAligned = rightOnly.foldLeft(l)((df, c) =>
       df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
     val rAligned = leftCols.filterNot(c => on.contains(c))

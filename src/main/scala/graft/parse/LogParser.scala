@@ -52,13 +52,13 @@ object LogParser {
     val lines = content.split("\n", -1).toIndexedSeq
     val segs = seqSplit(lines, clojushDelim)
 
-    // header: lines containing " = " (reference :230)
+    // header: lines containing " = " (reference :230); unlimited split +
+    // keep only exact 2-part results — a line with multiple " = " separators
+    // yields >2 parts and is dropped, as in the reference (:140)
     val header = segs.headOption.getOrElse(Vector.empty)
       .filter(_.contains(" = "))
-      .map { l =>
-        val kv = l.split(" = ", 2)
-        (kv(0).trim, if (kv.length > 1) kv(1).trim else "")
-      }
+      .map(_.split(" = "))
+      .collect { case Array(k, v) => (k.trim, v.trim) }
       .filter { case (k, v) => k.nonEmpty && (!skipNils || v != "nil") }
 
     val clojushVersion = header.collectFirst {
@@ -73,8 +73,8 @@ object LogParser {
       }.map { gennum =>
         val kvs = seg
           .filter(l => genMarker.findFirstIn(l).isEmpty)
-          .map(_.split(": ", 2))
-          .collect { case Array(k, v) => (k.trim, v.trim) } // arity-2 filter (:140,175)
+          .map(_.split(": ")) // unlimited split; >2 parts dropped below (:140,175)
+          .collect { case Array(k, v) => (k.trim, v.trim) }
           .filter { case (k, v) => k.nonEmpty && (!skipNils || v != "nil") }
         (gennum, kvs.toVector)
       }

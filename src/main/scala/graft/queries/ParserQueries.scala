@@ -38,8 +38,8 @@ object ParserQueries {
             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_delim
           FROM lineitem WHERE l_orderkey <= 1000),
         seg AS (
-          SELECT *, SUM(is_delim) OVER (PARTITION BY l_orderkey
-            ORDER BY l_linenumber ROWS UNBOUNDED PRECEDING) AS seg
+          SELECT *, CAST(SUM(is_delim) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
           FROM flagged)
         SELECT l_orderkey, seg, COUNT(*) AS n_lines,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS seg_qty

@@ -415,7 +415,7 @@ object Relational {
       Some("""SELECT o_orderkey,
         sqrt(o_totalprice) AS sqrt_price,
         o_orderkey % 7 AS mod7,
-        sign(o_totalprice - 150000.0) AS sign_vs,
+        CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sign_vs,
         round(o_totalprice, 1) AS round1,
         o_totalprice * o_totalprice AS sq,
         greatest(o_totalprice, 100000.0) AS hi,

@@ -46,8 +46,10 @@ object IngestStream {
             (path, LogParser.parseClojush(content, cfg.skipNils))
           }
           .toDF("path", "run")
-        val tables = tablesFromParsed(spark, parsed, cfg, batchId)
-        sink(tables, batchId)
+        val (tables, release) = tablesFromParsed(spark, parsed, cfg, batchId)
+        // the cached per-batch Dataset must not outlive the batch — under the
+        // ProcessingTime daemon an un-released cache grows without bound
+        try sink(tables, batchId) finally release()
         ()
       }
 
@@ -62,7 +64,7 @@ object IngestStream {
       spark: SparkSession,
       parsed: DataFrame,
       cfg: LogPipeline.LoadConfig,
-      batchId: Long): LogPipeline.LoadedTables = {
+      batchId: Long): (LogPipeline.LoadedTables, () => Unit) = {
     import spark.implicits._
     val base = cfg.baseId + batchId * 1000000L
     val withId = graft.ids.IdMinter.mintIds(parsed, base, "id", col("path"))
@@ -84,7 +86,8 @@ object IngestStream {
     val summary = runs.flatMap { case (id, _, run) =>
       run.summary.map { case (sp, mg) => SummaryRow(id, sp, mg) }
     }.toDF()
-    LogPipeline.LoadedTables(experiments, experiment, generations, summary)
+    (LogPipeline.LoadedTables(experiments, experiment, generations, summary),
+      () => { runs.unpersist(); () })
   }
 
   /** Event-time windowed streaming aggregation (T4): watermarked tumbling
