@@ -31,6 +31,7 @@ object QueryDef {
   /** Registry assembled from the per-module query groups. */
   def all: Seq[QueryDef] =
     queries.Relational.defs ++
+      queries.Analytics.defs ++
       queries.Windows.defs ++
       queries.Events.defs ++
       queries.Text.defs ++

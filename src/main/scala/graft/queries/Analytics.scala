@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multi-join analytics queries (TPC-H Q3/Q5/Q10 shapes, adapted to the
+  * driver corpus's column subset). These exercise the join *planning* the
+  * single-hop j-queries can't: 3–6 way joins where Catalyst must pick
+  * broadcast vs shuffle per edge and order the tree.
+  *
+  * Scale notes (100 TB): region/nation/customer/supplier are dimension-sized
+  * (TPC-H keeps customer ~1.5% of lineitem rows) — Catalyst broadcasts
+  * everything under the 10 MB threshold automatically, and at real scale
+  * customer outgrows it and degrades gracefully to a shuffle join on the
+  * already-shuffle-joined orders⋈lineitem keys. The lone unavoidable
+  * large-large shuffle is orders⋈lineitem on orderkey; AQE coalesces its
+  * partitions and splits skew. Top-k never sorts globally —
+  * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
+  * heap + driver merge of k rows).
+  *
+  * Revenue sums go through Relational.dsum (decimal-exact, order-free) so
+  * map-side partial aggregation stays bit-identical to the DuckDB oracle at
+  * any parallelism.
+  */
+object Analytics {
+
+  import Relational.dsum
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Q3 shape: shipping priority (customer ⋈ orders ⋈ lineitem) -------
+    QueryDef(
+      "q3_shipping_priority",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+        val li = Tables.lineitem(s, d)
+          .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+            .as("revenue"))
+          .select($"l_orderkey",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+            $"o_orderpriority", $"revenue")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      bench = true),
+
+    // ---- Q5 shape: local-supplier revenue (6-way snowflake join) -----------
+    // customer and supplier must share a nation — the classic "local
+    // supplier" cycle that forces the planner to pick a join order.
+    QueryDef(
+      "q5_local_supplier",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        val cust = Tables.customer(s, d)
+        val supp = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d).filter($"r_name" === "ASIA")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      bench = true),
+
+    // ---- Q10 shape: returned-item top customers ----------------------------
+    QueryDef(
+      "q10_returned_items",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1993-10-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        val cust = Tables.customer(s, d)
+        val nat = Tables.nation(s, d)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- Q8-style market share: conditional aggregation over a join --------
+    // share = asia-supplied revenue / total revenue per order year — the
+    // sum(CASE WHEN)/sum() pattern every BI layer generates.
+    QueryDef(
+      "q8_market_share",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val supp = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d)
+        val suppRegion = supp
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey", $"r_name")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(suppRegion), $"l_suppkey" === $"s_suppkey")
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg(
+            dsum(when($"r_name" === "ASIA",
+              $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0), 6)
+              .as("asia_rev"),
+            dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
+              .as("total_rev"))
+          .withColumn("share", round($"asia_rev" / $"total_rev", 6))
+          .orderBy($"o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(SUM(CAST(CASE WHEN r_name = 'ASIA'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            AS DECIMAL(18,6))) AS DOUBLE) AS asia_rev,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+          round(CAST(SUM(CAST(CASE WHEN r_name = 'ASIA'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+              AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS share
+        FROM lineitem, orders, supplier, nation, region
+        WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY o_year ORDER BY o_year"""))
+  )
+}

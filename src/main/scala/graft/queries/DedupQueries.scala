@@ -98,7 +98,8 @@ object DedupQueries {
       "d_minhash_pairs",
       (s, d) => graft.ext.MinHashDedup.candidatePairs(
         Tables.documents(s, d), numHashes = 32, bands = 8),
-      None),
+      None,
+      bench = true),
 
     // ---- SimHash fingerprint (rows-only) -----------------------------------
     QueryDef(

@@ -35,7 +35,8 @@ object Events {
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
+      bench = true),
 
     // ---- T4: tumbling window (1 day) ---------------------------------------
     QueryDef(

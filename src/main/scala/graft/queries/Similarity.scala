@@ -85,7 +85,8 @@ object Similarity {
         SELECT vec_id,
           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
         FROM embeddings, q
-        ORDER BY cos DESC, vec_id LIMIT 10""")),
+        ORDER BY cos DESC, vec_id LIMIT 10"""),
+      bench = true),
 
     // ---- X4: brute-force kNN join (each of 20 queries → top 3 neighbors) ---
     QueryDef(

@@ -126,6 +126,7 @@ object Windows {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey"""),
+      bench = true)
   )
 }
