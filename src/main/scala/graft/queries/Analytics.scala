@@ -170,6 +170,51 @@ object Analytics {
         FROM lineitem, orders, supplier, nation, region
         WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        GROUP BY o_year ORDER BY o_year"""))
+        GROUP BY o_year ORDER BY o_year""")),
+
+    // ---- A7c: explicit GROUPING SETS (beyond rollup/cube) ------------------
+    QueryDef(
+      "a7_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+              Seq($"o_orderstatus"), Seq.empty),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- scalar subquery: rows above the global average --------------------
+    // The scalar aggregate is computed once and broadcast into the filter —
+    // the distributed form of `WHERE x > (SELECT AVG(x) ...)`. The average
+    // goes through the decimal-exact path so both engines compare against
+    // the bit-identical threshold.
+    QueryDef(
+      "sub_scalar_above_avg",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        val avgPrice = ord.agg(
+          (sum($"o_totalprice".cast("decimal(18,4)")).cast("double") /
+            count(lit(1))).as("avg_price"))
+        ord.crossJoin(broadcast(avgPrice))
+          .filter($"o_totalprice" > $"avg_price" * 1.5)
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM orders) * 1.5
+        ORDER BY o_orderkey"""))
   )
 }

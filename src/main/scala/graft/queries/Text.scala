@@ -163,6 +163,26 @@ object Text {
       },
       None),
 
+    // ---- Multimodal metadata, oracle-checkable subset ----------------------
+    // The decode stub isn't SQL-expressible, but the size/provenance columns
+    // the media pipeline carries ARE — DuckDB checks the typed-metadata
+    // plumbing end to end via octet_length over the same payload.
+    QueryDef(
+      "m_media_bytes",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).filter($"doc_id" < 100)
+          .select($"doc_id".as("media_id"), lit("text").as("kind"),
+            $"text".cast("binary").as("bytes"))
+          .as[graft.ext.Multimodal.MediaRow]
+        graft.ext.Multimodal.extractMeta(media).toDF()
+          .select($"media_id", $"kind", $"n_bytes")
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'text' AS kind,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
+
     // ---- X5: facet rollup over lang × source -------------------------------
     QueryDef(
       "x5_facet_rollup",
