@@ -29,8 +29,16 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // test-scale shuffles hold a few MB: fewer, fatter partitions beat
+      // per-task scheduling overhead (cores/4 ≈ 8 at the driver's 32 cores)
+      .config("spark.sql.shuffle.partitions", math.max(4, cores / 4).toString)
       .config("spark.sql.adaptive.enabled", "false")
+      // single-JVM shuffle/broadcast bytes never cross a network and live in
+      // page cache — lz4 round-trips are pure CPU cost here
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
+      .config("spark.locality.wait", "0ms")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
