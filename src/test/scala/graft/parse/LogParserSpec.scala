@@ -42,6 +42,21 @@ class LogParserSpec extends AnyFunSuite {
     assert(run.generations.head._2.contains("note" -> "nil"))
   }
 
+  test("multi-separator lines are dropped (unlimited split, arity-2 keep)") {
+    // reference :140,175: split without limit, keep only exact [k v] pairs —
+    // a line with two separators yields 3 parts and is dropped entirely
+    val fixture =
+      """a = 1
+        |bad = x = y
+        |;;;;
+        |-*- Report at generation 0
+        |good: 1
+        |bad: x: y""".stripMargin
+    val run = LogParser.parseClojush(fixture)
+    assert(run.headerParams == Seq("a" -> "1"))
+    assert(run.generations == Seq(0 -> Seq("good" -> "1")))
+  }
+
   test("clojush golden: generations keyed by trailing int of -*- line") {
     val run = LogParser.parseClojush(clojushFixture)
     assert(run.generations == Seq(
