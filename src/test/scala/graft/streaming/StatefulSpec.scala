@@ -61,4 +61,39 @@ class StatefulSpec extends AnyFunSuite {
     val doubled = events.unionAll(events)
     assert(doubled.dropDuplicates("event_id").count() == events.count())
   }
+
+  test("dropDuplicatesWithinWatermark drops cross-batch dups inside the horizon") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dedupww").toString
+    val ckpt = dir + "/ckpt"
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit = {
+      val content = rows.map { case (id, ts) => s"$id,$ts" }.mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), content)
+    }
+    writeBatch("b1.csv", Seq(
+      ("e1", "2026-01-01 10:00:00"), ("e1", "2026-01-01 10:01:00"),
+      ("e2", "2026-01-01 10:02:00")))
+
+    val stream = spark.readStream
+      .schema("event_id STRING, ts TIMESTAMP")
+      .csv(dir + "/*.csv")
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_ww")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // second micro-batch: e1 again, still within the 1h horizon → dropped
+    writeBatch("b2.csv", Seq(
+      ("e1", "2026-01-01 10:05:00"), ("e3", "2026-01-01 10:06:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_ww")
+      .select("event_id").as[String].collect().toSeq.sorted
+    assert(ids == Seq("e1", "e2", "e3"))
+  }
 }
