@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties ARCHITECTURE.md claims
+  * (filter pushdown into the parquet scan, column pruning, broadcast dims,
+  * top-k as TakeOrderedAndProject) asserted against the actual physical
+  * plans, so a refactor that silently de-optimizes a query fails here.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1 filter is pushed into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1 scan schema is pruned to the referenced columns") {
+    val scan = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // 7 referenced columns of lineitem's 11 — l_orderkey/partkey/suppkey/
+    // linenumber must NOT be read
+    assert(scan.contains("l_returnflag") && !scan.contains("l_partkey"))
+  }
+
+  test("multi-join analytics broadcast the dimension side") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("partial aggregation happens map-side before the exchange") {
+    val p = plan("a6_revenue_by_nation")
+    // two HashAggregate levels around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("approx_count_distinct lands within its error bound of exact") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sfDir)
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = events.select(approx_count_distinct(col("user_id"), 0.05))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+}
