@@ -93,6 +93,49 @@ object DedupQueries {
             / len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0
         ORDER BY jaccard DESC, a, b LIMIT 100""")),
 
+    // ---- Near-dup pairs → duplicate clusters (connected components) --------
+    // Edges: n-gram Jaccard ≥ 0.02 over a bounded doc subset (deterministic,
+    // SQL-expressible); components via iterative min-label propagation
+    // (graft.ext.DedupClusters); oracle = transitive closure by recursive
+    // CTE. comp = canonical (min) doc_id per duplicate group.
+    QueryDef(
+      "d_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .filter($"doc_id" < 150 && size(split($"text", " ")) >= 3)
+          .select($"doc_id", expr(shingleExpr).as("sh"))
+          .cache() // computed column feeds a self-join — see Similarity notes
+        val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
+        val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))
+        val edges = a.join(broadcast(b), $"a" < $"b")
+          .filter(round(size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")), 6) >= 0.02)
+          .select($"a", $"b")
+        val verts = sh.select($"doc_id".as("id"))
+        graft.ext.DedupClusters.components(verts, edges)
+          .select($"id".as("doc_id"), $"comp")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                   string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS sh
+          FROM documents
+          WHERE doc_id < 150 AND len(string_split(text, ' ')) >= 3),
+        edges AS (
+          SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+          WHERE a.doc_id <> b.doc_id
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.02),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM sh
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        SELECT src AS doc_id, MIN(dst) AS comp
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---- I5: MinHash-LSH near-dup candidate pairs (rows-only) --------------
     QueryDef(
       "d_minhash_pairs",

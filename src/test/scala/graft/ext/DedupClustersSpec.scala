@@ -1,0 +1,29 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupClustersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("multi-hop chain resolves to one component; singletons stay put") {
+    // chain 1-2-3 (diameter 2, needs >1 propagation round), pair 5-6,
+    // isolated 9
+    val verts = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("a", "b")
+    val comps = DedupClusters.components(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("long path converges within the diameter bound") {
+    val n = 12L
+    val verts = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = DedupClusters.components(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L))
+  }
+}
