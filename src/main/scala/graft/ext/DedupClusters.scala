@@ -50,6 +50,12 @@ object DedupClusters {
       iter += 1
     }
     sym.unpersist()
+    // a silent non-converged return would split one real component into
+    // several phantom "canonical" docs — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"components() did not converge within $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter above the " +
+        "largest component diameter")
     labels
   }
 }

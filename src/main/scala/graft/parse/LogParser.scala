@@ -54,7 +54,10 @@ object LogParser {
 
     // header: lines containing " = " (reference :230); unlimited split +
     // keep only exact 2-part results — a line with multiple " = " separators
-    // yields >2 parts and is dropped, as in the reference (:140)
+    // yields >2 parts and is dropped, as in the reference (:140). Unlimited
+    // split carries Java/Clojure string/split semantics: TRAILING empty
+    // strings are discarded, so "k = " drops (1 part) and "k = v = " keeps
+    // (k, v) — both faithful to the reference's clojure.string/split.
     val header = segs.headOption.getOrElse(Vector.empty)
       .filter(_.contains(" = "))
       .map(_.split(" = "))

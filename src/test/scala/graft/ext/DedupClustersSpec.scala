@@ -18,6 +18,16 @@ class DedupClustersSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("non-convergence within maxIter fails loudly, never silently wrong") {
+    val n = 12L
+    val verts = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.components(verts, edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("long path converges within the diameter bound") {
     val n = 12L
     val verts = (1L to n).toDF("id")
