@@ -90,4 +90,39 @@ class IngestStreamSpec extends AnyFunSuite {
       (r.getTimestamp(0), r.getString(1), r.getLong(2)))
     assert(streamed == batchSet)
   }
+
+  test("session windows merge across micro-batches under watermark") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sessionwin").toString
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, name),
+        rows.map { case (u, ts) => s"$u,$ts" }.mkString("\n"))
+    // two events 10 min apart (same 30-min session), then a third in the
+    // NEXT micro-batch still within the gap → all one session
+    writeBatch("b1.csv", Seq(
+      ("u1", "2026-01-01 10:00:00"), ("u1", "2026-01-01 10:10:00"),
+      ("u2", "2026-01-01 10:00:00")))
+    val stream = spark.readStream
+      .schema("user STRING, ts TIMESTAMP").csv(dir + "/*.csv")
+    val sessions = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("session_out")
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    q.processAllAvailable()
+    writeBatch("b2.csv", Seq(("u1", "2026-01-01 10:25:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_out")
+      .select(col("user"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("u1", 3L), ("u2", 1L)))
+  }
 }
