@@ -183,6 +183,21 @@ object Text {
         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
+    // ---- Edit distance vs a probe (fuzzy text match) -----------------------
+    QueryDef(
+      "x_edit_distance",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).filter($"doc_id" < 200)
+          .select($"doc_id",
+            levenshtein(substring($"text", 1, 40),
+              lit("the quick brown fox jumps over the lazy")).as("dist"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(levenshtein(substring(text, 1, 40),
+          'the quick brown fox jumps over the lazy') AS INTEGER) AS dist
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
     // ---- X5: facet rollup over lang × source -------------------------------
     QueryDef(
       "x5_facet_rollup",
