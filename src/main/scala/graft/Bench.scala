@@ -26,15 +26,19 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { qs(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      // a failed query must not masquerade as a (near-zero) fast timing
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,21 +24,25 @@ object IvfAnn {
   final case class Index(assigned: DataFrame, centroids: Array[(Int, Seq[Double])])
 
   /** Assign each (vec_id, ev: array<double>) row to its nearest seed
-    * centroid. Seeds = the `nCentroids` evenly-spaced existing vectors —
-    * deterministic, no iterative clustering (k-means refinement would slot
-    * in here; seeding is enough to demonstrate and test the pruned path).
+    * centroid. Seeds = ~`nCentroids` existing vectors picked by a
+    * deterministic hash-mod filter (partitioning-independent) — only the
+    * selected seed rows ever reach the driver, never the full id column
+    * (k-means refinement would slot in here; seeding is enough to
+    * demonstrate and test the pruned path).
     */
   def build(emb: DataFrame, nCentroids: Int): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = emb.count()
     val step = math.max(1L, n / nCentroids)
-    val seedIds = emb.select($"vec_id").orderBy($"vec_id")
-      .collect().map(_.getLong(0)).grouped(step.toInt).map(_.head)
-      .take(nCentroids).toSeq
-    val centroids = emb.filter($"vec_id".isin(seedIds: _*))
-      .orderBy($"vec_id").collect()
-      .zipWithIndex
+    val picked = emb.select($"vec_id", $"ev")
+      .filter(pmod(xxhash64($"vec_id"), lit(step)) === 0)
+      .orderBy($"vec_id").limit(nCentroids).collect()
+    val seeds = // hash-mod can undershoot on tiny inputs; fall back to head
+      if (picked.nonEmpty) picked
+      else emb.select($"vec_id", $"ev").orderBy($"vec_id")
+        .limit(nCentroids).collect()
+    val centroids = seeds.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("ev"))) }
 
     val centroidDf = centroids

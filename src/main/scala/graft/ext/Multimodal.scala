@@ -44,7 +44,9 @@ object Multimodal {
         ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
           ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
       else bytes.length * (off + 1)
-    (be32(0).abs % 8192, be32(4).abs % 8192, be32(8).abs % 192000)
+    // floorMod, not .abs: Int.MinValue.abs stays negative
+    (math.floorMod(be32(0), 8192), math.floorMod(be32(4), 8192),
+      math.floorMod(be32(8), 192000))
   }
 
   private def checksum(bytes: Array[Byte]): Long =

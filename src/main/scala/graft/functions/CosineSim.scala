@@ -26,6 +26,12 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // the expression itself produces null on length mismatch even when both
+  // children are non-nullable — without this override the planner would
+  // declare the output non-nullable and codegen would emit an assignment to
+  // a `false` literal in the mismatch branch
+  override def nullable: Boolean = true
+
   private def isDoubleArray(t: DataType): Boolean = t match {
     case ArrayType(DoubleType, _) => true
     case _ => false

@@ -32,6 +32,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       s"minhash_signature requires array<string>, got ${child.dataType.simpleString}")
   }
 
+  // per-hash seeds are data-independent — mirror xxhash64(i+1, s):
+  // seed 42 -> int seed; computed once, not per (shingle × hash)
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i + 1, IntegerType, 42L))
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -42,9 +47,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       if (s != null) {
         var i = 0
         while (i < numHashes) {
-          // mirror xxhash64(i+1, s): seed 42 -> int seed -> string
-          val h1 = XxHash64Function.hash(i + 1, IntegerType, 42L)
-          val h2 = XxHash64Function.hash(s, StringType, h1)
+          val h2 = XxHash64Function.hash(s, StringType, seeds(i))
           if (h2 < mins(i)) mins(i) = h2
           i += 1
         }

@@ -36,6 +36,12 @@ object AsOfJoin {
     require(rightVals.forall(c => !leftCols.contains(c)),
       s"rightVals ${rightVals.filter(leftCols.contains).mkString(", ")} collide " +
         "with left columns; rename the right value columns before joining")
+    // the union carries two internal working columns; an input column with
+    // either name would be silently overwritten by withColumn
+    Seq("_t", "_side").foreach { c =>
+      require(!leftCols.contains(c) && !right.columns.contains(c),
+        s"column name '$c' is reserved by AsOfJoin; rename it before joining")
+    }
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))

@@ -36,11 +36,18 @@ object Edn {
     val p = new Parser(input)
     val v = p.parseValue()
     p.skipWs()
+    // trailing garbage (or a second value) means the file is corrupt —
+    // silently returning the first value would hide it
+    if (!p.atEnd) throw new ParseError(
+      s"trailing content after EDN value at offset ${p.offset}")
     v
   }
 
   private final class Parser(s: String) {
     private var i = 0
+
+    def atEnd: Boolean = i >= s.length
+    def offset: Int = i
 
     def skipWs(): Unit = {
       while (i < s.length && (s(i).isWhitespace || s(i) == ',' || s(i) == ';')) {

@@ -29,11 +29,15 @@ object LogPipeline {
       baseId: Long = 0L,
       problemName: Option[String] = None)
 
+  /** @param release returns cached intermediates to the block manager —
+    *                 call once the tables have been consumed (sunk/collected)
+    */
   final case class LoadedTables(
       experiments: DataFrame,
       experiment: DataFrame,
       generations: DataFrame,
-      summary: DataFrame)
+      summary: DataFrame,
+      release: () => Unit = () => ())
 
   private val DateFmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -61,8 +65,21 @@ object LogPipeline {
   /** Full load: the four Clojush tables (reference src/db_loader.clj:36-39). */
   def load(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
       : LoadedTables = {
-    import spark.implicits._
     val parsed = parse(spark, logDir, cfg).cache()
+    tablesFromParsed(parsed, cfg)
+      .copy(release = () => { parsed.unpersist(); () })
+  }
+
+  /** The four tables from an already-parsed Dataset — shared by the batch
+    * `load` and the streaming per-micro-batch path (IngestStream), so row
+    * semantics cannot diverge between them. Caching of `parsed` (it is
+    * traversed four times) is the caller's choice and lifecycle.
+    */
+  def tablesFromParsed(
+      parsed: Dataset[(Long, String, String, ParsedRun)],
+      cfg: LoadConfig): LoadedTables = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
 
     // problem name: explicit config or the log folder leaf (reference arg
     // :problemname, src/db_loader.clj:110-111)

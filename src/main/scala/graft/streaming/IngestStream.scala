@@ -46,10 +46,10 @@ object IngestStream {
             (path, LogParser.parseClojush(content, cfg.skipNils))
           }
           .toDF("path", "run")
-        val (tables, release) = tablesFromParsed(spark, parsed, cfg, batchId)
+        val tables = tablesFromParsed(spark, parsed, cfg, batchId)
         // the cached per-batch Dataset must not outlive the batch — under the
         // ProcessingTime daemon an un-released cache grows without bound
-        try sink(tables, batchId) finally release()
+        try sink(tables, batchId) finally tables.release()
         ()
       }
 
@@ -59,35 +59,26 @@ object IngestStream {
 
   /** Batch-local table construction; ids are unique across batches by
     * offsetting with the batchId (deterministic per batch: path-ordered).
+    * The per-batch id window is 1e12: a backlog drained by AvailableNow is
+    * one micro-batch, so the window must exceed any plausible file count —
+    * at 1e12 ids per batch, Long overflows only after ~9.2M batches (years
+    * of a 10s daemon trigger).
     */
+  private val idWindow = 1000000000000L
   private def tablesFromParsed(
       spark: SparkSession,
       parsed: DataFrame,
       cfg: LogPipeline.LoadConfig,
-      batchId: Long): (LogPipeline.LoadedTables, () => Unit) = {
+      batchId: Long): LogPipeline.LoadedTables = {
     import spark.implicits._
-    val base = cfg.baseId + batchId * 1000000L
+    val base = cfg.baseId + batchId * idWindow
     val withId = graft.ids.IdMinter.mintIds(parsed, base, "id", col("path"))
-    val runs = withId.select($"id", $"path", $"run")
-      .as[(Long, String, ParsedRun)].cache()
-
-    val experiments = runs.map { case (id, path, run) =>
-      ExperimentRow(id, cfg.user, "", cfg.problemName.getOrElse(""), 0L,
-        run.clojushVersion.getOrElse(""), path, "")
-    }.toDF()
-    val experiment = runs.flatMap { case (id, _, run) =>
-      run.headerParams.map { case (k, v) => ParamRow(id, k, v) }
-    }.toDF()
-    val generations = runs.flatMap { case (id, _, run) =>
-      run.generations.flatMap { case (g, kvs) =>
-        kvs.map { case (k, v) => GenerationRow(id, g, k, v) }
-      }
-    }.toDF()
-    val summary = runs.flatMap { case (id, _, run) =>
-      run.summary.map { case (sp, mg) => SummaryRow(id, sp, mg) }
-    }.toDF()
-    (LogPipeline.LoadedTables(experiments, experiment, generations, summary),
-      () => { runs.unpersist(); () })
+    // the streaming text source exposes no _metadata mtime — empty, like the
+    // reference's CSV path when no run date is derivable
+    val runs = withId.select($"id", $"path", lit("").as("mtime"), $"run")
+      .as[(Long, String, String, ParsedRun)].cache()
+    LogPipeline.tablesFromParsed(runs, cfg)
+      .copy(release = () => { runs.unpersist(); () })
   }
 
   /** Event-time windowed streaming aggregation (T4): watermarked tumbling

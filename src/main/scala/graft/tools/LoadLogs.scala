@@ -42,6 +42,7 @@ object LoadLogs {
       CsvSink.append(df, s"$outDir/$name")
       println(s"[load] $name: ${df.count()} rows -> $outDir/$name")
     }
+    tables.release()
     spark.stop()
   }
 
