@@ -183,6 +183,31 @@ object Text {
         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
+    // ---- Deterministic hash split (train/val/test) -------------------------
+    // The standard reproducible split: bucket on a content-independent hash
+    // of the stable id — no RNG state, no ordering dependence, identical on
+    // any cluster size. First hex nibble of md5: 0-7 train, 8-b val,
+    // c-f test (50/25/25).
+    QueryDef(
+      "x_hash_split",
+      (s, d) => {
+        import s.implicits._
+        val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        Tables.documents(s, d)
+          .select($"lang",
+            when(nib < "8", "train")
+              .when(nib < "c", "val").otherwise("test").as("split"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"split")
+      },
+      Some("""SELECT lang,
+          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'val'
+               ELSE 'test' END AS split,
+          COUNT(*) AS n
+        FROM documents GROUP BY lang, split ORDER BY lang, split""")),
+
     // ---- Edit distance vs a probe (fuzzy text match) -----------------------
     QueryDef(
       "x_edit_distance",

@@ -110,4 +110,11 @@ class ExtSpec extends AnyFunSuite {
     assert(out.bytes.length <= 128 + 8)
     assert(out.media_id == 9L)
   }
+
+  test("multimodal: decode stub never yields negative dims (MinValue header)") {
+    val worst = Array[Byte](0x80.toByte, 0, 0, 0, 0x80.toByte, 0, 0, 0,
+      0x80.toByte, 0, 0, 0)
+    val (w, h, sr) = Multimodal.decodeStub(worst)
+    assert(w >= 0 && h >= 0 && sr >= 0)
+  }
 }

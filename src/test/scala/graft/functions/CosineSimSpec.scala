@@ -47,6 +47,16 @@ class CosineSimSpec extends AnyFunSuite {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("output is declared nullable even over non-nullable inputs") {
+    // length mismatch produces null regardless of child nullability — a
+    // non-nullable declaration would make codegen assign to a `false`
+    // literal and the interpreted path return null illegally
+    val df = spark.range(1).select(
+      CosineSim.cosine_sim(array(lit(1.0), lit(2.0)), array(lit(1.0))).as("c"))
+    assert(df.schema("c").nullable)
+    assert(df.collect().head.isNullAt(0))
+  }
+
   test("non-double-array input fails analysis, not execution") {
     val bad = Seq((1, "x")).toDF("i", "s")
     val e = intercept[Exception] {

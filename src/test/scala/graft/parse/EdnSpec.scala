@@ -43,4 +43,11 @@ class EdnSpec extends AnyFunSuite {
   test("missing command-maps key -> empty") {
     assert(commandMaps("{:other 1}").isEmpty)
   }
+
+  test("trailing garbage is a parse error, not silently ignored") {
+    intercept[Edn.ParseError](parse("{:id 5} {:id 9}"))
+    intercept[Edn.ParseError](parse("{:id 5} junk"))
+    // trailing whitespace/comments are fine
+    assert(render(parse("{:id 5}  ; done\n")) == "{id 5}")
+  }
 }
