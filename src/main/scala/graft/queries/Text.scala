@@ -183,6 +183,57 @@ object Text {
         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
+    // ---- End-to-end curation pipeline (capstone composition) ---------------
+    // The real training-data flow in one declarative plan: quality filter →
+    // content-hash dedup (keep min doc_id per fingerprint) → deterministic
+    // split → per-split counts. Every stage is an operator declared above;
+    // composing them stays one Catalyst plan — no materialization between
+    // stages, filters push through, one shuffle per wide stage.
+    QueryDef(
+      "x_curation_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        val stopCount =
+          expr(s"size(filter(split(text, ' '), t -> t IN ${inList(stopwords)}))")
+        val quality = (stopCount.cast("double") / size(toks)) * 0.5 +
+          (least(size(toks), lit(100)).cast("double") / 100.0) * 0.5
+        val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        val scored = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"),
+            quality.as("quality"),
+            when(nib < "8", "train").when(nib < "c", "val")
+              .otherwise("test").as("split"))
+          .filter($"quality" >= 0.4)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id")
+        scored
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            Relational.dsum($"quality", 6).as("sum_quality"))
+          .orderBy($"split", $"lang")
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, lang,
+            md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+              / len(string_split(text, ' ')) * 0.5
+              + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0 * 0.5 AS quality,
+            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents),
+        filtered AS (SELECT * FROM scored WHERE quality >= 0.4),
+        deduped AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM filtered)
+        SELECT split, lang, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        FROM deduped WHERE rn = 1
+        GROUP BY split, lang ORDER BY split, lang""")),
+
     // ---- Deterministic hash split (train/val/test) -------------------------
     // The standard reproducible split: bucket on a content-independent hash
     // of the stable id — no RNG state, no ordering dependence, identical on
