@@ -38,7 +38,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"failed":$nFailed,"sf":"$sfDir"}""")
+
+    // ETL throughput: the reference's own workload (parse logs → 4 tables).
+    // Its loader forks one JVM per log file, sequentially; warm logs/s here
+    // is the single-node apples-to-apples number.
+    val etlLogsPerSec = try {
+      val glob = tools.BenchTune.genEtlLogs(200)
+      tools.BenchTune.timedLoad(spark, glob) // warm (codegen + dict build)
+      val (_, sec) = tools.BenchTune.timedLoad(spark, glob)
+      200.0 / sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0 }
+
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,7 +77,8 @@ object BenchTune {
     * one log per sequential JVM subprocess; this measures the parallel
     * file-per-task path.
     */
-  def etlThroughput(nLogs: Int = 500): Unit = {
+  /** Write `nLogs` synthetic Clojush logs; returns the glob to load. */
+  def genEtlLogs(nLogs: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("etl_bench")
     val rnd = new scala.util.Random(42)
     (1 to nLogs).foreach { i =>
@@ -90,13 +91,24 @@ object BenchTune {
         s"\n;;;;\n$gens\n;;;;\nSUCCESS at generation 20"
       java.nio.file.Files.writeString(dir.resolve(f"run$i%04d_u$i.log"), log)
     }
+    dir.toString + "/*.log"
+  }
+
+  /** One full 4-table load of `glob`; returns (total rows, seconds). */
+  def timedLoad(spark: SparkSession, glob: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val t = graft.parse.LogPipeline.load(spark, glob)
+    val rows = t.experiments.count() + t.experiment.count() +
+      t.generations.count() + t.summary.count()
+    t.release()
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def etlThroughput(nLogs: Int = 500): Unit = {
+    val glob = genEtlLogs(nLogs)
     val spark = graft.Sessions.local("etl-bench", 32)
     (1 to 2).foreach { iter =>
-      val t0 = System.nanoTime()
-      val t = graft.parse.LogPipeline.load(spark, dir.toString + "/*.log")
-      val rows = t.experiments.count() + t.experiment.count() +
-        t.generations.count() + t.summary.count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (rows, sec) = timedLoad(spark, glob)
       println(f"[etl] iter$iter $nLogs logs, $rows rows in $sec%.2f s " +
         f"(${nLogs / sec}%.0f logs/s)")
     }
