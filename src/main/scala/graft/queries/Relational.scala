@@ -480,6 +480,66 @@ object Relational {
       Some("""SELECT c_nationkey AS nk FROM customer
         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
 
+    // ---- §2.10: EXCEPT ALL (multiset semantics) ----------------------------
+    QueryDef(
+      "setop_except_all",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d).select($"c_nationkey".as("nk"))
+          .exceptAll(Tables.supplier(s, d).select($"s_nationkey".as("nk")))
+          .groupBy($"nk").agg(count(lit(1)).as("n"))
+          .orderBy($"nk")
+      },
+      Some("""SELECT nk, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT ALL SELECT s_nationkey AS nk FROM supplier)
+        GROUP BY nk ORDER BY nk""")),
+
+    // ---- A-family: min_by / max_by (arg-extrema) ---------------------------
+    // keyed on the unique o_orderkey so the winner is deterministic (ties on
+    // o_totalprice exist in the corpus and would be engine-dependent)
+    QueryDef(
+      "a10_min_max_by",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).groupBy($"o_orderpriority")
+          .agg(
+            min_by($"o_totalprice", $"o_orderkey").as("first_price"),
+            max_by($"o_totalprice", $"o_orderkey").as("last_price"),
+            min($"o_orderkey").as("min_key"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          min_by(o_totalprice, o_orderkey) AS first_price,
+          max_by(o_totalprice, o_orderkey) AS last_price,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- F-suite: padding / translate / repeat / split_part ----------------
+    QueryDef(
+      "f_string_suite2",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).filter($"o_orderkey" <= 500)
+          .select($"o_orderkey",
+            lpad($"o_orderstatus", 5, "_").as("padded_l"),
+            rpad($"o_orderstatus", 5, ".").as("padded_r"),
+            reverse($"o_orderpriority").as("rev"),
+            repeat($"o_orderstatus", 3).as("rep"),
+            translate($"o_orderpriority", "-", "_").as("trans"),
+            split_part($"o_orderpriority", lit("-"), lit(1)).as("part1"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          lpad(o_orderstatus, 5, '_') AS padded_l,
+          rpad(o_orderstatus, 5, '.') AS padded_r,
+          reverse(o_orderpriority) AS rev,
+          repeat(o_orderstatus, 3) AS rep,
+          translate(o_orderpriority, '-', '_') AS trans,
+          split_part(o_orderpriority, '-', 1) AS part1
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
     // ---- §2.10: top-k (TakeOrderedAndProject) ------------------------------
     QueryDef(
       "topk_orders",

@@ -80,6 +80,37 @@ object Windows {
           ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderstatus, rnk, o_orderkey""")),
 
+    // ---- W2b: value functions + cume_dist over explicit ROWS frames --------
+    QueryDef(
+      "w2_value_family",
+      (s, d) => {
+        import s.implicits._
+        val ord_ = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        val frame = ord_.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).filter($"o_orderkey" <= 2000)
+          .select($"o_orderstatus", $"o_orderkey",
+            first($"o_orderkey").over(frame).as("top_key"),
+            last($"o_orderkey").over(frame).as("bottom_key"),
+            nth_value($"o_orderkey", 2).over(frame).as("second_key"),
+            cume_dist().over(ord_).as("cdist"))
+          .orderBy($"o_orderstatus", $"o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+          FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+          LAST_VALUE(o_orderkey) OVER wf AS bottom_key,
+          NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+          CUME_DIST() OVER wo AS cdist
+        FROM orders WHERE o_orderkey <= 2000
+        WINDOW
+          wo AS (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey),
+          wf AS (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderstatus, o_orderkey""")),
+
     // ---- W3: lag / lead / first_value with explicit frames -----------------
     QueryDef(
       "w3_lag_lead",
