@@ -495,6 +495,21 @@ object Relational {
           EXCEPT ALL SELECT s_nationkey AS nk FROM supplier)
         GROUP BY nk ORDER BY nk""")),
 
+    // ---- §2.10: INTERSECT ALL (multiset semantics) -------------------------
+    QueryDef(
+      "setop_intersect_all",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d).select($"c_nationkey".as("nk"))
+          .intersectAll(Tables.supplier(s, d).select($"s_nationkey".as("nk")))
+          .groupBy($"nk").agg(count(lit(1)).as("n"))
+          .orderBy($"nk")
+      },
+      Some("""SELECT nk, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nk FROM customer
+          INTERSECT ALL SELECT s_nationkey AS nk FROM supplier)
+        GROUP BY nk ORDER BY nk""")),
+
     // ---- A-family: min_by / max_by (arg-extrema) ---------------------------
     // keyed on the unique o_orderkey so the winner is deterministic (ties on
     // o_totalprice exist in the corpus and would be engine-dependent)
