@@ -1,28 +1,57 @@
 package graft.ids
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic distributed id minting + dictionary encoding
   * (SURVEY.md §2.9 I1–I3) — replaces the reference's serial atom counter /
   * DB sequences / file-lock machinery (src/db_loader.clj:32,67-84,359-368),
   * which it explicitly could not make work on a cluster.
   *
-  * Ids are `base + row_number` over a total order on a *low-cardinality* key
-  * (file path — files per batch, not rows), so the single-partition window is
-  * bounded and the result is unique, dense and stable under repartitioning.
+  * Ids are `base + position` in a total sort order, produced WITHOUT a
+  * global window: `row_number().over(Window.orderBy(...))` funnels every
+  * input row — bytes included — through one task (Spark's
+  * `WindowExec: No Partition Defined` warning), which is the #1 scale trap
+  * for an ETL path whose rows are whole files. Instead the sort stays
+  * range-partitioned and `zipWithIndex` assigns global positions from
+  * per-partition counts (one lightweight extra job). Same contract: unique,
+  * dense, deterministic under any input partitioning.
+  *
   * Where only uniqueness matters, callers can use
   * `monotonically_increasing_id()` instead (documented trade-off: sparse).
   */
 object IdMinter {
 
   /** Mint dense ids ordered by `orderCols` starting at `base + 1`.
-    * Deterministic: same input rows → same ids, regardless of partitioning.
+    * Deterministic: same input rows → same ids, regardless of partitioning
+    * (ties in `orderCols` would make ids nondeterministic — order by a key).
     */
-  def mintIds(df: DataFrame, base: Long, idCol: String, orderCols: Column*): DataFrame =
-    df.withColumn(idCol,
-      lit(base) + row_number().over(Window.orderBy(orderCols: _*)))
+  def mintIds(df: DataFrame, base: Long, idCol: String, orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (base + i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Mint dense ids keyed by a UNIQUE, narrow column (file path) without
+    * ever moving the payload columns: ids are minted over `select(keyCol)`
+    * only, so the sort carries ~100 bytes/row, and the (key → id) map —
+    * key-cardinality rows, i.e. files per batch — is broadcast-joined back.
+    * The wide rows (whole-file text) stay where the scan put them: the
+    * broadcast hash join streams them with zero exchange.
+    *
+    * The key projection is a second pass over `df`'s source; at file-count
+    * scale that pass reads only the path column and is shuffle-free, vs the
+    * alternative of shuffling the full payload to sort it.
+    */
+  def mintIdsByKey(df: DataFrame, base: Long, idCol: String, keyCol: String): DataFrame = {
+    val idMap = mintIds(df.select(col(keyCol)).distinct(), base, idCol, col(keyCol))
+    df.join(broadcast(idMap), Seq(keyCol))
+  }
 
   /** Dictionary-encode a name column (reference problem_data map, I2):
     * returns a (name, id) dimension where previously-seen names keep their

@@ -40,7 +40,7 @@ object EcjPipeline {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true").text(glob)
       .select($"value", $"_metadata.file_path".as("path"))
-    val withId = IdMinter.mintIds(raw, baseId, "expid", col("path"))
+    val withId = IdMinter.mintIdsByKey(raw, baseId, "expid", "path")
     withId.select($"expid", $"path", $"value")
       .as[(Long, String, String)]
       .flatMap { case (expid, _, content) =>

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    come from file metadata columns, not driver-side File calls;
   *  - `.gz` logs decompress transparently in the source (no gunzip shell-out,
   *    reference src/db_loader.clj:339-341);
-  *  - ids are minted deterministically per batch (IdMinter) — the lone wide
-  *    dependency, over file-level (not row-level) cardinality;
+  *  - ids are minted deterministically per batch (IdMinter.mintIdsByKey):
+  *    the sort sees only the path column (file-level cardinality AND
+  *    file-path-sized rows), and the (path → id) map broadcast-joins back,
+  *    so file payloads never shuffle;
   *  - problem ids come from dictionary encoding (reference problem_data map,
   *    src/db_loader.clj:82-84) as a broadcast-joined dimension.
   */
@@ -29,7 +31,10 @@ object LogPipeline {
       baseId: Long = 0L,
       problemName: Option[String] = None)
 
-  /** @param release returns cached intermediates to the block manager —
+  /** @param problemDim the (problem_name, problem_id) dictionary this load
+    *                    used — incremental callers (IngestStream) thread it
+    *                    into the next batch so ids stay stable across batches
+    * @param release returns cached intermediates to the block manager —
     *                 call once the tables have been consumed (sunk/collected)
     */
   final case class LoadedTables(
@@ -37,6 +42,7 @@ object LogPipeline {
       experiment: DataFrame,
       generations: DataFrame,
       summary: DataFrame,
+      problemDim: DataFrame,
       release: () => Unit = () => ())
 
   private val DateFmt = "yyyy-MM-dd HH:mm:ss"
@@ -45,53 +51,86 @@ object LogPipeline {
   private final case class FileRun(
       id: Long, path: String, mtime: String, run: ParsedRun)
 
-  /** Read + parse every `*.log` / `*.log.gz` under `logDir`. */
-  def parse(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
-      : Dataset[(Long, String, String, ParsedRun)] = {
+  /** Read + parse every `*.log` / `*.log.gz` under `logDir` — no ids yet:
+    * (path, mtime, run). One scan, zero shuffles.
+    */
+  def parseRaw(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
+      : Dataset[(String, String, ParsedRun)] = {
     import spark.implicits._
-    val raw = spark.read.option("wholetext", "true").text(logDir)
+    spark.read.option("wholetext", "true").text(logDir)
       .select(
         $"value",
         $"_metadata.file_path".as("path"),
         date_format($"_metadata.file_modification_time", DateFmt).as("mtime"))
-    val withId = IdMinter.mintIds(raw, cfg.baseId, "id", col("path"))
-    withId.select($"id", $"path", $"mtime", $"value")
-      .as[(Long, String, String, String)]
-      .map { case (id, path, mtime, content) =>
-        (id, path, mtime, LogParser.parseClojush(content, cfg.skipNils))
+      .as[(String, String, String)]
+      .map { case (content, path, mtime) =>
+        (path, mtime, LogParser.parseClojush(content, cfg.skipNils))
       }
   }
 
-  /** Full load: the four Clojush tables (reference src/db_loader.clj:36-39). */
+  /** Attach dense deterministic ids: minted over the path column ONLY and
+    * broadcast-joined back — whole-file payloads / parsed structs must
+    * never enter the id sort (see IdMinter). The id branch re-traverses
+    * `noId`, so callers that can should cache it first (`load` does).
+    */
+  def withIds(noId: Dataset[(String, String, ParsedRun)], base: Long)
+      : Dataset[(Long, String, String, ParsedRun)] = {
+    val spark = noId.sparkSession
+    import spark.implicits._
+    val df = noId.toDF("path", "mtime", "run")
+    val idMap = IdMinter.mintIds(df.select($"path"), base, "id", col("path"))
+    df.join(broadcast(idMap), Seq("path"))
+      .select($"id", $"path", $"mtime", $"run")
+      .as[(Long, String, String, ParsedRun)]
+  }
+
+  /** Read + parse every `*.log` / `*.log.gz` under `logDir`, with ids. */
+  def parse(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
+      : Dataset[(Long, String, String, ParsedRun)] =
+    withIds(parseRaw(spark, logDir, cfg), cfg.baseId)
+
+  /** Full load: the four Clojush tables (reference src/db_loader.clj:36-39).
+    * The id-less parse output is cached BELOW the id join, so the corpus is
+    * scanned and parsed exactly once — the id branch reads only the path
+    * column back out of the cache.
+    */
   def load(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
       : LoadedTables = {
-    val parsed = parse(spark, logDir, cfg).cache()
-    tablesFromParsed(parsed, cfg)
-      .copy(release = () => { parsed.unpersist(); () })
+    val noId = parseRaw(spark, logDir, cfg).cache()
+    tablesFromParsed(withIds(noId, cfg.baseId), cfg)
+      .copy(release = () => { noId.unpersist(); () })
   }
+
+  /** Problem name: explicit config or the log folder leaf (reference arg
+    * :problemname, src/db_loader.clj:110-111).
+    */
+  def problemNameCol(cfg: LoadConfig): org.apache.spark.sql.Column =
+    cfg.problemName
+      .map(lit)
+      .getOrElse(element_at(split(col("path"), "/"), -2))
 
   /** The four tables from an already-parsed Dataset — shared by the batch
     * `load` and the streaming per-micro-batch path (IngestStream), so row
     * semantics cannot diverge between them. Caching of `parsed` (it is
     * traversed four times) is the caller's choice and lifecycle.
+    *
+    * @param existingProblemDim previously-minted (problem_name, problem_id)
+    *        rows to preserve — get-or-create across incremental batches,
+    *        like the reference's problem_data map (src/db_loader.clj:82-84)
     */
   def tablesFromParsed(
       parsed: Dataset[(Long, String, String, ParsedRun)],
-      cfg: LoadConfig): LoadedTables = {
+      cfg: LoadConfig,
+      existingProblemDim: Option[DataFrame] = None): LoadedTables = {
     val spark = parsed.sparkSession
     import spark.implicits._
 
-    // problem name: explicit config or the log folder leaf (reference arg
-    // :problemname, src/db_loader.clj:110-111)
-    val problemNameCol = cfg.problemName
-      .map(lit)
-      .getOrElse(element_at(split(col("path"), "/"), -2))
-
     val base = parsed.toDF("id", "path", "mtime", "run")
-      .withColumn("problem_name", problemNameCol)
+      .withColumn("problem_name", problemNameCol(cfg))
 
     // dictionary-encode problem names (I2/J1): tiny dim, broadcast join
-    val problemDim = IdMinter.dictionaryEncode(base, "problem_name", "problem_id")
+    val problemDim =
+      IdMinter.dictionaryEncode(base, "problem_name", "problem_id", existingProblemDim)
 
     val experiments = base
       .join(broadcast(problemDim), Seq("problem_name"))
@@ -119,7 +158,7 @@ object LogPipeline {
       run.summary.map { case (successp, maxgen) => SummaryRow(id, successp, maxgen) }
     }.toDF()
 
-    LoadedTables(experiments, experiment, generations, summary)
+    LoadedTables(experiments, experiment, generations, summary, problemDim)
   }
 
   /** EDN sidecar join (S4/J6, reference src/db_loader.clj:269-298): read

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ids.IdMinter
 import graft.parse.{LogParser, LogPipeline}
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -23,13 +24,19 @@ object IngestStream {
   /** Watch `logDir` for Clojush logs; per micro-batch, parse and hand the
     * four tables to `sink`. Runs until no files remain (AvailableNow) when
     * `availableNow = true`.
+    *
+    * @param initialProblemDim seed (problem_name, problem_id) rows, e.g.
+    *        read back from the dimension table on daemon restart, so ids
+    *        stay stable across PROCESS restarts too (within one run the
+    *        dictionary is threaded batch-to-batch automatically)
     */
   def run(
       spark: SparkSession,
       logDir: String,
       checkpointDir: String,
       cfg: LogPipeline.LoadConfig = LogPipeline.LoadConfig(),
-      availableNow: Boolean = true)(
+      availableNow: Boolean = true,
+      initialProblemDim: Option[DataFrame] = None)(
       sink: (LogPipeline.LoadedTables, Long) => Unit): StreamingQuery = {
     import spark.implicits._
 
@@ -38,15 +45,20 @@ object IngestStream {
       .text(logDir)
       .select($"value", input_file_name().as("path"))
 
+    // problem dictionary accumulated across micro-batches (get-or-create,
+    // reference problem_data map): same name → same id in every batch, new
+    // names extend past the max. foreachBatch bodies run strictly
+    // sequentially, so threading through a var is race-free.
+    var problemDim: Option[DataFrame] = initialProblemDim
+
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val parsed = batch.as[(String, String)]
-          .map { case (content, path) =>
-            (path, LogParser.parseClojush(content, cfg.skipNils))
-          }
-          .toDF("path", "run")
-        val tables = tablesFromParsed(spark, parsed, cfg, batchId)
+        val tables = tablesFromBatch(spark, batch, cfg, batchId, problemDim)
+        // pin the dim OUTSIDE the batch lifecycle: localCheckpoint
+        // materializes it (problem-name cardinality — tiny) and truncates
+        // the batch-over-batch lineage chain
+        problemDim = Some(tables.problemDim.localCheckpoint())
         // the cached per-batch Dataset must not outlive the batch — under the
         // ProcessingTime daemon an un-released cache grows without bound
         try sink(tables, batchId) finally tables.release()
@@ -65,20 +77,66 @@ object IngestStream {
     * of a 10s daemon trigger).
     */
   private val idWindow = 1000000000000L
-  private def tablesFromParsed(
+  private def tablesFromBatch(
       spark: SparkSession,
-      parsed: DataFrame,
+      batch: DataFrame,
       cfg: LogPipeline.LoadConfig,
-      batchId: Long): LogPipeline.LoadedTables = {
+      batchId: Long,
+      problemDim: Option[DataFrame]): LogPipeline.LoadedTables = {
     import spark.implicits._
     val base = cfg.baseId + batchId * idWindow
-    val withId = graft.ids.IdMinter.mintIds(parsed, base, "id", col("path"))
-    // the streaming text source exposes no _metadata mtime — empty, like the
-    // reference's CSV path when no run date is derivable
-    val runs = withId.select($"id", $"path", lit("").as("mtime"), $"run")
+
+    // ids are minted from the PRE-parse path projection: neither file
+    // contents nor parsed structs enter the id sort (see IdMinter), and the
+    // parse closure runs exactly once — the id branch scans paths only
+    val paths = batch.select($"path").distinct()
+    val idMap = IdMinter.mintIds(paths, base, "id", col("path"))
+
+    // run-date provenance: the streaming text source exposes no _metadata,
+    // so mtime comes from a driver-side file-status lookup (file-count
+    // cheap) — keeping streaming rows identical to the batch path's
+    // _metadata.file_modification_time (reference src/db_loader.clj:106-109)
+    val mtimeMap = fileMtimes(spark, paths.as[String].collect())
+
+    val parsed = batch.as[(String, String)]
+      .map { case (content, path) =>
+        (path, LogParser.parseClojush(content, cfg.skipNils))
+      }
+      .toDF("path", "run")
+
+    val runs = parsed
+      .join(broadcast(idMap), Seq("path"))
+      .join(broadcast(mtimeMap), Seq("path"), "left")
+      .select($"id", $"path", coalesce($"mtime", lit("")).as("mtime"), $"run")
       .as[(Long, String, String, ParsedRun)].cache()
-    LogPipeline.tablesFromParsed(runs, cfg)
+    LogPipeline.tablesFromParsed(runs, cfg, problemDim)
       .copy(release = () => { runs.unpersist(); () })
+  }
+
+  /** (path, mtime) rows from a driver-side FileSystem stat of each path —
+    * formatted exactly like the batch path's
+    * `date_format(_metadata.file_modification_time, 'yyyy-MM-dd HH:mm:ss')`
+    * in the session time zone. A file deleted between listing and stat
+    * yields "" (the reference's no-derivable-rundate CSV behavior).
+    */
+  private def fileMtimes(spark: SparkSession, paths: Array[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val tz = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(tz)
+    paths.toSeq.map { p =>
+      val hp =
+        try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        catch { case _: java.net.URISyntaxException =>
+          new org.apache.hadoop.fs.Path(p) }
+      val mtime =
+        try fmt.format(java.time.Instant.ofEpochMilli(
+          hp.getFileSystem(conf).getFileStatus(hp).getModificationTime))
+        catch { case _: java.io.IOException => "" }
+      (p, mtime)
+    }.toDF("path", "mtime")
   }
 
   /** Event-time windowed streaming aggregation (T4): watermarked tumbling

@@ -77,9 +77,13 @@ object BenchTune {
     * one log per sequential JVM subprocess; this measures the parallel
     * file-per-task path.
     */
-  /** Write `nLogs` synthetic Clojush logs; returns the glob to load. */
+  /** Write `nLogs` synthetic Clojush logs; returns the glob to load.
+    * The temp dir self-cleans on JVM exit (deleteOnExit runs in reverse
+    * registration order, so the dir — registered first — goes last).
+    */
   def genEtlLogs(nLogs: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("etl_bench")
+    dir.toFile.deleteOnExit()
     val rnd = new scala.util.Random(42)
     (1 to nLogs).foreach { i =>
       val gens = (0 to 20).map { g =>
@@ -89,7 +93,9 @@ object BenchTune {
       val log = s"Clojush version = 1.2.3\n" +
         (1 to 20).map(k => s"param-$k = ${rnd.nextInt(1000)}").mkString("\n") +
         s"\n;;;;\n$gens\n;;;;\nSUCCESS at generation 20"
-      java.nio.file.Files.writeString(dir.resolve(f"run$i%04d_u$i.log"), log)
+      val f = dir.resolve(f"run$i%04d_u$i.log")
+      java.nio.file.Files.writeString(f, log)
+      f.toFile.deleteOnExit()
     }
     dir.toString + "/*.log"
   }

@@ -76,6 +76,73 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(rows.size == 2, s"duplicated rows: $rows")
   }
 
+  test("streaming provenance matches batch: rundate, ids, problem fields") {
+    val root = Files.createTempDirectory(Paths.get("target"), "parity")
+    val sub = Files.createDirectory(root.resolve("myprob"))
+    Files.writeString(sub.resolve("a_1.log"), log(3))
+    Files.writeString(sub.resolve("b_2.log"), log(5))
+    val glob = sub.toString + "/*.log"
+
+    val cols = Seq("id", "rundate", "problem_name", "problem_id",
+      "clojush_version", "logfile_location")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("logfile_location").split('/').last
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[String]("rundate"),
+        r.getAs[String]("problem_name"), r.getAs[Long]("problem_id"),
+        r.getAs[String]("clojush_version"))
+
+    val batchTables = LogPipeline.load(spark, glob)
+    val batchRows = batchTables.experiments.select(cols.head, cols.tail: _*)
+      .collect().map(r => key(r) -> row(r)).toMap
+    batchTables.release()
+
+    var streamRows = Map.empty[String, (Long, String, String, Long, String)]
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "parity_ck").toString
+    val q = IngestStream.run(spark, glob, ckpt) { (tables, _) =>
+      streamRows ++= tables.experiments.select(cols.head, cols.tail: _*)
+        .collect().map(r => key(r) -> row(r))
+    }
+    q.awaitTermination()
+
+    // same files drained in one micro-batch → identical ids, run dates
+    // (driver-side stat == _metadata mtime), problem dims — the batch and
+    // streaming paths may not diverge on the same table
+    assert(streamRows == batchRows)
+    assert(batchRows.values.forall(_._2.matches(
+      "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}")), s"empty rundate: $batchRows")
+  }
+
+  test("problem ids are get-or-create across micro-batches and restarts") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory(Paths.get("target"), "pdim")
+    val pa = Files.createDirectory(root.resolve("probA"))
+    val pb = Files.createDirectory(root.resolve("probB"))
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "pdim_ck").toString
+    val got = mutable.Map.empty[String, mutable.Set[Long]]
+    var dim: Option[DataFrame] = None
+
+    def drain(): Unit = {
+      val q = IngestStream.run(spark, root.toString + "/*/*.log", ckpt,
+        initialProblemDim = dim) { (tables, _) =>
+        tables.experiments.select("problem_name", "problem_id").collect()
+          .foreach(r => got.getOrElseUpdate(r.getString(0),
+            mutable.Set.empty) += r.getLong(1))
+        dim = Some(tables.problemDim.localCheckpoint())
+      }
+      q.awaitTermination()
+    }
+
+    Files.writeString(pa.resolve("a_1.log"), log(3))
+    drain()
+    // second batch re-sees probA (must keep id 1) and introduces probB
+    Files.writeString(pa.resolve("a_2.log"), log(4))
+    Files.writeString(pb.resolve("b_1.log"), log(5))
+    drain()
+    assert(got("probA") == mutable.Set(1L), s"probA id drifted: $got")
+    assert(got("probB") == mutable.Set(2L), s"probB id wrong: $got")
+  }
+
   test("windowed streaming agg matches the batch oracle query (T4)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
