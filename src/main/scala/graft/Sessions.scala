@@ -30,8 +30,11 @@ object Sessions {
       .master(s"local[$cores]")
       .appName(appName)
       // test-scale shuffles hold a few MB: fewer, fatter partitions beat
-      // per-task scheduling overhead (cores/4 ≈ 8 at the driver's 32 cores)
-      .config("spark.sql.shuffle.partitions", math.max(4, cores / 4).toString)
+      // per-task scheduling overhead, but cores/4 starved the large-large
+      // SMJ (r2 j7_large_equi regression). Swept 4/8/16/32/64 at sf0.1:
+      // cores/2 = 16 is at-or-near best for every bench query
+      // (j7 0.45s vs 0.51 at 8; q1 flat; q3/q5 best at 16).
+      .config("spark.sql.shuffle.partitions", math.max(4, cores / 2).toString)
       .config("spark.sql.adaptive.enabled", "false")
       // single-JVM shuffle/broadcast bytes never cross a network and live in
       // page cache — lz4 round-trips are pure CPU cost here

@@ -68,17 +68,24 @@ object LogPipeline {
       }
   }
 
-  /** Attach dense deterministic ids: minted over the path column ONLY and
-    * broadcast-joined back — whole-file payloads / parsed structs must
-    * never enter the id sort (see IdMinter). The id branch re-traverses
-    * `noId`, so callers that can should cache it first (`load` does).
+  /** Attach dense deterministic ids: path → id minted from a collected,
+    * sorted path list and broadcast-joined back — whole-file payloads /
+    * parsed structs never enter a sort or shuffle. Collecting paths adds
+    * no new scale bound: Spark's file-source listing already materializes
+    * every FileStatus in the driver's InMemoryFileIndex, so a path list is
+    * strictly smaller than state the scan itself holds. (The distributed
+    * alternative for unbounded keys is IdMinter.mintIdsByKey.) The id
+    * branch re-traverses `noId` once, so callers that can should cache it
+    * first (`load` does).
     */
   def withIds(noId: Dataset[(String, String, ParsedRun)], base: Long)
       : Dataset[(Long, String, String, ParsedRun)] = {
     val spark = noId.sparkSession
     import spark.implicits._
     val df = noId.toDF("path", "mtime", "run")
-    val idMap = IdMinter.mintIds(df.select($"path"), base, "id", col("path"))
+    val paths = df.select($"path").as[String].collect().sorted
+    val idMap = paths.zipWithIndex.toSeq
+      .map { case (p, i) => (p, base + i + 1L) }.toDF("path", "id")
     df.join(broadcast(idMap), Seq("path"))
       .select($"id", $"path", $"mtime", $"run")
       .as[(Long, String, String, ParsedRun)]
@@ -109,19 +116,31 @@ object LogPipeline {
       .map(lit)
       .getOrElse(element_at(split(col("path"), "/"), -2))
 
+  /** Driver-side twin of [[problemNameCol]] — same rule applied to one
+    * path string (LogPipelineSpec pins the agreement). Lets `load` build
+    * the complete problem dictionary from its already-collected path list
+    * with zero extra jobs.
+    */
+  def problemNameOf(path: String, cfg: LoadConfig): String =
+    cfg.problemName.getOrElse {
+      val parts = path.split("/")
+      parts(parts.length - 2)
+    }
+
   /** The four tables from an already-parsed Dataset — shared by the batch
     * `load` and the streaming per-micro-batch path (IngestStream), so row
     * semantics cannot diverge between them. Caching of `parsed` (it is
     * traversed four times) is the caller's choice and lifecycle.
     *
-    * @param existingProblemDim previously-minted (problem_name, problem_id)
-    *        rows to preserve — get-or-create across incremental batches,
-    *        like the reference's problem_data map (src/db_loader.clj:82-84)
+    * @param prebuiltProblemDim a COMPLETE (problem_name, problem_id)
+    *        dictionary covering every name in `parsed` — callers that
+    *        already hold the path list build it driver-side for free
+    *        (`load`, IngestStream); None dictionary-encodes fresh
     */
   def tablesFromParsed(
       parsed: Dataset[(Long, String, String, ParsedRun)],
       cfg: LoadConfig,
-      existingProblemDim: Option[DataFrame] = None): LoadedTables = {
+      prebuiltProblemDim: Option[DataFrame] = None): LoadedTables = {
     val spark = parsed.sparkSession
     import spark.implicits._
 
@@ -129,8 +148,8 @@ object LogPipeline {
       .withColumn("problem_name", problemNameCol(cfg))
 
     // dictionary-encode problem names (I2/J1): tiny dim, broadcast join
-    val problemDim =
-      IdMinter.dictionaryEncode(base, "problem_name", "problem_id", existingProblemDim)
+    val problemDim = prebuiltProblemDim.getOrElse(
+      IdMinter.dictionaryEncode(base, "problem_name", "problem_id"))
 
     val experiments = base
       .join(broadcast(problemDim), Seq("problem_name"))

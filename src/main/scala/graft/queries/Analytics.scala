@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * single-hop j-queries can't: 3–6 way joins where Catalyst must pick
   * broadcast vs shuffle per edge and order the tree.
   *
-  * Scale notes (100 TB): region/nation/customer/supplier are dimension-sized
-  * (TPC-H keeps customer ~1.5% of lineitem rows) — Catalyst broadcasts
-  * everything under the 10 MB threshold automatically, and at real scale
-  * customer outgrows it and degrades gracefully to a shuffle join on the
-  * already-shuffle-joined orders⋈lineitem keys. The lone unavoidable
-  * large-large shuffle is orders⋈lineitem on orderkey; AQE coalesces its
-  * partitions and splits skew. Top-k never sorts globally —
+  * Scale notes (100 TB): broadcast hints appear ONLY on tables whose size
+  * does not grow with the scale factor (region: 5 rows, nation: 25, scalar
+  * aggregates). customer/supplier are SF-proportional (10⁸–10⁹ rows at
+  * 100 TB), so they carry NO hint — a hint would override the 10 MB
+  * threshold and OOM the driver at scale. Below the threshold Catalyst
+  * broadcasts them automatically (PlanSpec pins this at test SFs); above
+  * it they degrade gracefully to a shuffle join on the already-shuffled
+  * orders⋈lineitem keys, and AQE's runtime join-strategy switch restores
+  * the broadcast whenever post-filter stats shrink under the threshold.
+  * The lone unavoidable large-large shuffle is orders⋈lineitem on
+  * orderkey; AQE coalesces its partitions and splits skew. Top-k never sorts globally —
   * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
   * heap + driver merge of k rows).
   *
@@ -39,7 +43,7 @@ object Analytics {
         val li = Tables.lineitem(s, d)
           .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
           .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
             .as("revenue"))
@@ -78,8 +82,8 @@ object Analytics {
         val nat = Tables.nation(s, d)
         val reg = Tables.region(s, d).filter($"r_name" === "ASIA")
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(cust, $"o_custkey" === $"c_custkey" &&
             $"c_nationkey" === $"s_nationkey")
           .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
@@ -112,7 +116,7 @@ object Analytics {
         val cust = Tables.customer(s, d)
         val nat = Tables.nation(s, d)
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
           .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
           .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
           .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)
@@ -147,7 +151,7 @@ object Analytics {
           .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
           .select($"s_suppkey", $"r_name")
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(suppRegion), $"l_suppkey" === $"s_suppkey")
+          .join(suppRegion, $"l_suppkey" === $"s_suppkey")
           .groupBy(year($"o_orderdate").as("o_year"))
           .agg(
             dsum(when($"r_name" === "ASIA",

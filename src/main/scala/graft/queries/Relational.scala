@@ -141,15 +141,17 @@ object Relational {
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
     // ---- A6+J1/J2/J7: revenue by nation — the star-join (bench) ------------
-    // customer⋈nation are broadcast; orders⋈lineitem is the one genuine
-    // shuffle join (both sides large at scale). AQE picks SMJ/SHJ.
+    // nation is hint-broadcast (25 rows at any SF); customer is
+    // SF-proportional so it broadcasts by THRESHOLD (auto at test SFs,
+    // graceful shuffle-join degradation at 100 TB); orders⋈lineitem is the
+    // one genuine shuffle join (both sides large at scale). AQE picks SMJ/SHJ.
     QueryDef(
       "a6_revenue_by_nation",
       (s, d) => {
         import s.implicits._
         val rev = li(s, d)
           .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
           .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         rev.groupBy($"n_name")
           .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 6)

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.ids.IdMinter
 import graft.parse.{LogParser, LogPipeline}
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -86,17 +85,17 @@ object IngestStream {
     import spark.implicits._
     val base = cfg.baseId + batchId * idWindow
 
-    // ids are minted from the PRE-parse path projection: neither file
-    // contents nor parsed structs enter the id sort (see IdMinter), and the
-    // parse closure runs exactly once — the id branch scans paths only
-    val paths = batch.select($"path").distinct()
-    val idMap = IdMinter.mintIds(paths, base, "id", col("path"))
-
-    // run-date provenance: the streaming text source exposes no _metadata,
-    // so mtime comes from a driver-side file-status lookup (file-count
-    // cheap) — keeping streaming rows identical to the batch path's
-    // _metadata.file_modification_time (reference src/db_loader.clj:106-109)
-    val mtimeMap = fileMtimes(spark, paths.as[String].collect())
+    // one driver-side (path → id, mtime) map per micro-batch, from the
+    // PRE-parse path projection — file contents and parsed structs never
+    // enter a sort or shuffle, the parse closure runs exactly once, and a
+    // micro-batch's path list is file-count bounded by construction
+    // (maxFilesPerTrigger-sized). ids: dense by sorted path (IdMinter
+    // contract); mtime: driver-side file stat, since the streaming text
+    // source exposes no _metadata — keeping streaming rows identical to
+    // the batch path's _metadata.file_modification_time
+    // (reference src/db_loader.clj:106-109).
+    val paths = batch.select($"path").distinct().as[String].collect().sorted
+    val pathMeta = pathMetaMap(spark, paths, base)
 
     val parsed = batch.as[(String, String)]
       .map { case (content, path) =>
@@ -105,28 +104,29 @@ object IngestStream {
       .toDF("path", "run")
 
     val runs = parsed
-      .join(broadcast(idMap), Seq("path"))
-      .join(broadcast(mtimeMap), Seq("path"), "left")
-      .select($"id", $"path", coalesce($"mtime", lit("")).as("mtime"), $"run")
+      .join(broadcast(pathMeta), Seq("path"))
+      .select($"id", $"path", $"mtime", $"run")
       .as[(Long, String, String, ParsedRun)].cache()
     LogPipeline.tablesFromParsed(runs, cfg, problemDim)
       .copy(release = () => { runs.unpersist(); () })
   }
 
-  /** (path, mtime) rows from a driver-side FileSystem stat of each path —
-    * formatted exactly like the batch path's
-    * `date_format(_metadata.file_modification_time, 'yyyy-MM-dd HH:mm:ss')`
-    * in the session time zone. A file deleted between listing and stat
-    * yields "" (the reference's no-derivable-rundate CSV behavior).
+  /** (path, id, mtime) rows for a sorted path list: dense ids from `base`,
+    * mtime from a driver-side FileSystem stat — formatted exactly like the
+    * batch path's `date_format(_metadata.file_modification_time,
+    * 'yyyy-MM-dd HH:mm:ss')` in the session time zone. A file deleted
+    * between listing and stat yields "" (the reference's
+    * no-derivable-rundate CSV behavior).
     */
-  private def fileMtimes(spark: SparkSession, paths: Array[String]): DataFrame = {
+  private def pathMetaMap(
+      spark: SparkSession, sortedPaths: Array[String], base: Long): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val tz = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(tz)
-    paths.toSeq.map { p =>
+    sortedPaths.zipWithIndex.toSeq.map { case (p, i) =>
       val hp =
         try new org.apache.hadoop.fs.Path(new java.net.URI(p))
         catch { case _: java.net.URISyntaxException =>
@@ -135,8 +135,8 @@ object IngestStream {
         try fmt.format(java.time.Instant.ofEpochMilli(
           hp.getFileSystem(conf).getFileStatus(hp).getModificationTime))
         catch { case _: java.io.IOException => "" }
-      (p, mtime)
-    }.toDF("path", "mtime")
+      (p, base + i + 1L, mtime)
+    }.toDF("path", "id", "mtime")
   }
 
   /** Event-time windowed streaming aggregation (T4): watermarked tumbling

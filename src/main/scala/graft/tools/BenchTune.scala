@@ -110,6 +110,48 @@ object BenchTune {
     (rows, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** ETL throughput vs shuffle-partition count (the load path's shuffles
+    * are file-count scale, so it wants far fewer than the query engine).
+    */
+  def etlShuffleSweep(nLogs: Int = 500): Unit = {
+    val glob = genEtlLogs(nLogs)
+    val spark = graft.Sessions.local("etl-sweep", 32)
+    Seq(4, 8, 16).foreach { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
+      timedLoad(spark, glob) // warm
+      val secs = (1 to 2).map(_ => timedLoad(spark, glob)._2)
+      println(f"[etlsweep] sp=$sp%-3d best=${nLogs / secs.min}%.0f logs/s")
+    }
+    spark.stop()
+  }
+
+  /** Stage-by-stage timing of one warm load (JIT warmed by 3 full loads). */
+  def etlProfile(nLogs: Int = 200): Unit = {
+    val glob = genEtlLogs(nLogs)
+    val spark = graft.Sessions.local("etl-profile", 32)
+    (1 to 3).foreach(_ => timedLoad(spark, glob))
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val noId = t("parseRaw cache fill (count)") {
+      val d = graft.parse.LogPipeline.parseRaw(spark, glob).cache(); d.count(); d
+    }
+    val parsed = t("withIds (path collect)") {
+      graft.parse.LogPipeline.withIds(noId, 0L)
+    }
+    val tables = t("tablesFromParsed (plan)") {
+      graft.parse.LogPipeline.tablesFromParsed(parsed,
+        graft.parse.LogPipeline.LoadConfig())
+    }
+    t("experiments.count")(tables.experiments.count())
+    t("experiment.count")(tables.experiment.count())
+    t("generations.count")(tables.generations.count())
+    t("summary.count")(tables.summary.count())
+    noId.unpersist()
+    spark.stop()
+  }
+
   def etlThroughput(nLogs: Int = 500): Unit = {
     val glob = genEtlLogs(nLogs)
     val spark = graft.Sessions.local("etl-bench", 32)
@@ -126,7 +168,26 @@ object BenchTune {
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
-    if (args.headOption.contains("etl")) { etlThroughput(); return }
+    if (args.headOption.contains("etl")) {
+      etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return
+    }
+    if (args.headOption.contains("etlsweep")) { etlShuffleSweep(); return }
+    if (args.headOption.contains("etlprofile")) { etlProfile(); return }
+    if (args.headOption.contains("pathcheck")) {
+      // does DataFrame.inputFiles render paths identically to
+      // _metadata.file_path? (decides whether ids can be minted from the
+      // driver-side file index with zero extra jobs)
+      val glob = genEtlLogs(5)
+      val spark = graft.Sessions.local("pathcheck", 8)
+      val df = spark.read.option("wholetext", "true").text(glob)
+      val fromIndex = df.inputFiles.sorted.toSeq
+      val fromMeta = df.select(org.apache.spark.sql.functions.col("_metadata.file_path"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      println(s"[pathcheck] inputFiles: ${fromIndex.head}")
+      println(s"[pathcheck] _metadata : ${fromMeta.head}")
+      println(s"[pathcheck] equal=${fromIndex == fromMeta}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("mh2")) {
       val spark = graft.Sessions.local("mh2", 32)
       (1 to 3).foreach { i =>
@@ -136,6 +197,38 @@ object BenchTune {
         println(f"[mh2] iter$i pairs=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       spark.stop(); return
+    }
+    if (args.headOption.contains("shuffle")) {
+      // sweep shuffle partitions over the bench set (one session per value:
+      // shuffle.partitions is read at planning, sessions cache plans)
+      Seq(4, 8, 16, 32, 64).foreach { sp =>
+        val spark = SparkSession.builder()
+          .master("local[32]")
+          .appName(s"bench-shuffle-$sp")
+          .config("spark.sql.shuffle.partitions", sp.toString)
+          .config("spark.sql.adaptive.enabled", "false")
+          .config("spark.shuffle.compress", "false")
+          .config("spark.shuffle.spill.compress", "false")
+          .config("spark.broadcast.compress", "false")
+          .config("spark.locality.wait", "0ms")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val qs = SparkEntry.queries
+        SparkEntry.benchQueries.foreach { n =>
+          val times = (1 to 4).map { _ =>
+            val t0 = System.nanoTime()
+            qs(n)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[sp$sp%-3d] $n%-24s min=${times.drop(1).min}%.3f")
+        }
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+      return
     }
     Seq(("aqe_on", "true"), ("aqe_off", "false")).foreach { case (tag, aqe) =>
       val spark = SparkSession.builder()
