@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ids.IdMinter
 import graft.parse.{LogParser, LogPipeline}
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -97,6 +98,18 @@ object IngestStream {
     val paths = batch.select($"path").distinct().as[String].collect().sorted
     val pathMeta = pathMetaMap(spark, paths, base)
 
+    // get-or-create the problem dictionary for THIS batch: the threaded dim
+    // only covers names from earlier batches, and `tablesFromParsed` demands
+    // a COMPLETE dim — a stale one silently drops new problems' rows at the
+    // inner broadcast join. Batch names come free from the collected path
+    // list (problemNameOf is the driver-side twin of problemNameCol), so
+    // extending the dim costs one tiny left-anti join on name-cardinality
+    // rows: seen names keep their ids, new names extend past the max.
+    val batchNames = paths.map(LogPipeline.problemNameOf(_, cfg))
+      .distinct.toSeq.toDF("problem_name")
+    val dim = IdMinter.dictionaryEncode(
+      batchNames, "problem_name", "problem_id", existing = problemDim)
+
     val parsed = batch.as[(String, String)]
       .map { case (content, path) =>
         (path, LogParser.parseClojush(content, cfg.skipNils))
@@ -107,7 +120,7 @@ object IngestStream {
       .join(broadcast(pathMeta), Seq("path"))
       .select($"id", $"path", $"mtime", $"run")
       .as[(Long, String, String, ParsedRun)].cache()
-    LogPipeline.tablesFromParsed(runs, cfg, problemDim)
+    LogPipeline.tablesFromParsed(runs, cfg, Some(dim))
       .copy(release = () => { runs.unpersist(); () })
   }
 

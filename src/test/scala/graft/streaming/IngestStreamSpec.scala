@@ -120,17 +120,22 @@ class IngestStreamSpec extends AnyFunSuite {
     val pb = Files.createDirectory(root.resolve("probB"))
     val ckpt = Files.createTempDirectory(Paths.get("target"), "pdim_ck").toString
     val got = mutable.Map.empty[String, mutable.Set[Long]]
+    val rowsPerDrain = mutable.ArrayBuffer.empty[Long]
     var dim: Option[DataFrame] = None
 
     def drain(): Unit = {
+      var rows = 0L
       val q = IngestStream.run(spark, root.toString + "/*/*.log", ckpt,
         initialProblemDim = dim) { (tables, _) =>
-        tables.experiments.select("problem_name", "problem_id").collect()
-          .foreach(r => got.getOrElseUpdate(r.getString(0),
-            mutable.Set.empty) += r.getLong(1))
+        val batchRows = tables.experiments
+          .select("problem_name", "problem_id").collect()
+        rows += batchRows.length
+        batchRows.foreach(r => got.getOrElseUpdate(r.getString(0),
+          mutable.Set.empty) += r.getLong(1))
         dim = Some(tables.problemDim.localCheckpoint())
       }
       q.awaitTermination()
+      rowsPerDrain += rows
     }
 
     Files.writeString(pa.resolve("a_1.log"), log(3))
@@ -141,6 +146,9 @@ class IngestStreamSpec extends AnyFunSuite {
     drain()
     assert(got("probA") == mutable.Set(1L), s"probA id drifted: $got")
     assert(got("probB") == mutable.Set(2L), s"probB id wrong: $got")
+    // a NEW problem name in a later batch must not drop experiments rows:
+    // the second drain saw exactly its two files (one per problem)
+    assert(rowsPerDrain.toSeq == Seq(1L, 2L), s"dropped rows: $rowsPerDrain")
   }
 
   test("windowed streaming agg matches the batch oracle query (T4)") {
