@@ -46,6 +46,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata stats the raw (possibly glob) read path and
+    // WARN-logs a full FileNotFoundException stack on every successful
+    // glob-path batch read — pure noise in bench/driver logs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -51,6 +51,36 @@ object LogPipeline {
   private final case class FileRun(
       id: Long, path: String, mtime: String, run: ParsedRun)
 
+  /** Flat single-pass parse output: one narrow row per fact, tagged by
+    * `kind` (0 = file header, 1 = experiment param, 2 = generation cell,
+    * 3 = summary). Unused fields are ""/0/false — the columnar cache
+    * run-length-encodes them away. Caching THIS instead of the nested
+    * `ParsedRun` struct is the ETL hot-path fix: the nested encoder's
+    * per-row serialization of Seq[(String,String)] trees cost more than
+    * re-parsing; flat primitive columns cache at memory bandwidth.
+    */
+  private[graft] final case class FlatRow(
+      id: Long, kind: Int, gennum: Int, parameter: String, value: String,
+      path: String, mtime: String, version: String, successp: Boolean)
+
+  private def flatten(parsed: Dataset[(Long, String, String, ParsedRun)])
+      : Dataset[FlatRow] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.flatMap { case (id, path, mtime, run) =>
+      val header = FlatRow(id, 0, 0, "", "", path, mtime,
+        run.clojushVersion.getOrElse(""), successp = false)
+      val params = run.headerParams.iterator.map { case (k, v) =>
+        FlatRow(id, 1, 0, k, v, "", "", "", successp = false) }
+      val gens = run.generations.iterator.flatMap { case (gennum, kvs) =>
+        kvs.iterator.map { case (k, v) =>
+          FlatRow(id, 2, gennum, k, v, "", "", "", successp = false) } }
+      val sum = run.summary.iterator.map { case (s, maxgen) =>
+        FlatRow(id, 3, maxgen, "", "", "", "", "", successp = s) }
+      Iterator.single(header) ++ params ++ gens ++ sum
+    }
+  }
+
   /** Read + parse every `*.log` / `*.log.gz` under `logDir` — no ids yet:
     * (path, mtime, run). One scan, zero shuffles.
     */
@@ -97,15 +127,42 @@ object LogPipeline {
     withIds(parseRaw(spark, logDir, cfg), cfg.baseId)
 
   /** Full load: the four Clojush tables (reference src/db_loader.clj:36-39).
-    * The id-less parse output is cached BELOW the id join, so the corpus is
-    * scanned and parsed exactly once — the id branch reads only the path
-    * column back out of the cache.
+    * Ids AND the problem dictionary are minted driver-side from
+    * `df.inputFiles` — the same path strings `_metadata.file_path` yields
+    * (BenchTune `pathcheck` pins the parity) at zero extra Spark jobs,
+    * since the file-source listing already materialized every FileStatus
+    * in the driver's InMemoryFileIndex. The corpus is then scanned, parsed
+    * and flattened exactly once (see [[tablesFromParsed]]).
     */
   def load(spark: SparkSession, logDir: String, cfg: LoadConfig = LoadConfig())
       : LoadedTables = {
-    val noId = parseRaw(spark, logDir, cfg).cache()
-    tablesFromParsed(withIds(noId, cfg.baseId), cfg)
-      .copy(release = () => { noId.unpersist(); () })
+    import spark.implicits._
+    val df = spark.read.option("wholetext", "true").text(logDir)
+    // inputFiles renders URIs ("file:///tmp/x"); _metadata.file_path renders
+    // Hadoop Path form ("file:/tmp/x"). Normalize through Path(URI) so the
+    // id-map join key matches the scan's provenance column byte-for-byte
+    // (pathcheck probe covers both renderings).
+    val paths = df.inputFiles
+      .map(p => new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
+      .sorted
+    val idMap = paths.zipWithIndex.toSeq
+      .map { case (p, i) => (p, cfg.baseId + i + 1L) }.toDF("path", "id")
+    val names = paths.map(problemNameOf(_, cfg)).distinct.toSeq.toDF("problem_name")
+    val dim = IdMinter.dictionaryEncode(names, "problem_name", "problem_id")
+    val parsed = df
+      .select(
+        $"value",
+        $"_metadata.file_path".as("path"),
+        date_format($"_metadata.file_modification_time", DateFmt).as("mtime"))
+      .as[(String, String, String)]
+      .map { case (content, path, mtime) =>
+        (path, mtime, LogParser.parseClojush(content, cfg.skipNils))
+      }
+      .toDF("path", "mtime", "run")
+      .join(broadcast(idMap), Seq("path"))
+      .select($"id", $"path", $"mtime", $"run")
+      .as[(Long, String, String, ParsedRun)]
+    tablesFromParsed(parsed, cfg, Some(dim))
   }
 
   /** Problem name: explicit config or the log folder leaf (reference arg
@@ -129,8 +186,10 @@ object LogPipeline {
 
   /** The four tables from an already-parsed Dataset — shared by the batch
     * `load` and the streaming per-micro-batch path (IngestStream), so row
-    * semantics cannot diverge between them. Caching of `parsed` (it is
-    * traversed four times) is the caller's choice and lifecycle.
+    * semantics cannot diverge between them. `parsed` is traversed ONCE:
+    * the parse output is flattened to narrow tagged rows ([[FlatRow]]) and
+    * cached; each output table is a filter + projection over that cache.
+    * Call `release()` once the tables are consumed.
     *
     * @param prebuiltProblemDim a COMPLETE (problem_name, problem_id)
     *        dictionary covering every name in `parsed` — callers that
@@ -144,14 +203,17 @@ object LogPipeline {
     val spark = parsed.sparkSession
     import spark.implicits._
 
-    val base = parsed.toDF("id", "path", "mtime", "run")
+    val flat = flatten(parsed).cache()
+
+    val files = flat.filter($"kind" === 0)
+      .select($"id", $"path", $"mtime", $"version")
       .withColumn("problem_name", problemNameCol(cfg))
 
     // dictionary-encode problem names (I2/J1): tiny dim, broadcast join
     val problemDim = prebuiltProblemDim.getOrElse(
-      IdMinter.dictionaryEncode(base, "problem_name", "problem_id"))
+      IdMinter.dictionaryEncode(files, "problem_name", "problem_id"))
 
-    val experiments = base
+    val experiments = files
       .join(broadcast(problemDim), Seq("problem_name"))
       .select(
         col("id"),
@@ -159,25 +221,21 @@ object LogPipeline {
         col("mtime").as("rundate"),
         col("problem_name"),
         col("problem_id"),
-        coalesce(col("run.clojushVersion"), lit("")).as("clojush_version"),
+        col("version").as("clojush_version"),
         col("path").as("logfile_location"),
         date_format(current_timestamp(), DateFmt).as("csv_write_time"))
 
-    val experiment = parsed.flatMap { case (id, _, _, run) =>
-      run.headerParams.map { case (k, v) => ParamRow(id, k, v) }
-    }.toDF()
+    val experiment = flat.filter($"kind" === 1)
+      .select($"id", $"parameter", $"value")
 
-    val generations = parsed.flatMap { case (id, _, _, run) =>
-      run.generations.flatMap { case (gennum, kvs) =>
-        kvs.map { case (k, v) => GenerationRow(id, gennum, k, v) }
-      }
-    }.toDF()
+    val generations = flat.filter($"kind" === 2)
+      .select($"id", $"gennum", $"parameter", $"value")
 
-    val summary = parsed.flatMap { case (id, _, _, run) =>
-      run.summary.map { case (successp, maxgen) => SummaryRow(id, successp, maxgen) }
-    }.toDF()
+    val summary = flat.filter($"kind" === 3)
+      .select($"id", $"successp", $"gennum".as("maxgen"))
 
-    LoadedTables(experiments, experiment, generations, summary, problemDim)
+    LoadedTables(experiments, experiment, generations, summary, problemDim,
+      release = () => { flat.unpersist(); () })
   }
 
   /** EDN sidecar join (S4/J6, reference src/db_loader.clj:269-298): read

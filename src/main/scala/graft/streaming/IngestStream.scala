@@ -119,9 +119,10 @@ object IngestStream {
     val runs = parsed
       .join(broadcast(pathMeta), Seq("path"))
       .select($"id", $"path", $"mtime", $"run")
-      .as[(Long, String, String, ParsedRun)].cache()
+      .as[(Long, String, String, ParsedRun)]
+    // tablesFromParsed caches its flat single-pass parse output and hands
+    // back the unpersist in `release` — no second cache needed here
     LogPipeline.tablesFromParsed(runs, cfg, Some(dim))
-      .copy(release = () => { runs.unpersist(); () })
   }
 
   /** (path, id, mtime) rows for a sorted path list: dense ids from `base`,

@@ -134,21 +134,14 @@ object BenchTune {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    val noId = t("parseRaw cache fill (count)") {
-      val d = graft.parse.LogPipeline.parseRaw(spark, glob).cache(); d.count(); d
+    val tables = t("load (plan + driver-side ids/dim)") {
+      graft.parse.LogPipeline.load(spark, glob)
     }
-    val parsed = t("withIds (path collect)") {
-      graft.parse.LogPipeline.withIds(noId, 0L)
-    }
-    val tables = t("tablesFromParsed (plan)") {
-      graft.parse.LogPipeline.tablesFromParsed(parsed,
-        graft.parse.LogPipeline.LoadConfig())
-    }
-    t("experiments.count")(tables.experiments.count())
+    t("experiments.count (flat fill)")(tables.experiments.count())
     t("experiment.count")(tables.experiment.count())
     t("generations.count")(tables.generations.count())
     t("summary.count")(tables.summary.count())
-    noId.unpersist()
+    tables.release()
     spark.stop()
   }
 
@@ -181,11 +174,18 @@ object BenchTune {
       val spark = graft.Sessions.local("pathcheck", 8)
       val df = spark.read.option("wholetext", "true").text(glob)
       val fromIndex = df.inputFiles.sorted.toSeq
+      // inputFiles renders URI form (file:///tmp/x), _metadata renders
+      // Hadoop Path form (file:/tmp/x) — LogPipeline.load normalizes
+      // through Path(URI); this probe pins that the normalized rendering
+      // matches the scan's provenance column byte-for-byte
+      val normalized = fromIndex.map(p =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
       val fromMeta = df.select(org.apache.spark.sql.functions.col("_metadata.file_path"))
         .collect().map(_.getString(0)).sorted.toSeq
       println(s"[pathcheck] inputFiles: ${fromIndex.head}")
+      println(s"[pathcheck] normalized: ${normalized.head}")
       println(s"[pathcheck] _metadata : ${fromMeta.head}")
-      println(s"[pathcheck] equal=${fromIndex == fromMeta}")
+      println(s"[pathcheck] equal=${normalized == fromMeta}")
       spark.stop(); return
     }
     if (args.headOption.contains("mh2")) {
