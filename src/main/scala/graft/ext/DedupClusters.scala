@@ -31,8 +31,16 @@ object DedupClusters {
     */
   def components(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // the contract is "(id, comp) over `vertices`": an edge endpoint absent
+    // from `vertices` must neither appear in the output nor bridge two real
+    // components — without this semi-join the propagation join injects
+    // foreign `a` endpoints straight into the label table
+    val vids = vertices.select(col("id"))
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .join(vids.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(vids.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
       .distinct().cache()
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()

@@ -24,24 +24,21 @@ object IvfAnn {
   final case class Index(assigned: DataFrame, centroids: Array[(Int, Seq[Double])])
 
   /** Assign each (vec_id, ev: array<double>) row to its nearest seed
-    * centroid. Seeds = ~`nCentroids` existing vectors picked by a
-    * deterministic hash-mod filter (partitioning-independent) — only the
-    * selected seed rows ever reach the driver, never the full id column
+    * centroid. Seeds = the top `nCentroids` vectors in `xxhash64(vec_id)`
+    * order — a deterministic pseudo-random sample taken as ONE distributed
+    * TakeOrdered pass (per-partition top-k, then merge): exactly
+    * min(n, nCentroids) seed rows reach the driver, never the full id
+    * column, with no count() pre-scan and no undershoot (the previous
+    * hash-mod filter yielded ~n/step rows only in expectation).
     * (k-means refinement would slot in here; seeding is enough to
-    * demonstrate and test the pruned path).
+    * demonstrate and test the pruned path.)
     */
   def build(emb: DataFrame, nCentroids: Int): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = emb.count()
-    val step = math.max(1L, n / nCentroids)
-    val picked = emb.select($"vec_id", $"ev")
-      .filter(pmod(xxhash64($"vec_id"), lit(step)) === 0)
-      .orderBy($"vec_id").limit(nCentroids).collect()
-    val seeds = // hash-mod can undershoot on tiny inputs; fall back to head
-      if (picked.nonEmpty) picked
-      else emb.select($"vec_id", $"ev").orderBy($"vec_id")
-        .limit(nCentroids).collect()
+    val seeds = emb.select($"vec_id", $"ev")
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(nCentroids).collect()
     val centroids = seeds.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("ev"))) }
 

@@ -65,6 +65,38 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(next()))
   }
 
+  /** Multi-table (banded) random-hyperplane LSH candidate pairs, scored by
+    * exact cosine: `nBands` independent signatures of `bandBits` sign bits
+    * each; a pair is a candidate iff it collides in ANY band. Per-pair
+    * collision probability 1 - (1 - p^bandBits)^nBands with p = 1 - θ/π —
+    * near 1 for near-duplicates (cos ≥ 0.95) at the 8×8 default, by design
+    * selective against moderate-cos pairs (a single 16-exact-bit table had
+    * ~zero recall even on near-dups' own band sizes). The join is equi on
+    * (band_idx, band_sig): only bucket-colliding pairs shuffle — at 100 TB
+    * this is the difference between an equi-join and an infeasible cross
+    * join. Input: (vec_id, ev: array<double>) with vectors of length `dim`.
+    */
+  def lshCandidatePairs(e: DataFrame, dim: Int, nBands: Int = 8,
+      bandBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBands * bandBits, dim, seed)
+    val bandSigs = (0 until nBands).map { bandIdx =>
+      struct(lit(bandIdx).as("band_idx"),
+        lshSignature(col("ev"),
+          planes.slice(bandIdx * bandBits, (bandIdx + 1) * bandBits))
+          .as("band_sig"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("ev"), explode(array(bandSigs: _*)).as("band"))
+      .select(col("vec_id"), col("ev"), col("band.band_idx"), col("band.band_sig"))
+    val a = banded.select(col("band_idx"), col("band_sig"),
+      col("vec_id").as("a"), col("ev").as("av"))
+    val b = banded.select(col("band_idx"), col("band_sig"),
+      col("vec_id").as("b"), col("ev").as("bv"))
+    a.join(b, Seq("band_idx", "band_sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 4).as("cos"))
+      .distinct() // a pair may collide in several bands
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- X4: brute-force cosine top-k against one query vector -------------
@@ -115,20 +147,19 @@ object Similarity {
         WHERE rn <= 3 ORDER BY qid, rn""")),
 
     // ---- X4 scale path: LSH-bucketed candidate pairs (rows-only check) -----
-    // Pairs that collide on a 16-bit random-hyperplane signature, scored by
-    // exact cosine. At scale this is an equi-join shuffle on `sig`, not a
-    // cross join. Deterministic: fixed-seed hyperplanes.
+    // Multi-table random-hyperplane LSH: 64 planes as 8 bands x 8 sign bits;
+    // a pair is a candidate if it collides in ANY band, then exact cosine
+    // scores it. One table of 16 exact-match bits had ~zero recall on
+    // moderate-cosine pairs (P = (1-th/pi)^16) — banding lifts recall the
+    // same way MinHashDedup's bands do, and the join stays equi on
+    // (band_idx, band_sig): bucket-colliding pairs shuffle, never all pairs.
+    // Deterministic: fixed-seed hyperplanes. ApproxRecallSpec pins both the
+    // exactness of emitted cosines and a recall floor vs emb_neardup_pairs.
     QueryDef(
       "x4_ann_lsh_pairs",
       (s, d) => {
         import s.implicits._
-        val planes = hyperplanes(nBits = 16, dim = 64)
-        val e = emb(s, d)
-          .withColumn("sig", lshSignature($"ev", planes))
-        val a = e.select($"vec_id".as("a"), $"ev".as("av"), $"sig")
-        val b = e.select($"vec_id".as("b"), $"ev".as("bv"), $"sig")
-        a.join(b, Seq("sig")).filter($"a" < $"b")
-          .select($"a", $"b", round(cosine($"av", $"bv"), 4).as("cos"))
+        lshCandidatePairs(emb(s, d), dim = 64)
           .orderBy($"cos".desc, $"a", $"b")
           .limit(100)
       },

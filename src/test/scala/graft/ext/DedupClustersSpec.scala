@@ -18,6 +18,17 @@ class DedupClustersSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("foreign edge endpoints neither appear in output nor bridge components") {
+    // 0 is absent from vertices: the 1-0 and 0-5 edges must be ignored —
+    // not merge {1,2} with {5,6}, not emit a row for 0, and not let the
+    // foreign min id 0 win any canonical election
+    val verts = Seq(1L, 2L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (5L, 6L), (1L, 0L), (0L, 5L)).toDF("a", "b")
+    val comps = DedupClusters.components(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("non-convergence within maxIter fails loudly, never silently wrong") {
     val n = 12L
     val verts = (1L to n).toDF("id")

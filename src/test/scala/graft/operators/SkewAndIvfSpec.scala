@@ -36,6 +36,17 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("IVF build seeds exactly min(n, nCentroids) centroids, any input size") {
+    def emb(n: Int) = (0 until n)
+      .map(i => (i.toLong, Seq(i.toDouble, 1.0))).toDF("vec_id", "ev")
+    // tiny input: nCentroids > n must yield n centroids, not fewer/more
+    assert(IvfAnn.build(emb(3), nCentroids = 8).centroids.length == 3)
+    // sizes where expectation-based sampling historically undershot:
+    // the TakeOrdered seeding is exact by construction
+    assert(IvfAnn.build(emb(100), nCentroids = 16).centroids.length == 16)
+    assert(IvfAnn.build(emb(17), nCentroids = 16).centroids.length == 16)
+  }
+
   test("IVF ANN: full-probe search equals brute force; pruned probe overlaps") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
