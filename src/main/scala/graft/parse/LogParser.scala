@@ -43,6 +43,49 @@ object LogParser {
   /** Unescape escaped spaces in paths (reference src/db_loader.clj:229). */
   def unescapeSpaces(s: String): String = s.replace("\\ ", " ")
 
+  /** Is this line a Clojush segment delimiter? Shared by [[parseClojush]]
+    * and the chunked big-file path (BigLogParse) so segmentation cannot
+    * diverge between them. */
+  private[parse] def isClojushDelim(line: String): Boolean =
+    clojushDelim.findFirstIn(line).isDefined
+
+  /** Header segment → kv pairs: lines containing " = " (reference :230);
+    * unlimited split + keep only exact 2-part results — a line with multiple
+    * " = " separators yields >2 parts and is dropped, as in the reference
+    * (:140). Unlimited split carries Java/Clojure string/split semantics:
+    * TRAILING empty strings are discarded, so "k = " drops (1 part) and
+    * "k = v = " keeps (k, v) — both faithful to clojure.string/split.
+    */
+  private[parse] def headerKvs(seg: Seq[String], skipNils: Boolean): Vector[(String, String)] =
+    seg.iterator
+      .filter(_.contains(" = "))
+      .map(_.split(" = "))
+      .collect { case Array(k, v) => (k.trim, v.trim) }
+      .filter { case (k, v) => k.nonEmpty && (!skipNils || v != "nil") }
+      .toVector
+
+  /** Generation segment → (gennum, kvs) if it contains a -*- marker line
+    * ending in the gen number (reference :171,231-232); other lines are
+    * "param: value" (:175). */
+  private[parse] def genOf(seg: Seq[String], skipNils: Boolean): Option[(Int, Vector[(String, String)])] =
+    seg.find(l => genMarker.findFirstIn(l).isDefined).flatMap { marker =>
+      trailingInt.findFirstMatchIn(marker).map(_.group(1).toInt)
+    }.map { gennum =>
+      val kvs = seg.iterator
+        .filter(l => genMarker.findFirstIn(l).isEmpty)
+        .map(_.split(": ")) // unlimited split; >2 parts dropped below (:140,175)
+        .collect { case Array(k, v) => (k.trim, v.trim) }
+        .filter { case (k, v) => k.nonEmpty && (!skipNils || v != "nil") }
+        .toVector
+      (gennum, kvs)
+    }
+
+  /** (success?, maxgen) if the line matches the summary grammar
+    * (intended semantics of reference :204-209). */
+  private[parse] def summaryOf(line: String): Option[(Boolean, Int)] =
+    summaryLine.findFirstMatchIn(line)
+      .map(m => (m.group(1) == "SUCCESS", m.group(2).toInt))
+
   /** Parse one Clojush log (reference src/db_loader.clj:228-243).
     *
     * @param skipNils drop params whose trimmed value is the literal "nil"
@@ -52,42 +95,18 @@ object LogParser {
     val lines = content.split("\n", -1).toIndexedSeq
     val segs = seqSplit(lines, clojushDelim)
 
-    // header: lines containing " = " (reference :230); unlimited split +
-    // keep only exact 2-part results — a line with multiple " = " separators
-    // yields >2 parts and is dropped, as in the reference (:140). Unlimited
-    // split carries Java/Clojure string/split semantics: TRAILING empty
-    // strings are discarded, so "k = " drops (1 part) and "k = v = " keeps
-    // (k, v) — both faithful to the reference's clojure.string/split.
-    val header = segs.headOption.getOrElse(Vector.empty)
-      .filter(_.contains(" = "))
-      .map(_.split(" = "))
-      .collect { case Array(k, v) => (k.trim, v.trim) }
-      .filter { case (k, v) => k.nonEmpty && (!skipNils || v != "nil") }
+    val header = headerKvs(segs.headOption.getOrElse(Vector.empty), skipNils)
 
     val clojushVersion = header.collectFirst {
       case (k, v) if k == "Clojush version" => v
     }
 
-    // generation segments: contain a -*- marker line ending in the gen number
-    // (reference :171,231-232); other lines are "param: value" (:175)
-    val gens = segs.drop(1).flatMap { seg =>
-      seg.find(l => genMarker.findFirstIn(l).isDefined).flatMap { marker =>
-        trailingInt.findFirstMatchIn(marker).map(_.group(1).toInt)
-      }.map { gennum =>
-        val kvs = seg
-          .filter(l => genMarker.findFirstIn(l).isEmpty)
-          .map(_.split(": ")) // unlimited split; >2 parts dropped below (:140,175)
-          .collect { case Array(k, v) => (k.trim, v.trim) }
-          .filter { case (k, v) => k.nonEmpty && (!skipNils || v != "nil") }
-        (gennum, kvs.toVector)
-      }
-    }
+    val gens = segs.drop(1).flatMap(genOf(_, skipNils))
 
     // summary: first (SUCCESS|FAILURE) at generation N anywhere after header
-    // (intended semantics of reference :204-209)
     val summary = segs.drop(1).flatMap(_.iterator).iterator
-      .map(summaryLine.findFirstMatchIn(_))
-      .collectFirst { case Some(m) => (m.group(1) == "SUCCESS", m.group(2).toInt) }
+      .map(summaryOf)
+      .collectFirst { case Some(s) => s }
 
     ParsedRun(header.toVector, gens.toVector, summary, clojushVersion)
   }

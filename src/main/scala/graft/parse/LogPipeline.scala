@@ -25,11 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object LogPipeline {
 
+  /** @param bigFileBytes files larger than this bypass the one-task
+    *        `wholetext` path and parse chunked (BigLogParse): byte-range
+    *        line splits + segment-keyed parallelism, so one multi-GB log
+    *        cannot skew or OOM a task. Default 256 MB ≈ two HDFS blocks —
+    *        the point where a single wholetext task stops being the
+    *        cheapest correct plan.
+    */
   final case class LoadConfig(
       user: String = "spark",
       skipNils: Boolean = true,
       baseId: Long = 0L,
-      problemName: Option[String] = None)
+      problemName: Option[String] = None,
+      bigFileBytes: Long = 256L * 1024 * 1024)
 
   /** @param problemDim the (problem_name, problem_id) dictionary this load
     *                    used — incremental callers (IngestStream) thread it
@@ -145,24 +153,61 @@ object LogPipeline {
     val paths = df.inputFiles
       .map(p => new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
       .sorted
-    val idMap = paths.zipWithIndex.toSeq
-      .map { case (p, i) => (p, cfg.baseId + i + 1L) }.toDF("path", "id")
+    val idOf = paths.zipWithIndex
+      .map { case (p, i) => (p, cfg.baseId + i + 1L) }.toMap
     val names = paths.map(problemNameOf(_, cfg)).distinct.toSeq.toDF("problem_name")
     val dim = IdMinter.dictionaryEncode(names, "problem_name", "problem_id")
-    val parsed = df
-      .select(
-        $"value",
-        $"_metadata.file_path".as("path"),
-        date_format($"_metadata.file_modification_time", DateFmt).as("mtime"))
-      .as[(String, String, String)]
-      .map { case (content, path, mtime) =>
-        (path, mtime, LogParser.parseClojush(content, cfg.skipNils))
+
+    // big-file dispatch: one driver-side stat per file (strictly cheaper
+    // state than the InMemoryFileIndex the scan already built) finds the
+    // rare oversized log that must not ride the one-task wholetext path
+    val conf = spark.sessionState.newHadoopConf()
+    def statusOf(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp)
+    }
+    val big = paths.filter(p => statusOf(p).getLen > cfg.bigFileBytes)
+
+    def wholetextFlat(input: Seq[String]): Dataset[FlatRow] = {
+      val src =
+        if (input == paths.toSeq) df // unchanged fast path: no re-listing
+        else spark.read.option("wholetext", "true").text(input: _*)
+      val idMap = input.map(p => (p, idOf(p))).toDF("path", "id")
+      val parsed = src
+        .select(
+          $"value",
+          $"_metadata.file_path".as("path"),
+          date_format($"_metadata.file_modification_time", DateFmt).as("mtime"))
+        .as[(String, String, String)]
+        .map { case (content, path, mtime) =>
+          (path, mtime, LogParser.parseClojush(content, cfg.skipNils))
+        }
+        .toDF("path", "mtime", "run")
+        .join(broadcast(idMap), Seq("path"))
+        .select($"id", $"path", $"mtime", $"run")
+        .as[(Long, String, String, ParsedRun)]
+      flatten(parsed)
+    }
+
+    val flat =
+      if (big.isEmpty) wholetextFlat(paths.toSeq)
+      else {
+        val tz = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone",
+            java.util.TimeZone.getDefault.getID))
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(DateFmt).withZone(tz)
+        val bigFlats = big.map { p =>
+          val mtime = fmt.format(java.time.Instant.ofEpochMilli(
+            statusOf(p).getModificationTime))
+          BigLogParse.flatRows(spark, p, idOf(p), mtime, cfg)
+        }
+        val small = paths.toSeq.diff(big.toSeq)
+        val parts =
+          (if (small.nonEmpty) Seq(wholetextFlat(small)) else Nil) ++ bigFlats
+        parts.reduce(_ union _)
       }
-      .toDF("path", "mtime", "run")
-      .join(broadcast(idMap), Seq("path"))
-      .select($"id", $"path", $"mtime", $"run")
-      .as[(Long, String, String, ParsedRun)]
-    tablesFromParsed(parsed, cfg, Some(dim))
+    tablesFromFlat(flat, cfg, Some(dim))
   }
 
   /** Problem name: explicit config or the log folder leaf (reference arg
@@ -199,11 +244,20 @@ object LogPipeline {
   def tablesFromParsed(
       parsed: Dataset[(Long, String, String, ParsedRun)],
       cfg: LoadConfig,
+      prebuiltProblemDim: Option[DataFrame] = None): LoadedTables =
+    tablesFromFlat(flatten(parsed), cfg, prebuiltProblemDim)
+
+  /** The four tables from an already-flattened Dataset — the common tail of
+    * the wholetext, chunked-big-file and streaming paths. Caches `flat`;
+    * `release()` unpersists it. */
+  private[graft] def tablesFromFlat(
+      flatIn: Dataset[FlatRow],
+      cfg: LoadConfig,
       prebuiltProblemDim: Option[DataFrame] = None): LoadedTables = {
-    val spark = parsed.sparkSession
+    val spark = flatIn.sparkSession
     import spark.implicits._
 
-    val flat = flatten(parsed).cache()
+    val flat = flatIn.cache()
 
     val files = flat.filter($"kind" === 0)
       .select($"id", $"path", $"mtime", $"version")

@@ -1,0 +1,101 @@
+package graft.parse
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The chunked big-file path (BigLogParse, dispatched by LoadConfig
+  * .bigFileBytes) must produce byte-identical tables to the wholetext
+  * path on the same input — including the grammar's edge cases.
+  */
+class BigFileParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** A log exercising the tricky grammar: leading delimiter (empty first
+    * segment suppressed), multi-" = " header lines (dropped), nil params
+    * (dropped), a marker-less segment (ignored), "a: b: c" gen lines
+    * (dropped), summary mid-file, trailing newline.
+    */
+  def fixture(nGens: Int): String = {
+    val header = Seq(
+      ";;;;",
+      "Clojush version = 1.5.2",
+      "alpha = 1",
+      "bad = x = y",
+      "nilparam = nil",
+      "no separator here")
+    val gens = (0 until nGens).flatMap { g =>
+      Seq(";;;;", s"-*- Report at generation $g",
+        s"metric-a: ${g * 2}", s"metric-b: v$g",
+        "weird: a: b", "nilv: nil") ++
+        (if (g == nGens / 2) Seq(s"SUCCESS at generation $g") else Nil)
+    }
+    val tail = Seq(";;;;", "no marker segment", "just text")
+    (header ++ gens ++ tail).mkString("\n") + "\n"
+  }
+
+  def tablesOf(dir: String, cfg: LogPipeline.LoadConfig)
+      : (Set[String], Set[String], Set[String], Set[String]) = {
+    val t = LogPipeline.load(spark, dir, cfg)
+    // csv_write_time is current_timestamp() — excluded from the compare
+    val exp = t.experiments.drop("csv_write_time")
+      .collect().map(_.toString).toSet
+    val par = t.experiment.collect().map(_.toString).toSet
+    val gen = t.generations.collect().map(_.toString).toSet
+    val sum = t.summary.collect().map(_.toString).toSet
+    t.release()
+    (exp, par, gen, sum)
+  }
+
+  test("chunked path produces identical tables to wholetext on edge-case log") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "bigpar").toString
+    Files.writeString(Paths.get(dir, "run1_a.log"), fixture(40))
+    val whole = tablesOf(dir + "/*.log", LogPipeline.LoadConfig())
+    val chunked = tablesOf(dir + "/*.log",
+      LogPipeline.LoadConfig(bigFileBytes = 1L)) // force every file "big"
+    assert(chunked == whole)
+    assert(whole._3.nonEmpty && whole._4.size == 1) // gens + one summary
+  }
+
+  test("mixed folder: big file dispatches chunked, ids stay path-stable") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "bigmix").toString
+    Files.writeString(Paths.get(dir, "big_1.log"), fixture(30))
+    Files.writeString(Paths.get(dir, "small_2.log"), fixture(3))
+    val whole = tablesOf(dir + "/*.log", LogPipeline.LoadConfig())
+    // threshold between the two sizes: only big_1.log goes chunked
+    val thresh = Files.size(Paths.get(dir, "small_2.log"))
+    val mixed = tablesOf(dir + "/*.log",
+      LogPipeline.LoadConfig(bigFileBytes = thresh))
+    assert(mixed == whole)
+  }
+
+  test("multi-split chunked read equals single-split (offset bookkeeping)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "bigsplit").toString
+    val p = Paths.get(dir, "run9_z.log")
+    Files.writeString(p, fixture(60))
+    def rows(minParts: Int) =
+      BigLogParse.flatRows(spark, p.toString, 7L, "2026-01-01 00:00:00",
+        LogPipeline.LoadConfig(), minPartitions = minParts)
+        .collect().map(_.toString).toSet
+    val one = rows(1)
+    val many = rows(13)
+    assert(many == one)
+    assert(one.count(_.contains("FlatRow(7,2,")) > 100) // gen cells present
+  }
+
+  test("degenerate files: parity on all-delimiter logs; 0-byte logs drop") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "bigempty").toString
+    Files.writeString(Paths.get(dir, "empty_1.log"), "")
+    Files.writeString(Paths.get(dir, "delims_2.log"), ";;;;\n;;;;\n")
+    val whole = tablesOf(dir + "/*.log", LogPipeline.LoadConfig())
+    val chunked = tablesOf(dir + "/*.log",
+      LogPipeline.LoadConfig(bigFileBytes = 1L))
+    assert(chunked == whole)
+    // the text source emits NO row for a 0-byte file, so neither path has
+    // an experiments row for it (and 0 > threshold can never dispatch it
+    // chunked); the all-delimiter file keeps its header-only row
+    assert(whole._1.size == 1)
+    assert(whole._1.head.contains("delims_2.log"))
+    assert(whole._2.isEmpty && whole._3.isEmpty && whole._4.isEmpty)
+  }
+}
