@@ -31,10 +31,15 @@ object Sessions {
       .appName(appName)
       // test-scale shuffles hold a few MB: fewer, fatter partitions beat
       // per-task scheduling overhead, but cores/4 starved the large-large
-      // SMJ (r2 j7_large_equi regression). Swept 4/8/16/32/64 at sf0.1:
-      // cores/2 = 16 is at-or-near best for every bench query
-      // (j7 0.45s vs 0.51 at 8; q1 flat; q3/q5 best at 16).
-      .config("spark.sql.shuffle.partitions", math.max(4, cores / 2).toString)
+      // SMJ (r2 j7_large_equi regression). Round-5 re-validation under the
+      // driver's own protocol (full fresh-JVM graft.Bench, 3 runs each at
+      // sf0.1): sp=16 medians 3.64s / sp=8 3.53s — indistinguishable
+      // inside the ±25% run-to-run noise band (r3-vs-r4 bound), sp=8 had
+      // the worst outlier (4.53s). Keep cores/2. The env knob lets future
+      // sweeps run the same protocol without code edits.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          math.max(4, cores / 2).toString))
       .config("spark.sql.adaptive.enabled", "false")
       // single-JVM shuffle/broadcast bytes never cross a network and live in
       // page cache — lz4 round-trips are pure CPU cost here

@@ -133,4 +133,62 @@ object BigLogParse {
       case None    => segParsed
     }
   }
+
+  /** Chunked ECJ generations for one oversized stat file (the reference's
+    * actual multi-GB workload, src/parse_logs_ecj.clj:11-18): same two-pass
+    * offset scheme, but ECJ groups START at a marker line which is KEPT as
+    * the group head, and pre-marker preamble is dropped
+    * (LogParser.ecjReadGen semantics). Each reassembled group runs the
+    * SAME pure helpers as the wholetext path
+    * (ecjMergeContinuations → ecjCleanData) — continuations that straddle
+    * a byte-range split merge correctly because grouping happens first.
+    * Emits (expid, gennum, parameter, value) rows.
+    */
+  def ecjGenerations(
+      spark: SparkSession,
+      path: String,
+      expid: Long,
+      minPartitions: Int = 0): Dataset[(Long, Int, String, String)] = {
+    import spark.implicits._
+    val rdd = spark.sparkContext.textFile(
+      path, math.max(minPartitions, spark.sparkContext.defaultMinPartitions))
+
+    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var n = 0L; var m = 0L
+      it.foreach { l => n += 1; if (LogParser.isEcjMarker(l)) m += 1 }
+      Iterator.single((pi, n, m))
+    }.collect().sortBy(_._1)
+
+    val lineOff = new Array[Long](counts.length)
+    val segOff = new Array[Long](counts.length)
+    var lAcc = 0L; var mAcc = 0L
+    counts.foreach { case (pi, n, m) =>
+      lineOff(pi) = lAcc; segOff(pi) = mAcc; lAcc += n; mAcc += m
+    }
+
+    // group id = number of markers seen so far INCLUDING this line's own;
+    // id 0 = preamble before the first marker (dropped, as in ecjReadGen)
+    val seged = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var lineno = lineOff(pi); var seg = segOff(pi)
+      it.map { line =>
+        lineno += 1
+        if (LogParser.isEcjMarker(line)) seg += 1
+        (seg, lineno, line)
+      }
+    }.toDF("seg", "lineno", "text")
+      .filter($"seg" > 0)
+
+    seged.groupBy($"seg")
+      .agg(array_sort(collect_list(struct($"lineno", $"text"))).as("ls"))
+      .select(transform($"ls", x => x.getField("text")).as("texts"))
+      .as[Seq[String]]
+      .flatMap { texts =>
+        val group = LogParser.ecjCleanData(
+          LogParser.ecjMergeContinuations(texts))
+        val gennum = group.collectFirst {
+          case ("Generation", Some(n)) if n.forall(_.isDigit) => n.toInt
+        }.getOrElse(-1)
+        group.map { case (k, v) => (expid, gennum, k, v.orNull) }
+      }
+  }
 }

@@ -30,27 +30,67 @@ object EcjPipeline {
     folders.join(broadcast(problems),
       col("probname").contains(col("folder_leaf")))
 
-  /** Parse every ECJ stat file under `glob` into generations EAV:
-    * (expid, gennum, parameter, value). gennum comes from the group-head
-    * `Generation: N` (−1 for the `End of Run` group); expid is minted
-    * per file, dense from `baseId`.
+  /** One cleaned ECJ group → EAV rows. gennum comes from the group-head
+    * `Generation: N` (−1 for the `End of Run` group). Shared by the
+    * wholetext and chunked (BigLogParse.ecjGenerations) paths so row
+    * semantics cannot diverge.
     */
-  def loadGenerations(spark: SparkSession, glob: String, baseId: Long = 0L)
-      : DataFrame = {
+  private[parse] def genRows(expid: Long,
+      group: Vector[(String, Option[String])]): Vector[(Long, Int, String, String)] = {
+    val gennum = group.collectFirst {
+      case ("Generation", Some(n)) if n.forall(_.isDigit) => n.toInt
+    }.getOrElse(-1)
+    group.map { case (k, v) => (expid, gennum, k, v.orNull) }
+  }
+
+  /** Parse every ECJ stat file under `glob` into generations EAV:
+    * (expid, gennum, parameter, value); expid is minted per file, dense by
+    * sorted path from `baseId`. Files above `bigFileBytes` bypass the
+    * one-task wholetext read and parse chunked
+    * (BigLogParse.ecjGenerations) — the reference's cluster-folder stat
+    * files are exactly this multi-GB shape (src/parse_logs_ecj.clj:11-18).
+    */
+  def loadGenerations(spark: SparkSession, glob: String, baseId: Long = 0L,
+      bigFileBytes: Long = 256L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true").text(glob)
       .select($"value", $"_metadata.file_path".as("path"))
-    val withId = IdMinter.mintIdsByKey(raw, baseId, "expid", "path")
-    withId.select($"expid", $"path", $"value")
-      .as[(Long, String, String)]
-      .flatMap { case (expid, _, content) =>
-        LogParser.parseEcj(content).flatMap { group =>
-          val gennum = group.collectFirst {
-            case ("Generation", Some(n)) if n.forall(_.isDigit) => n.toInt
-          }.getOrElse(-1)
-          group.map { case (k, v) => (expid, gennum, k, v.orNull) }
-        }
+    // ids driver-side from the file index (normalized to _metadata's path
+    // rendering — see LogPipeline.load): dense by sorted path, identical to
+    // the previous distributed mintIdsByKey outcome
+    val paths = raw.inputFiles
+      .map(p => new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
+      .sorted
+    if (paths.isEmpty)
+      return spark.emptyDataset[(Long, Int, String, String)]
+        .toDF("expid", "gennum", "parameter", "value")
+    val idOf = paths.zipWithIndex
+      .map { case (p, i) => (p, baseId + i + 1L) }.toMap
+    val conf = spark.sessionState.newHadoopConf()
+    def sizeOf(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
+    }
+    val big = paths.filter(sizeOf(_) > bigFileBytes)
+    val small = paths.toSeq.diff(big.toSeq)
+
+    val smallRows =
+      if (small.isEmpty) None
+      else {
+        val idMap = small.map(p => (p, idOf(p))).toDF("path", "expid")
+        Some(
+          (if (big.isEmpty) raw
+           else spark.read.option("wholetext", "true").text(small: _*)
+             .select($"value", $"_metadata.file_path".as("path")))
+            .join(broadcast(idMap), Seq("path"))
+            .select($"expid", $"value")
+            .as[(Long, String)]
+            .flatMap { case (expid, content) =>
+              LogParser.parseEcj(content).flatMap(genRows(expid, _))
+            })
       }
+    val bigRows = big.map(p => BigLogParse.ecjGenerations(spark, p, idOf(p)))
+    (smallRows.toSeq ++ bigRows).reduce(_ union _)
       .toDF("expid", "gennum", "parameter", "value")
   }
 

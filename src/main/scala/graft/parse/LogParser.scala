@@ -127,6 +127,11 @@ object LogParser {
 
   private val ecjMarker: Regex = "Generation:|of Run:".r
 
+  /** Is this line an ECJ group marker? Shared by [[ecjReadGen]] and the
+    * chunked big-file path (BigLogParse.ecjGenerations). */
+  private[parse] def isEcjMarker(line: String): Boolean =
+    ecjMarker.findFirstIn(line).isDefined
+
   /** `read-gen` (reference :89-105): a marker line *starts* a new group and is
     * kept as its head; pre-marker preamble lines are dropped.
     */
@@ -134,7 +139,7 @@ object LogParser {
     val out = Vector.newBuilder[Vector[String]]
     var cur: scala.collection.mutable.Builder[String, Vector[String]] = null
     lines.foreach { l =>
-      if (ecjMarker.findFirstIn(l).isDefined) {
+      if (isEcjMarker(l)) {
         if (cur != null) out += cur.result()
         cur = Vector.newBuilder[String]; cur += l
       } else if (cur != null) cur += l

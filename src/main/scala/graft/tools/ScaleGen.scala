@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator: replicate the sf0.1 corpus R× with consistent key
+  * shifting, producing an sf1-equivalent corpus for bench runs (no sf1
+  * driver data exists; ARCHITECTURE.md's "Spark's floor dominates at
+  * sf0.1" claim needs a bigger-scale measurement to stand on).
+  *
+  * Each replica i shifts every primary/foreign key family by i × stride
+  * (stride = max(key) + 1 from the source), so join cardinalities scale
+  * linearly exactly as a real sfN corpus would: every orders row still
+  * matches exactly one customer, every lineitem its one order/part/supp.
+  * region/nation stay single-copy (fixed-size dimensions, as in TPC-H).
+  *
+  * events.ts is TIMESTAMP(NANOS): read with nanosAsLong and written back
+  * as a plain long — `Tables.events`' `timestamp_micros(ts div 1000)`
+  * treats both encodings identically.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir] [destDir] [factor]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
+    val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = graft.Sessions.local("scale-gen", 32)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def strideOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
+
+    val custStride = strideOf(read("customer"), "c_custkey")
+    val orderStride = strideOf(read("orders"), "o_orderkey")
+    val partStride = strideOf(read("part"), "p_partkey")
+    val suppStride = strideOf(read("supplier"), "s_suppkey")
+    val eventStride = strideOf(read("events"), "event_id")
+    val userStride = strideOf(read("events"), "user_id")
+    val docStride = strideOf(read("documents"), "doc_id")
+    val vecStride = strideOf(read("embeddings"), "vec_id")
+
+    Seq("region", "nation").foreach { t =>
+      read(t).write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    }
+
+    def replicate(t: String, shifts: (String, Long)*): Unit = {
+      val base = read(t)
+      val out = (0 until factor).map { i =>
+        shifts.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i.toLong * stride))
+        }
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[scalegen] $t x$factor done")
+    }
+
+    replicate("customer", "c_custkey" -> custStride)
+    replicate("supplier", "s_suppkey" -> suppStride)
+    replicate("part", "p_partkey" -> partStride)
+    replicate("orders", "o_orderkey" -> orderStride, "o_custkey" -> custStride)
+    replicate("lineitem", "l_orderkey" -> orderStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride)
+    replicate("events", "event_id" -> eventStride, "user_id" -> userStride)
+    replicate("documents", "doc_id" -> docStride)
+    replicate("embeddings", "vec_id" -> vecStride)
+    println(s"[scalegen] wrote $dest at ${factor}x $src")
+    spark.stop()
+  }
+}

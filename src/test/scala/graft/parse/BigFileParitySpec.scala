@@ -83,6 +83,34 @@ class BigFileParitySpec extends AnyFunSuite {
     assert(one.count(_.contains("FlatRow(7,2,")) > 100) // gen cells present
   }
 
+  test("ECJ chunked path matches wholetext, continuations across splits") {
+    val preamble = Seq("ECJ", "An evolutionary computation system", "")
+    val groups = (0 until 25).flatMap { g =>
+      Seq(s"Generation: $g",
+        s"Best Individual: ind$g",
+        "Tree: (+ x",          // continuation folds into the Tree line
+        s"  (* x $g))",
+        s"Fitness: 0.$g")
+    } ++ Seq("End of Run:", "Final: done")
+    val dir = Files.createTempDirectory(Paths.get("target"), "ecjbig").toString
+    Files.writeString(Paths.get(dir, "job.0.out.stat"),
+      (preamble ++ groups).mkString("\n") + "\n")
+
+    def rows(bigBytes: Long) = EcjPipeline.loadGenerations(
+      spark, dir + "/*.stat", baseId = 0L, bigFileBytes = bigBytes)
+      .collect().map(_.toString).toSet
+    val whole = rows(Long.MaxValue)
+    val chunked = rows(1L)
+    assert(chunked == whole)
+    assert(whole.exists(_.contains("(+ x (* x 3))"))) // continuation merged
+    assert(whole.exists(_.contains("-1,EndofRun")))   // end group, gennum -1
+    // multi-split direct call agrees too (offset bookkeeping under splits)
+    val manySplit = BigLogParse.ecjGenerations(
+      spark, dir + "/job.0.out.stat", 1L, minPartitions = 11)
+      .collect().map(r => s"[${r._1},${r._2},${r._3},${r._4}]").toSet
+    assert(manySplit == whole)
+  }
+
   test("degenerate files: parity on all-delimiter logs; 0-byte logs drop") {
     val dir = Files.createTempDirectory(Paths.get("target"), "bigempty").toString
     Files.writeString(Paths.get(dir, "empty_1.log"), "")
