@@ -90,4 +90,41 @@ object IdMinter {
           .unionByName(mintLocal(newNames, maxId))
     }
   }
+
+  /** Spark's string sort order (UTF8String binary comparison) as a Scala
+    * Ordering: unsigned byte-wise over the UTF-8 encoding. Lets driver-side
+    * minting order names EXACTLY like [[dictionaryEncode]]'s `orderBy`, so
+    * the two arms are interchangeable (parity spec pins it).
+    */
+  private[graft] val utf8BinaryOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** Pure driver-side twin of [[dictionaryEncode]] for callers that already
+    * hold the name list (LogPipeline.load, IngestStream — both derive names
+    * from an already-collected path list): same get-or-create contract,
+    * same ordering (UTF8-binary), ZERO Spark jobs. The DataFrame arm costs
+    * 3-4 jobs per call (distinct, anti-join, max, sort-collect) — pure
+    * fixed overhead when the dictionary is name-cardinality tiny, which it
+    * is by contract (every consumer broadcast-joins it).
+    */
+  def dictionaryEncodeLocal(
+      names: Seq[String],
+      existing: Seq[(String, Long)] = Nil): Seq[(String, Long)] = {
+    val known = existing.iterator.map(_._1).toSet
+    val maxId = existing.iterator.map(_._2).foldLeft(0L)(math.max)
+    existing ++ names.distinct.filterNot(known)
+      .sorted(utf8BinaryOrder).zipWithIndex
+      .map { case (n, i) => (n, maxId + i + 1L) }
+  }
 }

@@ -55,24 +55,20 @@ object EcjPipeline {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true").text(glob)
       .select($"value", $"_metadata.file_path".as("path"))
-    // ids driver-side from the file index (normalized to _metadata's path
-    // rendering — see LogPipeline.load): dense by sorted path, identical to
-    // the previous distributed mintIdsByKey outcome
-    val paths = raw.inputFiles
-      .map(p => new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
-      .sorted
+    // ids + sizes driver-side from the scan's own FileIndex (paths arrive
+    // in _metadata's rendering; no per-file stat RPCs — see
+    // LogPipeline.load): dense by sorted path, identical to the previous
+    // distributed mintIdsByKey outcome
+    val statuses =
+      org.apache.spark.sql.graft.CatalystBridge.fileStatuses(raw).sortBy(_._1)
+    val paths = statuses.map(_._1)
     if (paths.isEmpty)
       return spark.emptyDataset[(Long, Int, String, String)]
         .toDF("expid", "gennum", "parameter", "value")
     val idOf = paths.zipWithIndex
       .map { case (p, i) => (p, baseId + i + 1L) }.toMap
-    val conf = spark.sessionState.newHadoopConf()
-    def sizeOf(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).getFileStatus(hp).getLen
-    }
-    val big = paths.filter(sizeOf(_) > bigFileBytes)
-    val small = paths.toSeq.diff(big.toSeq)
+    val big = statuses.filter(_._2 > bigFileBytes).map(_._1)
+    val small = paths.diff(big)
 
     val smallRows =
       if (small.isEmpty) None

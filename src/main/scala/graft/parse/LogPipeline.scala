@@ -146,31 +146,41 @@ object LogPipeline {
       : LoadedTables = {
     import spark.implicits._
     val df = spark.read.option("wholetext", "true").text(logDir)
-    // inputFiles renders URIs ("file:///tmp/x"); _metadata.file_path renders
-    // Hadoop Path form ("file:/tmp/x"). Normalize through Path(URI) so the
-    // id-map join key matches the scan's provenance column byte-for-byte
-    // (pathcheck probe covers both renderings).
-    val paths = df.inputFiles
-      .map(p => new org.apache.hadoop.fs.Path(new java.net.URI(p)).toString)
-      .sorted
+    // (path, size, mtime) straight from the scan's own FileIndex — zero
+    // extra jobs AND zero per-file stat RPCs (a 500-file re-stat loop cost
+    // ~0.5s of pure driver time). Paths arrive in Hadoop Path form, the
+    // same rendering as _metadata.file_path, so the id-map join key matches
+    // byte-for-byte (pathcheck probe pins the rendering pair). Fallback to
+    // inputFiles + stat for non-HadoopFsRelation sources.
+    val statuses = {
+      val fromIndex = org.apache.spark.sql.graft.CatalystBridge
+        .fileStatuses(df)
+      if (fromIndex.nonEmpty || df.inputFiles.isEmpty) fromIndex
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        df.inputFiles.toSeq.map { u =>
+          val hp = new org.apache.hadoop.fs.Path(new java.net.URI(u))
+          val st = hp.getFileSystem(conf).getFileStatus(hp)
+          (hp.toString, st.getLen, st.getModificationTime)
+        }
+      }
+    }.sortBy(_._1)
+    val paths = statuses.map(_._1)
     val idOf = paths.zipWithIndex
       .map { case (p, i) => (p, cfg.baseId + i + 1L) }.toMap
-    val names = paths.map(problemNameOf(_, cfg)).distinct.toSeq.toDF("problem_name")
-    val dim = IdMinter.dictionaryEncode(names, "problem_name", "problem_id")
+    // dictionary minted fully driver-side (zero jobs) — ordering parity
+    // with the DataFrame arm is pinned by IdMinterSpec
+    val dim = IdMinter
+      .dictionaryEncodeLocal(paths.map(problemNameOf(_, cfg)))
+      .toDF("problem_name", "problem_id")
 
-    // big-file dispatch: one driver-side stat per file (strictly cheaper
-    // state than the InMemoryFileIndex the scan already built) finds the
-    // rare oversized log that must not ride the one-task wholetext path
-    val conf = spark.sessionState.newHadoopConf()
-    def statusOf(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).getFileStatus(hp)
-    }
-    val big = paths.filter(p => statusOf(p).getLen > cfg.bigFileBytes)
+    // big-file dispatch: the rare oversized log must not ride the one-task
+    // wholetext path
+    val big = statuses.filter(_._2 > cfg.bigFileBytes).map(_._1)
 
     def wholetextFlat(input: Seq[String]): Dataset[FlatRow] = {
       val src =
-        if (input == paths.toSeq) df // unchanged fast path: no re-listing
+        if (input == paths) df // unchanged fast path: no re-listing
         else spark.read.option("wholetext", "true").text(input: _*)
       val idMap = input.map(p => (p, idOf(p))).toDF("path", "id")
       val parsed = src
@@ -190,19 +200,20 @@ object LogPipeline {
     }
 
     val flat =
-      if (big.isEmpty) wholetextFlat(paths.toSeq)
+      if (big.isEmpty) wholetextFlat(paths)
       else {
         val tz = java.time.ZoneId.of(
           spark.conf.get("spark.sql.session.timeZone",
             java.util.TimeZone.getDefault.getID))
         val fmt = java.time.format.DateTimeFormatter
           .ofPattern(DateFmt).withZone(tz)
+        val mtimeMillis = statuses.map(s => s._1 -> s._3).toMap
         val bigFlats = big.map { p =>
-          val mtime = fmt.format(java.time.Instant.ofEpochMilli(
-            statusOf(p).getModificationTime))
+          val mtime = fmt.format(
+            java.time.Instant.ofEpochMilli(mtimeMillis(p)))
           BigLogParse.flatRows(spark, p, idOf(p), mtime, cfg)
         }
-        val small = paths.toSeq.diff(big.toSeq)
+        val small = paths.diff(big)
         val parts =
           (if (small.nonEmpty) Seq(wholetextFlat(small)) else Nil) ++ bigFlats
         parts.reduce(_ union _)

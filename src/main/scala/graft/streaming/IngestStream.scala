@@ -47,18 +47,21 @@ object IngestStream {
 
     // problem dictionary accumulated across micro-batches (get-or-create,
     // reference problem_data map): same name → same id in every batch, new
-    // names extend past the max. foreachBatch bodies run strictly
-    // sequentially, so threading through a var is race-free.
-    var problemDim: Option[DataFrame] = initialProblemDim
+    // names extend past the max. Threaded DRIVER-SIDE as a plain Seq —
+    // name-cardinality tiny by contract — so per-batch get-or-create costs
+    // zero Spark jobs (the DataFrame arm cost 3-4 tiny jobs per batch).
+    // foreachBatch bodies run strictly sequentially, so a var is race-free.
+    var dimSeq: Seq[(String, Long)] = initialProblemDim
+      .map(_.select("problem_name", "problem_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      .getOrElse(Nil)
 
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tables = tablesFromBatch(spark, batch, cfg, batchId, problemDim)
-        // pin the dim OUTSIDE the batch lifecycle: localCheckpoint
-        // materializes it (problem-name cardinality — tiny) and truncates
-        // the batch-over-batch lineage chain
-        problemDim = Some(tables.problemDim.localCheckpoint())
+        val (tables, nextDim) =
+          tablesFromBatch(spark, batch, cfg, batchId, dimSeq)
+        dimSeq = nextDim
         // the cached per-batch Dataset must not outlive the batch — under the
         // ProcessingTime daemon an un-released cache grows without bound
         try sink(tables, batchId) finally tables.release()
@@ -82,7 +85,8 @@ object IngestStream {
       batch: DataFrame,
       cfg: LogPipeline.LoadConfig,
       batchId: Long,
-      problemDim: Option[DataFrame]): LogPipeline.LoadedTables = {
+      dimSeq: Seq[(String, Long)])
+      : (LogPipeline.LoadedTables, Seq[(String, Long)]) = {
     import spark.implicits._
     val base = cfg.baseId + batchId * idWindow
 
@@ -102,13 +106,12 @@ object IngestStream {
     // only covers names from earlier batches, and `tablesFromParsed` demands
     // a COMPLETE dim — a stale one silently drops new problems' rows at the
     // inner broadcast join. Batch names come free from the collected path
-    // list (problemNameOf is the driver-side twin of problemNameCol), so
-    // extending the dim costs one tiny left-anti join on name-cardinality
-    // rows: seen names keep their ids, new names extend past the max.
-    val batchNames = paths.map(LogPipeline.problemNameOf(_, cfg))
-      .distinct.toSeq.toDF("problem_name")
-    val dim = IdMinter.dictionaryEncode(
-      batchNames, "problem_name", "problem_id", existing = problemDim)
+    // list (problemNameOf is the driver-side twin of problemNameCol); the
+    // get-or-create itself runs driver-side (zero jobs): seen names keep
+    // their ids, new names extend past the max.
+    val nextDim = IdMinter.dictionaryEncodeLocal(
+      paths.toSeq.map(LogPipeline.problemNameOf(_, cfg)), dimSeq)
+    val dim = nextDim.toDF("problem_name", "problem_id")
 
     val parsed = batch.as[(String, String)]
       .map { case (content, path) =>
@@ -122,7 +125,7 @@ object IngestStream {
       .as[(Long, String, String, ParsedRun)]
     // tablesFromParsed caches its flat single-pass parse output and hands
     // back the unpersist in `release` — no second cache needed here
-    LogPipeline.tablesFromParsed(runs, cfg, Some(dim))
+    (LogPipeline.tablesFromParsed(runs, cfg, Some(dim)), nextDim)
   }
 
   /** (path, id, mtime) rows for a sorted path list: dense ids from `base`,

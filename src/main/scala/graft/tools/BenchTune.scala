@@ -166,6 +166,29 @@ object BenchTune {
     }
     if (args.headOption.contains("etlsweep")) { etlShuffleSweep(); return }
     if (args.headOption.contains("etlprofile")) { etlProfile(); return }
+    if (args.headOption.contains("loadmicro")) {
+      // driver-side cost breakdown of LogPipeline.load's pre-job phase
+      val glob = genEtlLogs(200)
+      val spark = graft.Sessions.local("loadmicro", 32)
+      (1 to 3).foreach(_ => timedLoad(spark, glob))
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[micro] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      (1 to 2).foreach { _ =>
+        val df = t("read.text (listing)") {
+          spark.read.option("wholetext", "true").text(glob) }
+        t("fileStatuses") {
+          org.apache.spark.sql.graft.CatalystBridge.fileStatuses(df) }
+        t("inputFiles") { df.inputFiles }
+        val tables = t("full load()") {
+          graft.parse.LogPipeline.load(spark, glob) }
+        t("experiments plan analyze") { tables.experiments.queryExecution.analyzed }
+        t("experiments count") { tables.experiments.count() }
+        tables.release()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("pathcheck")) {
       // does DataFrame.inputFiles render paths identically to
       // _metadata.file_path? (decides whether ids can be minted from the

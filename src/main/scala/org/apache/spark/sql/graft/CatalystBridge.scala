@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Column ⇄ Expression bridge. Spark 4 made these conversions
   * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so custom
@@ -12,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** (path, length, modificationTime-millis) for every file behind a
+    * file-source DataFrame, straight from the relation's FileIndex — the
+    * listing the scan already materialized on the driver. Saves one
+    * FileSystem RPC per file vs re-statting (`df.inputFiles` exposes only
+    * paths). Paths render in Hadoop Path form, matching
+    * `_metadata.file_path`.
+    */
+  def fileStatuses(df: DataFrame): Seq[(String, Long, Long)] =
+    df.queryExecution.analyzed.collect {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.location.listFiles(Nil, Nil).flatMap(_.files)
+          .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+    }.flatten
 }

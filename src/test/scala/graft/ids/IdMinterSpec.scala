@@ -34,4 +34,27 @@ class IdMinterSpec extends AnyFunSuite {
     assert(dim("a") == 5L && dim("b") == 9L)
     assert(Set(dim("c"), dim("d")) == Set(10L, 11L))
   }
+
+  test("dictionaryEncodeLocal agrees with the DataFrame arm, fresh + existing") {
+    // seeded pseudo-random names including non-ASCII and shared prefixes —
+    // the UTF8-binary ordering must match Spark's orderBy exactly
+    val rnd = new scala.util.Random(4242)
+    val pool = Seq("alpha", "Alpha", "alph", "z", "Z", "éclair", "中文",
+      "a b", "a_b", "A", "") ++ (1 to 40).map(_ => rnd.alphanumeric.take(
+      1 + rnd.nextInt(8)).mkString)
+    val names = rnd.shuffle(pool ++ pool.take(13)).filter(_.nonEmpty)
+
+    val freshDf = IdMinter.dictionaryEncode(names.toDF("name"), "name", "pid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val freshLocal = IdMinter.dictionaryEncodeLocal(names).toMap
+    assert(freshLocal == freshDf)
+
+    val existingSeq = freshLocal.toSeq.filter(_._2 % 3 == 0)
+    val existingDf = existingSeq.toDF("name", "pid")
+    val extDf = IdMinter.dictionaryEncode(
+      names.toDF("name"), "name", "pid", Some(existingDf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val extLocal = IdMinter.dictionaryEncodeLocal(names, existingSeq).toMap
+    assert(extLocal == extDf)
+  }
 }
