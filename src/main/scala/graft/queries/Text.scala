@@ -274,6 +274,147 @@ object Text {
           'the quick brown fox jumps over the lazy') AS INTEGER) AS dist
         FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
 
+    // ---- Within-document repetition (LLM curation: boilerplate signal) -----
+    // Fraction of duplicated 3-word shingles per doc: high rep_ratio =
+    // template/boilerplate text. Narrow per-row HOF work; the only wide op
+    // is the final top-k (TakeOrderedAndProject).
+    QueryDef(
+      "x_repetition",
+      (s, d) => {
+        import s.implicits._
+        val allSh = expr("""transform(
+          sequence(1, size(split(text, ' ')) - 2),
+          i -> concat_ws(' ',
+            element_at(split(text, ' '), i),
+            element_at(split(text, ' '), i + 1),
+            element_at(split(text, ' '), i + 2)))""")
+        Tables.documents(s, d)
+          .filter(size(split($"text", " ")) >= 3)
+          .select($"doc_id", allSh.as("sh"))
+          .select($"doc_id", size($"sh").as("n_shingles"),
+            size(array_distinct($"sh")).as("n_distinct"))
+          .withColumn("rep_ratio",
+            round(lit(1.0) - $"n_distinct".cast("double") / $"n_shingles", 6))
+          .orderBy($"rep_ratio".desc, $"doc_id")
+          .limit(100)
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                   string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])) AS sh
+          FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+          CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+          round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio
+        FROM sh ORDER BY rep_ratio DESC, doc_id LIMIT 100""")),
+
+    // ---- Lexical diversity: type-token ratio per language ------------------
+    // Lang-level TTR from exact integer sums (one final double division) —
+    // order-independent, so partial aggregation stays bit-exact.
+    QueryDef(
+      "x_ttr_by_lang",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang", size(split($"text", " ")).as("n_tokens"),
+            size(array_distinct(split($"text", " "))).as("n_types"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("sum_tokens"),
+            sum($"n_types").as("sum_types"))
+          .withColumn("ttr",
+            round($"sum_types".cast("double") / $"sum_tokens", 6))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+          CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_types,
+          round(CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+            / SUM(len(string_split(text, ' '))), 6) AS ttr
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- Train/val/test contamination via strong near-dups -----------------
+    // A near-duplicate pair (3-gram Jaccard >= 0.9) straddling two split
+    // buckets leaks training data into eval — the check every LLM pipeline
+    // needs before shipping a split. Bounded doc subset keeps the oracle's
+    // brute-force pair scan tractable; the engine-scale path would feed
+    // MinHash candidates into the same split comparison.
+    QueryDef(
+      "x_contamination",
+      (s, d) => {
+        import s.implicits._
+        val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        val docs = Tables.documents(s, d)
+          .filter($"doc_id" < 300 && size(split($"text", " ")) >= 3)
+          .select($"doc_id",
+            expr(DedupQueries.shingleExpr).as("sh"),
+            when(nib < "8", "train").when(nib < "c", "val")
+              .otherwise("test").as("split"))
+        val a = docs.select($"doc_id".as("a"), $"sh".as("sha"), $"split".as("split_a"))
+        val b = docs.select($"doc_id".as("b"), $"sh".as("shb"), $"split".as("split_b"))
+        a.join(broadcast(b), $"a" < $"b")
+          .filter(size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")) >= 0.9)
+          .filter($"split_a" =!= $"split_b")
+          .groupBy(least($"split_a", $"split_b").as("split_lo"),
+            greatest($"split_a", $"split_b").as("split_hi"))
+          .agg(count(lit(1)).as("n_leaked_pairs"))
+          .orderBy($"split_lo", $"split_hi")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                   string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS sh,
+            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents
+          WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 3)
+        SELECT least(a.split, b.split) AS split_lo,
+          greatest(a.split, b.split) AS split_hi,
+          COUNT(*) AS n_leaked_pairs
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+          AND a.split <> b.split
+        GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi""")),
+
+    // ---- Length-outlier trimming: per-lang percentile gates ----------------
+    // Keep docs inside [p05, p95] of n_chars within their language — the
+    // standard length-filter step. Exact interpolated percentiles (Spark
+    // `percentile` == DuckDB `quantile_cont` formula), thresholds rounded
+    // identically on both sides before the comparison.
+    QueryDef(
+      "x_length_trim",
+      (s, d) => {
+        import s.implicits._
+        val gates = Tables.documents(s, d)
+          .groupBy($"lang")
+          .agg(round(expr("percentile(n_chars, 0.05)"), 4).as("p05"),
+            round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+        Tables.documents(s, d)
+          .join(broadcast(gates), Seq("lang"))
+          .groupBy($"lang", $"p05", $"p95")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"n_chars" >= $"p05" && $"n_chars" <= $"p95", 1))
+              .as("n_kept"),
+            count(when($"n_chars" < $"p05" || $"n_chars" > $"p95", 1))
+              .as("n_trimmed"))
+          .orderBy($"lang")
+      },
+      Some("""WITH gates AS (
+          SELECT lang, round(quantile_cont(n_chars, 0.05), 4) AS p05,
+            round(quantile_cont(n_chars, 0.95), 4) AS p95
+          FROM documents GROUP BY lang)
+        SELECT d.lang, g.p05, g.p95, COUNT(*) AS n_docs,
+          COUNT(*) FILTER (WHERE n_chars >= p05 AND n_chars <= p95) AS n_kept,
+          COUNT(*) FILTER (WHERE n_chars < p05 OR n_chars > p95) AS n_trimmed
+        FROM documents d JOIN gates g ON d.lang = g.lang
+        GROUP BY d.lang, g.p05, g.p95 ORDER BY d.lang""")),
+
     // ---- X5: facet rollup over lang × source -------------------------------
     QueryDef(
       "x5_facet_rollup",
