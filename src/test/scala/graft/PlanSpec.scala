@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("curation queries keep scale-correct plan shapes") {
+    // repetition top-100: distributed TakeOrdered, never a global sort
+    assert(plan("x_repetition").contains("TakeOrderedAndProject"),
+      "x_repetition lost its top-k plan")
+    // length gates are a 5-row aggregate: must broadcast back onto docs
+    assert(plan("x_length_trim").contains("BroadcastHashJoin"),
+      "x_length_trim gates joined with a shuffle")
+    // contamination's bounded pair scan: the filtered side broadcasts
+    assert(plan("x_contamination").contains("BroadcastNestedLoopJoin") ||
+      plan("x_contamination").contains("BroadcastHashJoin"),
+      "x_contamination pair join is not broadcast")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
