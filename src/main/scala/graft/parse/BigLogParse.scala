@@ -37,6 +37,14 @@ object BigLogParse {
   /** FlatRow pieces (LogPipeline's single-pass cache format) for one big
     * file — unioned by `LogPipeline.load` with the wholetext-parsed rest.
     *
+    * A `.gz` log is unsplittable: it decompresses into ONE split here
+    * (correct, parity-tested), so a multi-GB gzipped log still serializes
+    * its line scan through one task — though unlike wholetext the
+    * DOWNSTREAM segment parsing still spreads over the cluster, and the
+    * per-line iterator never materializes the whole file as one string.
+    * Store oversized logs uncompressed (or as bgzip/multiple files) to get
+    * byte-range parallelism.
+    *
     * @param minPartitions minimum line-split count (exposed so tests can
     *        force multi-split reads on small fixtures; gz stays 1 split)
     */

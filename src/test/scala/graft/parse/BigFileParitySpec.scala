@@ -111,6 +111,22 @@ class BigFileParitySpec extends AnyFunSuite {
     assert(manySplit == whole)
   }
 
+  test("gzipped log forced through the chunked path stays correct") {
+    // gz is unsplittable (one split regardless of minPartitions) but the
+    // chunked path must still parse it identically — the dispatch can see
+    // a big .gz and must not corrupt it
+    val dir = Files.createTempDirectory(Paths.get("target"), "biggz").toString
+    val content = fixture(20)
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(dir, "run5_g.log.gz")))
+    gz.write(content.getBytes("UTF-8")); gz.close()
+    val whole = tablesOf(dir + "/*.log.gz", LogPipeline.LoadConfig())
+    val chunked = tablesOf(dir + "/*.log.gz",
+      LogPipeline.LoadConfig(bigFileBytes = 1L))
+    assert(chunked == whole)
+    assert(whole._3.nonEmpty)
+  }
+
   test("degenerate files: parity on all-delimiter logs; 0-byte logs drop") {
     val dir = Files.createTempDirectory(Paths.get("target"), "bigempty").toString
     Files.writeString(Paths.get(dir, "empty_1.log"), "")
