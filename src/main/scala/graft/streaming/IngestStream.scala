@@ -25,6 +25,13 @@ object IngestStream {
     * four tables to `sink`. Runs until no files remain (AvailableNow) when
     * `availableNow = true`.
     *
+    * Oversized-file caveat: the streaming text source materializes each
+    * file as ONE wholetext row before this code runs, so the batch path's
+    * chunked dispatch (LogPipeline.load / BigLogParse) cannot apply here —
+    * a multi-GB log in the watched folder lands on a single source task.
+    * Route known-oversized logs through the batch `LogPipeline.load`
+    * (which dispatches on size) instead of the watch folder.
+    *
     * @param initialProblemDim seed (problem_name, problem_id) rows, e.g.
     *        read back from the dimension table on daemon restart, so ids
     *        stay stable across PROCESS restarts too (within one run the
