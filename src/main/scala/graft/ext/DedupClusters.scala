@@ -44,26 +44,37 @@ object DedupClusters {
       .distinct().cache()
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence via the label-sum invariant: labels only ever DECREASE
+    // (min is a meet), so sum(comp) strictly drops iff any label changed —
+    // one cheap aggregation per iteration instead of a join + count job.
+    // Decimal accumulation: exact and un-overflowable (ANSI long sum would
+    // throw at ~1e18 aggregate id mass)
+    def sumComp(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head() match {
+        case r if r.isNullAt(0) => java.math.BigDecimal.ZERO
+        case r                  => r.getDecimal(0)
+      }
+    var prevSum = sumComp(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("comp"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint() // materialize + truncate lineage
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).count()
+      val nextSum = sumComp(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
     sym.unpersist()
     // a silent non-converged return would split one real component into
     // several phantom "canonical" docs — fail loudly instead
-    if (changed > 0) throw new IllegalStateException(
-      s"components() did not converge within $maxIter iterations " +
-        s"($changed labels still changing); raise maxIter above the " +
-        "largest component diameter")
+    if (changed) throw new IllegalStateException(
+      s"components() did not converge within $maxIter iterations; " +
+        "raise maxIter above the largest component diameter")
     labels
   }
 }

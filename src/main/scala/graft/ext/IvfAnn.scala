@@ -2,7 +2,6 @@ package graft.ext
 
 import graft.queries.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor over an embedding
@@ -42,15 +41,20 @@ object IvfAnn {
     val centroids = seeds.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("ev"))) }
 
-    val centroidDf = centroids
-      .map { case (c, v) => (c, v) }.toSeq.toDF("cluster", "cv")
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster")
-    val assigned = emb.crossJoin(broadcast(centroidDf))
-      .select($"vec_id", $"ev", $"cluster",
-        Similarity.cosine($"ev", $"cv").as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"ev", $"cluster")
+    // nearest-centroid assignment as ONE narrow per-row fold: centroids ride
+    // along as an array literal and `transform` scores each exactly once
+    // (no re-evaluation trap), `array_max` picks (max sim, then min cluster
+    // via negated id — the same tie-break the old window used). vs the
+    // previous crossJoin + row_number window this is zero row explosion and
+    // ZERO shuffle: at 1B vectors x 256 centroids the window exchanged
+    // 256x the corpus; this touches each row once where it sits.
+    val centArr = array(centroids.map { case (c, v) =>
+      struct(lit(c).as("cluster"), array(v.map(lit): _*).as("cv")) }: _*)
+    val scored = transform(centArr, c =>
+      struct(Similarity.cosine($"ev", c.getField("cv")).as("sim"),
+        (-c.getField("cluster")).as("negc")))
+    val assigned = emb.select($"vec_id", $"ev",
+      (-array_max(scored).getField("negc")).as("cluster"))
     Index(assigned, centroids)
   }
 

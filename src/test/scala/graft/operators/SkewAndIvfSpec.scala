@@ -47,6 +47,15 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(IvfAnn.build(emb(17), nCentroids = 16).centroids.length == 16)
   }
 
+  test("IVF assignment is a narrow per-row pass: no shuffle, no row explosion") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val plan = IvfAnn.build(emb, nCentroids = 8)
+      .assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment uses a window:\n$plan")
+  }
+
   test("IVF ANN: full-probe search equals brute force; pruned probe overlaps") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
