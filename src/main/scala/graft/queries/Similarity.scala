@@ -85,16 +85,23 @@ object Similarity {
           planes.slice(bandIdx * bandBits, (bandIdx + 1) * bandBits))
           .as("band_sig"))
     }
+    // the band self-join shuffles ONLY (vec_id, band_idx, band_sig) — ~24
+    // bytes/row; embeddings join back afterwards, once per surviving
+    // candidate side, so vectors never ride the candidate-generation
+    // shuffle (the same rule MinHashDedup documents for documents)
     val banded = e
-      .select(col("vec_id"), col("ev"), explode(array(bandSigs: _*)).as("band"))
-      .select(col("vec_id"), col("ev"), col("band.band_idx"), col("band.band_sig"))
-    val a = banded.select(col("band_idx"), col("band_sig"),
-      col("vec_id").as("a"), col("ev").as("av"))
-    val b = banded.select(col("band_idx"), col("band_sig"),
-      col("vec_id").as("b"), col("ev").as("bv"))
-    a.join(b, Seq("band_idx", "band_sig")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 4).as("cos"))
+      .select(col("vec_id"), explode(array(bandSigs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+    val a = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("a"))
+    val b = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("b"))
+    val cand = a.join(b, Seq("band_idx", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .distinct() // a pair may collide in several bands
+    val ea = e.select(col("vec_id").as("a"), col("ev").as("av"))
+    val eb = e.select(col("vec_id").as("b"), col("ev").as("bv"))
+    cand.join(ea, Seq("a")).join(eb, Seq("b"))
+      .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 4).as("cos"))
   }
 
   val defs: Seq[QueryDef] = Seq(
