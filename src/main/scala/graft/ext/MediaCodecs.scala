@@ -1,0 +1,197 @@
+package graft.ext
+
+/** Real, dependency-free media codecs (pure JVM byte parsing) for the two
+  * formats whose containers are simple enough to need no library: RIFF/WAVE
+  * PCM audio and uncompressed 24-bit BMP images. These replace the
+  * `Multimodal.decodeStub` fallback for `kind` "wav"/"bmp", making the
+  * multimodal pipeline's decode step REAL for those formats — parse,
+  * feature-extract (RMS energy, zero crossings, luminance), and transform
+  * (nearest-neighbor resize) all run distributed on binary columns.
+  *
+  * Everything is sequential deterministic arithmetic, so extracted features
+  * are stable across partitionings and (for synthesis-parameter features)
+  * oracle-checkable end to end (`m_wav_roundtrip`).
+  */
+object MediaCodecs {
+
+  // ---- little-endian helpers ----------------------------------------------
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], off: Int, t: String): Boolean =
+    b.length >= off + 4 && b(off) == t(0).toByte && b(off + 1) == t(1).toByte &&
+      b(off + 2) == t(2).toByte && b(off + 3) == t(3).toByte
+
+  // ---- WAV (RIFF/WAVE, PCM16) ---------------------------------------------
+
+  /** Decoded PCM audio: container fields + signal features computed over
+    * channel 0 (samples normalized to [-1, 1)).
+    */
+  final case class WavInfo(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, nSamples: Int,
+      durationSec: Double, rms: Double, zeroCrossings: Int)
+
+  /** Parse a RIFF/WAVE PCM16 payload; None for anything else (wrong magic,
+    * compressed format, truncated chunks).
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes.length < 44 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE"))
+      return None
+    var off = 12
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val size = le32(bytes, off + 4)
+      if (tag(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length) {
+        val audioFormat = le16(bytes, off + 8)
+        if (audioFormat != 1) return None // PCM only
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12)
+        bits = le16(bytes, off + 22)
+      } else if (tag(bytes, off, "data")) {
+        dataOff = off + 8; dataLen = math.min(size, bytes.length - dataOff)
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) return None
+    val frameBytes = channels * 2
+    val nSamples = dataLen / frameBytes
+    var sumSq = 0.0; var zc = 0; var prevNeg = false
+    var i = 0
+    while (i < nSamples) {
+      val raw = le16(bytes, dataOff + i * frameBytes)
+      val s = (if (raw >= 0x8000) raw - 0x10000 else raw) / 32768.0 // channel 0
+      sumSq += s * s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    Some(WavInfo(channels, sampleRate, bits, nSamples,
+      nSamples.toDouble / sampleRate, rms, zc))
+  }
+
+  /** Write a mono PCM16 RIFF/WAVE payload — the synthesis side of the
+    * decode round-trip (m_wav_roundtrip and specs). */
+  def writeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes.copyToArray(out, 0)
+    putLe32(out, 4, 36 + dataLen)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12)
+    putLe32(out, 16, 16)      // fmt chunk size
+    putLe16(out, 20, 1)       // PCM
+    putLe16(out, 22, 1)       // mono
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * 2) // byte rate
+    putLe16(out, 32, 2)       // block align
+    putLe16(out, 34, 16)      // bits
+    "data".getBytes.copyToArray(out, 36)
+    putLe32(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(out, 44 + i * 2, samples(i) & 0xffff); i += 1
+    }
+    out
+  }
+
+  // ---- BMP (uncompressed 24-bit) ------------------------------------------
+
+  /** Decoded image: dimensions + mean luminance (ITU-R 601 weights over all
+    * pixels, deterministic row-major accumulation). */
+  final case class BmpInfo(
+      width: Int, height: Int, bitsPerPixel: Int, meanLuminance: Double)
+
+  private def bmpRowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** Parse an uncompressed 24bpp BMP; None otherwise. Handles the standard
+    * bottom-up row order (positive height). */
+  def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val dataOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+    val rowSize = bmpRowSize(width)
+    if (dataOff + rowSize.toLong * height > bytes.length) return None
+    var sum = 0.0
+    var y = 0
+    while (y < height) {
+      val row = dataOff + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val b = bytes(row + x * 3) & 0xff
+        val g = bytes(row + x * 3 + 1) & 0xff
+        val r = bytes(row + x * 3 + 2) & 0xff
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpInfo(width, height, bpp, sum / (width.toLong * height)))
+  }
+
+  /** Write an uncompressed 24bpp BMP from an (x, y) → (r, g, b) function —
+    * synthesis side for specs and round-trip queries. */
+  def writeBmp24(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = bmpRowSize(width)
+    val dataLen = rowSize * height
+    val out = new Array[Byte](54 + dataLen)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    putLe32(out, 2, out.length)
+    putLe32(out, 10, 54)
+    putLe32(out, 14, 40)     // BITMAPINFOHEADER
+    putLe32(out, 18, width)
+    putLe32(out, 22, height) // positive = bottom-up
+    putLe16(out, 26, 1)      // planes
+    putLe16(out, 28, 24)     // bpp
+    putLe32(out, 34, dataLen)
+    var y = 0
+    while (y < height) {
+      val row = 54 + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        out(row + x * 3) = (b & 0xff).toByte
+        out(row + x * 3 + 1) = (g & 0xff).toByte
+        out(row + x * 3 + 2) = (r & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize of a 24bpp BMP — a REAL binary → binary media
+    * transform (replaces resizeStub for BMP payloads). */
+  def resizeBmpNearest(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    parseBmp(bytes).map { info =>
+      val dataOff = le32(bytes, 10)
+      val rowSize = bmpRowSize(info.width)
+      writeBmp24(newW, newH, (x, y) => {
+        val sx = (x.toLong * info.width / newW).toInt
+        val sy = (y.toLong * info.height / newH).toInt
+        val row = dataOff + (info.height - 1 - sy) * rowSize
+        val b = bytes(row + sx * 3) & 0xff
+        val g = bytes(row + sx * 3 + 1) & 0xff
+        val r = bytes(row + sx * 3 + 2) & 0xff
+        (r, g, b)
+      })
+    }
+}

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling (north-star): image/audio/video as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration shape —
-  * is real; the codec itself is STUBBED (this container has no image/audio
-  * libraries) behind `decodeStub`, a deterministic fake that reads a
-  * 12-byte fake header. Swapping in a real codec changes only that function.
+  * The decode step is REAL for RIFF/WAVE PCM audio and 24bpp BMP images
+  * (graft.ext.MediaCodecs — pure-JVM byte parsing, no libraries needed);
+  * other formats (jpeg/mp4/...) fall back to `decodeStub`, a deterministic
+  * fake, because this container ships no compressed-codec libraries.
+  * Swapping a real library in changes only the per-kind dispatch below.
   *
   * Scale design: media bytes never shuffle — decode/feature-extraction is
   * `mapPartitions` (narrow); only the small extracted-feature columns flow
@@ -53,16 +54,63 @@ object Multimodal {
     bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
 
   /** Decode/feature-extract each media row — per-partition, codec init
-    * amortized (the `mapInPandas` batch shape).
+    * amortized (the `mapInPandas` batch shape). Real codecs for wav/bmp
+    * payloads (MediaCodecs); stub for everything else.
     */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codec: initialize the decoder library HERE, once per partition
       rows.map { r =>
-        val (w, h, sr) = decodeStub(r.bytes)
+        val (w, h, sr) = (r.kind match {
+          case "wav" => MediaCodecs.parseWav(r.bytes)
+            .map(i => (0, 0, i.sampleRate))
+          case "bmp" => MediaCodecs.parseBmp(r.bytes)
+            .map(i => (i.width, i.height, 0))
+          case _ => None
+        }).getOrElse(decodeStub(r.bytes))
         MediaMeta(r.media_id, r.kind, r.bytes.length, w, h, sr, checksum(r.bytes))
       }
+    }
+  }
+
+  /** Audio feature extraction over PCM WAV payloads: container fields +
+    * RMS energy + zero crossings, computed where the bytes sit (narrow);
+    * rows that fail to parse are dropped (dead-letter them upstream if
+    * they must be kept).
+    */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseWav(r.bytes).map(i =>
+          (r.media_id, i.channels, i.sampleRate, i.nSamples,
+            i.durationSec, i.rms, i.zeroCrossings))
+      }
+    }.toDF("media_id", "channels", "sample_rate", "n_samples",
+      "duration_sec", "rms", "zero_crossings")
+  }
+
+  /** Image feature extraction over 24bpp BMP payloads: dimensions + mean
+    * luminance. Same narrow shape as [[audioFeatures]]. */
+  def imageFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseBmp(r.bytes).map(i =>
+          (r.media_id, i.width, i.height, i.bitsPerPixel, i.meanLuminance))
+      }
+    }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
+  }
+
+  /** Real nearest-neighbor resize for BMP payloads; non-BMP rows pass
+    * through the stride stub (binary → binary, metadata preserved). */
+  def resizeMedia(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      MediaCodecs.resizeBmpNearest(r.bytes, newW, newH)
+        .map(b => r.copy(bytes = b))
+        .getOrElse(r)
     }
   }
 

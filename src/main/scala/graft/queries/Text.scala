@@ -183,6 +183,41 @@ object Text {
         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
+    // ---- Multimodal REAL-codec round-trip (oracle-checked) -----------------
+    // Synthesize a PCM WAV per event id (parameters derived from the id),
+    // DECODE the actual bytes distributed (MediaCodecs.parseWav — real RIFF
+    // parsing, no stub), and emit the recovered container fields. The
+    // oracle recomputes the synthesis parameters directly from event_id —
+    // so a hash match proves the encoder→decoder round-trip recovered
+    // exactly what was encoded. Bytes never shuffle (synth + decode are one
+    // narrow mapPartitions chain).
+    QueryDef(
+      "m_wav_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.events(s, d).filter($"event_id" < 50)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val sr = 8000 + (id % 8).toInt * 1000
+            val n = 400 + (id % 100).toInt
+            val freq = 100.0 + (id % 20) * 10.0
+            val samples = Array.tabulate(n)(i =>
+              (math.sin(2 * math.Pi * freq * i / sr) * 16384).toShort)
+            graft.ext.Multimodal.MediaRow(
+              id, "wav", graft.ext.MediaCodecs.writeWavPcm16(sr, samples))
+          }
+        graft.ext.Multimodal.audioFeatures(media)
+          .select($"media_id", $"channels", $"sample_rate", $"n_samples",
+            round($"duration_sec", 6).as("duration_sec"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT event_id AS media_id, 1 AS channels,
+          CAST(8000 + (event_id % 8) * 1000 AS INTEGER) AS sample_rate,
+          CAST(400 + event_id % 100 AS INTEGER) AS n_samples,
+          round(CAST(400 + event_id % 100 AS DOUBLE)
+            / (8000 + (event_id % 8) * 1000), 6) AS duration_sec
+        FROM events WHERE event_id < 50 ORDER BY media_id""")),
+
     // ---- End-to-end curation pipeline (capstone composition) ---------------
     // The real training-data flow in one declarative plan: quality filter →
     // content-hash dedup (keep min doc_id per fingerprint) → deterministic
