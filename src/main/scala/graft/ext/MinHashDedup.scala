@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** 3-gram shingle array for a text column (distinct, space-joined). */
+  /** 3-gram shingle array for a text column (distinct, space-joined).
+    * NOTE: inlines the split inside the lambda — fine for tests/small
+    * inputs, but interpreted HOFs re-evaluate the inlined subtree per
+    * element (O(tokens²)/doc). The pipeline path (candidatePairs) projects
+    * the token array first and shingles the attribute instead.
+    */
   def shingles(text: Column): Column = {
     val t = split(text, " ")
     array_distinct(transform(
@@ -28,6 +33,13 @@ object MinHashDedup {
       i => concat_ws(" ",
         element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
   }
+
+  /** Shingles over a projected token-array ATTRIBUTE — O(tokens)/doc. */
+  def shinglesOfToks(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
   /** MinHash signature (array<bigint> of length numHashes) of a shingle set.
     * The i-th hash function is seeded xxhash64(i, x) — no arithmetic that
@@ -64,8 +76,10 @@ object MinHashDedup {
     // pair in the similarity estimate — measured 223s -> 3s at sf0.1.
     // The cached working set is tiny: doc_id + numHashes longs per doc.
     val withSig = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), signature(shingles(col("text")), numHashes).as("sig"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        signature(shinglesOfToks(col("toks")), numHashes).as("sig"))
       .cache()
 
     val banded = withSig.select(

@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** 3-gram shingles (space-joined, distinct) as a SQL expression —
-    * shared by the Jaccard query and MinHash (graft.ext). */
+    * shared by the Jaccard query and MinHash (graft.ext).
+    *
+    * EVALUATION SHAPE MATTERS: this form inlines `split(text)` inside the
+    * lambda, and interpreted HOFs re-evaluate that subtree per element —
+    * O(tokens²) per document. Use [[shinglesOfToks]] over a PROJECTED
+    * token-array column for anything beyond a bounded subset; this string
+    * remains for oracle-anchor queries where the doc subset is small and
+    * the SQL must mirror DuckDB's formulation.
+    */
   private[graft] val shingleExpr: String =
     """array_distinct(transform(
          sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
@@ -26,6 +34,18 @@ object DedupQueries {
                 element_at(split(text, ' '), i),
                 element_at(split(text, ' '), i + 1),
                 element_at(split(text, ' '), i + 2))))"""
+
+  /** 3-gram shingles over an ALREADY-PROJECTED token-array column: `toks`
+    * must be a plain attribute (e.g. `withColumn("toks", split(...))` in a
+    * separate projection), so the per-element lambda only reads the bound
+    * row value — O(tokens) per document instead of O(tokens²).
+    */
+  private[graft] def shinglesOfToks(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -66,8 +86,9 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val sh = Tables.documents(s, d)
-          .filter($"doc_id" < 60 && size(split($"text", " ")) >= 3)
-          .select($"doc_id", expr(shingleExpr).as("sh"))
+          .withColumn("toks", split($"text", " "))
+          .filter($"doc_id" < 60 && size($"toks") >= 3)
+          .select($"doc_id", shinglesOfToks($"toks").as("sh"))
         val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
         val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))
         a.join(broadcast(b), $"a" < $"b")
@@ -103,8 +124,9 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val sh = Tables.documents(s, d)
-          .filter($"doc_id" < 150 && size(split($"text", " ")) >= 3)
-          .select($"doc_id", expr(shingleExpr).as("sh"))
+          .withColumn("toks", split($"text", " "))
+          .filter($"doc_id" < 150 && size($"toks") >= 3)
+          .select($"doc_id", shinglesOfToks($"toks").as("sh"))
           .cache() // computed column feeds a self-join — see Similarity notes
         val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
         val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))

@@ -317,14 +317,16 @@ object Text {
       "x_repetition",
       (s, d) => {
         import s.implicits._
+        // toks projected to an attribute FIRST: the shingle lambda then
+        // reads a bound value per element instead of re-splitting the doc
+        // (interpreted-HOF re-evaluation is O(tokens²) otherwise)
         val allSh = expr("""transform(
-          sequence(1, size(split(text, ' ')) - 2),
+          sequence(1, size(toks) - 2),
           i -> concat_ws(' ',
-            element_at(split(text, ' '), i),
-            element_at(split(text, ' '), i + 1),
-            element_at(split(text, ' '), i + 2)))""")
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))""")
         Tables.documents(s, d)
-          .filter(size(split($"text", " ")) >= 3)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
           .select($"doc_id", allSh.as("sh"))
           .select($"doc_id", size($"sh").as("n_shingles"),
             size(array_distinct($"sh")).as("n_distinct"))
@@ -380,17 +382,27 @@ object Text {
       (s, d) => {
         import s.implicits._
         val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        // cache before the self-join (computed shingle columns recompute on
+        // both sides otherwise); per-side sizes precompute so each pair
+        // evaluates ONE array_intersect and derives the union size as
+        // |A|+|B|-|A∩B| instead of materializing array_union too
         val docs = Tables.documents(s, d)
-          .filter($"doc_id" < 300 && size(split($"text", " ")) >= 3)
+          .withColumn("toks", split($"text", " "))
+          .filter($"doc_id" < 300 && size($"toks") >= 3)
           .select($"doc_id",
-            expr(DedupQueries.shingleExpr).as("sh"),
+            DedupQueries.shinglesOfToks($"toks").as("sh"),
             when(nib < "8", "train").when(nib < "c", "val")
               .otherwise("test").as("split"))
-        val a = docs.select($"doc_id".as("a"), $"sh".as("sha"), $"split".as("split_a"))
-        val b = docs.select($"doc_id".as("b"), $"sh".as("shb"), $"split".as("split_b"))
+          .withColumn("n_sh", size($"sh"))
+          .cache()
+        val a = docs.select($"doc_id".as("a"), $"sh".as("sha"),
+          $"n_sh".as("na"), $"split".as("split_a"))
+        val b = docs.select($"doc_id".as("b"), $"sh".as("shb"),
+          $"n_sh".as("nb"), $"split".as("split_b"))
         a.join(broadcast(b), $"a" < $"b")
-          .filter(size(array_intersect($"sha", $"shb")).cast("double") /
-            size(array_union($"sha", $"shb")) >= 0.9)
+          .select($"a", $"b", $"split_a", $"split_b", $"na", $"nb",
+            size(array_intersect($"sha", $"shb")).as("inter"))
+          .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.9)
           .filter($"split_a" =!= $"split_b")
           .groupBy(least($"split_a", $"split_b").as("split_lo"),
             greatest($"split_a", $"split_b").as("split_hi"))
