@@ -19,6 +19,7 @@ object Sessions {
 
   def cluster(appName: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -27,6 +28,7 @@ object Sessions {
 
   def local(appName: String, cores: Int): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       // test-scale shuffles hold a few MB: fewer, fatter partitions beat

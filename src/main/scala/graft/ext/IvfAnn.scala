@@ -58,6 +58,22 @@ object IvfAnn {
     Index(assigned, centroids)
   }
 
+  /** Persist the index partitioned BY CLUSTER — the at-rest layout the
+    * build scaladoc promises: a probe filtering on `cluster` reads only
+    * `nProbe`/`nCentroids` of the files, enforced by parquet partition
+    * pruning (spec asserts `PartitionFilters` + on-disk layout). At 100 TB
+    * the probe's I/O is proportional to the probed clusters, not the
+    * corpus.
+    */
+  def writeIndex(index: Index, path: String): Unit =
+    index.assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Reattach a persisted index (centroids are driver-side state and small:
+    * re-supply them from the build, or re-derive via a tiny scan). */
+  def readIndex(spark: SparkSession, path: String,
+      centroids: Array[(Int, Seq[Double])]): Index =
+    Index(spark.read.parquet(path), centroids)
+
   /** Top-k by cosine for `queryVec`, probing the `nProbe` closest clusters. */
   def search(index: Index, queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {
     val spark = index.assigned.sparkSession

@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.functions.{CosineSim, MinHashSignature, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+/** Engine extensions, registered per session via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * (SURVEY.md §7.2 — the SparkSessionExtensions integration point):
+  *
+  *  - SQL surface for the native expressions: `cosine_sim(a, b)`,
+  *    `minhash_signature(shingles, k)`, `simhash64(tokens)` become
+  *    callable from `spark.sql` exactly like built-ins, so SQL-only
+  *    users get the codegen kernels, not just the Column API.
+  *  - [[RewriteHofCosine]], an optimizer rule that recognizes the
+  *    canonical higher-order-function cosine formulation
+  *    (`aggregate(zip_with(a,b,*),0.0,+) / (sqrt(dot(a,a))*sqrt(dot(b,b)))`)
+  *    and replaces it with the fused native [[CosineSim]] — user queries
+  *    written the portable-SQL way silently get the fast kernel.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes two array<double>")
+        CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, Literal(k: Int, IntegerType)) => MinHashSignature(sh, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(shingles, k) takes array<string> and an int literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens) takes one array<string>")
+        SimHash64(args.head)
+      }))
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
+  }
+}
+
+/** Rewrite the canonical HOF cosine tree to the native fused kernel.
+  *
+  * Semantics are identical by construction (CosineSim mirrors the HOF
+  * fold: null on null/length-mismatch inputs — zip_with pads with null and
+  * null poisons the fold — NaN on zero norms), and `ExprEquivalenceSpec`
+  * pins bit-equality, so the substitution is safe wherever the shape
+  * matches. Guarded to array<double> inputs — other element types keep the
+  * HOF form.
+  */
+object RewriteHofCosine extends Rule[LogicalPlan] {
+
+  /** aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v) */
+  private object Dot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(_: NamedLambdaVariable,
+                _: NamedLambdaVariable, _), _, _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(_: NamedLambdaVariable,
+              _: NamedLambdaVariable, _), _, _),
+            _)
+          if zero == 0.0 => Some((a, b))
+      case _ => None
+    }
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(
+            Dot(a, b),
+            Multiply(Sqrt(Dot(a2, a3)), Sqrt(Dot(b2, b3)), _), _)
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            a2.semanticEquals(a) && a3.semanticEquals(a) &&
+            b2.semanticEquals(b) && b3.semanticEquals(b) =>
+        CosineSim(a, b)
+    }
+}

@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

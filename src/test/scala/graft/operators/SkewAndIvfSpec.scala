@@ -56,6 +56,33 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"assignment uses a window:\n$plan")
   }
 
+  test("persisted IVF index prunes partitions on probe") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val index = IvfAnn.build(emb, nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf").toString
+    IvfAnn.writeIndex(index, dir)
+    // at rest: one directory per cluster
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(parts.length == index.centroids.length, parts.mkString(","))
+
+    val onDisk = IvfAnn.readIndex(spark, dir, index.centroids)
+    val qv = emb.filter($"vec_id" === 0).head().getSeq[Double](1)
+    // the probe's scan must carry cluster as a PARTITION filter (pruned
+    // at planning — only the probed directories are read)
+    val probe = IvfAnn.search(onDisk, qv, nProbe = 3, k = 10)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"probe does not prune partitions:\n$scan")
+    // and results match the in-memory index exactly
+    val mem = IvfAnn.search(index, qv, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(disk == mem)
+  }
+
   test("IVF ANN: full-probe search equals brute force; pruned probe overlaps") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))

@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions integration: the native kernels are reachable
+  * from plain SQL, and the optimizer rewrites the portable HOF cosine
+  * formulation to the fused native expression.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native expressions are callable from SQL like built-ins") {
+    val one = spark.sql(
+      "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+      .head().getDouble(0)
+    assert(one == 1.0)
+    val orth = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c")
+      .head().getDouble(0)
+    assert(orth == 0.0)
+
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('a b c', 'b c d'), 4) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    // must agree with the Column-API form
+    val viaCol = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(graft.functions.MinHashSignature.minhash_signature($"sh", 4))
+      .head().getSeq[Long](0)
+    assert(sig == viaCol)
+
+    val fp = spark.sql("SELECT simhash64(array('x', 'y', 'z')) AS f")
+      .head().getLong(0)
+    val fpCol = Seq(Seq("x", "y", "z")).toDF("t")
+      .select(graft.functions.SimHash64.simhash64($"t")).head().getLong(0)
+    assert(fp == fpCol)
+  }
+
+  // parquet-backed input: a literal LocalRelation would constant-fold the
+  // whole projection away before the rewrite could be observed
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+
+  test("optimizer rewrites the HOF cosine tree to the native kernel") {
+    val q = emb.filter($"vec_id" === 0).select($"ev".as("qv"))
+    val df = emb.crossJoin(broadcast(q))
+      .select($"vec_id", Similarity.cosineHof($"ev", $"qv").as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosinesim") || optimized.contains("CosineSim"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.toLowerCase.contains("aggregate("),
+      s"HOF fold survived optimization:\n$optimized")
+    // results identical to the native form, row for row
+    val viaHof = df.orderBy($"vec_id").collect().map(_.getDouble(1))
+    val viaNative = emb.crossJoin(broadcast(q))
+      .select($"vec_id", Similarity.cosine($"ev", $"qv").as("c"))
+      .orderBy($"vec_id").collect().map(_.getDouble(1))
+    assert(viaHof.sameElements(viaNative))
+  }
+
+  test("rewrite leaves non-matching shapes alone") {
+    // a dot WITHOUT the norm product must not be touched
+    val df = emb.select(aggregate(zip_with($"ev", $"ev", (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("dot"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosinesim") && !optimized.contains("CosineSim"))
+    assert(df.head().getDouble(0) > 0.0)
+  }
+}
