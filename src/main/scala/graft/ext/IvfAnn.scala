@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * column — the partition-pruned scale path for similarity search
   * (SURVEY.md §2.11 X4, north-star).
   *
-  * Build: pick `nCentroids` deterministic seed vectors (evenly-spaced ids),
-  * assign every vector to its nearest centroid (one narrow pass + a window).
-  * At rest the assignment is a `cluster` column — at 100 TB you'd write the
-  * table partitioned by it, so a probe reads only `nProbe`/`nCentroids` of
-  * the data (partition pruning does the work).
+  * Build: seed `nCentroids` deterministic centroids (a pseudo-random
+  * TakeOrdered sample in xxhash64 order — exactly min(n, k) seeds, no
+  * pre-count), then assign every vector to its nearest centroid in ONE
+  * narrow shuffle-free pass (centroids ride along as an array literal).
+  * At rest the assignment persists partitioned by `cluster`
+  * ([[writeIndex]]), so a probe reads only `nProbe`/`nCentroids` of the
+  * data (parquet partition pruning does the work).
   *
   * Search: rank centroids by query similarity, scan only the top `nProbe`
   * clusters, exact cosine (native codegen expression) within them.

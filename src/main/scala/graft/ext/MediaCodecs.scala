@@ -52,6 +52,9 @@ object MediaCodecs {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length) {
       val size = le32(bytes, off + 4)
+      // a corrupt size field must not stall (size = -8 would advance off by
+      // zero — infinite loop on an executor) or walk off negative
+      if (size < 0) return None
       if (tag(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length) {
         val audioFormat = le16(bytes, off + 8)
         if (audioFormat != 1) return None // PCM only
@@ -127,6 +130,9 @@ object MediaCodecs {
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
     if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+    // negative offsets and width*3 Int overflow would slip past the length
+    // check below and index out of bounds in the pixel loop
+    if (dataOff < 54 || width > (Int.MaxValue - 3) / 3) return None
     val rowSize = bmpRowSize(width)
     if (dataOff + rowSize.toLong * height > bytes.length) return None
     var sum = 0.0

@@ -103,8 +103,10 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
   }
 
-  /** Real nearest-neighbor resize for BMP payloads; non-BMP rows pass
-    * through the stride stub (binary → binary, metadata preserved). */
+  /** Real nearest-neighbor resize for BMP payloads; rows whose bytes do
+    * not parse as 24bpp BMP pass through UNCHANGED (resize semantics are
+    * format-specific — callers wanting the format-agnostic byte-stride
+    * shrink use [[resizeStub]] explicitly). */
   def resizeMedia(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>

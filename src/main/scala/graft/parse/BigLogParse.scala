@@ -191,12 +191,8 @@ object BigLogParse {
       .select(transform($"ls", x => x.getField("text")).as("texts"))
       .as[Seq[String]]
       .flatMap { texts =>
-        val group = LogParser.ecjCleanData(
-          LogParser.ecjMergeContinuations(texts))
-        val gennum = group.collectFirst {
-          case ("Generation", Some(n)) if n.forall(_.isDigit) => n.toInt
-        }.getOrElse(-1)
-        group.map { case (k, v) => (expid, gennum, k, v.orNull) }
+        EcjPipeline.genRows(expid,
+          LogParser.ecjCleanData(LogParser.ecjMergeContinuations(texts)))
       }
   }
 }

@@ -55,19 +55,20 @@ object EcjPipeline {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true").text(glob)
       .select($"value", $"_metadata.file_path".as("path"))
-    // ids + sizes driver-side from the scan's own FileIndex (paths arrive
-    // in _metadata's rendering; no per-file stat RPCs — see
-    // LogPipeline.load): dense by sorted path, identical to the previous
-    // distributed mintIdsByKey outcome
-    val statuses =
-      org.apache.spark.sql.graft.CatalystBridge.fileStatuses(raw).sortBy(_._1)
+    // ids + sizes driver-side via the shared FileIndex helper (paths in
+    // _metadata's rendering, stat-fallback included — see
+    // LogPipeline.listStatuses): dense by sorted path, identical to the
+    // previous distributed mintIdsByKey outcome
+    val statuses = LogPipeline.listStatuses(spark, raw)
     val paths = statuses.map(_._1)
     if (paths.isEmpty)
       return spark.emptyDataset[(Long, Int, String, String)]
         .toDF("expid", "gennum", "parameter", "value")
     val idOf = paths.zipWithIndex
       .map { case (p, i) => (p, baseId + i + 1L) }.toMap
-    val big = statuses.filter(_._2 > bigFileBytes).map(_._1)
+    val big = statuses
+      .filter(s => LogPipeline.effectiveSize(s._1, s._2) > bigFileBytes)
+      .map(_._1)
     val small = paths.diff(big)
 
     val smallRows =

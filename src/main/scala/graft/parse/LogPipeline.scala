@@ -146,25 +146,7 @@ object LogPipeline {
       : LoadedTables = {
     import spark.implicits._
     val df = spark.read.option("wholetext", "true").text(logDir)
-    // (path, size, mtime) straight from the scan's own FileIndex — zero
-    // extra jobs AND zero per-file stat RPCs (a 500-file re-stat loop cost
-    // ~0.5s of pure driver time). Paths arrive in Hadoop Path form, the
-    // same rendering as _metadata.file_path, so the id-map join key matches
-    // byte-for-byte (pathcheck probe pins the rendering pair). Fallback to
-    // inputFiles + stat for non-HadoopFsRelation sources.
-    val statuses = {
-      val fromIndex = org.apache.spark.sql.graft.CatalystBridge
-        .fileStatuses(df)
-      if (fromIndex.nonEmpty || df.inputFiles.isEmpty) fromIndex
-      else {
-        val conf = spark.sessionState.newHadoopConf()
-        df.inputFiles.toSeq.map { u =>
-          val hp = new org.apache.hadoop.fs.Path(new java.net.URI(u))
-          val st = hp.getFileSystem(conf).getFileStatus(hp)
-          (hp.toString, st.getLen, st.getModificationTime)
-        }
-      }
-    }.sortBy(_._1)
+    val statuses = listStatuses(spark, df)
     val paths = statuses.map(_._1)
     val idOf = paths.zipWithIndex
       .map { case (p, i) => (p, cfg.baseId + i + 1L) }.toMap
@@ -176,7 +158,8 @@ object LogPipeline {
 
     // big-file dispatch: the rare oversized log must not ride the one-task
     // wholetext path
-    val big = statuses.filter(_._2 > cfg.bigFileBytes).map(_._1)
+    val big = statuses
+      .filter(s => effectiveSize(s._1, s._2) > cfg.bigFileBytes).map(_._1)
 
     def wholetextFlat(input: Seq[String]): Dataset[FlatRow] = {
       val src =
@@ -220,6 +203,39 @@ object LogPipeline {
       }
     tablesFromFlat(flat, cfg, Some(dim))
   }
+
+  /** (path, size, mtime-millis) for every file behind `df`, sorted by
+    * path — straight from the scan's own FileIndex: zero extra jobs AND
+    * zero per-file stat RPCs (a 500-file re-stat loop cost ~0.5s of pure
+    * driver time). Paths arrive in Hadoop Path form, the same rendering as
+    * `_metadata.file_path`, so id-map join keys match byte-for-byte
+    * (pathcheck probe pins the rendering pair). Falls back to
+    * inputFiles + stat for non-HadoopFsRelation plans. Shared by the
+    * Clojush and ECJ load paths.
+    */
+  private[parse] def listStatuses(spark: SparkSession, df: DataFrame)
+      : Seq[(String, Long, Long)] = {
+    val fromIndex = org.apache.spark.sql.graft.CatalystBridge.fileStatuses(df)
+    (if (fromIndex.nonEmpty || df.inputFiles.isEmpty) fromIndex
+     else {
+       val conf = spark.sessionState.newHadoopConf()
+       df.inputFiles.toSeq.map { u =>
+         val hp = new org.apache.hadoop.fs.Path(new java.net.URI(u))
+         val st = hp.getFileSystem(conf).getFileStatus(hp)
+         (hp.toString, st.getLen, st.getModificationTime)
+       }
+     }).sortBy(_._1)
+  }
+
+  /** Size to compare against the big-file threshold: stat sizes of gzip
+    * files are COMPRESSED bytes, and a .gz log expands ~5-15× — without
+    * this a 100 MB .gz (≈1-2 GB of text) would ride the one-task wholetext
+    * path the threshold exists to prevent. ×10 is a conservative text
+    * ratio; an over-estimate merely sends a mid-size file down the chunked
+    * path, which is correct (just serial per gz split).
+    */
+  private[parse] def effectiveSize(path: String, len: Long): Long =
+    if (path.endsWith(".gz") || path.endsWith(".tgz")) len * 10 else len
 
   /** Problem name: explicit config or the log folder leaf (reference arg
     * :problemname, src/db_loader.clj:110-111).

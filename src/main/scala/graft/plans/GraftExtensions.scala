@@ -61,18 +61,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object RewriteHofCosine extends Rule[LogicalPlan] {
 
-  /** aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v) */
+  /** aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
+    * with an IDENTITY finish lambda. The lambda-variable identities are
+    * checked, not just their types: (x, y) -> x * x (sum of squares) or a
+    * non-identity finish like acc -> acc * 2 must NOT match — a loose
+    * match would silently rewrite a different computation to CosineSim.
+    */
   private object Dot {
+    // (x, y) -> x * y, with BOTH bound variables used exactly (x * x — a
+    // sum of squares — has a one-element exprId set and is rejected)
+    private def isDotMul(f: Expression): Boolean = f match {
+      case LambdaFunction(
+            Multiply(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+            Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+        Set(l.exprId, r.exprId) == Set(x.exprId, y.exprId)
+      case _ => false
+    }
+    // (acc, v) -> acc + v, both variables used
+    private def isSumAdd(f: Expression): Boolean = f match {
+      case LambdaFunction(
+            Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+            Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+        Set(l.exprId, r.exprId) == Set(x.exprId, y.exprId)
+      case _ => false
+    }
+    // acc -> acc (a non-identity finish would be silently dropped otherwise)
+    private def isIdentity(f: Expression): Boolean = f match {
+      case LambdaFunction(b: NamedLambdaVariable, Seq(v: NamedLambdaVariable), _) =>
+        b.exprId == v.exprId
+      case _ => false
+    }
+
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case ArrayAggregate(
-            ZipWith(a, b,
-              LambdaFunction(Multiply(_: NamedLambdaVariable,
-                _: NamedLambdaVariable, _), _, _)),
-            Literal(zero, DoubleType),
-            LambdaFunction(Add(_: NamedLambdaVariable,
-              _: NamedLambdaVariable, _), _, _),
-            _)
-          if zero == 0.0 => Some((a, b))
+      case ArrayAggregate(ZipWith(a, b, mul), Literal(zero, DoubleType), add, finish)
+          if zero == 0.0 && isDotMul(mul) && isSumAdd(add) && isIdentity(finish) =>
+        Some((a, b))
       case _ => None
     }
   }

@@ -38,14 +38,13 @@ object DedupQueries {
   /** 3-gram shingles over an ALREADY-PROJECTED token-array column: `toks`
     * must be a plain attribute (e.g. `withColumn("toks", split(...))` in a
     * separate projection), so the per-element lambda only reads the bound
-    * row value — O(tokens) per document instead of O(tokens²).
+    * row value — O(tokens) per document instead of O(tokens²). ONE
+    * definition, shared with MinHash, so the shingle grammar cannot drift
+    * between the oracle anchors and the LSH path.
     */
   private[graft] def shinglesOfToks(toks: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    graft.ext.MinHashDedup.shinglesOfToks(toks)
 
   val defs: Seq[QueryDef] = Seq(
 

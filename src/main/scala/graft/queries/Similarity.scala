@@ -89,9 +89,14 @@ object Similarity {
     // bytes/row; embeddings join back afterwards, once per surviving
     // candidate side, so vectors never ride the candidate-generation
     // shuffle (the same rule MinHashDedup documents for documents)
+    // cache() before the self-join: the 64-hyperplane signature projection
+    // is interpreted HOF work, and without a materialization barrier it
+    // re-evaluates on BOTH join sides (same measured trap as
+    // MinHashDedup.candidatePairs). Cached rows are ~24 bytes each.
     val banded = e
       .select(col("vec_id"), explode(array(bandSigs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+      .cache()
     val a = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("a"))
     val b = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("b"))
     val cand = a.join(b, Seq("band_idx", "band_sig"))

@@ -31,6 +31,28 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseWav(Array.emptyByteArray).isEmpty)
   }
 
+  test("malformed chunk sizes neither hang nor crash the parsers") {
+    // RIFF chunk size -8 makes the walk advance by ZERO bytes — this input
+    // hung the executor forever before the negative-size guard
+    val evilWav = MediaCodecs.writeWavPcm16(8000, Array.fill[Short](10)(1))
+    evilWav(16) = -8.toByte; evilWav(17) = -1.toByte
+    evilWav(18) = -1.toByte; evilWav(19) = -1.toByte // fmt size = -8
+    assert(MediaCodecs.parseWav(evilWav).isEmpty)
+
+    // BMP with a negative pixel-data offset indexed out of bounds before
+    // the dataOff guard
+    val evilBmp = MediaCodecs.writeBmp24(4, 4, (_, _) => (1, 2, 3))
+    evilBmp(10) = 0; evilBmp(11) = -1.toByte
+    evilBmp(12) = -1.toByte; evilBmp(13) = -1.toByte // dataOff < 0
+    assert(MediaCodecs.parseBmp(evilBmp).isEmpty)
+
+    // BMP width large enough to overflow width*3
+    val wideBmp = MediaCodecs.writeBmp24(4, 4, (_, _) => (1, 2, 3))
+    wideBmp(18) = -1.toByte; wideBmp(19) = -1.toByte
+    wideBmp(20) = -1.toByte; wideBmp(21) = 0x7e.toByte // width ~2.1e9
+    assert(MediaCodecs.parseBmp(wideBmp).isEmpty)
+  }
+
   test("BMP 24bpp round-trip: dims, padding, exact mean luminance") {
     // width 3 → row padding (9 data bytes + 3 pad) exercises the 4-byte
     // alignment path

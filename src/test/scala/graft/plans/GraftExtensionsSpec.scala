@@ -63,11 +63,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("rewrite leaves non-matching shapes alone") {
+    def noRewrite(df: org.apache.spark.sql.DataFrame): Unit = {
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosinesim") && !optimized.contains("CosineSim"),
+        s"false-positive rewrite:\n$optimized")
+    }
     // a dot WITHOUT the norm product must not be touched
-    val df = emb.select(aggregate(zip_with($"ev", $"ev", (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v).as("dot"))
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("cosinesim") && !optimized.contains("CosineSim"))
-    assert(df.head().getDouble(0) > 0.0)
+    noRewrite(emb.select(aggregate(zip_with($"ev", $"ev", (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("dot")))
+
+    // cosine-SHAPED trees that compute something else must not be touched:
+    // (x, y) -> x * x is a sum of squares, not a dot product...
+    def dotLike(mul: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column) =
+      aggregate(zip_with($"ev", $"qv", mul), lit(0.0), (acc, v) => acc + v)
+    val q = emb.filter($"vec_id" === 0).select($"ev".as("qv"))
+    val sumSq = emb.crossJoin(broadcast(q)).select(
+      (dotLike((x, _) => x * x) /
+        (sqrt(dotLike((x, y) => x * y)) * sqrt(dotLike((x, y) => x * y))))
+        .as("c"))
+    noRewrite(sumSq)
+
+    // ...and a non-identity FINISH lambda must keep its transformation
+    val finished = emb.crossJoin(broadcast(q)).select(
+      (aggregate(zip_with($"ev", $"qv", (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v, acc => acc * 2) /
+        (sqrt(dotLike((x, y) => x * y)) * sqrt(dotLike((x, y) => x * y))))
+        .as("c"))
+    noRewrite(finished)
   }
 }
