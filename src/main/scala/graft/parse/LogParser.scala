@@ -92,7 +92,11 @@ object LogParser {
     *                 (reference src/db_loader.clj:43,141-143,176-177)
     */
   def parseClojush(content: String, skipNils: Boolean = true): ParsedRun = {
-    val lines = content.split("\n", -1).toIndexedSeq
+    // \r?\n: CRLF logs must parse identically wholetext vs chunked —
+    // Hadoop's line reader strips \r\n, and a bare-\n split here would
+    // leave the \r inside every value (clojure.string/split-lines, the
+    // reference's reader, also treats \r\n as a line break)
+    val lines = content.split("\r?\n", -1).toIndexedSeq
     val segs = seqSplit(lines, clojushDelim)
 
     val header = headerKvs(segs.headOption.getOrElse(Vector.empty), skipNils)
@@ -173,7 +177,7 @@ object LogParser {
 
   /** Full ECJ parse: marker-delimited groups of continuation-merged KV pairs. */
   def parseEcj(content: String): Vector[Vector[(String, Option[String])]] = {
-    val lines = content.split("\n", -1).toIndexedSeq
+    val lines = content.split("\r?\n", -1).toIndexedSeq // CRLF: see parseClojush
     ecjReadGen(lines).map(g => ecjCleanData(ecjMergeContinuations(g)))
   }
 }

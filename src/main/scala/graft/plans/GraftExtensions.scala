@@ -54,10 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *
   * Semantics are identical by construction (CosineSim mirrors the HOF
   * fold: null on null/length-mismatch inputs — zip_with pads with null and
-  * null poisons the fold — NaN on zero norms), and `ExprEquivalenceSpec`
-  * pins bit-equality, so the substitution is safe wherever the shape
-  * matches. Guarded to array<double> inputs — other element types keep the
-  * HOF form.
+  * null poisons the fold — NaN on zero norms), and `CosineSimSpec`
+  * ("codegen expression is bit-identical to the HOF formulation") pins
+  * bit-equality, so the substitution is safe wherever the shape matches.
+  * Guarded to array<double> inputs — other element types keep the HOF form.
   */
 object RewriteHofCosine extends Rule[LogicalPlan] {
 

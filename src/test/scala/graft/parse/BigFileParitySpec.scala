@@ -127,6 +127,48 @@ class BigFileParitySpec extends AnyFunSuite {
     assert(whole._3.nonEmpty)
   }
 
+  test("randomized grammar fuzz: wholetext and chunked always agree (CRLF too)") {
+    val rnd = new scala.util.Random(20260812L)
+    def randomLog(): String = {
+      val sep = if (rnd.nextBoolean()) "\n" else "\r\n" // CRLF logs exist
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (rnd.nextBoolean()) lines += ";;;;"
+      lines += s"Clojush version = ${rnd.nextInt(9)}.${rnd.nextInt(9)}"
+      (0 until rnd.nextInt(6)).foreach { i =>
+        lines += (rnd.nextInt(4) match {
+          case 0 => s"p$i = ${rnd.nextInt(100)}"
+          case 1 => s"p$i = nil"
+          case 2 => s"p$i = a = b"
+          case _ => s"free text $i"
+        })
+      }
+      (0 until rnd.nextInt(8)).foreach { g =>
+        lines += (if (rnd.nextInt(5) == 0) ";;;" else ";;;;")
+        if (rnd.nextInt(6) != 0) lines += s"-*- Report at generation $g"
+        (0 until rnd.nextInt(5)).foreach { k =>
+          lines += (rnd.nextInt(4) match {
+            case 0 => s"m$k: ${rnd.nextDouble()}"
+            case 1 => s"m$k: nil"
+            case 2 => s"m$k: a: b"
+            case _ => s"stray $k"
+          })
+        }
+        if (rnd.nextInt(10) == 0)
+          lines += s"${if (rnd.nextBoolean()) "SUCCESS" else "FAILURE"} at generation $g"
+      }
+      lines.mkString(sep) + (if (rnd.nextBoolean()) sep else "")
+    }
+    (1 to 5).foreach { trial =>
+      val dir = Files.createTempDirectory(Paths.get("target"), "fuzz").toString
+      (1 to 4).foreach(i =>
+        Files.writeString(Paths.get(dir, s"run${i}_f.log"), randomLog()))
+      val whole = tablesOf(dir + "/*.log", LogPipeline.LoadConfig())
+      val chunked = tablesOf(dir + "/*.log",
+        LogPipeline.LoadConfig(bigFileBytes = 1L))
+      assert(chunked == whole, s"trial $trial diverged in $dir")
+    }
+  }
+
   test("degenerate files: parity on all-delimiter logs; 0-byte logs drop") {
     val dir = Files.createTempDirectory(Paths.get("target"), "bigempty").toString
     Files.writeString(Paths.get(dir, "empty_1.log"), "")
