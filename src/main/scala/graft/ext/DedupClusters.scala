@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * step a training-data pipeline actually needs ("keep one doc per cluster"),
   * since near-dup relations are not transitive-closed as emitted.
   *
-  * Algorithm: iterative min-label propagation (the standard distributed
-  * connected-components loop, cf. GraphX/Pregel CC). Each vertex starts
-  * labeled with its own id; every iteration each vertex takes the min of its
-  * own and its neighbors' labels; converges in O(component diameter)
-  * iterations to the unique fixpoint (min is a semilattice, so the result is
-  * order- and partitioning-independent — AQE/cluster-safe).
+  * Algorithm: iterative min-label propagation with pointer jumping (the
+  * standard distributed connected-components loop, cf. GraphX/Pregel CC and
+  * the large-star/small-star family). Each vertex starts labeled with its
+  * own id; every round each vertex takes the min of its own and its
+  * neighbors' labels, then jumps through its label's label — so the loop
+  * converges in O(log diameter) rounds to the unique fixpoint (min is a
+  * semilattice, so the result is order- and partitioning-independent —
+  * AQE/cluster-safe).
   *
   * Scale: each iteration is one equi-join + one aggregation — all shuffles
   * on the vertex id, so partitioning is stable across iterations and AQE
@@ -60,8 +62,21 @@ object DedupClusters {
     while (changed && iter < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
+      // materialize BEFORE the jump self-join: both join sides then read
+      // the checkpointed rows (a lazy self-join of the union tree trips
+      // Union constraint rewriting and would recompute the step twice)
+      val stepped = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // pointer jumping: comp ← label[comp]. Every comp value is itself a
+      // vertex id, so one extra self-join per round halves the remaining
+      // distance to the root — O(log diameter) rounds instead of
+      // O(diameter), which is what survives a deep component at scale.
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("comp") === col("jid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
         .localCheckpoint() // materialize + truncate lineage
       val nextSum = sumComp(next)
       changed = nextSum.compareTo(prevSum) != 0
@@ -74,7 +89,7 @@ object DedupClusters {
     // several phantom "canonical" docs — fail loudly instead
     if (changed) throw new IllegalStateException(
       s"components() did not converge within $maxIter iterations; " +
-        "raise maxIter above the largest component diameter")
+        "raise maxIter above log2 of the largest component diameter")
     labels
   }
 }

@@ -47,4 +47,16 @@ class DedupClustersSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(comps.values.toSet == Set(1L))
   }
+
+  test("pointer jumping converges a deep chain in logarithmic rounds") {
+    // a 64-vertex path has diameter 63: plain propagation needs ~63 rounds,
+    // pointer jumping must finish within ~log2 + slack
+    val n = 64L
+    val verts = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = DedupClusters.components(verts, edges, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L))
+    assert(comps.size == 64)
+  }
 }
