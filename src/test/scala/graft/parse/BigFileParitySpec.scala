@@ -169,6 +169,37 @@ class BigFileParitySpec extends AnyFunSuite {
     }
   }
 
+  test("randomized ECJ fuzz: wholetext and chunked agree (continuations, CRLF)") {
+    val rnd = new scala.util.Random(777L)
+    def randomStat(): String = {
+      val sep = if (rnd.nextBoolean()) "\n" else "\r\n"
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until rnd.nextInt(3)).foreach(i => lines += s"preamble $i")
+      (0 until rnd.nextInt(7)).foreach { g =>
+        lines += s"Generation: $g"
+        (0 until rnd.nextInt(5)).foreach { k =>
+          rnd.nextInt(4) match {
+            case 0 => lines += s"Key$k: value$k"
+            case 1 => lines += s"Tree: (+ x"; lines += s"  (* x $k))"
+            case 2 => lines += s"Empty$k:"
+            case _ => lines += s"  bare continuation $k"
+          }
+        }
+      }
+      if (rnd.nextBoolean()) { lines += "End of Run:"; lines += "Final: v" }
+      lines.mkString(sep) + (if (rnd.nextBoolean()) sep else "")
+    }
+    (1 to 5).foreach { trial =>
+      val dir = Files.createTempDirectory(Paths.get("target"), "ecjfuzz").toString
+      (1 to 3).foreach(i =>
+        Files.writeString(Paths.get(dir, s"job.$i.out.stat"), randomStat()))
+      def rows(bigBytes: Long) = EcjPipeline.loadGenerations(
+        spark, dir + "/*.stat", baseId = 0L, bigFileBytes = bigBytes)
+        .collect().map(_.toString).toSet
+      assert(rows(1L) == rows(Long.MaxValue), s"trial $trial diverged in $dir")
+    }
+  }
+
   test("degenerate files: parity on all-delimiter logs; 0-byte logs drop") {
     val dir = Files.createTempDirectory(Paths.get("target"), "bigempty").toString
     Files.writeString(Paths.get(dir, "empty_1.log"), "")
