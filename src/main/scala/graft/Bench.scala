@@ -4,11 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (SparkEntry.benchQueries) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
-  * (BENCH_r{N}.json). One warmup pass amortizes JIT + codegen compilation;
-  * min-of-3 reports steady-state execution. Session profile: Sessions.local
-  * (see its scaladoc for the AQE-off-at-bench-scale rationale).
+  * (BENCH_r{N}.json). Session profile: Sessions.local (see its scaladoc for
+  * the AQE-off-at-bench-scale rationale).
+  *
+  * Protocol (per query, in isolation):
+  *   1. clear the session cache — no query's number depends on what ran
+  *      before it (r5 saw an unexplained 3.7x single-query swing that could
+  *      not be separated from cross-query cache/storage interplay);
+  *   2. one untimed warmup pass (plan + codegen + parquet footers + any
+  *      .cache() the query itself declares);
+  *   3. ITERS timed passes; report the MEDIAN (headline `queries`/`total`)
+  *      and the min (`queries_min`) — the median is robust to a single
+  *      GC/compilation stall, the min shows the steady-state floor.
   */
 object Bench {
+  private val Iters = 5
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -17,40 +34,50 @@ object Bench {
     val names = SparkEntry.benchQueries
     val qs = SparkEntry.queries
 
-    // warmup: plan + codegen + parquet footer reads
-    names.foreach { n =>
-      try qs(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // absorb first-job session warmup (codegen compiler, broadcast infra,
+    // scheduler) so it doesn't land on the first query's warmup pass
+    spark.range(1000000).selectExpr("sum(id)").collect()
 
     val results = names.map { name =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { qs(name)(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
-      }
+      spark.sharedState.cacheManager.clearCache()
+      val warmOk = try { qs(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val times =
+        if (!warmOk) Seq.empty[Double]
+        else (1 to Iters).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { qs(name)(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        }
       // a failed query must not masquerade as a (near-zero) fast timing
-      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
+      if (times.isEmpty || times.exists(_.isNaN)) name -> (-1.0, -1.0)
+      else name -> (median(times), times.min)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
+    spark.sharedState.cacheManager.clearCache()
+
+    def fmt(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + f"""\":${sel(v)}%.4f""" }
+        .mkString("{", ",", "}")
+    val qJson = fmt(_._1)
+    val qMinJson = fmt(_._2)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._1 < 0)
 
     // ETL throughput: the reference's own workload (parse logs → 4 tables).
     // Its loader forks one JVM per log file, sequentially; warm logs/s here
-    // is the single-node apples-to-apples number.
+    // is the single-node apples-to-apples number. Median-of-3 warm passes.
     val etlLogsPerSec = try {
       val glob = tools.BenchTune.genEtlLogs(200)
       tools.BenchTune.timedLoad(spark, glob) // warm (codegen + dict build)
-      val (_, sec) = tools.BenchTune.timedLoad(spark, glob)
-      200.0 / sec
+      val secs = (1 to 3).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
+      200.0 / median(secs)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0 }
 
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,6 +65,13 @@ object Sessions {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // re-invoking a registry query rebuilds a plan the CacheManager already
+    // holds (candidatePairs/lshCandidatePairs declare .cache() internally);
+    // the "already cached" WARN on every warm pass is by-design reuse, not
+    // a leak — silenced so bench logs stay readable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

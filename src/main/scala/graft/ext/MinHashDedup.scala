@@ -82,28 +82,35 @@ object MinHashDedup {
         signature(shinglesOfToks(col("toks")), numHashes).as("sig"))
       .cache()
 
+    // the band self-join shuffles ONLY (band_idx, band_hash, doc_id) — ~20
+    // bytes/row; signatures join back afterwards, once per surviving
+    // candidate side, so the numHashes×8B signature never rides the
+    // candidate-generation shuffle ×bands copies (same ids-only rule as
+    // Similarity.lshCandidatePairs).
     val banded = withSig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band_idx"),
           hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash"))))
         .as("band"))
-      .select(col("doc_id"), col("sig"),
-        col("band.band_idx"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
 
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("b"), col("sig").as("sig_b"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("b"))
 
-    a.join(b, Seq("band_idx", "band_hash"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct() // a pair may collide in several bands
+
+    val sa = withSig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = withSig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
           .as("est_jaccard"))
-      .distinct()
       .orderBy(col("est_jaccard").desc, col("a"), col("b"))
   }
 }
