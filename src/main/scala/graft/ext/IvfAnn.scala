@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Build: seed `nCentroids` deterministic centroids (a pseudo-random
   * TakeOrdered sample in xxhash64 order — exactly min(n, k) seeds, no
-  * pre-count), then assign every vector to its nearest centroid in ONE
-  * narrow shuffle-free pass (centroids ride along as an array literal).
-  * At rest the assignment persists partitioned by `cluster`
-  * ([[writeIndex]]), so a probe reads only `nProbe`/`nCentroids` of the
-  * data (parquet partition pruning does the work).
+  * pre-count), refine them with `lloydIters` k-means passes (per-cluster
+  * mean, computed distributed and collected as k×dim rows — bounded by the
+  * codebook size, never the corpus), then assign every vector to its
+  * nearest centroid in ONE narrow shuffle-free pass. The codebook ships as
+  * a BROADCAST variable consumed by a typed mapPartitions kernel — NOT as
+  * k×dim literal expression nodes, which blow up analysis/codegen beyond
+  * k·dim ≈ 10⁴ (the realistic regime is k=1024..65536 × dim=64..1024; a
+  * broadcast is one executor-wide send of the raw doubles). At rest the
+  * assignment persists partitioned by `cluster` ([[writeIndex]]), so a
+  * probe reads only `nProbe`/`nCentroids` of the data (parquet partition
+  * pruning does the work).
   *
   * Search: rank centroids by query similarity, scan only the top `nProbe`
   * clusters, exact cosine (native codegen expression) within them.
@@ -24,40 +30,97 @@ object IvfAnn {
 
   final case class Index(assigned: DataFrame, centroids: Array[(Int, Seq[Double])])
 
-  /** Assign each (vec_id, ev: array<double>) row to its nearest seed
-    * centroid. Seeds = the top `nCentroids` vectors in `xxhash64(vec_id)`
-    * order — a deterministic pseudo-random sample taken as ONE distributed
-    * TakeOrdered pass (per-partition top-k, then merge): exactly
-    * min(n, nCentroids) seed rows reach the driver, never the full id
-    * column, with no count() pre-scan and no undershoot (the previous
-    * hash-mod filter yielded ~n/step rows only in expectation).
-    * (k-means refinement would slot in here; seeding is enough to
-    * demonstrate and test the pruned path.)
+  // `private` would compile to package-private bytecode Janino's generated
+  // encoder code cannot call (see spark4 gotchas); private[ext] is public
+  // at the JVM level
+  private[ext] final case class EmbRow(vec_id: Long, ev: Seq[Double])
+  private[ext] final case class AssignedRow(vec_id: Long, ev: Seq[Double], cluster: Int)
+
+  /** Nearest-centroid assignment as one narrow typed pass: the codebook is
+    * a broadcast Array[Array[Double]] (cluster id = array index) and each
+    * partition scores its rows in a JIT-compiled while-loop — zero shuffle,
+    * zero row explosion, plan size independent of k. Tie-break: highest
+    * cosine, then lowest cluster id (ascending scan with strict `>`).
     */
-  def build(emb: DataFrame, nCentroids: Int): Index = {
+  private def assignTo(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("ev")).as[EmbRow].mapPartitions { it =>
+      val cs = bc.value
+      val cNorm = cs.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        math.sqrt(s)
+      }
+      it.map { r =>
+        val v = r.ev
+        var nv = 0.0
+        var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        val vn = math.sqrt(nv)
+        var best = Double.NegativeInfinity
+        var bestC = 0
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var dot = 0.0
+          i = 0
+          while (i < cv.length) { dot += v(i) * cv(i); i += 1 }
+          val sim = dot / (vn * cNorm(c))
+          if (sim > best) { best = sim; bestC = c }
+          c += 1
+        }
+        AssignedRow(r.vec_id, r.ev, bestC)
+      }
+    }.toDF()
+  }
+
+  /** One Lloyd (k-means) step: per-cluster element-wise mean of the current
+    * assignment. Distributed as posexplode → partial+final avg — the only
+    * exchange carries (cluster, pos) partials, and only k×dim rows reach
+    * the driver. Clusters that lost all members keep their previous
+    * centroid, so the codebook size never shrinks. Cosine scoring is
+    * scale-invariant, so the un-normalized mean is a valid spherical
+    * k-means update.
+    */
+  private def lloydStep(emb: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val means = assignTo(emb, cents)
+      .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+      .collect()
+    val next = cents.map(_.clone())
+    val touched = new Array[Boolean](cents.length)
+    means.foreach { r =>
+      val c = r.getInt(0)
+      if (!touched(c)) { java.util.Arrays.fill(next(c), 0.0); touched(c) = true }
+      next(c)(r.getInt(1)) = r.getDouble(2)
+    }
+    next
+  }
+
+  /** Build the index over (vec_id, ev: array<double>) rows. Seeds = the top
+    * `nCentroids` vectors in `xxhash64(vec_id)` order — a deterministic
+    * pseudo-random sample taken as ONE distributed TakeOrdered pass
+    * (per-partition top-k, then merge): exactly min(n, nCentroids) seed
+    * rows reach the driver, never the full id column, with no count()
+    * pre-scan and no undershoot. `lloydIters` refinement passes follow
+    * (each is one narrow scan + one k×dim-bounded aggregate), so total
+    * data passes = lloydIters + 1 beyond seeding.
+    */
+  def build(emb: DataFrame, nCentroids: Int, lloydIters: Int = 1): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
     val seeds = emb.select($"vec_id", $"ev")
       .orderBy(xxhash64($"vec_id"), $"vec_id")
       .limit(nCentroids).collect()
-    val centroids = seeds.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("ev"))) }
+    var cents: Array[Array[Double]] =
+      seeds.map(r => r.getSeq[Double](r.fieldIndex("ev")).toArray)
 
-    // nearest-centroid assignment as ONE narrow per-row fold: centroids ride
-    // along as an array literal and `transform` scores each exactly once
-    // (no re-evaluation trap), `array_max` picks (max sim, then min cluster
-    // via negated id — the same tie-break the old window used). vs the
-    // previous crossJoin + row_number window this is zero row explosion and
-    // ZERO shuffle: at 1B vectors x 256 centroids the window exchanged
-    // 256x the corpus; this touches each row once where it sits.
-    val centArr = array(centroids.map { case (c, v) =>
-      struct(lit(c).as("cluster"), array(v.map(lit): _*).as("cv")) }: _*)
-    val scored = transform(centArr, c =>
-      struct(Similarity.cosine($"ev", c.getField("cv")).as("sim"),
-        (-c.getField("cluster")).as("negc")))
-    val assigned = emb.select($"vec_id", $"ev",
-      (-array_max(scored).getField("negc")).as("cluster"))
-    Index(assigned, centroids)
+    (1 to lloydIters).foreach(_ => cents = lloydStep(emb, cents))
+
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    Index(assignTo(emb, cents), centroids)
   }
 
   /** Persist the index partitioned BY CLUSTER — the at-rest layout the

@@ -56,6 +56,39 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"assignment uses a window:\n$plan")
   }
 
+  test("IVF build at k=1024/dim=64: plan size independent of codebook size") {
+    // the realistic-regime guard: centroids ship as a broadcast consumed by
+    // a typed kernel, not as k×dim literal nodes — the assignment plan must
+    // stay narrow AND small no matter how large the codebook is
+    val dim = 64
+    val emb = (0 until 3000).map { i =>
+      (i.toLong, Seq.tabulate(dim)(d => ((i * 31 + d * 7) % 101).toDouble))
+    }.toDF("vec_id", "ev")
+    val index = IvfAnn.build(emb, nCentroids = 1024)
+    assert(index.centroids.length == 1024)
+    val plan = index.assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(2000)}")
+    assert(plan.length < 20000,
+      s"plan grows with codebook size (${plan.length} chars) — literals leaked back in")
+    assert(index.assigned.count() == 3000)
+  }
+
+  test("IVF Lloyd refinement tightens clusters on separable data") {
+    // two well-separated direction bundles; after one Lloyd pass each
+    // centroid must sit inside one bundle, i.e. every vector's cosine to
+    // its own centroid exceeds any cross-bundle cosine
+    val a = (0 until 40).map(i => (i.toLong, Seq(100.0 + i % 3, 1.0, 0.0)))
+    val b = (40 until 80).map(i => (i.toLong, Seq(0.0, 1.0, 100.0 + i % 3)))
+    val emb = (a ++ b).toDF("vec_id", "ev")
+    val idx = IvfAnn.build(emb, nCentroids = 2, lloydIters = 2)
+    val byCluster = idx.assigned.select($"vec_id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clustersA = (0L until 40L).map(byCluster).toSet
+    val clustersB = (40L until 80L).map(byCluster).toSet
+    assert(clustersA.size == 1 && clustersB.size == 1 && clustersA != clustersB,
+      s"bundles not separated: A=$clustersA B=$clustersB")
+  }
+
   test("persisted IVF index prunes partitions on probe") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
