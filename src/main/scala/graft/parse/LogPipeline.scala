@@ -156,15 +156,41 @@ object LogPipeline {
       .dictionaryEncodeLocal(paths.map(problemNameOf(_, cfg)))
       .toDF("problem_name", "problem_id")
 
+    val flat = flatFromStatuses(spark, statuses, idOf, cfg, prelisted = Some(df))
+    tablesFromFlat(flat, cfg, Some(dim), expectedFiles = Some(paths.length))
+  }
+
+  /** Flat parse rows for an explicit, sorted (path, size, mtimeMillis)
+    * listing with caller-minted ids — the big/small dispatch shared by the
+    * batch `load` and the streaming per-micro-batch path (IngestStream):
+    * files over `cfg.bigFileBytes` (gz-adjusted, [[effectiveSize]]) parse
+    * chunked via BigLogParse, the rest ride one wholetext task per file.
+    * Paths must be in Hadoop Path rendering (the `_metadata.file_path`
+    * form) so the id-map join keys match byte-for-byte.
+    *
+    * @param prelisted the already-listed wholetext frame covering EXACTLY
+    *        the listed paths, if the caller has one (batch `load`) — reused
+    *        so the no-big-files fast path re-lists nothing
+    */
+  private[graft] def flatFromStatuses(
+      spark: SparkSession,
+      statuses: Seq[(String, Long, Long)],
+      idOf: Map[String, Long],
+      cfg: LoadConfig,
+      prelisted: Option[DataFrame] = None): Dataset[FlatRow] = {
+    import spark.implicits._
+    val paths = statuses.map(_._1)
+    if (paths.isEmpty) return spark.emptyDataset[FlatRow]
+
     // big-file dispatch: the rare oversized log must not ride the one-task
     // wholetext path
     val big = statuses
       .filter(s => effectiveSize(s._1, s._2) > cfg.bigFileBytes).map(_._1)
 
     def wholetextFlat(input: Seq[String]): Dataset[FlatRow] = {
-      val src =
-        if (input == paths) df // unchanged fast path: no re-listing
-        else spark.read.option("wholetext", "true").text(input: _*)
+      val src = prelisted
+        .filter(_ => input == paths) // unchanged fast path: no re-listing
+        .getOrElse(spark.read.option("wholetext", "true").text(input: _*))
       val idMap = input.map(p => (p, idOf(p))).toDF("path", "id")
       val parsed = src
         .select(
@@ -182,26 +208,24 @@ object LogPipeline {
       flatten(parsed)
     }
 
-    val flat =
-      if (big.isEmpty) wholetextFlat(paths)
-      else {
-        val tz = java.time.ZoneId.of(
-          spark.conf.get("spark.sql.session.timeZone",
-            java.util.TimeZone.getDefault.getID))
-        val fmt = java.time.format.DateTimeFormatter
-          .ofPattern(DateFmt).withZone(tz)
-        val mtimeMillis = statuses.map(s => s._1 -> s._3).toMap
-        val bigFlats = big.map { p =>
-          val mtime = fmt.format(
-            java.time.Instant.ofEpochMilli(mtimeMillis(p)))
-          BigLogParse.flatRows(spark, p, idOf(p), mtime, cfg)
-        }
-        val small = paths.diff(big)
-        val parts =
-          (if (small.nonEmpty) Seq(wholetextFlat(small)) else Nil) ++ bigFlats
-        parts.reduce(_ union _)
+    if (big.isEmpty) wholetextFlat(paths)
+    else {
+      val tz = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID))
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern(DateFmt).withZone(tz)
+      val mtimeMillis = statuses.map(s => s._1 -> s._3).toMap
+      val bigFlats = big.map { p =>
+        val mtime = fmt.format(
+          java.time.Instant.ofEpochMilli(mtimeMillis(p)))
+        BigLogParse.flatRows(spark, p, idOf(p), mtime, cfg)
       }
-    tablesFromFlat(flat, cfg, Some(dim))
+      val small = paths.diff(big)
+      val parts =
+        (if (small.nonEmpty) Seq(wholetextFlat(small)) else Nil) ++ bigFlats
+      parts.reduce(_ union _)
+    }
   }
 
   /** (path, size, mtime-millis) for every file behind `df`, sorted by
@@ -280,11 +304,24 @@ object LogPipeline {
   private[graft] def tablesFromFlat(
       flatIn: Dataset[FlatRow],
       cfg: LoadConfig,
-      prebuiltProblemDim: Option[DataFrame] = None): LoadedTables = {
+      prebuiltProblemDim: Option[DataFrame] = None,
+      expectedFiles: Option[Int] = None): LoadedTables = {
     val spark = flatIn.sparkSession
     import spark.implicits._
 
     val flat = flatIn.cache()
+
+    // runtime drift guard: every listed file must surface as exactly one
+    // kind=0 row — a silent mismatch between the driver-minted id map's
+    // path rendering and `_metadata.file_path` would otherwise drop whole
+    // files at the inner broadcast join. Costs one scan of the cache the
+    // first table consumption was about to build anyway.
+    expectedFiles.foreach { n =>
+      val got = flat.filter($"kind" === 0).count()
+      require(got == n,
+        s"parsed file-row count $got != listed file count $n — path " +
+          "rendering drift between the driver id map and _metadata.file_path")
+    }
 
     val files = flat.filter($"kind" === 0)
       .select($"id", $"path", $"mtime", $"version")

@@ -1,8 +1,7 @@
 package graft.streaming
 
 import graft.ids.IdMinter
-import graft.parse.{LogParser, LogPipeline}
-import graft.model._
+import graft.parse.LogPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -25,12 +24,16 @@ object IngestStream {
     * four tables to `sink`. Runs until no files remain (AvailableNow) when
     * `availableNow = true`.
     *
-    * Oversized-file caveat: the streaming text source materializes each
-    * file as ONE wholetext row before this code runs, so the batch path's
-    * chunked dispatch (LogPipeline.load / BigLogParse) cannot apply here —
-    * a multi-GB log in the watched folder lands on a single source task.
-    * Route known-oversized logs through the batch `LogPipeline.load`
-    * (which dispatches on size) instead of the watch folder.
+    * The stream carries file LISTINGS, not file contents: a `binaryFile`
+    * source projected to (path, length, modificationTime) — column pruning
+    * reaches the scan, so bytes are never read by the source (BinaryFile
+    * only opens a file when `content` is in the required schema). The
+    * exactly-once spine stays the file-source checkpoint; the per-batch
+    * read + parse goes through the SAME big/small dispatch as the batch
+    * path (`LogPipeline.flatFromStatuses`): an oversized log in the watch
+    * folder parses chunked (BigLogParse) instead of materializing as one
+    * multi-GB wholetext row — the skew/OOM door the previous
+    * content-carrying source documented as an open caveat.
     *
     * @param initialProblemDim seed (problem_name, problem_id) rows, e.g.
     *        read back from the dimension table on daemon restart, so ids
@@ -48,9 +51,12 @@ object IngestStream {
     import spark.implicits._
 
     val stream = spark.readStream
-      .option("wholetext", "true")
-      .text(logDir)
-      .select($"value", input_file_name().as("path"))
+      .format("binaryFile")
+      // binaryFile's own fixed schema — the streaming source demands it
+      // spelled out; `content` is pruned away below and therefore never read
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(logDir)
+      .select($"path", $"length", $"modificationTime")
 
     // problem dictionary accumulated across micro-batches (get-or-create,
     // reference problem_data map): same name → same id in every batch, new
@@ -97,70 +103,44 @@ object IngestStream {
     import spark.implicits._
     val base = cfg.baseId + batchId * idWindow
 
-    // one driver-side (path → id, mtime) map per micro-batch, from the
-    // PRE-parse path projection — file contents and parsed structs never
-    // enter a sort or shuffle, the parse closure runs exactly once, and a
-    // micro-batch's path list is file-count bounded by construction
-    // (maxFilesPerTrigger-sized). ids: dense by sorted path (IdMinter
-    // contract); mtime: driver-side file stat, since the streaming text
-    // source exposes no _metadata — keeping streaming rows identical to
-    // the batch path's _metadata.file_modification_time
-    // (reference src/db_loader.clj:106-109).
-    val paths = batch.select($"path").distinct().as[String].collect().sorted
-    val pathMeta = pathMetaMap(spark, paths, base)
+    // one driver-side (path, size, mtime) listing per micro-batch — the
+    // batch frame IS the listing (metadata-only rows), file-count bounded
+    // by construction (maxFilesPerTrigger-sized). Paths normalize to the
+    // Hadoop Path rendering `_metadata.file_path` uses, so the downstream
+    // id-map join keys match byte-for-byte (binaryFile renders URI form —
+    // the same file:///-vs-file:/ trap the pathcheck probe pins).
+    val statuses = batch.collect()
+      .map { r =>
+        val hp =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+          catch { case _: java.net.URISyntaxException =>
+            new org.apache.hadoop.fs.Path(r.getString(0)) }
+        (hp.toString, r.getLong(1), r.getTimestamp(2).getTime)
+      }
+      .distinct.sortBy(_._1).toSeq
+    val paths = statuses.map(_._1)
+    val idOf = paths.zipWithIndex
+      .map { case (p, i) => (p, base + i + 1L) }.toMap
 
     // get-or-create the problem dictionary for THIS batch: the threaded dim
-    // only covers names from earlier batches, and `tablesFromParsed` demands
+    // only covers names from earlier batches, and `tablesFromFlat` demands
     // a COMPLETE dim — a stale one silently drops new problems' rows at the
     // inner broadcast join. Batch names come free from the collected path
     // list (problemNameOf is the driver-side twin of problemNameCol); the
     // get-or-create itself runs driver-side (zero jobs): seen names keep
     // their ids, new names extend past the max.
     val nextDim = IdMinter.dictionaryEncodeLocal(
-      paths.toSeq.map(LogPipeline.problemNameOf(_, cfg)), dimSeq)
+      paths.map(LogPipeline.problemNameOf(_, cfg)), dimSeq)
     val dim = nextDim.toDF("problem_name", "problem_id")
 
-    val parsed = batch.as[(String, String)]
-      .map { case (content, path) =>
-        (path, LogParser.parseClojush(content, cfg.skipNils))
-      }
-      .toDF("path", "run")
-
-    val runs = parsed
-      .join(broadcast(pathMeta), Seq("path"))
-      .select($"id", $"path", $"mtime", $"run")
-      .as[(Long, String, String, ParsedRun)]
-    // tablesFromParsed caches its flat single-pass parse output and hands
-    // back the unpersist in `release` — no second cache needed here
-    (LogPipeline.tablesFromParsed(runs, cfg, Some(dim)), nextDim)
-  }
-
-  /** (path, id, mtime) rows for a sorted path list: dense ids from `base`,
-    * mtime from a driver-side FileSystem stat — formatted exactly like the
-    * batch path's `date_format(_metadata.file_modification_time,
-    * 'yyyy-MM-dd HH:mm:ss')` in the session time zone. A file deleted
-    * between listing and stat yields "" (the reference's
-    * no-derivable-rundate CSV behavior).
-    */
-  private def pathMetaMap(
-      spark: SparkSession, sortedPaths: Array[String], base: Long): DataFrame = {
-    import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val tz = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(tz)
-    sortedPaths.zipWithIndex.toSeq.map { case (p, i) =>
-      val hp =
-        try new org.apache.hadoop.fs.Path(new java.net.URI(p))
-        catch { case _: java.net.URISyntaxException =>
-          new org.apache.hadoop.fs.Path(p) }
-      val mtime =
-        try fmt.format(java.time.Instant.ofEpochMilli(
-          hp.getFileSystem(conf).getFileStatus(hp).getModificationTime))
-        catch { case _: java.io.IOException => "" }
-      (p, base + i + 1L, mtime)
-    }.toDF("path", "id", "mtime")
+    // same read + parse + dispatch as the batch path: small files one
+    // wholetext task each, oversized files chunked (BigLogParse). The
+    // file-count guard catches a listed-but-unparsed file loudly (e.g.
+    // deleted between the source's listing and this batch's read — logs
+    // are immutable by contract, so that is corruption, not churn).
+    val flat = LogPipeline.flatFromStatuses(spark, statuses, idOf, cfg)
+    (LogPipeline.tablesFromFlat(flat, cfg, Some(dim),
+      expectedFiles = Some(paths.length)), nextDim)
   }
 
   /** Event-time windowed streaming aggregation (T4): watermarked tumbling

@@ -97,6 +97,31 @@ class LogPipelineSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("max_maxgen") == 9)
   }
 
+  test("flatFromStatuses dispatches on effective size: chunked vs wholetext") {
+    val d = Files.createTempDirectory(Paths.get("target"), "dispatch")
+    val p = d.resolve("probX").resolve("r_u9.log")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, fixtureLog("3.0.0", true, 2))
+    val hp = new org.apache.hadoop.fs.Path("file:" + p.toAbsolutePath)
+    val size = Files.size(p)
+    val statuses = Seq((hp.toString, size, System.currentTimeMillis()))
+    val idOf = Map(hp.toString -> 1L)
+
+    // threshold above the file: wholetext FileScan, no RDD arm
+    val small = LogPipeline.flatFromStatuses(
+      spark, statuses, idOf, LogPipeline.LoadConfig(bigFileBytes = size + 1))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("FileScan text"), s"expected wholetext scan:\n$smallPlan")
+
+    // threshold below the file: chunked BigLogParse (RDD-backed, no text scan)
+    val big = LogPipeline.flatFromStatuses(
+      spark, statuses, idOf, LogPipeline.LoadConfig(bigFileBytes = size - 1))
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("FileScan text"), s"big file rode wholetext:\n$bigPlan")
+    // both arms parse identically (BigFileParitySpec pins this broadly)
+    assert(small.collect().toSet == big.collect().toSet)
+  }
+
   test("id minting never windows or shuffles file payloads (scale guard)") {
     // the r2 judge's #1 scale-killer: row_number over an unpartitioned
     // window dragged every whole-file row through ONE task. The fixed plan

@@ -113,6 +113,62 @@ class IngestStreamSpec extends AnyFunSuite {
       "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}")), s"empty rundate: $batchRows")
   }
 
+  test("oversized log in the watch folder parses chunked, matching batch exactly") {
+    // threshold below the big file's size but above the small one's: the
+    // stream must route the big file down BigLogParse while the small one
+    // rides wholetext — and the resulting tables must equal the batch
+    // path's (which dispatches identically), exactly once across drains
+    def bigLog(gens: Int): String =
+      (Seq("Clojush version = 9.9", "alpha = 1") ++
+        (0 until gens).flatMap(g => Seq(";;;;",
+          s"-*- Report at generation $g", s"f: 0.$g")) ++
+        Seq(";;;;", s"SUCCESS at generation ${gens - 1}")).mkString("\n")
+    val root = Files.createTempDirectory(Paths.get("target"), "bigstream")
+    val sub = Files.createDirectory(root.resolve("bigprob"))
+    val small = log(3)
+    val big = bigLog(40)
+    require(big.length > 400 && small.length < 400,
+      s"fixture sizes drifted: big=${big.length} small=${small.length}")
+    Files.writeString(sub.resolve("a_1.log"), small)
+    Files.writeString(sub.resolve("b_2.log"), big)
+    val glob = sub.toString + "/*.log"
+    val cfg = LogPipeline.LoadConfig(bigFileBytes = 400)
+
+    def snapshot(t: LogPipeline.LoadedTables): Set[(String, Any)] = {
+      val ex = t.experiments
+        .select("id", "rundate", "problem_name", "problem_id",
+          "clojush_version", "logfile_location")
+        .collect().map(r => "ex" -> r.toSeq).toSet
+      val ep = t.experiment.collect().map(r => "ep" -> r.toSeq).toSet
+      val ge = t.generations.collect().map(r => "ge" -> r.toSeq).toSet
+      val su = t.summary.collect().map(r => "su" -> r.toSeq).toSet
+      (ex ++ ep ++ ge ++ su).map { case (k, v) => (k, v: Any) }
+    }
+
+    val batchTables = LogPipeline.load(spark, glob, cfg)
+    val batchSnap = snapshot(batchTables)
+    batchTables.release()
+
+    var streamSnap = Set.empty[(String, Any)]
+    var drains = 0
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "bigstream_ck").toString
+    def drain(): Unit = {
+      val q = IngestStream.run(spark, glob, ckpt, cfg) { (tables, _) =>
+        streamSnap ++= snapshot(tables); drains += 1
+      }
+      q.awaitTermination()
+    }
+    drain()
+    assert(streamSnap == batchSnap,
+      s"stream/batch diverged:\nonly-stream=${streamSnap -- batchSnap}\nonly-batch=${batchSnap -- streamSnap}")
+    // generations from the CHUNKED file made it through the stream
+    assert(streamSnap.count(_._1 == "ge") > 40)
+    // re-drain: checkpoint must suppress reprocessing (exactly-once intact)
+    val before = streamSnap.size
+    drain()
+    assert(streamSnap.size == before)
+  }
+
   test("problem ids are get-or-create across micro-batches and restarts") {
     import org.apache.spark.sql.DataFrame
     val root = Files.createTempDirectory(Paths.get("target"), "pdim")
