@@ -184,6 +184,193 @@ object MediaCodecs {
     out
   }
 
+  // ---- PNG (non-interlaced 8-bit RGB/RGBA, zlib via java.util.zip) --------
+
+  /** Decoded PNG: IHDR fields + mean luminance (ITU-R 601 over RGB,
+    * alpha ignored, deterministic row-major accumulation). */
+  final case class PngInfo(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      meanLuminance: Double)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+    b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a non-interlaced 8-bit-depth truecolor PNG (color type 2 = RGB
+    * or 6 = RGBA); None for anything else (wrong magic, palette/gray,
+    * interlaced, corrupt chunk sizes, bad zlib stream, short pixel data).
+    * The zlib inflate is `java.util.zip.Inflater` — no libraries — and all
+    * five scanline filter types (None/Sub/Up/Average/Paeth) unfilter.
+    */
+  def parsePng(bytes: Array[Byte]): Option[PngInfo] = {
+    if (bytes.length < PngSig.length + 25 ||
+      !PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
+    var off = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off + 8 <= bytes.length) {
+      val len = be32(bytes, off)
+      // corrupt negative length: off would stop advancing (infinite loop)
+      if (len < 0 || off + 12L + len > bytes.length) return None
+      val isType = (t: String) => tag(bytes, off + 4, t)
+      if (isType("IHDR")) {
+        if (len < 13) return None
+        width = be32(bytes, off + 8)
+        height = be32(bytes, off + 12)
+        bitDepth = bytes(off + 16) & 0xff
+        colorType = bytes(off + 17) & 0xff
+        val interlace = bytes(off + 20) & 0xff
+        if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+          interlace != 0 || width <= 0 || height <= 0) return None
+        if (width > (Int.MaxValue - 8) / 8 / math.max(1, height)) return None
+        sawIhdr = true
+      } else if (isType("IDAT")) {
+        idat.write(bytes, off + 8, len)
+      } else if (isType("IEND")) {
+        off = bytes.length // stop
+      }
+      if (off < bytes.length) off += 12 + len
+    }
+    if (!sawIhdr || idat.size() == 0) return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = width * bpp
+    val raw = new Array[Byte]((1 + stride) * height)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+
+    // unfilter in place into `pix` (rows without the leading filter byte)
+    val pix = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw((1 + stride) * y) & 0xff
+      if (f > 4) return None
+      val rowIn = (1 + stride) * y + 1
+      val rowOut = stride * y
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val a = if (x >= bpp) pix(rowOut + x - bpp) & 0xff else 0
+        val b = if (y > 0) pix(rowOut - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pix(rowOut - stride + x - bpp) & 0xff else 0
+        val rec = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        pix(rowOut + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    var sum = 0.0
+    var i = 0
+    while (i < pix.length) {
+      val r = pix(i) & 0xff; val g = pix(i + 1) & 0xff; val b = pix(i + 2) & 0xff
+      sum += 0.299 * r + 0.587 * g + 0.114 * b
+      i += bpp
+    }
+    Some(PngInfo(width, height, bitDepth, colorType,
+      sum / (width.toLong * height)))
+  }
+
+  /** Write an 8-bit RGB (color type 2) non-interlaced PNG from an
+    * (x, y) → (r, g, b) function. `filterOfRow` picks the scanline filter
+    * (0-4) per row — the encoder applies the filter transform, so a
+    * round-trip through [[parsePng]] exercises every unfilter path.
+    */
+  def writePngRgb(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int),
+      filterOfRow: Int => Int = _ => 0): Array[Byte] = {
+    val stride = width * 3
+    val raw = new Array[Byte]((1 + stride) * height)
+    val pix = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        pix(stride * y + x * 3) = (r & 0xff).toByte
+        pix(stride * y + x * 3 + 1) = (g & 0xff).toByte
+        pix(stride * y + x * 3 + 2) = (b & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    y = 0
+    while (y < height) {
+      val f = filterOfRow(y)
+      require(f >= 0 && f <= 4, s"bad filter $f")
+      raw((1 + stride) * y) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pix(stride * y + x) & 0xff
+        val a = if (x >= 3) pix(stride * y + x - 3) & 0xff else 0
+        val b = if (y > 0) pix(stride * (y - 1) + x) & 0xff else 0
+        val c = if (x >= 3 && y > 0) pix(stride * (y - 1) + x - 3) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw((1 + stride) * y + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) comp.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    val idat = comp.toByteArray
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBe32(out, 0, data.length)
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      putBe32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor RGB
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** Nearest-neighbor resize of a 24bpp BMP — a REAL binary → binary media
     * transform (replaces resizeStub for BMP payloads). */
   def resizeBmpNearest(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =

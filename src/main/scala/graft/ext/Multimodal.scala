@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling (north-star): image/audio/video as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * The decode step is REAL for RIFF/WAVE PCM audio and 24bpp BMP images
-  * (graft.ext.MediaCodecs — pure-JVM byte parsing, no libraries needed);
-  * other formats (jpeg/mp4/...) fall back to `decodeStub`, a deterministic
-  * fake, because this container ships no compressed-codec libraries.
-  * Swapping a real library in changes only the per-kind dispatch below.
+  * The decode step is REAL for RIFF/WAVE PCM audio, 24bpp BMP images and
+  * non-interlaced 8-bit RGB/RGBA PNG (graft.ext.MediaCodecs — pure-JVM
+  * byte parsing; PNG's zlib comes from java.util.zip, no libraries
+  * needed); genuinely codec-bound formats (jpeg/mp4) fall back to
+  * `decodeStub`, a deterministic fake, because this container ships no
+  * compressed-codec libraries. Swapping a real library in changes only
+  * the per-kind dispatch below.
   *
   * Scale design: media bytes never shuffle — decode/feature-extraction is
   * `mapPartitions` (narrow); only the small extracted-feature columns flow
@@ -67,6 +69,8 @@ object Multimodal {
             .map(i => (0, 0, i.sampleRate))
           case "bmp" => MediaCodecs.parseBmp(r.bytes)
             .map(i => (i.width, i.height, 0))
+          case "png" => MediaCodecs.parsePng(r.bytes)
+            .map(i => (i.width, i.height, 0))
           case _ => None
         }).getOrElse(decodeStub(r.bytes))
         MediaMeta(r.media_id, r.kind, r.bytes.length, w, h, sr, checksum(r.bytes))
@@ -91,14 +95,18 @@ object Multimodal {
       "duration_sec", "rms", "zero_crossings")
   }
 
-  /** Image feature extraction over 24bpp BMP payloads: dimensions + mean
+  /** Image feature extraction over 24bpp BMP or 8-bit RGB/RGBA PNG
+    * payloads (format sniffed per row by magic bytes): dimensions + mean
     * luminance. Same narrow shape as [[audioFeatures]]. */
   def imageFeatures(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaCodecs.parseBmp(r.bytes).map(i =>
-          (r.media_id, i.width, i.height, i.bitsPerPixel, i.meanLuminance))
+        MediaCodecs.parseBmp(r.bytes)
+          .map(i => (r.media_id, i.width, i.height, i.bitsPerPixel, i.meanLuminance))
+          .orElse(MediaCodecs.parsePng(r.bytes).map(i =>
+            (r.media_id, i.width, i.height,
+              if (i.colorType == 6) 32 else 24, i.meanLuminance)))
       }
     }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
   }

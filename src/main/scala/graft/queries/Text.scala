@@ -163,6 +163,67 @@ object Text {
       },
       None),
 
+    // ---- Multimodal metadata through the REAL codecs (oracle-checked) ------
+    // Synthesize wav/bmp/png payloads from id-derived parameters, decode
+    // through extractMeta's per-kind dispatch (real RIFF/BMP/PNG parsers —
+    // PNG round-trips zlib via java.util.zip), and emit the recovered
+    // container fields. The oracle recomputes every column in SQL straight
+    // from event_id (wav/bmp sizes are closed-form; png size is
+    // deflate-dependent so png rows carry the recovered DIMENSIONS only,
+    // with n_bytes normalized to -1). A hash match proves each encoder →
+    // decoder pair recovered exactly what was encoded. The stub kinds
+    // (jpeg/mp4) stay in the rows-only `m_media_meta`.
+    QueryDef(
+      "m_media_meta_real",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.events(s, d).filter($"event_id" < 60)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val m = graft.ext.MediaCodecs
+            (id % 3) match {
+              case 0 =>
+                val sr = 8000 + (id % 8).toInt * 1000
+                val n = 100 + (id % 50).toInt
+                val samples = Array.tabulate(n)(i =>
+                  (((i * 2654435761L) % 65536L) - 32768L).toShort)
+                graft.ext.Multimodal.MediaRow(id, "wav", m.writeWavPcm16(sr, samples))
+              case 1 =>
+                val w = 4 + (id % 13).toInt
+                val h = 3 + (id % 7).toInt
+                graft.ext.Multimodal.MediaRow(id, "bmp",
+                  m.writeBmp24(w, h, (x, y) => ((x * 7 + y) % 256, (x + y * 5) % 256, (x * y) % 256)))
+              case _ =>
+                val w = 2 + (id % 11).toInt
+                val h = 2 + (id % 5).toInt
+                graft.ext.Multimodal.MediaRow(id, "png",
+                  m.writePngRgb(w, h,
+                    (x, y) => ((x * 11 + y) % 256, (x * 3 + y * 7) % 256, (x + y) % 256),
+                    filterOfRow = y => y % 5)) // exercise every unfilter path
+            }
+          }
+        graft.ext.Multimodal.extractMeta(media).toDF()
+          .select($"media_id", $"kind",
+            when($"kind" === "png", -1).otherwise($"n_bytes").as("n_bytes"),
+            $"width", $"height", $"sample_rate")
+          .orderBy($"media_id")
+      },
+      Some("""SELECT event_id AS media_id,
+          CASE event_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END AS kind,
+          CAST(CASE event_id % 3
+            WHEN 0 THEN 44 + 2 * (100 + event_id % 50)
+            WHEN 1 THEN 54 + (((4 + event_id % 13) * 3 + 3) // 4) * 4 * (3 + event_id % 7)
+            ELSE -1 END AS INTEGER) AS n_bytes,
+          CAST(CASE event_id % 3
+            WHEN 0 THEN 0 WHEN 1 THEN 4 + event_id % 13
+            ELSE 2 + event_id % 11 END AS INTEGER) AS width,
+          CAST(CASE event_id % 3
+            WHEN 0 THEN 0 WHEN 1 THEN 3 + event_id % 7
+            ELSE 2 + event_id % 5 END AS INTEGER) AS height,
+          CAST(CASE WHEN event_id % 3 = 0
+            THEN 8000 + (event_id % 8) * 1000 ELSE 0 END AS INTEGER) AS sample_rate
+        FROM events WHERE event_id < 60 ORDER BY media_id""")),
+
     // ---- Multimodal metadata, oracle-checkable subset ----------------------
     // The decode stub isn't SQL-expressible, but the size/provenance columns
     // the media pipeline carries ARE — DuckDB checks the typed-metadata

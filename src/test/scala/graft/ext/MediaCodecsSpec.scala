@@ -80,6 +80,39 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.resizeBmpNearest(Array.fill[Byte](10)(1), 2, 2).isEmpty)
   }
 
+  test("PNG RGB round-trip recovers dims and exact pixels under ALL filters") {
+    // one row per filter type (0..4): a decode mismatch pins the exact
+    // unfilter path that broke
+    val w = 13; val h = 10 // w*3 not divisible by 4: no accidental stride luck
+    def px(x: Int, y: Int) = ((x * 17 + y * 3) % 256, (255 - x * 5) % 256, (x * y) % 256)
+    val png = MediaCodecs.writePngRgb(w, h, px, filterOfRow = y => y % 5)
+    val info = MediaCodecs.parsePng(png)
+    assert(info.isDefined, "decode failed")
+    assert(info.get.width == w && info.get.height == h)
+    assert(info.get.bitDepth == 8 && info.get.colorType == 2)
+    // mean luminance must equal the direct computation over the source
+    // pixels — proves unfiltering recovered every byte, not just the header
+    val exact = (for { y <- 0 until h; x <- 0 until w } yield {
+      val (r, g, b) = px(x, y); 0.299 * r + 0.587 * g + 0.114 * b
+    }).sum / (w * h)
+    assert(math.abs(info.get.meanLuminance - exact) < 1e-9,
+      s"luminance drift: ${info.get.meanLuminance} vs $exact")
+  }
+
+  test("PNG parser rejects junk, truncation, and unsupported layouts") {
+    assert(MediaCodecs.parsePng(Array.fill[Byte](100)(7)).isEmpty)
+    val good = MediaCodecs.writePngRgb(5, 4, (x, y) => (x, y, 0))
+    assert(MediaCodecs.parsePng(good).isDefined)
+    // truncated IDAT: zlib stream cut mid-way must return None, not throw
+    assert(MediaCodecs.parsePng(good.take(good.length - 20)).isEmpty)
+    // corrupt chunk length (negative) must not hang the chunk walk
+    val corrupt = good.clone(); corrupt(8) = 0xff.toByte
+    assert(MediaCodecs.parsePng(corrupt).isEmpty)
+    // interlaced flag set → unsupported layout, clean None
+    val inter = good.clone(); inter(8 + 20) = 1
+    assert(MediaCodecs.parsePng(inter).isEmpty)
+  }
+
   test("extractMeta dispatches real codecs by kind, stub otherwise") {
     import spark.implicits._
     val wav = MediaCodecs.writeWavPcm16(22050, Array.fill[Short](100)(0))
