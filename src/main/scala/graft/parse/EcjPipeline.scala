@@ -75,10 +75,22 @@ object EcjPipeline {
       if (small.isEmpty) None
       else {
         val idMap = small.map(p => (p, idOf(p))).toDF("path", "expid")
+        val src =
+          if (big.isEmpty) raw // same scan the id paths came from: parity by construction
+          else {
+            val reread = spark.read.option("wholetext", "true").text(small: _*)
+            // drift guard for the re-listed scan: its FileIndex rendering
+            // must reproduce the id map's keys exactly, else the inner
+            // broadcast join below would silently drop whole files.
+            // Driver-side (the listing is already materialized): zero jobs.
+            val rerePaths = LogPipeline.listStatuses(spark, reread).map(_._1)
+            require(rerePaths.toSet == small.toSet,
+              s"re-read path rendering drift: ${rerePaths.toSet.diff(small.toSet).take(3)}" +
+                s" vs ${small.toSet.diff(rerePaths.toSet).take(3)}")
+            reread.select($"value", $"_metadata.file_path".as("path"))
+          }
         Some(
-          (if (big.isEmpty) raw
-           else spark.read.option("wholetext", "true").text(small: _*)
-             .select($"value", $"_metadata.file_path".as("path")))
+          src
             .join(broadcast(idMap), Seq("path"))
             .select($"expid", $"value")
             .as[(Long, String)]

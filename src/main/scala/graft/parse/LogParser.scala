@@ -95,7 +95,12 @@ object LogParser {
     // \r?\n: CRLF logs must parse identically wholetext vs chunked —
     // Hadoop's line reader strips \r\n, and a bare-\n split here would
     // leave the \r inside every value (clojure.string/split-lines, the
-    // reference's reader, also treats \r\n as a line break)
+    // reference's reader, also treats \r\n as a line break).
+    // KNOWN DIVERGENCE (lone \r, no following \n): this path — like the
+    // reference's split-lines — keeps a bare CR inside the line, while the
+    // chunked path (BigLogParse, Hadoop LineReader) treats it as a line
+    // terminator. Wholetext is canonical; the divergence is pinned by
+    // BigFileParitySpec's lone-CR test so a behavior change is loud.
     val lines = content.split("\r?\n", -1).toIndexedSeq
     val segs = seqSplit(lines, clojushDelim)
 

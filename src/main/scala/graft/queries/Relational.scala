@@ -202,17 +202,31 @@ object Relational {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
 
-    // ---- A8: approx distinct (HLL++) — rows-only check (approx ≠ oracle) ---
+    // ---- A8: approx distinct (HLL++), bounded-pass oracle ------------------
+    // The estimate itself can't hash-match an exact oracle, so the query
+    // emits the deterministic claim instead: exact countDistinct companions
+    // plus a within_bounds flag (|approx-exact|/exact <= 5*rsd; HLL++ is
+    // deterministic for fixed data, so the flag is stable). The oracle
+    // recomputes the exact columns and asserts TRUE — a hash match IS the
+    // bounded-accuracy check. ApproxRecallSpec additionally pins the raw
+    // estimate's error bound in-process.
     QueryDef(
       "a8_approx_distinct",
       (s, d) => {
         import s.implicits._
+        val rsd = 0.01
         Tables.events(s, d).groupBy($"event_type")
-          .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+          .agg(approx_count_distinct($"user_id", rsd).as("approx_users"),
+            countDistinct($"user_id").as("exact_users"),
             count(lit(1)).as("n"))
+          .select($"event_type", $"exact_users", $"n",
+            (abs($"approx_users" - $"exact_users").cast("double")
+              / $"exact_users" <= 5 * rsd).as("within_bounds"))
           .orderBy($"event_type")
       },
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+          COUNT(*) AS n, TRUE AS within_bounds
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- J1/J2: broadcast dimension lookup chain ---------------------------
     QueryDef(

@@ -93,10 +93,15 @@ object Similarity {
     // is interpreted HOF work, and without a materialization barrier it
     // re-evaluates on BOTH join sides (same measured trap as
     // MinHashDedup.candidatePairs). Cached rows are ~24 bytes each.
+    // eager localCheckpoint = the materialization barrier the interpreted
+    // HOF signature projection needs (same re-evaluation trap as the cache
+    // this replaces) WITHOUT registering in the CacheManager: the blocks
+    // free when the RDD is GC'd, so repeated invocations in a long-lived
+    // session no longer accumulate storage entries. Rows are ~24 bytes.
     val banded = e
       .select(col("vec_id"), explode(array(bandSigs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
-      .cache()
+      .localCheckpoint(true)
     val a = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("a"))
     val b = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("b"))
     val cand = a.join(b, Seq("band_idx", "band_sig"))

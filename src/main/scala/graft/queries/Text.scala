@@ -447,6 +447,10 @@ object Text {
         // both sides otherwise); per-side sizes precompute so each pair
         // evaluates ONE array_intersect and derives the union size as
         // |A|+|B|-|A∩B| instead of materializing array_union too
+        // eager localCheckpoint, not cache(): same materialization barrier
+        // (shingle columns would recompute on both self-join sides), but
+        // the blocks free with the RDD instead of accumulating in the
+        // CacheManager across invocations
         val docs = Tables.documents(s, d)
           .withColumn("toks", split($"text", " "))
           .filter($"doc_id" < 300 && size($"toks") >= 3)
@@ -455,7 +459,7 @@ object Text {
             when(nib < "8", "train").when(nib < "c", "val")
               .otherwise("test").as("split"))
           .withColumn("n_sh", size($"sh"))
-          .cache()
+          .localCheckpoint(true)
         val a = docs.select($"doc_id".as("a"), $"sh".as("sha"),
           $"n_sh".as("na"), $"split".as("split_a"))
         val b = docs.select($"doc_id".as("b"), $"sh".as("shb"),

@@ -16,8 +16,10 @@ class QueriesSpec extends AnyFunSuite {
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs))
     val rowsOnly = qs -- oracles
+    // a8 moved to a bounded-pass oracle (within_bounds flag) in r6;
+    // m_media_meta_real oracles the real-codec half of the media surface
     assert(rowsOnly == Set(
-      "a8_approx_distinct", "d_minhash_pairs", "d_simhash",
+      "d_minhash_pairs", "d_simhash",
       "x4_ann_lsh_pairs", "x4_ann_ivf", "m_media_meta"))
   }
 

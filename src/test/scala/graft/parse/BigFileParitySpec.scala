@@ -200,6 +200,26 @@ class BigFileParitySpec extends AnyFunSuite {
     }
   }
 
+  test("lone-CR divergence is the documented one, and only on lone-CR input") {
+    // wholetext (reference split-lines semantics) keeps a bare \r inside
+    // the line; the chunked path's Hadoop LineReader terminates the line
+    // there. This pins the KNOWN DIVERGENCE noted in LogParser/BigLogParse:
+    // if either side's behavior shifts, this fails loudly.
+    val dir = Files.createTempDirectory(Paths.get("target"), "lonecr").toString
+    Files.writeString(Paths.get(dir, "r_u1.log"),
+      "Clojush version = 1.0\np1 = a\rb\n;;;;\n-*- Report at generation 0\nm: 1\n;;;;\nSUCCESS at generation 0\n")
+    val whole = tablesOf(dir + "/*.log", LogPipeline.LoadConfig())
+    val chunked = tablesOf(dir + "/*.log",
+      LogPipeline.LoadConfig(bigFileBytes = 1L))
+    // wholetext: the CR stays inside p1's value
+    assert(whole._2.exists(_.contains("a\rb")), s"wholetext lost the CR: ${whole._2}")
+    // chunked: the line terminated at the CR — value is 'a', 'b' is a stray
+    assert(chunked._2.exists(_.contains("p1,a]")) &&
+      !chunked._2.exists(_.contains("a\rb")), s"chunked kept the CR: ${chunked._2}")
+    // everything downstream of the header divergence still agrees
+    assert(whole._3 == chunked._3 && whole._4 == chunked._4)
+  }
+
   test("degenerate files: parity on all-delimiter logs; 0-byte logs drop") {
     val dir = Files.createTempDirectory(Paths.get("target"), "bigempty").toString
     Files.writeString(Paths.get(dir, "empty_1.log"), "")
