@@ -355,6 +355,104 @@ object Text {
           COUNT(*) AS n
         FROM documents GROUP BY lang, split ORDER BY lang, split""")),
 
+    // ---- Sequence packing: docs → fixed token-budget bins ------------------
+    // LLM-pretraining packing: concatenate documents in stable order and cut
+    // at a token budget; each doc reports which bin its first token lands in
+    // and at what offset. Packing is PER SHARD (hash of doc_id), which is
+    // both what a real pipeline does (shard-local concat → shuffle-free
+    // writes) and what makes the window scale: the running sum partitions by
+    // shard instead of funnelling the corpus through one task.
+    QueryDef(
+      "x_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val budget = 1024
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select($"doc_id", ($"doc_id" % 8).as("shard"),
+            size(split($"text", " ")).as("n_tokens"))
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .select($"doc_id", $"shard", $"n_tokens",
+            ($"cum_before" / budget).cast("long").as("bin"),
+            ($"cum_before" % budget).cast("int").as("bin_offset"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS cum_before
+          FROM toks)
+        SELECT doc_id, shard, n_tokens,
+          CAST(cum_before // 1024 AS BIGINT) AS bin,
+          CAST(cum_before % 1024 AS INTEGER) AS bin_offset
+        FROM packed ORDER BY doc_id""")),
+
+    // ---- Weighted source mixing (deterministic hash sampling) --------------
+    // Data-mixture construction: per-language keep rates applied by
+    // comparing an id-derived md5 prefix against a rate threshold — no RNG
+    // state, reproducible on any cluster size, and the SAME md5 exists in
+    // DuckDB so the mixture is oracle-checkable. Rates quantize to /256:
+    // en 0.75 ('c0'), de 0.50 ('80'), fr 0.25 ('40'), others 1.0.
+    QueryDef(
+      "x_source_mix",
+      (s, d) => {
+        import s.implicits._
+        val h2 = substring(md5($"doc_id".cast("string")), 1, 2)
+        val thresh = when($"lang" === "en", "c0")
+          .when($"lang" === "de", "80")
+          .when($"lang" === "fr", "40")
+          .otherwise("zz") // above any hex pair: always keep
+        Tables.documents(s, d)
+          .select($"lang", (h2 < thresh).as("kept"),
+            size(split($"text", " ")).as("n_tokens"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"kept", $"n_tokens".cast("long")).otherwise(0L))
+              .as("kept_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_total,
+          SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang WHEN 'en' THEN 'c0' WHEN 'de' THEN '80'
+                      WHEN 'fr' THEN '40' ELSE 'zz' END
+            THEN 1 ELSE 0 END) AS n_kept,
+          SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang WHEN 'en' THEN 'c0' WHEN 'de' THEN '80'
+                      WHEN 'fr' THEN '40' ELSE 'zz' END
+            THEN len(string_split(text, ' ')) ELSE 0 END) AS kept_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- Stratified deterministic sample (top-k per stratum) ---------------
+    // Eval-set construction: k docs per language, chosen by md5 order — a
+    // reproducible stratified sample with no RNG. The window partitions by
+    // stratum, so parallelism is across strata and the sort is per-group.
+    QueryDef(
+      "x_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"doc_id", $"lang", $"rn")
+          .orderBy($"lang", $"rn")
+      },
+      Some("""SELECT doc_id, lang, rn FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 5 ORDER BY lang, rn""")),
+
     // ---- Edit distance vs a probe (fuzzy text match) -----------------------
     QueryDef(
       "x_edit_distance",

@@ -216,12 +216,27 @@ object BenchTune {
       spark.stop(); return
     }
     if (args.headOption.contains("mh2")) {
+      // wall time + total shuffle write per run: the ids-only band join
+      // must move ~20 B/row, not signatures×bands (the r5->r6 fix)
       val spark = graft.Sessions.local("mh2", 32)
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
       (1 to 3).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
+        shuffleWrite.set(0)
         val t0 = System.nanoTime()
         val n = graft.ext.MinHashDedup.candidatePairs(
           graft.Tables.documents(spark, sfDir), 32, 8).count()
-        println(f"[mh2] iter$i pairs=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+        println(f"[mh2] iter$i pairs=$n $sec%.2f s shuffleWrite=${shuffleWrite.get / 1024}%d KiB")
       }
       spark.stop(); return
     }

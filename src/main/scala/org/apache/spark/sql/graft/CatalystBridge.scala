@@ -27,4 +27,11 @@ object CatalystBridge {
         r.location.listFiles(Nil, Nil).flatMap(_.files)
           .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
     }.flatten
+
+  /** Block until the listener bus has delivered all queued events —
+    * `private[spark]` in SparkContext, needed by dev probes that read
+    * task metrics (shuffle bytes) right after an action returns.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("x_contamination").contains("BroadcastNestedLoopJoin") ||
       plan("x_contamination").contains("BroadcastHashJoin"),
       "x_contamination pair join is not broadcast")
+    // packing/sampling windows must partition (by shard / stratum) — a
+    // SinglePartition window would funnel the corpus through one task
+    assert(!plan("x_pack_sequences").contains("SinglePartition"),
+      "x_pack_sequences window is a global funnel")
+    assert(!plan("x_stratified_sample").contains("SinglePartition"),
+      "x_stratified_sample window is a global funnel")
   }
 
   test("approx_count_distinct lands within its error bound of exact") {
