@@ -35,6 +35,35 @@ object IvfAnn {
   // at the JVM level
   private[ext] final case class EmbRow(vec_id: Long, ev: Seq[Double])
   private[ext] final case class AssignedRow(vec_id: Long, ev: Seq[Double], cluster: Int)
+  private[ext] final case class ProbeRow(qid: Long, qv: Seq[Double], cluster: Int)
+
+  /** Cosine of `v` against every codebook row; shared by assignment and
+    * query-probe ranking so the two sides can never disagree. */
+  private def centroidSims(cs: Array[Array[Double]], cNorm: Array[Double],
+      v: Seq[Double]): Array[Double] = {
+    var nv = 0.0
+    var i = 0
+    while (i < v.length) { nv += v(i) * v(i); i += 1 }
+    val vn = math.sqrt(nv)
+    val sims = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var dot = 0.0
+      i = 0
+      while (i < cv.length) { dot += v(i) * cv(i); i += 1 }
+      sims(c) = dot / (vn * cNorm(c))
+      c += 1
+    }
+    sims
+  }
+
+  private def norms(cs: Array[Array[Double]]): Array[Double] =
+    cs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
 
   /** Nearest-centroid assignment as one narrow typed pass: the codebook is
     * a broadcast Array[Array[Double]] (cluster id = array index) and each
@@ -48,27 +77,14 @@ object IvfAnn {
     val bc = spark.sparkContext.broadcast(cents)
     emb.select(col("vec_id"), col("ev")).as[EmbRow].mapPartitions { it =>
       val cs = bc.value
-      val cNorm = cs.map { c =>
-        var s = 0.0; var i = 0
-        while (i < c.length) { s += c(i) * c(i); i += 1 }
-        math.sqrt(s)
-      }
+      val cNorm = norms(cs)
       it.map { r =>
-        val v = r.ev
-        var nv = 0.0
-        var i = 0
-        while (i < v.length) { nv += v(i) * v(i); i += 1 }
-        val vn = math.sqrt(nv)
+        val sims = centroidSims(cs, cNorm, r.ev)
         var best = Double.NegativeInfinity
         var bestC = 0
         var c = 0
-        while (c < cs.length) {
-          val cv = cs(c)
-          var dot = 0.0
-          i = 0
-          while (i < cv.length) { dot += v(i) * cv(i); i += 1 }
-          val sim = dot / (vn * cNorm(c))
-          if (sim > best) { best = sim; bestC = c }
+        while (c < sims.length) {
+          if (sims(c) > best) { best = sims(c); bestC = c }
           c += 1
         }
         AssignedRow(r.vec_id, r.ev, bestC)
@@ -138,6 +154,56 @@ object IvfAnn {
   def readIndex(spark: SparkSession, path: String,
       centroids: Array[(Int, Seq[Double])]): Index =
     Index(spark.read.parquet(path), centroids)
+
+  /** Batch kNN join: top-k neighbors for EVERY row of a query table, each
+    * query probing only its `nProbe` closest clusters — the scale path for
+    * bulk retrieval (the brute-force twin is a cross join against the
+    * whole corpus). Shape:
+    *
+    *  1. each query ranks the broadcast codebook locally and explodes into
+    *     `nProbe` (qid, qv, cluster) rows — narrow, same kernel as the
+    *     index assignment so the two sides can never disagree;
+    *  2. probes equi-join the index on `cluster` — the ONLY shuffle, keyed
+    *     by cluster exactly like the index's at-rest partitioning, so
+    *     against a [[writeIndex]] layout the scan side is pruned AND
+    *     co-located (no all-pairs path anywhere);
+    *  3. exact cosine (native codegen expression) scores survivors; top-k
+    *     per query via a window PARTITIONED BY qid (parallel across
+    *     queries, never a global sort).
+    *
+    * `nProbe = nCentroids` degrades to exact brute force (spec + oracle
+    * anchor); `excludeSelf` drops vec_id == qid matches (corpus-internal
+    * retrieval).
+    */
+  def searchJoin(index: Index, queries: DataFrame, nProbe: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = queries.select(col("qid"), col("qv")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val cNorm = norms(cs)
+        it.flatMap { case (qid, qv) =>
+          val sims = centroidSims(cs, cNorm, qv)
+          sims.indices.sortBy(c => (-sims(c), c)).take(nProbe)
+            .map(c => ProbeRow(qid, qv, c))
+        }
+      }.toDF()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val joined = index.assigned.join(probes, Seq("cluster"))
+    val scored = (if (excludeSelf) joined.filter($"vec_id" =!= $"qid") else joined)
+      .select($"qid", $"vec_id",
+        round(Similarity.cosine($"ev", $"qv"), 4).as("cos"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"vec_id", $"cos")
+      .orderBy($"qid", $"rn")
+  }
 
   /** Top-k by cosine for `queryVec`, probing the `nProbe` closest clusters. */
   def search(index: Index, queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {

@@ -163,6 +163,32 @@ object Similarity {
         WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
         WHERE rn <= 3 ORDER BY qid, rn""")),
 
+    // ---- X4: IVF-accelerated kNN join, full-probe oracle anchor ------------
+    // Same result contract as x4_knn_join, but through the IVF machinery:
+    // probe-list explosion, cluster equi-join, windowed top-k. At
+    // nProbe = nCentroids the result is EXACTLY brute force, so DuckDB
+    // oracle-checks the whole join path bit-exactly; the pruned-probe
+    // recall behavior is spec-anchored (SkewAndIvfSpec).
+    QueryDef(
+      "x4_ann_ivf_join",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8)
+        val queries = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"ev".as("qv"))
+        graft.ext.IvfAnn.searchJoin(index, queries, nProbe = 8, k = 3)
+      },
+      Some("""SELECT qid, rn, vec_id, cos FROM (
+        SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+                     e.vec_id) AS rn
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+        WHERE rn <= 3 ORDER BY qid, rn""")),
+
     // ---- X4 scale path: LSH-bucketed candidate pairs (rows-only check) -----
     // Multi-table random-hyperplane LSH: 64 planes as 8 bands x 8 sign bits;
     // a pair is a candidate if it collides in ANY band, then exact cosine

@@ -116,6 +116,32 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(disk == mem)
   }
 
+  test("IVF kNN join: full probe equals brute force; pruned probe recalls") {
+    import graft.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val index = IvfAnn.build(e, nCentroids = 8)
+    val queries = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"ev".as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val brute = rows(graft.SparkEntry.queries("x4_knn_join")(
+      spark, "/root/testdata/sf0.001"))
+    val full = rows(IvfAnn.searchJoin(index, queries, nProbe = 8, k = 3))
+    assert(full == brute, "full-probe kNN join must equal brute force")
+
+    // pruned probes: each query's top-3 overlaps brute-force top-3
+    val pruned = IvfAnn.searchJoin(index, queries, nProbe = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteBy = brute.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val overlap = bruteBy.map { case (q, b) =>
+      (pruned.getOrElse(q, Set.empty) & b).size }.sum
+    assert(overlap >= 30, s"pruned kNN-join recall too low: $overlap/60")
+  }
+
   test("IVF ANN: full-probe search equals brute force; pruned probe overlaps") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
