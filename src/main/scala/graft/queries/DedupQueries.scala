@@ -165,6 +165,56 @@ object DedupQueries {
       None,
       bench = true),
 
+    // ---- I5 recall guarantee as an ORACLE row ------------------------------
+    // The LSH candidate set is seed-dependent and not SQL-derivable, but its
+    // RECALL claim is: every pair with exact 3-gram Jaccard >= 0.9 (which
+    // DuckDB computes) must appear among the candidates. The query emits the
+    // exact strong-pair set with a `recalled` flag from a left join against
+    // the candidates; the oracle recomputes the pairs and asserts TRUE — a
+    // hash match proves 100% strong-dup recall at the gate's scale factor,
+    // promoting ApproxRecallSpec's in-process gate into the driver's DuckDB
+    // gate. Subset doc_id < 600 keeps the exact brute-force anchor bounded
+    // (25-27 planted pairs at every SF).
+    QueryDef(
+      "d_minhash_recall",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter($"doc_id" < 600)
+        val cand = graft.ext.MinHashDedup
+          .candidatePairs(docs, numHashes = 32, bands = 8)
+          .select($"a", $"b", lit(true).as("found"))
+        val sh = docs
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", shinglesOfToks($"toks").as("sh"))
+        val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
+        val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))
+        a.join(broadcast(b), $"a" < $"b")
+          .select($"a", $"b",
+            round(size(array_intersect($"sha", $"shb")).cast("double") /
+              size(array_union($"sha", $"shb")), 6).as("jaccard"))
+          .filter($"jaccard" >= 0.9)
+          .join(cand, Seq("a", "b"), "left")
+          .select($"a", $"b", $"jaccard",
+            coalesce($"found", lit(false)).as("recalled"))
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                   string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS sh
+          FROM documents
+          WHERE doc_id < 600 AND len(string_split(text, ' ')) >= 3)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+          TRUE AS recalled
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
+        ORDER BY a, b""")),
+
     // ---- SimHash fingerprint (rows-only) -----------------------------------
     QueryDef(
       "d_simhash",
