@@ -220,6 +220,39 @@ object Similarity {
       },
       None),
 
+    // ---- Embedding int8 quantization (oracle-checked + fidelity bound) -----
+    // Storage/ANN compression for 100 TB-scale vector corpora: per-vector
+    // symmetric int8 (scale = max|x|/127), 4x smaller at rest. Codes and
+    // scales are pure deterministic arithmetic (max is order-insensitive,
+    // round is half-away-from-zero in both engines) so DuckDB recomputes
+    // them bit-exactly; reconstruction fidelity rides along as a bounded
+    // claim (cosine(dequantized, original) >= 0.999), same pattern as
+    // a8's within_bounds.
+    QueryDef(
+      "x4_quantize_int8",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d).filter($"vec_id" < 100)
+        val scale = (aggregate($"ev", lit(0.0d),
+          (m, x) => greatest(m, abs(x))) / 127.0d).as("scale")
+        e.select($"vec_id", $"ev", scale)
+          .select($"vec_id", $"ev", $"scale",
+            transform($"ev", x => round(x / $"scale").cast("int")).as("q"))
+          .select($"vec_id",
+            round($"scale", 6).as("scale6"), $"q",
+            (cosine(transform($"q", x => x.cast("double") * $"scale"), $"ev")
+              >= 0.999d).as("fidelity_ok"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+            list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+          FROM embeddings WHERE vec_id < 100)
+        SELECT vec_id, round(scale, 6) AS scale6,
+          list_transform(ev, x -> CAST(round(x / scale) AS INTEGER)) AS q,
+          TRUE AS fidelity_ok
+        FROM q ORDER BY vec_id""")),
+
     // ---- Embedding near-dup pairs over a fixed subset (oracle-checked) -----
     QueryDef(
       "emb_neardup_pairs",
