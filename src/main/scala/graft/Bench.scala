@@ -40,6 +40,11 @@ object Bench {
 
     val results = names.map { name =>
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks (lshCandidatePairs, x_contamination) are
+      // NOT in the CacheManager — they free via ContextCleaner when their
+      // RDD is collected, so nudge a GC to keep prior queries' blocks from
+      // occupying storage memory during this query's runs
+      System.gc()
       val warmOk = try { qs(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }

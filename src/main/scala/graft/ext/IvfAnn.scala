@@ -166,7 +166,13 @@ object IvfAnn {
     *  2. probes equi-join the index on `cluster` — the ONLY shuffle, keyed
     *     by cluster exactly like the index's at-rest partitioning, so
     *     against a [[writeIndex]] layout the scan side is pruned AND
-    *     co-located (no all-pairs path anywhere);
+    *     co-located (no all-pairs path anywhere). The probe rows carry qv
+    *     (nProbe copies per query) deliberately: when the query table is
+    *     broadcast-sized the join needs no exchange at all, and when it
+    *     is not, probes×dim is still far smaller than the alternative of
+    *     re-attaching qv per CANDIDATE (candidates ≈ queries × corpus/k ×
+    *     nProbe rows ≫ probes) — the ids-only rejoin rule applies to
+    *     candidate-pair generation, not to this side;
     *  3. exact cosine (native codegen expression) scores survivors; top-k
     *     per query via a window PARTITIONED BY qid (parallel across
     *     queries, never a global sort).
@@ -205,21 +211,15 @@ object IvfAnn {
       .orderBy($"qid", $"rn")
   }
 
-  /** Top-k by cosine for `queryVec`, probing the `nProbe` closest clusters. */
+  /** Top-k by cosine for `queryVec`, probing the `nProbe` closest clusters.
+    * Probe ranking goes through the SAME [[centroidSims]] kernel as index
+    * assignment and [[searchJoin]], so the three can never disagree. */
   def search(index: Index, queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probed = index.centroids
-      .map { case (c, v) => (c, cosLocal(queryVec, v)) }
-      .sortBy { case (c, s) => (-s, c) }
-      .take(nProbe).map(_._1)
+    val cs = index.centroids.map(_._2.toArray)
+    val sims = centroidSims(cs, norms(cs), queryVec)
+    val probed = sims.indices.sortBy(c => (-sims(c), c)).take(nProbe)
 
     val qLit = array(queryVec.map(lit): _*)
     index.assigned

@@ -241,14 +241,23 @@ object MediaCodecs {
     if (!sawIhdr || idat.size() == 0) return None
     val bpp = if (colorType == 2) 3 else 4
     val stride = width * bpp
-    val raw = new Array[Byte]((1 + stride) * height)
+    val rawLen = (1L + stride) * height
+    // refuse implausible dims BEFORE allocating: deflate tops out at
+    // ~1032:1, so a decode buffer beyond that multiple of the actual IDAT
+    // bytes can only come from corrupt/crafted IHDR dims — without this a
+    // 100-byte payload declaring height=2^28 allocates ~1 GB per row
+    if (rawLen > idat.size().toLong * 1032L + 64L) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 && !finished covers BOTH truncated streams (needsInput)
+        // and preset-dictionary streams (needsDictionary, FDICT flag) —
+        // checking needsInput alone spins forever on the latter
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

@@ -220,8 +220,12 @@ object Relational {
             countDistinct($"user_id").as("exact_users"),
             count(lit(1)).as("n"))
           .select($"event_type", $"exact_users", $"n",
-            (abs($"approx_users" - $"exact_users").cast("double")
-              / $"exact_users" <= 5 * rsd).as("within_bounds"))
+            // all-NULL user_id groups have exact = 0: x/0 would emit NULL
+            // and mismatch the oracle's TRUE — an empty set's HLL estimate
+            // is exactly 0, so assert that instead
+            when($"exact_users" === 0, $"approx_users" === 0)
+              .otherwise(abs($"approx_users" - $"exact_users").cast("double")
+                / $"exact_users" <= 5 * rsd).as("within_bounds"))
           .orderBy($"event_type")
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,

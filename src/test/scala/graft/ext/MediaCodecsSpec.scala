@@ -111,6 +111,19 @@ class MediaCodecsSpec extends AnyFunSuite {
     // interlaced flag set → unsupported layout, clean None
     val inter = good.clone(); inter(8 + 20) = 1
     assert(MediaCodecs.parsePng(inter).isEmpty)
+    // zlib FDICT flag (preset dictionary): inflate() yields 0 with
+    // needsInput=false forever — must return None, not spin the task
+    val fdict = good.clone()
+    fdict(8 + 25 + 8) = 0x78.toByte; fdict(8 + 25 + 9) = 0xbb.toByte
+    assert(MediaCodecs.parsePng(fdict).isEmpty)
+    // implausible IHDR dims vs actual IDAT bytes: reject BEFORE the
+    // gigabyte allocation, not at OOM
+    val huge = good.clone()
+    // height field (bytes 20..23, big-endian) := 2^27
+    huge(20) = 0x08.toByte; huge(21) = 0; huge(22) = 0; huge(23) = 0
+    val t0 = System.nanoTime()
+    assert(MediaCodecs.parsePng(huge).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "rejection was not cheap")
   }
 
   test("extractMeta dispatches real codecs by kind, stub otherwise") {

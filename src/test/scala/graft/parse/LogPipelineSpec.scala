@@ -104,7 +104,9 @@ class LogPipelineSpec extends AnyFunSuite {
     Files.writeString(p, fixtureLog("3.0.0", true, 2))
     val hp = new org.apache.hadoop.fs.Path("file:" + p.toAbsolutePath)
     val size = Files.size(p)
-    val statuses = Seq((hp.toString, size, System.currentTimeMillis()))
+    // the file's REAL mtime: the wholetext arm reads _metadata mtime, so a
+    // fabricated wall-clock timestamp would race across a second boundary
+    val statuses = Seq((hp.toString, size, Files.getLastModifiedTime(p).toMillis))
     val idOf = Map(hp.toString -> 1L)
 
     // threshold above the file: wholetext FileScan, no RDD arm
