@@ -183,16 +183,25 @@ object DedupQueries {
         val cand = graft.ext.MinHashDedup
           .candidatePairs(docs, numHashes = 32, bands = 8)
           .select($"a", $"b", lit(true).as("found"))
+        // eager checkpoint before the self-join (shingles would otherwise
+        // re-evaluate per pair on the streamed side); per-side sizes
+        // precompute so each pair evaluates ONE array_intersect and derives
+        // the union as |A|+|B|-|A∩B| (shingles are distinct) — the
+        // array_union form measured 7.8s vs 5.4s at sf0.01
         val sh = docs
           .withColumn("toks", split($"text", " "))
           .filter(size($"toks") >= 3)
           .select($"doc_id", shinglesOfToks($"toks").as("sh"))
-        val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
-        val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))
+          .withColumn("n_sh", size($"sh"))
+          .localCheckpoint(true)
+        val a = sh.select($"doc_id".as("a"), $"sh".as("sha"), $"n_sh".as("na"))
+        val b = sh.select($"doc_id".as("b"), $"sh".as("shb"), $"n_sh".as("nb"))
         a.join(broadcast(b), $"a" < $"b")
+          .select($"a", $"b", $"na", $"nb",
+            size(array_intersect($"sha", $"shb")).as("inter"))
           .select($"a", $"b",
-            round(size(array_intersect($"sha", $"shb")).cast("double") /
-              size(array_union($"sha", $"shb")), 6).as("jaccard"))
+            round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6)
+              .as("jaccard"))
           .filter($"jaccard" >= 0.9)
           .join(cand, Seq("a", "b"), "left")
           .select($"a", $"b", $"jaccard",

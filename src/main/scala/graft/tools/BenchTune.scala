@@ -240,6 +240,68 @@ object BenchTune {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("recallprobe")) {
+      // stage-by-stage wall time of d_minhash_recall's plan pieces
+      import org.apache.spark.sql.functions._
+      val spark = graft.Sessions.local("recallprobe", 32)
+      import spark.implicits._
+      def t[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      val docs = graft.Tables.documents(spark, sfDir).filter($"doc_id" < 600)
+      t("docs count") { docs.count() }
+      val cand = t("candidatePairs build+count") {
+        val c = graft.ext.MinHashDedup.candidatePairs(docs, 32, 8)
+          .select($"a", $"b", lit(true).as("found"))
+        c.count(); c
+      }
+      val sh = t("shingles checkpoint") {
+        docs.withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id",
+            graft.queries.DedupQueries.shinglesOfToks($"toks").as("sh"))
+          .localCheckpoint(true)
+      }
+      val a = sh.select($"doc_id".as("a"), $"sh".as("sha"))
+      val b = sh.select($"doc_id".as("b"), $"sh".as("shb"))
+      val strong = t("exact pair scan") {
+        val s = a.join(broadcast(b), $"a" < $"b")
+          .select($"a", $"b",
+            round(size(array_intersect($"sha", $"shb")).cast("double") /
+              size(array_union($"sha", $"shb")), 6).as("jaccard"))
+          .filter($"jaccard" >= 0.9)
+        s.count(); s
+      }
+      t("exact pair scan, single-intersect") {
+        val aa = sh.select($"doc_id".as("a"), $"sh".as("sha"), size($"sh").as("na"))
+        val bb = sh.select($"doc_id".as("b"), $"sh".as("shb"), size($"sh").as("nb"))
+        aa.join(broadcast(bb), $"a" < $"b")
+          .select($"a", $"b", $"na", $"nb",
+            size(array_intersect($"sha", $"shb")).as("inter"))
+          .select($"a", $"b",
+            round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+          .filter($"jaccard" >= 0.9).count()
+      }
+      t("exact pair scan, size-pruned") {
+        val aa = sh.select($"doc_id".as("a"), $"sh".as("sha"), size($"sh").as("na"))
+        val bb = sh.select($"doc_id".as("b"), $"sh".as("shb"), size($"sh").as("nb"))
+        aa.join(broadcast(bb),
+            $"a" < $"b" && least($"na", $"nb") >= greatest($"na", $"nb") * 0.899)
+          .select($"a", $"b", $"na", $"nb",
+            size(array_intersect($"sha", $"shb")).as("inter"))
+          .select($"a", $"b",
+            round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+          .filter($"jaccard" >= 0.9).count()
+      }
+      t("left join + order") {
+        strong.join(cand, Seq("a", "b"), "left")
+          .select($"a", $"b", $"jaccard",
+            coalesce($"found", lit(false)).as("recalled"))
+          .orderBy($"a", $"b").count()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("shuffle")) {
       // sweep shuffle partitions over the bench set (one session per value:
       // shuffle.partitions is read at planning, sessions cache plans)
