@@ -60,12 +60,27 @@ object EcjPipeline {
     // LogPipeline.listStatuses): dense by sorted path, identical to the
     // previous distributed mintIdsByKey outcome
     val statuses = LogPipeline.listStatuses(spark, raw)
+    val idOf = statuses.map(_._1).zipWithIndex
+      .map { case (p, i) => (p, baseId + i + 1L) }.toMap
+    gensFromStatuses(spark, statuses, idOf, bigFileBytes, prelisted = Some(raw))
+  }
+
+  /** Generations EAV for an explicit, sorted (path, size, mtimeMillis)
+    * listing with caller-minted expids — the big/small dispatch shared by
+    * the batch [[loadGenerations]] and the streaming per-micro-batch path
+    * (IngestStream.runEcj). Mirrors LogPipeline.flatFromStatuses.
+    */
+  private[graft] def gensFromStatuses(
+      spark: SparkSession,
+      statuses: Seq[(String, Long, Long)],
+      idOf: Map[String, Long],
+      bigFileBytes: Long,
+      prelisted: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
     val paths = statuses.map(_._1)
     if (paths.isEmpty)
       return spark.emptyDataset[(Long, Int, String, String)]
         .toDF("expid", "gennum", "parameter", "value")
-    val idOf = paths.zipWithIndex
-      .map { case (p, i) => (p, baseId + i + 1L) }.toMap
     val big = statuses
       .filter(s => LogPipeline.effectiveSize(s._1, s._2) > bigFileBytes)
       .map(_._1)
@@ -75,9 +90,9 @@ object EcjPipeline {
       if (small.isEmpty) None
       else {
         val idMap = small.map(p => (p, idOf(p))).toDF("path", "expid")
-        val src =
-          if (big.isEmpty) raw // same scan the id paths came from: parity by construction
-          else {
+        val src = prelisted
+          .filter(_ => small == paths) // same scan the ids came from: parity by construction
+          .getOrElse {
             val reread = spark.read.option("wholetext", "true").text(small: _*)
             // drift guard for the re-listed scan: its FileIndex rendering
             // must reproduce the id map's keys exactly, else the inner

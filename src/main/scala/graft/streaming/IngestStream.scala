@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ids.IdMinter
-import graft.parse.LogPipeline
+import graft.parse.{EcjPipeline, LogPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -85,6 +85,60 @@ object IngestStream {
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
+  /** Streaming twin of `EcjPipeline.loadGenerations` (the reference's
+    * multi-GB cluster-folder stat workload): watch `statDir` for ECJ stat
+    * files, parse each micro-batch into generations EAV and hand it to
+    * `sink`. Same metadata-only listing source and same big/small dispatch
+    * as [[run]] — an oversized stat file parses chunked
+    * (BigLogParse.ecjGenerations) with exactly-once from the file-source
+    * checkpoint. Expids are unique across batches via the batchId window.
+    */
+  def runEcj(
+      spark: SparkSession,
+      statDir: String,
+      checkpointDir: String,
+      baseId: Long = 0L,
+      bigFileBytes: Long = 256L * 1024 * 1024,
+      availableNow: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(statDir)
+      .select($"path", $"length", $"modificationTime")
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val statuses = collectStatuses(batch)
+        val base = baseId + batchId * idWindow
+        val idOf = statuses.map(_._1).zipWithIndex
+          .map { case (p, i) => (p, base + i + 1L) }.toMap
+        sink(EcjPipeline.gensFromStatuses(spark, statuses, idOf, bigFileBytes),
+          batchId)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  /** Driver-side (path, size, mtimeMillis) listing from a metadata-only
+    * micro-batch, paths normalized to the Hadoop Path rendering
+    * `_metadata.file_path` uses (binaryFile renders URI form — the same
+    * file:///-vs-file:/ trap the pathcheck probe pins), sorted by path.
+    */
+  private def collectStatuses(batch: DataFrame): Seq[(String, Long, Long)] =
+    batch.collect()
+      .map { r =>
+        val hp =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+          catch { case _: java.net.URISyntaxException =>
+            new org.apache.hadoop.fs.Path(r.getString(0)) }
+        (hp.toString, r.getLong(1), r.getTimestamp(2).getTime)
+      }
+      .distinct.sortBy(_._1).toSeq
+
   /** Batch-local table construction; ids are unique across batches by
     * offsetting with the batchId (deterministic per batch: path-ordered).
     * The per-batch id window is 1e12: a backlog drained by AvailableNow is
@@ -105,19 +159,8 @@ object IngestStream {
 
     // one driver-side (path, size, mtime) listing per micro-batch — the
     // batch frame IS the listing (metadata-only rows), file-count bounded
-    // by construction (maxFilesPerTrigger-sized). Paths normalize to the
-    // Hadoop Path rendering `_metadata.file_path` uses, so the downstream
-    // id-map join keys match byte-for-byte (binaryFile renders URI form —
-    // the same file:///-vs-file:/ trap the pathcheck probe pins).
-    val statuses = batch.collect()
-      .map { r =>
-        val hp =
-          try new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
-          catch { case _: java.net.URISyntaxException =>
-            new org.apache.hadoop.fs.Path(r.getString(0)) }
-        (hp.toString, r.getLong(1), r.getTimestamp(2).getTime)
-      }
-      .distinct.sortBy(_._1).toSeq
+    // by construction (maxFilesPerTrigger-sized)
+    val statuses = collectStatuses(batch)
     val paths = statuses.map(_._1)
     val idOf = paths.zipWithIndex
       .map { case (p, i) => (p, base + i + 1L) }.toMap

@@ -207,6 +207,42 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(rowsPerDrain.toSeq == Seq(1L, 2L), s"dropped rows: $rowsPerDrain")
   }
 
+  test("ECJ stat stream matches batch loadGenerations, chunked path included") {
+    def stat(gens: Int): String =
+      ("ignore this preamble" +: (0 until gens).flatMap(g => Seq(
+        s"Generation: $g", s"Best Individual: Fitness: 0.$g",
+        "Tree: (+ x", "  (* x x))")) :+ "End of Run: done").mkString("\n")
+    val dir = Files.createTempDirectory(Paths.get("target"), "ecjstream")
+    Files.writeString(dir.resolve("a.stat"), stat(2))
+    Files.writeString(dir.resolve("b.stat"), stat(30)) // > 400 B: chunked
+    val glob = dir.toString + "/*.stat"
+    require(stat(30).length > 400 && stat(2).length < 400)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+
+    val batch = rows(graft.parse.EcjPipeline.loadGenerations(
+      spark, glob, bigFileBytes = 400))
+
+    var streamed = Set.empty[(Long, Int, String, Option[String])]
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "ecjstream_ck").toString
+    def drain(): Unit = {
+      val q = IngestStream.runEcj(spark, glob, ckpt, bigFileBytes = 400) {
+        (gens, _) => streamed ++= rows(gens)
+      }
+      q.awaitTermination()
+    }
+    drain()
+    assert(streamed == batch,
+      s"only-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    assert(streamed.count(_._2 >= 0) > 60) // chunked file's generations arrived
+    // exactly-once across drains
+    val before = streamed.size
+    drain()
+    assert(streamed.size == before)
+  }
+
   test("windowed streaming agg matches the batch oracle query (T4)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
