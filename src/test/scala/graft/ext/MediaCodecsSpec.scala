@@ -99,6 +99,30 @@ class MediaCodecsSpec extends AnyFunSuite {
       s"luminance drift: ${info.get.meanLuminance} vs $exact")
   }
 
+  test("PNG randomized round-trip fuzz: any dims, any filter mix, exact pixels") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 20).foreach { trial =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val seed = rnd.nextInt(1 << 20)
+      def px(x: Int, y: Int) = {
+        val v = x * 31 + y * 131 + seed
+        (v % 256, (v * 7) % 256, (v * 13) % 256)
+      }
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val png = MediaCodecs.writePngRgb(w, h, px, filterOfRow = filters)
+      val info = MediaCodecs.parsePng(png)
+      assert(info.isDefined, s"trial $trial ($w x $h) failed to decode")
+      assert(info.get.width == w && info.get.height == h, s"trial $trial dims")
+      val exact = (for { y <- 0 until h; x <- 0 until w } yield {
+        val (r, g, b) = px(x, y); 0.299 * r + 0.587 * g + 0.114 * b
+      }).sum / (w * h)
+      assert(math.abs(info.get.meanLuminance - exact) < 1e-9,
+        s"trial $trial ($w x $h, filters ${filters.mkString(",")}): " +
+          s"${info.get.meanLuminance} vs $exact")
+    }
+  }
+
   test("PNG parser rejects junk, truncation, and unsupported layouts") {
     assert(MediaCodecs.parsePng(Array.fill[Byte](100)(7)).isEmpty)
     val good = MediaCodecs.writePngRgb(5, 4, (x, y) => (x, y, 0))
