@@ -227,7 +227,9 @@ object Similarity {
     // round is half-away-from-zero in both engines) so DuckDB recomputes
     // them bit-exactly; reconstruction fidelity rides along as a bounded
     // claim (cosine(dequantized, original) >= 0.999), same pattern as
-    // a8's within_bounds.
+    // a8's within_bounds. Codes are emitted as a CSV string, not an array
+    // column: the driver's comparator row-sorts the frame in pandas, and
+    // ndarray cells are unhashable there (r6 `x4_quantize_int8` err).
     QueryDef(
       "x4_quantize_int8",
       (s, d) => {
@@ -239,7 +241,8 @@ object Similarity {
           .select($"vec_id", $"ev", $"scale",
             transform($"ev", x => round(x / $"scale").cast("int")).as("q"))
           .select($"vec_id",
-            round($"scale", 6).as("scale6"), $"q",
+            round($"scale", 6).as("scale6"),
+            array_join(transform($"q", _.cast("string")), ",").as("q_csv"),
             (cosine(transform($"q", x => x.cast("double") * $"scale"), $"ev")
               >= 0.999d).as("fidelity_ok"))
           .orderBy($"vec_id")
@@ -249,7 +252,7 @@ object Similarity {
             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
           FROM embeddings WHERE vec_id < 100)
         SELECT vec_id, round(scale, 6) AS scale6,
-          list_transform(ev, x -> CAST(round(x / scale) AS INTEGER)) AS q,
+          array_to_string(list_transform(ev, x -> CAST(round(x / scale) AS INTEGER)), ',') AS q_csv,
           TRUE AS fidelity_ok
         FROM q ORDER BY vec_id""")),
 

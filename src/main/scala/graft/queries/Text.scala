@@ -418,15 +418,19 @@ object Text {
               .as("kept_tokens"))
           .orderBy($"lang")
       },
+      // Both SUMs are CAST AS BIGINT: DuckDB SUM(int) is HUGEINT, which
+      // pandas renders as float ("123.0" vs Spark's "123") and fails the
+      // driver's value hash even when every number agrees (r6 hash_match
+      // false on this key).
       Some("""SELECT lang, COUNT(*) AS n_total,
-          SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
             CASE lang WHEN 'en' THEN 'c0' WHEN 'de' THEN '80'
                       WHEN 'fr' THEN '40' ELSE 'zz' END
-            THEN 1 ELSE 0 END) AS n_kept,
-          SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
             CASE lang WHEN 'en' THEN 'c0' WHEN 'de' THEN '80'
                       WHEN 'fr' THEN '40' ELSE 'zz' END
-            THEN len(string_split(text, ' ')) ELSE 0 END) AS kept_tokens
+            THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
         FROM documents GROUP BY lang ORDER BY lang""")),
 
     // ---- Stratified deterministic sample (top-k per stratum) ---------------

@@ -49,11 +49,25 @@ def main(sf_dir, out_dir):
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=True)
+            # Mirror the driver's hash compare exactly: it row-sorts the
+            # frame in pandas (unhashable ndarray cells crash there — r6
+            # x4_quantize_int8) and hashes RENDERED values, so an int64 123
+            # vs a HUGEINT->float 123.0 is a mismatch even when the numbers
+            # agree (r6 x_source_mix).
+            gs = got.sort_values(by=list(got.columns)).reset_index(drop=True).astype(str)
+            es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True).astype(str)
+            if not gs.equals(es):
+                bad = [c for c in gs.columns if not gs[c].equals(es[c])]
+                print(f"FAIL {name}: value-render mismatch in {bad} "
+                      f"(e.g. {gs[bad[0]].iloc[0]!r} vs {es[bad[0]].iloc[0]!r})")
+                n_fail += 1; continue
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as e:
             msg = str(e).split("\n")
             print(f"FAIL {name}: {msg[0]} {msg[1] if len(msg)>1 else ''}")
             n_fail += 1
+        except TypeError as e:
+            print(f"FAIL {name}: driver-sort mirror crashed: {e}"); n_fail += 1
     # rows-only queries
     import os
     checked = set(oracle)
