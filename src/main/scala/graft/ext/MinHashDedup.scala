@@ -41,9 +41,20 @@ object MinHashDedup {
       i => concat_ws(" ",
         element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
-  /** MinHash signature (array<bigint> of length numHashes) of a shingle set.
-    * The i-th hash function is seeded xxhash64(i, x) — no arithmetic that
-    * could overflow under ANSI mode, and deterministic across runs.
+  /** MinHash signature (array<bigint> of length numHashes) of a shingle
+    * set, md5-affine family: h_i(x) = (a + i*b) mod 2^60 from one md5 per
+    * shingle (graft.functions.Md5MinHashSignature scaladoc). This is the
+    * PRODUCT path because the oracle can recompute it bit-exactly in
+    * DuckDB (md5_number_upper/lower + HUGEINT arithmetic) — `d_minhash
+    * _pairs` is a hash-exact gate row, not rows-only. Cost per shingle is
+    * one md5 + k multiply-adds, on par with the k seeded xxhash64 calls
+    * of `signatureXx`.
+    */
+  def signature(sh: Column, numHashes: Int): Column =
+    graft.functions.Md5MinHashSignature.md5_minhash_signature(sh, numHashes)
+
+  /** xxhash64 family (seeded xxhash64(i, x)) — kept as the zero-allocation
+    * Spark-only alternative and for the HOF-equivalence spec.
     *
     * Shape matters: a single `aggregate` fold over the shingles with an
     * array accumulator. The transposed form — transform over hash indices
@@ -51,16 +62,46 @@ object MinHashDedup {
     * subtree into the outer lambda, so Catalyst re-evaluates it once per
     * hash function (measured 22ms/doc -> 0.4ms/doc for 32 hashes).
     */
-  def signature(sh: Column, numHashes: Int): Column =
+  def signatureXx(sh: Column, numHashes: Int): Column =
     graft.functions.MinHashSignature.minhash_signature(sh, numHashes)
 
-  /** HOF formulation — kept for the equivalence spec. Single fold so the
-    * shingle subtree evaluates once (the transposed transform-of-array_min
-    * form re-evaluates it per hash function — measured 30x slower). */
+  /** HOF formulation of the xx family — kept for the equivalence spec.
+    * Single fold so the shingle subtree evaluates once (the transposed
+    * transform-of-array_min form re-evaluates it per hash function —
+    * measured 30x slower). */
   def signatureHof(sh: Column, numHashes: Int): Column = {
     val idx = sequence(lit(1), lit(numHashes))
     aggregate(sh, transform(idx, _ => lit(Long.MaxValue)),
       (acc, x) => zip_with(acc, idx, (m, i) => least(m, xxhash64(i, x))))
+  }
+
+  /** Little-endian signed 64-bit of md5-digest bytes [off, off+8) rebuilt
+    * from Spark's own `md5()` HEX output: byte pairs concatenated in
+    * reverse order, then signed-base `conv` — the pure-SQL twin of
+    * Md5Hash64.le64 (and of DuckDB's md5_number_upper/lower). Spec-only. */
+  def md5Le64Hof(s: Column, off: Int): Column = {
+    val h = md5(s)
+    val rev = concat((7 to 0 by -1).map(j =>
+      substring(h, off * 2 + j * 2 + 1, 2)): _*)
+    conv(rev, 16, -10).cast("long")
+  }
+
+  /** HOF/built-in formulation of the md5-affine family — the equivalence
+    * spec twin of Md5MinHashSignature (same split-mod arithmetic, all
+    * intermediates < 2^61 so ANSI-safe). */
+  def signatureHofMd5(sh: Column, numHashes: Int): Column = {
+    val idx = sequence(lit(0), lit(numHashes - 1))
+    val M = lit(1L << 60)
+    val mask30 = lit((1L << 30) - 1)
+    aggregate(sh, transform(idx, _ => lit(Long.MaxValue)),
+      (acc, x) => {
+        val a = shiftrightunsigned(md5Le64Hof(x, 0), 4)
+        val b = shiftrightunsigned(md5Le64Hof(x, 8), 4).bitwiseOR(lit(1L))
+        val bHi = shiftrightunsigned(b, 30)
+        val bLo = b.bitwiseAND(mask30)
+        zip_with(acc, idx, (m, i) => least(m,
+          (a + shiftleft((i * bHi).bitwiseAND(mask30), 30) + i * bLo) % M))
+      })
   }
 
   /** Candidate near-dup pairs via banded LSH over a `documents(doc_id, text)`
@@ -110,7 +151,16 @@ object MinHashDedup {
 
     val sa = withSig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     val sb = withSig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    // exact candidate semantics: a pair qualifies iff some band's signature
+    // SLICES are equal. The 32-bit murmur band_hash join above is only a
+    // pruning superset (collisions can add pairs, never drop one — equal
+    // slices always hash equal); this filter removes those exactly, which
+    // is what lets the DuckDB oracle re-derive the pair set from first
+    // principles instead of re-hashing with a Spark-only murmur.
     cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .filter(exists(sequence(lit(0), lit(bands - 1)), k =>
+        slice(col("sig_a"), k * rowsPerBand + 1, lit(rowsPerBand)) ===
+          slice(col("sig_b"), k * rowsPerBand + 1, lit(rowsPerBand))))
       .select(col("a"), col("b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),

@@ -66,3 +66,68 @@ object MinHashSignature {
     CatalystBridge.column(
       MinHashSignature(CatalystBridge.expression(shingles), numHashes))
 }
+
+/** MinHash signature over the md5-affine family — the ORACLE-RECOMPUTABLE
+  * variant (see Md5Hash64). One md5 per shingle yields a random 120-bit
+  * pair (a, b); the k hash values are the affine sweep
+  *
+  *   h_i(x) = (a + i*b) mod 2^60,  a = md5_upper(x) >>> 4,
+  *                                 b = (md5_lower(x) >>> 4) | 1
+  *
+  * a classic universal family (b forced odd so the sweep never collapses).
+  * 60-bit values keep every intermediate exact in a signed BIGINT on the
+  * DuckDB side (HUGEINT does the i*b product), so the oracle recomputes
+  * signatures bit-for-bit. Cost per shingle: ONE md5 + k multiply-adds —
+  * comparable to the k seeded xxhash64 calls of the xx family.
+  *
+  * The i*b product (< 2^65) would overflow a Long, so it is reduced
+  * mod 2^60 in split halves: i*b ≡ ((i*bHi mod 2^30) << 30) + i*bLo,
+  * every term < 2^61 — exact in signed 64-bit arithmetic.
+  */
+case class Md5MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"md5_minhash_signature requires array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val M = 1L << 60
+    val mask30 = (1L << 30) - 1
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val d = Md5Hash64.digest(s)
+        val a = Md5Hash64.le64(d, 0) >>> 4
+        val b = (Md5Hash64.le64(d, 8) >>> 4) | 1L
+        val bHi = b >>> 30
+        val bLo = b & mask30
+        var i = 0
+        while (i < numHashes) {
+          val h = (a + (((i * bHi) & mask30) << 30) + i * bLo) % M
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5MinHashSignature =
+    copy(child = c)
+}
+
+object Md5MinHashSignature {
+  def md5_minhash_signature(shingles: Column, numHashes: Int): Column =
+    CatalystBridge.column(
+      Md5MinHashSignature(CatalystBridge.expression(shingles), numHashes))
+}
