@@ -25,14 +25,39 @@ object SimHash {
   private def shl(v: Column, bits: Column): Column =
     call_function("shiftleft", v, bits)
 
-  /** The 64-bit simhash of a whitespace-tokenized text column
-    * (native expression — see graft.functions.SimHash64). */
+  /** The 64-bit simhash of a whitespace-tokenized text column. PRODUCT path
+    * is the md5 token-hash family (graft.functions.Md5SimHash64): DuckDB's
+    * `md5_number_upper` recomputes the per-token hash bit-exactly, which
+    * makes `d_simhash` a hash-exact oracle row instead of rows-only. */
   def simhash(text: Column): Column =
+    graft.functions.Md5SimHash64.md5_simhash64(split(text, " "))
+
+  /** xxhash64 token-hash family — the zero-allocation Spark-only
+    * alternative, kept for the HOF-equivalence spec. */
+  def simhashXx(text: Column): Column =
     graft.functions.SimHash64.simhash64(split(text, " "))
 
-  /** HOF formulation — kept for the equivalence spec. */
+  /** HOF formulation of the xx family — kept for the equivalence spec. */
   def simhashHof(text: Column): Column = {
     val hashes = transform(split(text, " "), t => xxhash64(t))
+    val zero = transform(bitsIdx, _ => lit(0L))
+    val votes = aggregate(hashes, zero, (acc, h) =>
+      zip_with(acc, bitsIdx, (a, b) =>
+        a + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitsIdx, (v, b) =>
+        when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** HOF/built-in formulation of the md5 family — the equivalence spec twin
+    * of Md5SimHash64: per-token hash is the little-endian signed 64-bit of
+    * the first 8 md5-digest bytes (MinHashDedup.md5Le64Hof), same ±1 votes
+    * and >0 threshold. Bit extraction via arithmetic shiftright is
+    * equivalent to the native >>> because `& 1` reads only the landed bit. */
+  def simhashHofMd5(text: Column): Column = {
+    val hashes = transform(split(text, " "),
+      t => MinHashDedup.md5Le64Hof(t, 0))
     val zero = transform(bitsIdx, _ => lit(0L))
     val votes = aggregate(hashes, zero, (acc, h) =>
       zip_with(acc, bitsIdx, (a, b) =>

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, MinHashSignature, SimHash64}
+import graft.functions.{CosineSim, Md5Le64, Md5MinHashSignature, Md5SimHash64, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -45,6 +45,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(tokens) takes one array<string>")
         SimHash64(args.head)
+      }))
+    // md5 (oracle-recomputable) family — the PRODUCT path of MinHashDedup /
+    // SimHash, registered so SQL callers get the SAME signatures and
+    // fingerprints candidatePairs/withSimHash compute (the xx-family
+    // functions above stay registered under their own names).
+    ext.injectFunction((
+      new FunctionIdentifier("md5_minhash_signature"),
+      new ExpressionInfo(classOf[Md5MinHashSignature].getName, "md5_minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, Literal(k: Int, IntegerType)) => Md5MinHashSignature(sh, k)
+        case _ => throw new IllegalArgumentException(
+          "md5_minhash_signature(shingles, k) takes array<string> and an int literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_simhash64"),
+      new ExpressionInfo(classOf[Md5SimHash64].getName, "md5_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_simhash64(tokens) takes one array<string>")
+        Md5SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_le64"),
+      new ExpressionInfo(classOf[Md5Le64].getName, "md5_le64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_le64(s) takes one string")
+        Md5Le64(args.head)
       }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }

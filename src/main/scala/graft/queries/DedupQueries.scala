@@ -157,12 +157,57 @@ object DedupQueries {
         SELECT src AS doc_id, MIN(dst) AS comp
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
-    // ---- I5: MinHash-LSH near-dup candidate pairs (rows-only) --------------
+    // ---- I5: MinHash-LSH near-dup candidate pairs (HASH-EXACT oracle) ------
+    // The md5-affine signature family (graft.functions.Md5MinHashSignature)
+    // exists precisely so this oracle can re-derive the ENTIRE pipeline from
+    // first principles in DuckDB: md5_number_upper/lower give the same
+    // little-endian 64-bit digest reads as Md5Hash64.le64, the affine sweep
+    // (a + i*b) mod 2^60 is exact in HUGEINT, and candidate semantics are
+    // exact band-slice equality (the Spark side's murmur band_hash join is
+    // only a pruning superset, removed by the slice-equality filter), so the
+    // pair set and est_jaccard (count/32, a power of two — exact in double)
+    // hash-match bit-for-bit.
     QueryDef(
       "d_minhash_pairs",
       (s, d) => graft.ext.MinHashDedup.candidatePairs(
         Tables.documents(s, d), numHashes = 32, bands = 8),
-      None,
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id)
+        SELECT c.a, c.b,
+          CAST(len(list_filter(generate_series(1, 32),
+            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+        ORDER BY est_jaccard DESC, a, b"""),
       bench = true),
 
     // ---- I5 recall guarantee as an ORACLE row ------------------------------
@@ -224,7 +269,11 @@ object DedupQueries {
             / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
         ORDER BY a, b""")),
 
-    // ---- SimHash fingerprint (rows-only) -----------------------------------
+    // ---- SimHash fingerprint (HASH-EXACT oracle) ---------------------------
+    // md5 token-hash family (graft.functions.Md5SimHash64): per-token hash is
+    // DuckDB's md5_number_upper (= le64 of the first 8 digest bytes), ±1
+    // votes per bit, fingerprint sets bit b iff vote > 0. Bit 63 is emitted
+    // as Long.MinValue on both sides so the signed BIGINT renderings agree.
     QueryDef(
       "d_simhash",
       (s, d) => {
@@ -234,6 +283,19 @@ object DedupQueries {
           .select($"doc_id", $"simhash")
           .orderBy($"doc_id")
       },
-      None)
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents WHERE doc_id < 100),
+        votes AS (
+          SELECT doc_id, b.b AS b,
+            SUM(CASE WHEN (md5_number_upper(t) >> b.b) & 1 = 1
+                THEN 1 ELSE -1 END) AS v
+          FROM tok, (SELECT unnest(generate_series(0, 63)) AS b) b
+          GROUP BY doc_id, b.b)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << b)
+                   WHEN v > 0 AND b = 63 THEN -9223372036854775808
+                   ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

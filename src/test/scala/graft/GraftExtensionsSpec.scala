@@ -3,7 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The extension-registered functions work from plain SQL. */
+/** The extension-registered functions work from a session built ONLY with
+  * `withExtensions(new graft.plans.GraftExtensions)` — the deployment shape
+  * a library user gets via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (distinct from plans.GraftExtensionsSpec, which exercises the shared
+  * test session).
+  */
 class GraftExtensionsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
@@ -18,7 +23,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -36,11 +41,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0).length == 8)
   }
 
-  test("simhash64 from SQL matches the Column API") {
+  test("simhash64 from SQL matches the Column API (xx family)") {
     val viaSql = spark.sql(
       "SELECT simhash64(split('hello world spark', ' ')) AS h").head().getLong(0)
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    val viaCol = Seq("hello world spark").toDF("text")
+      .select(graft.ext.SimHash.simhashXx($"text")).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("md5_simhash64 from SQL matches the product path") {
+    val viaSql = spark.sql(
+      "SELECT md5_simhash64(split('hello world spark', ' ')) AS h").head().getLong(0)
+    import spark.implicits._
     val viaCol = Seq("hello world spark").toDF("text")
       .select(graft.ext.SimHash.simhash($"text")).head().getLong(0)
     assert(viaSql == viaCol)

@@ -35,15 +35,18 @@ class ExtSpec extends AnyFunSuite {
     assert(sig1 == sig2 && sig1.length == 16)
   }
 
-  test("native MinHash signature is bit-identical to the HOF fold") {
+  test("native MinHash signatures are bit-identical to their HOF folds (both families)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 50)
     val sh = MinHashDedup.shingles(col("text"))
     val both = docs.select(
-      MinHashDedup.signature(sh, 32).as("native"),
-      MinHashDedup.signatureHof(sh, 32).as("hof")).collect()
+      MinHashDedup.signatureXx(sh, 32).as("native_xx"),
+      MinHashDedup.signatureHof(sh, 32).as("hof_xx"),
+      MinHashDedup.signature(sh, 32).as("native_md5"),
+      MinHashDedup.signatureHofMd5(sh, 32).as("hof_md5")).collect()
     both.foreach { r =>
-      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "xx family")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "md5 family")
     }
   }
 
@@ -60,18 +63,25 @@ class ExtSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(1L)) <= 16)
   }
 
-  test("native SimHash64 is bit-identical to the HOF fold") {
+  test("native SimHash64s are bit-identical to their HOF folds (both families)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 50)
-    docs.select(SimHash.simhash(col("text")).as("native"),
-      SimHash.simhashHof(col("text")).as("hof"))
-      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    docs.select(SimHash.simhashXx(col("text")).as("native_xx"),
+      SimHash.simhashHof(col("text")).as("hof_xx"),
+      SimHash.simhash(col("text")).as("native_md5"),
+      SimHash.simhashHofMd5(col("text")).as("hof_md5"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), "xx family")
+        assert(r.getLong(2) == r.getLong(3), "md5 family")
+      }
   }
 
   test("SimHash nearDupPairs returns banded close pairs") {
     val unit = "alpha beta gamma delta epsilon zeta eta theta "
     val base = unit * 10
-    val near = unit * 9 + unit.replace("zeta", "zzz") // one occurrence changed
+    // one occurrence changed → hamming 3 under the md5 family, inside the
+    // 4×16 pigeonhole guarantee (≤3 flipped bits always leave a clean band)
+    val near = unit * 9 + unit.replace("zeta", "rho")
     val df = Seq((0L, base.trim), (1L, near.trim),
       (2L, ("other thing entirely unrelated words " * 10).trim)).toDF("doc_id", "text")
     val pairs = SimHash.nearDupPairs(df, maxHamming = 16)

@@ -40,6 +40,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(fp == fpCol)
   }
 
+  test("SQL md5-family functions agree with the product dedup path") {
+    import graft.ext.{MinHashDedup, SimHash}
+    // md5_minhash_signature == the signatures candidatePairs banded on
+    val doc = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val viaSql = doc.createOrReplaceTempView("mh_doc")
+    val sqlSig = spark.sql(
+      """SELECT md5_minhash_signature(array_distinct(transform(
+           sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+           i -> concat_ws(' ', element_at(split(text, ' '), i),
+                element_at(split(text, ' '), i + 1),
+                element_at(split(text, ' '), i + 2)))), 8) AS s
+         FROM mh_doc""").head().getSeq[Long](0)
+    val prodSig = doc.select(
+      MinHashDedup.signature(MinHashDedup.shingles($"text"), 8))
+      .head().getSeq[Long](0)
+    assert(sqlSig == prodSig)
+
+    // md5_simhash64 == the fingerprint withSimHash emits
+    val sqlFp = spark.sql(
+      "SELECT md5_simhash64(split(text, ' ')) AS f FROM mh_doc")
+      .head().getLong(0)
+    val prodFp = doc.select(SimHash.simhash($"text")).head().getLong(0)
+    assert(sqlFp == prodFp)
+
+    // md5_le64 == DuckDB md5_number_upper (pinned value for 'abc':
+    // 12704604231530709392 as UBIGINT = -5742139842178842224 signed)
+    val le = spark.sql("SELECT md5_le64('abc') AS h").head().getLong(0)
+    assert(le == java.lang.Long.parseUnsignedLong("12704604231530709392"))
+  }
+
   // parquet-backed input: a literal LocalRelation would constant-fold the
   // whole projection away before the rewrite could be observed
   private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
