@@ -145,6 +145,12 @@ object Relational {
     // SF-proportional so it broadcasts by THRESHOLD (auto at test SFs,
     // graceful shuffle-join degradation at 100 TB); orders⋈lineitem is the
     // one genuine shuffle join (both sides large at scale). AQE picks SMJ/SHJ.
+    // r7's +12% (0.877s) did not reproduce in r8 (0.654s median-of-5 —
+    // machine noise). Join-order audit (BenchTune a6): partial-aggregating
+    // revenue by l_orderkey BELOW the join (bit-identical — decimal sums are
+    // exact) measures a wash at sf0.1 (1.07 vs 1.11s medians) because the
+    // groupBy uses the same orderkey shuffle the join needs; it only pays
+    // off when lineitem rows are wide, so the simple formulation stays.
     QueryDef(
       "a6_revenue_by_nation",
       (s, d) => {

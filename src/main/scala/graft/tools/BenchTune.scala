@@ -160,9 +160,59 @@ object BenchTune {
     spark.stop()
   }
 
+  /** A/B the a6_revenue_by_nation join order: current (join all, aggregate
+    * once at the end) vs partial-aggregating lineitem revenue by l_orderkey
+    * BELOW the orders join (decimal sums are exact, so two-level summing is
+    * bit-identical). The pre-agg shuffles one (orderkey, decimal, long) row
+    * per order instead of one wide row per lineitem through the join.
+    */
+  def a6Shootout(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("a6-shootout", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def rev = ($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,6)")
+    def current = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(graft.Tables.nation(spark, sfDir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+    def preAgg = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum(rev).as("o_rev"), count(lit(1)).as("o_items"))
+      .join(graft.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(graft.Tables.nation(spark, sfDir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"o_rev").cast("double").as("revenue"),
+        sum($"o_items").as("n_items"))
+      .orderBy($"n_name")
+    // results must be identical before timings mean anything
+    val a = current.collect().toSeq
+    val b = preAgg.collect().toSeq
+    println(s"[a6] results identical = ${a == b}")
+    def med(tag: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to 5).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime(); f.collect(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[a6] $tag%-8s median=${times(2)}%.3f min=${times.head}%.3f")
+    }
+    med("current", current)
+    med("preagg", preAgg)
+    med("current", current)
+    med("preagg", preAgg)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
+    if (args.headOption.contains("a6")) { a6Shootout(sfDir); return }
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
     if (args.headOption.contains("etl")) {
