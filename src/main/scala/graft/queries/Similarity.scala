@@ -65,6 +65,24 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(next()))
   }
 
+  /** md5-derived hyperplanes — the ORACLE-RECOMPUTABLE family (the PRODUCT
+    * planes of lshCandidatePairs): component (i, j) is
+    * `(md5_number_upper('gr_lsh_i_j') >> 11) / 2^53 - 0.5`, every step exact
+    * in doubles (53-bit integer, power-of-two divide), so DuckDB regenerates
+    * the planes bit-for-bit and the x4_ann_lsh_pairs oracle re-derives the
+    * whole candidate set. Sign decisions are robust: dots are sequential
+    * folds on both engines (bit-identical — verified over every (vec, plane)
+    * pair at sf0.01, min |dot| ≈ 1.8e-5, ~8 orders above double rounding).
+    */
+  def md5Hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { i =>
+      Array.tabulate(dim) { j =>
+        val u = graft.functions.Md5Hash64.hashUpper(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"gr_lsh_${i}_${j}"))
+        (u >>> 11).toDouble / 9007199254740992.0 - 0.5
+      }
+    }
+
   /** Multi-table (banded) random-hyperplane LSH candidate pairs, scored by
     * exact cosine: `nBands` independent signatures of `bandBits` sign bits
     * each; a pair is a candidate iff it collides in ANY band. Per-pair
@@ -77,8 +95,8 @@ object Similarity {
     * join. Input: (vec_id, ev: array<double>) with vectors of length `dim`.
     */
   def lshCandidatePairs(e: DataFrame, dim: Int, nBands: Int = 8,
-      bandBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nBands * bandBits, dim, seed)
+      bandBits: Int = 8): DataFrame = {
+    val planes = md5Hyperplanes(nBands * bandBits, dim)
     val bandSigs = (0 until nBands).map { bandIdx =>
       struct(lit(bandIdx).as("band_idx"),
         lshSignature(col("ev"),
@@ -189,15 +207,17 @@ object Similarity {
         WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
         WHERE rn <= 3 ORDER BY qid, rn""")),
 
-    // ---- X4 scale path: LSH-bucketed candidate pairs (rows-only check) -----
+    // ---- X4 scale path: LSH-bucketed candidate pairs (HASH-EXACT oracle) ---
     // Multi-table random-hyperplane LSH: 64 planes as 8 bands x 8 sign bits;
     // a pair is a candidate if it collides in ANY band, then exact cosine
     // scores it. One table of 16 exact-match bits had ~zero recall on
     // moderate-cosine pairs (P = (1-th/pi)^16) — banding lifts recall the
     // same way MinHashDedup's bands do, and the join stays equi on
     // (band_idx, band_sig): bucket-colliding pairs shuffle, never all pairs.
-    // Deterministic: fixed-seed hyperplanes. ApproxRecallSpec pins both the
-    // exactness of emitted cosines and a recall floor vs emb_neardup_pairs.
+    // Hyperplanes are md5-derived (md5Hyperplanes scaladoc), so the oracle
+    // regenerates them and re-derives the candidate set from first
+    // principles; ApproxRecallSpec additionally pins the recall floor vs
+    // emb_neardup_pairs.
     QueryDef(
       "x4_ann_lsh_pairs",
       (s, d) => {
@@ -206,7 +226,29 @@ object Similarity {
           .orderBy($"cos".desc, $"a", $"b")
           .limit(100)
       },
-      None),
+      Some("""WITH planes AS (
+          SELECT i.i AS i, list_transform(generate_series(0, 63),
+            j -> (md5_number_upper('gr_lsh_' || i.i || '_' || j) >> 11)::DOUBLE
+                 / 9007199254740992.0 - 0.5) AS p
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) i),
+        sigs AS (
+          SELECT vec_id, i // 8 AS band_idx,
+            SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                  k -> (embedding::DOUBLE[])[k] * p[k])) >= 0
+                THEN (1::BIGINT << (i % 8)) ELSE 0 END) AS band_sig
+          FROM embeddings, planes
+          GROUP BY vec_id, i // 8),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM sigs x JOIN sigs y
+            ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+          WHERE x.vec_id < y.vec_id)
+        SELECT c.a, c.b,
+          round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a
+        JOIN embeddings eb ON eb.vec_id = c.b
+        ORDER BY cos DESC, a, b LIMIT 100""")),
 
     // ---- X4 scale path 2: IVF partition-pruned ANN (rows-only) -------------
     QueryDef(
