@@ -116,19 +116,28 @@ object IvfAnn {
   }
 
   /** Build the index over (vec_id, ev: array<double>) rows. Seeds = the top
-    * `nCentroids` vectors in `xxhash64(vec_id)` order — a deterministic
-    * pseudo-random sample taken as ONE distributed TakeOrdered pass
-    * (per-partition top-k, then merge): exactly min(n, nCentroids) seed
-    * rows reach the driver, never the full id column, with no count()
-    * pre-scan and no undershoot. `lloydIters` refinement passes follow
-    * (each is one narrow scan + one k×dim-bounded aggregate), so total
-    * data passes = lloydIters + 1 beyond seeding.
+    * `nCentroids` vectors in md5-hash order (`md5_le64(vec_id) >>> 4`, the
+    * 60-bit positive value DuckDB reproduces as
+    * `md5_number_upper(vec_id::VARCHAR) >> 4` — signed/unsigned orderings
+    * agree because both are non-negative) — a deterministic pseudo-random
+    * sample taken as ONE distributed TakeOrdered pass (per-partition top-k,
+    * then merge): exactly min(n, nCentroids) seed rows reach the driver,
+    * never the full id column, with no count() pre-scan and no undershoot.
+    * The oracle-recomputable hash family means a `lloydIters = 0` index is
+    * derivable end-to-end in SQL (the x4_ann_ivf gate row); Lloyd
+    * refinement itself is float-averaging and NOT cross-engine bit-stable,
+    * so refined indexes are anchored via the full-probe == brute-force
+    * oracle row (x4_ann_ivf_join) instead. `lloydIters` refinement passes
+    * follow (each is one narrow scan + one k×dim-bounded aggregate), so
+    * total data passes = lloydIters + 1 beyond seeding.
     */
   def build(emb: DataFrame, nCentroids: Int, lloydIters: Int = 1): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
     val seeds = emb.select($"vec_id", $"ev")
-      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .orderBy(shiftrightunsigned(
+        graft.functions.Md5Hash64.md5_le64($"vec_id".cast("string")), 4),
+        $"vec_id")
       .limit(nCentroids).collect()
     var cents: Array[Array[Double]] =
       seeds.map(r => r.getSeq[Double](r.fieldIndex("ev")).toArray)

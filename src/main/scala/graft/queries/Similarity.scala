@@ -250,17 +250,59 @@ object Similarity {
         JOIN embeddings eb ON eb.vec_id = c.b
         ORDER BY cos DESC, a, b LIMIT 100""")),
 
-    // ---- X4 scale path 2: IVF partition-pruned ANN (rows-only) -------------
+    // ---- X4 scale path 2: IVF partition-pruned ANN (HASH-EXACT oracle) -----
+    // lloydIters = 0 makes the whole pruned-probe path SQL-derivable: seeds
+    // are the md5-ordered sample (IvfAnn.build scaladoc), assignment is
+    // argmax cosine against the seed codebook (sequential-fold dots are
+    // bit-identical across engines — see md5Hyperplanes), probe selection
+    // ranks the same cosines, and the final scan is exact cosine in the
+    // probed clusters. Lloyd-refined indexes (float averaging, not
+    // cross-engine bit-stable) stay anchored by x4_ann_ivf_join's
+    // full-probe == brute-force oracle row.
     QueryDef(
       "x4_ann_ivf",
       (s, d) => {
         import s.implicits._
         val e = emb(s, d)
-        val index = graft.ext.IvfAnn.build(e, nCentroids = 8)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
         val qv = e.filter($"vec_id" === 0).head().getSeq[Double](2)
         graft.ext.IvfAnn.search(index, qv, nProbe = 3, k = 10)
       },
-      None),
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        probes AS (
+          SELECT s.cluster FROM seeds s, q
+          ORDER BY
+            list_sum(list_transform(generate_series(1, len(qv)),
+              k -> qv[k] * cv[k]))
+            / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+               * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+            s.cluster
+          LIMIT 3)
+        SELECT e.vec_id AS vec_id,
+          round(list_sum(list_transform(generate_series(1, len(ev)),
+              k -> ev[k] * qv[k]))
+            / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+               * sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos
+        FROM e JOIN assign a ON a.vec_id = e.vec_id, q
+        WHERE a.cluster IN (SELECT cluster FROM probes)
+        ORDER BY cos DESC, e.vec_id LIMIT 10""")),
 
     // ---- Embedding int8 quantization (oracle-checked + fidelity bound) -----
     // Storage/ANN compression for 100 TB-scale vector corpora: per-vector

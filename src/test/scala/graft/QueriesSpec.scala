@@ -17,12 +17,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs))
     val rowsOnly = qs -- oracles
     // a8 moved to a bounded-pass oracle (within_bounds flag) in r6;
-    // d_minhash_pairs/d_simhash/x4_ann_lsh_pairs flipped to hash-exact in
-    // r8 (md5 hash family / md5-derived hyperplanes); m_media_meta_real
-    // oracles the real-codec half of the media surface. The remaining two
-    // are genuinely non-SQL-derivable (stub codecs, k-means seed), each
-    // anchored by a companion oracle row or spec.
-    assert(rowsOnly == Set("x4_ann_ivf", "m_media_meta"))
+    // d_minhash_pairs/d_simhash/x4_ann_lsh_pairs/x4_ann_ivf flipped to
+    // hash-exact in r8 (md5 hash family: signatures, fingerprints,
+    // hyperplanes, IVF seed ordering); m_media_meta_real oracles the
+    // real-codec half of the media surface. m_media_meta is the ONE
+    // remaining rows-only row — jpeg/mp4 decode is stubbed (no codec libs
+    // in the build environment), so its metadata is not SQL-derivable.
+    assert(rowsOnly == Set("m_media_meta"))
   }
 
   test("flagship entry returns rows") {
