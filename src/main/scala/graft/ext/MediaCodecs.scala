@@ -396,4 +396,161 @@ object MediaCodecs {
         (r, g, b)
       })
     }
+
+  // ---- JPEG (JFIF marker scan — metadata only) ----------------------------
+
+  /** JPEG frame metadata recovered from the SOF marker. Full entropy decode
+    * needs a codec library this container lacks; dimensions/components are
+    * plain header fields every spec-conforming JFIF stream carries, so
+    * METADATA extraction is real (works on any actual JPEG file). */
+  final case class JpegInfo(width: Int, height: Int, nComponents: Int)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Scan JFIF markers to the first SOFn (C0-CF except the non-frame C4
+    * DHT / C8 JPG / CC DAC) and read its precision/height/width/components
+    * fields. None on wrong magic, truncation, or SOS/EOI before any SOF.
+    */
+  def parseJpegMeta(b: Array[Byte]): Option[JpegInfo] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None // not SOI
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // marker desync
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) { i += 1 } // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before SOF
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn payload: precision u8, height u16, width u16, nComponents u8
+          if (len < 8) return None
+          return Some(JpegInfo(be16(b, i + 7), be16(b, i + 5), b(i + 9) & 0xff))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** A structurally valid JFIF header stream (SOI + APP0 + SOF0 + EOI) with
+    * the given frame dimensions and 3 components — the synthesis fixture for
+    * [[parseJpegMeta]] round-trip gates. Scan data is deliberately absent
+    * (entropy coding needs a codec lib); the parser never reads past SOF.
+    * Size is closed-form: 2 + 18 + 19 + 2 = 41 bytes, which the oracle
+    * recomputes.
+    */
+  def writeJpegShell(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(41)
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, Array[Byte]( // APP0: JFIF 1.01, no thumbnail
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val sof = new Array[Byte](15) // precision + dims + 3 component specs
+    sof(0) = 8
+    sof(1) = ((h >> 8) & 0xff).toByte; sof(2) = (h & 0xff).toByte
+    sof(3) = ((w >> 8) & 0xff).toByte; sof(4) = (w & 0xff).toByte
+    sof(5) = 3
+    var c = 0
+    while (c < 3) { // id, sampling 1x1, quant table 0
+      sof(6 + c * 3) = (c + 1).toByte; sof(7 + c * 3) = 0x11; sof(8 + c * 3) = 0
+      c += 1
+    }
+    marker(0xc0, sof)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- MP4 (ISO BMFF box walk — metadata only) ----------------------------
+
+  /** MP4 presentation metadata from the moov box: movie timescale/duration
+    * (mvhd) and track display dimensions (tkhd, 16.16 fixed point). Sample
+    * decode needs codec libraries; the box structure is plain length-tagged
+    * bytes, so METADATA extraction is real for any actual MP4 file. */
+  final case class Mp4Info(
+      width: Int, height: Int, timescale: Int, durationTicks: Long)
+
+  private def be32u(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Walk `[size u32][type 4cc]` boxes in `[from, to)` returning the body
+    * span of the first box named `name`. Size 1 (64-bit largesize) and
+    * size 0 (to-end) are rejected — corrupt or streaming shapes. */
+  private def findBox(b: Array[Byte], from: Int, to: Int, name: String)
+      : Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= to) {
+      val size = be32u(b, i)
+      if (size < 8 || i + size > to) return None
+      if (tag(b, i + 4, name)) return Some((i + 8, i + size.toInt))
+      i += size.toInt
+    }
+    None
+  }
+
+  /** Parse ftyp+moov metadata: mvhd v0 gives timescale/duration, the first
+    * trak's tkhd v0 gives display width/height (integer part of 16.16).
+    * None on missing magic or malformed/truncated boxes.
+    */
+  def parseMp4Meta(b: Array[Byte]): Option[Mp4Info] = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+    for {
+      (moovFrom, moovTo) <- findBox(b, 0, b.length, "moov")
+      (mvhdFrom, mvhdTo) <- findBox(b, moovFrom, moovTo, "mvhd")
+      if mvhdTo - mvhdFrom >= 24 && b(mvhdFrom) == 0 // version 0 only
+      (trakFrom, trakTo) <- findBox(b, moovFrom, moovTo, "trak")
+      (tkhdFrom, tkhdTo) <- findBox(b, trakFrom, trakTo, "tkhd")
+      if tkhdTo - tkhdFrom >= 84 && b(tkhdFrom) == 0
+    } yield Mp4Info(
+      width = (be32u(b, tkhdTo - 8) >> 16).toInt, // 16.16 fixed
+      height = (be32u(b, tkhdTo - 4) >> 16).toInt,
+      timescale = be32u(b, mvhdFrom + 12).toInt,
+      durationTicks = be32u(b, mvhdFrom + 16))
+  }
+
+  /** A minimal valid ISO-BMFF stream (ftyp + moov[mvhd + trak[tkhd]]) — the
+    * synthesis fixture for [[parseMp4Meta]] round-trip gates; no mdat
+    * (sample data needs codecs; the parser reads only moov). Size is
+    * closed-form: ftyp 20 + moov(8 + mvhd 108 + trak(8 + tkhd 92)) = 236
+    * bytes, which the oracle recomputes.
+    */
+  def writeMp4Shell(w: Int, h: Int, timescale: Int, durationTicks: Long)
+      : Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ name.getBytes ++ body
+    val mvhd = box("mvhd",
+      new Array[Byte](12) ++ // version+flags, ctime, mtime
+        be32(timescale) ++ be32(durationTicks) ++
+        be32(0x00010000L) ++ // rate 1.0
+        new Array[Byte](2 + 2 + 8) ++ // volume, reserved, reserved[2]
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000L)) ++ // identity matrix
+        new Array[Byte](24) ++ // pre_defined[6]
+        be32(2)) // next_track_ID
+    val tkhd = box("tkhd",
+      new Array[Byte](12) ++ // version+flags, ctime, mtime
+        be32(1) ++ // track_ID
+        new Array[Byte](4) ++ // reserved
+        be32(durationTicks) ++
+        new Array[Byte](8 + 2 + 2 + 2 + 2) ++ // reserved[2], layer, group, volume, reserved
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000L)) ++ // identity matrix
+        be32(w.toLong << 16) ++ be32(h.toLong << 16)) // 16.16 fixed
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
 }

@@ -56,8 +56,12 @@ object Multimodal {
     bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
 
   /** Decode/feature-extract each media row — per-partition, codec init
-    * amortized (the `mapInPandas` batch shape). Real codecs for wav/bmp
-    * payloads (MediaCodecs); stub for everything else.
+    * amortized (the `mapInPandas` batch shape). Real codecs for wav/bmp/png
+    * payloads and real HEADER parsing for jpeg/mp4 (MediaCodecs — SOF
+    * marker scan / ISO-BMFF box walk; only pixel/sample DECODE of the
+    * compressed formats needs the libraries this container lacks); stub
+    * for unknown kinds. mp4's `sample_rate` slot carries the mvhd
+    * timescale (ticks per second — the container's rate field).
     */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
@@ -71,6 +75,10 @@ object Multimodal {
             .map(i => (i.width, i.height, 0))
           case "png" => MediaCodecs.parsePng(r.bytes)
             .map(i => (i.width, i.height, 0))
+          case "jpeg" => MediaCodecs.parseJpegMeta(r.bytes)
+            .map(i => (i.width, i.height, 0))
+          case "mp4" => MediaCodecs.parseMp4Meta(r.bytes)
+            .map(i => (i.width, i.height, i.timescale))
           case _ => None
         }).getOrElse(decodeStub(r.bytes))
         MediaMeta(r.media_id, r.kind, r.bytes.length, w, h, sr, checksum(r.bytes))

@@ -149,19 +149,66 @@ object Text {
         FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
 
     // ---- Multimodal plumbing: binary column -> extracted metadata ----------
-    // (rows-only: the codec is stubbed — graft.ext.Multimodal — but the
-    // schema/partitioning/batch shape is the real media pipeline)
+    // HASH-EXACT since r8. Three arms through extractMeta's dispatch:
+    // jpeg/mp4 payloads are synthesized shells with id-derived parameters
+    // and REAL header parsing recovers them (JFIF SOF marker scan / ISO-BMFF
+    // box walk — MediaCodecs; dims and closed-form shell sizes re-derive in
+    // SQL), and 'blob' rows exercise the unknown-kind stub whose formula
+    // (be32 windows of the UTF-8 bytes, mod-reduced) the oracle recomputes
+    // from ascii() — documents are pure ASCII, so byte k == char k.
+    // Checksum is dropped from the projection (a mod-2^64 byte fold has no
+    // DuckDB twin); determinism of the full MediaMeta row is spec-pinned in
+    // ExtSpec instead.
     QueryDef(
       "m_media_meta",
       (s, d) => {
         import s.implicits._
         val media = Tables.documents(s, d).filter($"doc_id" < 100)
-          .select($"doc_id".as("media_id"), lit("text").as("kind"),
-            $"text".cast("binary").as("bytes"))
-          .as[graft.ext.Multimodal.MediaRow]
-        graft.ext.Multimodal.extractMeta(media).toDF().orderBy($"media_id")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            (id % 3) match {
+              case 0 => graft.ext.Multimodal.MediaRow(id, "jpeg",
+                graft.ext.MediaCodecs.writeJpegShell(
+                  (16 + id % 1000).toInt, (9 + id % 600).toInt))
+              case 1 => graft.ext.Multimodal.MediaRow(id, "mp4",
+                graft.ext.MediaCodecs.writeMp4Shell(
+                  (160 + 16 * (id % 100)).toInt, (90 + 16 * (id % 50)).toInt,
+                  (600 + (id % 10) * 100).toInt, id * 37 + 1000))
+              case _ => graft.ext.Multimodal.MediaRow(id, "blob",
+                text.getBytes("UTF-8"))
+            }
+          }
+        graft.ext.Multimodal.extractMeta(media).toDF()
+          .select($"media_id", $"kind", $"n_bytes",
+            $"width", $"height", $"sample_rate")
+          .orderBy($"media_id")
       },
-      None),
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp4'
+               ELSE 'blob' END AS kind,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 41 WHEN 1 THEN 236
+               ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes,
+          CAST(CASE doc_id % 3
+               WHEN 0 THEN 16 + doc_id % 1000
+               WHEN 1 THEN 160 + 16 * (doc_id % 100)
+               ELSE (ascii(substr(text, 3, 1)) % 32) * 256
+                    + ascii(substr(text, 4, 1))
+               END AS INTEGER) AS width,
+          CAST(CASE doc_id % 3
+               WHEN 0 THEN 9 + doc_id % 600
+               WHEN 1 THEN 90 + 16 * (doc_id % 50)
+               ELSE (ascii(substr(text, 7, 1)) % 32) * 256
+                    + ascii(substr(text, 8, 1))
+               END AS INTEGER) AS height,
+          CAST(CASE doc_id % 3
+               WHEN 0 THEN 0
+               WHEN 1 THEN 600 + (doc_id % 10) * 100
+               ELSE (ascii(substr(text, 9, 1)) * 16777216
+                     + ascii(substr(text, 10, 1)) * 65536
+                     + ascii(substr(text, 11, 1)) * 256
+                     + ascii(substr(text, 12, 1))) % 192000
+               END AS INTEGER) AS sample_rate
+        FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
     // ---- Multimodal metadata through the REAL codecs (oracle-checked) ------
     // Synthesize wav/bmp/png payloads from id-derived parameters, decode

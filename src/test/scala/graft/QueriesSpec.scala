@@ -16,14 +16,13 @@ class QueriesSpec extends AnyFunSuite {
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs))
     val rowsOnly = qs -- oracles
-    // a8 moved to a bounded-pass oracle (within_bounds flag) in r6;
-    // d_minhash_pairs/d_simhash/x4_ann_lsh_pairs/x4_ann_ivf flipped to
-    // hash-exact in r8 (md5 hash family: signatures, fingerprints,
-    // hyperplanes, IVF seed ordering); m_media_meta_real oracles the
-    // real-codec half of the media surface. m_media_meta is the ONE
-    // remaining rows-only row — jpeg/mp4 decode is stubbed (no codec libs
-    // in the build environment), so its metadata is not SQL-derivable.
-    assert(rowsOnly == Set("m_media_meta"))
+    // EVERY query is oracle-checked as of r8: the md5 hash family made
+    // signatures/fingerprints/hyperplanes/IVF-seeding SQL-derivable, and
+    // m_media_meta's jpeg/mp4 arms became real header parsers (JFIF SOF /
+    // ISO-BMFF boxes) whose id-derived round-trips the oracle recomputes,
+    // with the unknown-kind stub formula derived via ascii() over the
+    // ASCII corpus.
+    assert(rowsOnly == Set.empty[String])
   }
 
   test("flagship entry returns rows") {

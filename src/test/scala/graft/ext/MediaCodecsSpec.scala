@@ -184,4 +184,59 @@ class MediaCodecsSpec extends AnyFunSuite {
     val ifeats = Multimodal.imageFeatures(imgs.toDS()).collect()
     assert(ifeats.length == 1 && ifeats.head.getInt(1) == 6)
   }
+
+  test("JPEG shell round-trip: SOF scan recovers dims; shell size closed-form") {
+    val b = MediaCodecs.writeJpegShell(1023, 511)
+    assert(b.length == 41) // the oracle's closed-form constant
+    val i = MediaCodecs.parseJpegMeta(b).get
+    assert(i.width == 1023 && i.height == 511 && i.nComponents == 3)
+    // SOF after padding/unknown APPn segments still found (real-file shape)
+    val appn = Array[Byte](0xff.toByte, 0xe1.toByte, 0, 6, 1, 2, 3, 4)
+    val padded = b.slice(0, 2) ++ appn ++ b.drop(2)
+    assert(MediaCodecs.parseJpegMeta(padded).get.width == 1023)
+  }
+
+  test("JPEG parser rejects non-JPEG, truncation, and SOS-before-SOF") {
+    assert(MediaCodecs.parseJpegMeta(Array.fill[Byte](20)(3)).isEmpty)
+    assert(MediaCodecs.parseJpegMeta(Array.emptyByteArray).isEmpty)
+    val b = MediaCodecs.writeJpegShell(100, 100)
+    assert(MediaCodecs.parseJpegMeta(b.slice(0, 10)).isEmpty) // cut mid-APP0
+    // SOS marker before any SOF → no frame header to report
+    val sos = Array[Byte](0xff.toByte, 0xda.toByte, 0, 2)
+    assert(MediaCodecs.parseJpegMeta(b.slice(0, 2) ++ sos).isEmpty)
+    // a segment whose declared length walks past the end must not loop
+    val evil = b.clone()
+    evil(4) = 0x7f; evil(5) = -1 // APP0 len = 32767 > payload
+    assert(MediaCodecs.parseJpegMeta(evil).isEmpty)
+  }
+
+  test("MP4 shell round-trip: box walk recovers dims/timescale/duration") {
+    val b = MediaCodecs.writeMp4Shell(1920, 1080, 90000, 123456789L)
+    assert(b.length == 236) // the oracle's closed-form constant
+    val i = MediaCodecs.parseMp4Meta(b).get
+    assert(i.width == 1920 && i.height == 1080)
+    assert(i.timescale == 90000 && i.durationTicks == 123456789L)
+  }
+
+  test("MP4 parser rejects non-BMFF and malformed box sizes") {
+    assert(MediaCodecs.parseMp4Meta(Array.fill[Byte](50)(9)).isEmpty)
+    assert(MediaCodecs.parseMp4Meta(Array.emptyByteArray).isEmpty)
+    val b = MediaCodecs.writeMp4Shell(64, 64, 1000, 10L)
+    assert(MediaCodecs.parseMp4Meta(b.slice(0, 30)).isEmpty) // moov truncated
+    // box size 0 ("to end of file") and size < 8 are rejected, not looped on
+    val evil = b.clone()
+    evil(20) = 0; evil(21) = 0; evil(22) = 0; evil(23) = 0 // moov size = 0
+    assert(MediaCodecs.parseMp4Meta(evil).isEmpty)
+  }
+
+  test("extractMeta dispatches jpeg/mp4 through the real header parsers") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "jpeg", MediaCodecs.writeJpegShell(320, 200)),
+      Multimodal.MediaRow(2L, "mp4", MediaCodecs.writeMp4Shell(640, 480, 600, 6000L)))
+    val meta = Multimodal.extractMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).width == 320 && meta(1L).height == 200 && meta(1L).sample_rate == 0)
+    assert(meta(2L).width == 640 && meta(2L).height == 480 && meta(2L).sample_rate == 600)
+  }
 }
