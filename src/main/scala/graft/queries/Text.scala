@@ -133,6 +133,60 @@ object Text {
           FROM documents ORDER BY doc_id"""
       }),
 
+    // ---- Winnowing fingerprints (rolling-window k-gram selection) ----------
+    // The standard local document-fingerprinting algorithm (Schleimer,
+    // Wilkerson, Aiken, SIGMOD'03 "Winnowing: Local Algorithms for Document
+    // Fingerprinting"): hash every positional 3-gram (NOT distinct — window
+    // positions matter), then keep the minimum hash of each w=4 window of
+    // consecutive grams; the distinct selected hashes are the document's
+    // fingerprint set. Guarantees any shared run of >= w+k-1 tokens between
+    // two documents shares a fingerprint — the detection primitive for
+    // plagiarism/boilerplate mining at corpus scale. All narrow per-row
+    // HOFs; the gram hashes are the md5 60-bit family, so the oracle
+    // re-derives every fingerprint. Shorter-than-window docs contribute
+    // their single overall minimum (slice clamps on both engines;
+    // greatest(..., 1) avoids Spark's DESCENDING sequence(1, 0)).
+    // The `h` projection is a separate select so the window lambda reads a
+    // bound attribute, not the inlined md5 subtree (interpreted-HOF
+    // re-evaluation trap).
+    QueryDef(
+      "x_winnow_fingerprints",
+      (s, d) => {
+        import s.implicits._
+        val w = 4
+        val grams = Tables.documents(s, d)
+          .withColumn("toks", split($"text", " "))
+          .filter($"doc_id" < 150 && size($"toks") >= 3)
+          .select($"doc_id", transform(
+            sequence(lit(1), greatest(size($"toks") - 2, lit(1))),
+            i => concat_ws(" ", element_at($"toks", i),
+              element_at($"toks", i + 1), element_at($"toks", i + 2))).as("g"))
+        val hashes = grams.select($"doc_id",
+          transform($"g", x =>
+            shiftrightunsigned(graft.functions.Md5Hash64.md5_le64(x), 4)).as("h"))
+        hashes
+          .select($"doc_id", explode(array_sort(array_distinct(
+            transform(sequence(lit(1), greatest(size($"h") - w + 1, lit(1))),
+              j => array_min(slice($"h", j, lit(w))))))).as("fp"))
+          .orderBy($"doc_id", $"fp")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE doc_id < 150 AND len(string_split(text, ' ')) >= 3),
+        grams AS (
+          SELECT doc_id, list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS g
+          FROM toks),
+        hs AS (
+          SELECT doc_id, list_transform(g,
+            x -> CAST(md5_number_upper(x) >> 4 AS BIGINT)) AS h
+          FROM grams)
+        SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
+            generate_series(1, greatest(len(h) - 4 + 1, 1)),
+            j -> list_aggregate(h[j:j+3], 'min'))))) AS fp
+        FROM hs ORDER BY doc_id, fp""")),
+
     // ---- Document fingerprinting: md5 of whitespace-normalized content -----
     QueryDef(
       "x_fingerprint",

@@ -59,4 +59,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.nonEmpty)
   }
+
+  test("winnowing: near-dup docs share fingerprints, unrelated docs share none") {
+    // (0, 82) is a planted near-dup pair at sf0.001 (MinHash est_jaccard 1.0)
+    val fps = SparkEntry.queries("x_winnow_fingerprints")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((fps(0L) & fps(82L)).nonEmpty,
+      "near-dup pair must share at least one winnowed fingerprint")
+    // density: winnowing selects ~2/(w+1) of positions; never more than grams
+    assert(fps.values.forall(s => s.nonEmpty && s.size < 200))
+    // discriminative: the median pairwise overlap over a sample is far below
+    // the near-dup overlap (sanity that fingerprints aren't all-shared)
+    val sample = fps.toSeq.sortBy(_._1).take(20)
+    val overlaps = for (Seq((a, sa), (b, sb)) <- sample.combinations(2).toSeq)
+      yield (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+    assert(overlaps.count(_ == 0.0) > overlaps.length / 2,
+      "most unrelated pairs should share zero fingerprints")
+  }
 }
