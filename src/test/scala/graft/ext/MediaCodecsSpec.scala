@@ -229,6 +229,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseMp4Meta(evil).isEmpty)
   }
 
+  test("jpeg/mp4 parsers survive seeded byte fuzz: no throw, no hang") {
+    // executor-side parsers see arbitrary bytes; None is fine, an exception
+    // or an unbounded marker/box walk is not. Seeded loop (scalacheck is
+    // not in the offline cache): random garbage + bit-flipped valid shells.
+    val rnd = new scala.util.Random(4242)
+    (1 to 300).foreach { _ =>
+      val garbage = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
+      MediaCodecs.parseJpegMeta(garbage)
+      MediaCodecs.parseMp4Meta(garbage)
+    }
+    val jb = MediaCodecs.writeJpegShell(640, 480)
+    val mb = MediaCodecs.writeMp4Shell(640, 480, 1000, 500L)
+    (1 to 300).foreach { _ =>
+      val j = jb.clone(); j(rnd.nextInt(j.length)) = rnd.nextInt().toByte
+      val m = mb.clone(); m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      MediaCodecs.parseJpegMeta(j) // Option either way — must just return
+      MediaCodecs.parseMp4Meta(m)
+    }
+    // truncations at every length
+    (0 until jb.length).foreach(n => MediaCodecs.parseJpegMeta(jb.take(n)))
+    (0 until mb.length).foreach(n => MediaCodecs.parseMp4Meta(mb.take(n)))
+  }
+
   test("extractMeta dispatches jpeg/mp4 through the real header parsers") {
     import spark.implicits._
     val rows = Seq(
