@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.ext.MinHashDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental NEAR-duplicate suppression over a document stream — the
+  * streaming form of MinHash-LSH banding (the batch form is
+  * `MinHashDedup.candidatePairs`): a new document reaches the sink only if
+  * none of its signature bands exactly matches a band registered by a kept
+  * document in this or any earlier micro-batch.
+  *
+  * Same exactly-once skeleton as [[DedupStream]] (file-source checkpoint +
+  * `batch=<id>`-partitioned parquet store, anti-matched strictly below the
+  * current batch id, own partition overwritten), with two near-dup-specific
+  * choices, both deterministic:
+  *
+  *  - **First writer wins, greedily.** Within a batch, a document is
+  *    suppressed iff ANY of its band buckets contains a lexicographically
+  *    smaller path — even if that smaller doc is itself suppressed through
+  *    another band. Greedy bucket-winner suppression is the standard LSH
+  *    dedup compromise: slight over-suppression in collision chains, no
+  *    iterative clustering in the hot path (the transitive variant is the
+  *    batch `DedupClusters` op).
+  *  - **Only KEPT documents register bands.** Suppressed docs are
+  *    represented by their keeper; a later near-dup of a suppressed doc
+  *    that does not also collide with the keeper is kept. This bounds the
+  *    store by the number of canonical documents, not arrivals.
+  *
+  * Band keys are the exact signature SLICES (CSV-rendered), not a 32-bit
+  * re-hash — the same first-principles semantics the batch oracle
+  * re-derives, so streaming and batch agree on what "collides" means. The
+  * store carries (band_idx, band_key) only: ~90 bytes × bands per kept doc,
+  * and the cross-batch check is an equi-join on those two columns — at
+  * 100 TB this is the banded-LSH shuffle, never an all-pairs comparison.
+  * Documents with fewer than 3 tokens have no shingles, hence no signature:
+  * they are always kept and register nothing.
+  */
+object NearDupStream {
+
+  def run(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      storeDir: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      availableNow: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+
+    val stream = spark.readStream
+      .option("wholetext", "true")
+      .text(docsDir)
+      .select($"value", input_file_name().as("path"))
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // signature once per doc, materialized: the interpreted HOF chain
+        // must not re-evaluate per downstream join side
+        val docs = batch
+          .withColumn("toks", split($"value", " "))
+          .withColumn("sig", when(size($"toks") >= 3,
+            MinHashDedup.signature(
+              MinHashDedup.shinglesOfToks($"toks"), numHashes)))
+          .drop("toks")
+          .localCheckpoint(true)
+
+        val banded = docs.filter($"sig".isNotNull)
+          .select($"path", explode(transform(
+            sequence(lit(0), lit(bands - 1)), b =>
+              struct(b.as("band_idx"),
+                concat_ws(",", transform(
+                  slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)),
+                  _.cast("string"))).as("band_key")))).as("band"))
+          .select($"path", $"band.band_idx", $"band.band_key")
+
+        // in-batch: any bucket with a smaller path suppresses this doc
+        val wMin = Window.partitionBy($"band_idx", $"band_key")
+        val inBatch = banded
+          .withColumn("min_path", min($"path").over(wMin))
+          .filter($"path" > $"min_path")
+          .select($"path")
+
+        // cross-batch: any band registered by a strictly EARLIER batch
+        val prior = priorBands(spark, storeDir, batchId) match {
+          case Some(p) => banded.join(p, Seq("band_idx", "band_key"))
+            .select($"path")
+          case None => spark.emptyDataset[String].toDF("path")
+        }
+
+        val suppressed = inBatch.union(prior).distinct()
+        val kept = docs.join(suppressed, Seq("path"), "left_anti")
+          .localCheckpoint(true) // pin BEFORE the store gains this batch
+
+        banded.join(kept.select($"path"), Seq("path"), "left_semi")
+          .select($"band_idx", $"band_key").distinct()
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+        sink(kept.drop("sig"), batchId)
+        ()
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  /** Bands registered by batches STRICTLY BEFORE `batchId` (partition
+    * pruning on the `batch` directory column); None when the store does
+    * not exist yet. */
+  private def priorBands(
+      spark: SparkSession, storeDir: String, batchId: Long): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp) || fs.listStatus(hp).isEmpty) None
+    else Some(
+      spark.read.parquet(storeDir)
+        .filter(col("batch") < batchId)
+        .select(col("band_idx"), col("band_key")))
+  }
+}
