@@ -453,6 +453,63 @@ object Relational {
           TRUE AS p50_within, TRUE AS p90_within
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- A9c: statistical moments (stddev/var/corr/covar) ------------------
+    // Two layers, same philosophy as a8/a9b: (1) HASH-EXACT moment values
+    // computed from integer-exact power sums (l_quantity and l_linenumber
+    // are integer-valued, so sum/sum-of-squares/cross-sum are exact in
+    // BIGINT on both engines; the var/std/corr arithmetic is then one
+    // identical double expression tree over identical exact inputs —
+    // bit-stable, rounded to 6dp); (2) the BUILT-IN Welford-style
+    // aggregates (stddev_samp/var_samp/corr/covar_samp) are accumulation-
+    // order-dependent so they get bounded-agreement flags (<= 1e-9
+    // relative) the oracle asserts TRUE.
+    QueryDef(
+      "a9_stats_moments",
+      (s, d) => {
+        import s.implicits._
+        val q = $"l_quantity".cast("long")
+        val ln = $"l_linenumber".cast("long")
+        def close(b: Column, f: Column): Column =
+          abs(b - f) <= abs(f) * 1e-9 + 1e-12
+        li(s, d).groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sq"), sum(q * q).as("sqq"),
+            sum(ln).as("sl"), sum(ln * ln).as("sll"),
+            sum(q * ln).as("sql"),
+            stddev_samp(q).as("b_std"), var_samp(q).as("b_var"),
+            corr(q, ln).as("b_corr"), covar_samp(q, ln).as("b_covar"))
+          .withColumn("nd", $"n".cast("double"))
+          .withColumn("f_var", ($"sqq" - $"sq" * $"sq" / $"nd") / ($"n" - 1))
+          .withColumn("f_std", sqrt($"f_var"))
+          .withColumn("f_covar", ($"sql" - $"sq" * $"sl" / $"nd") / ($"n" - 1))
+          .withColumn("f_corr", ($"sql" - $"sq" * $"sl" / $"nd")
+            / sqrt(($"sqq" - $"sq" * $"sq" / $"nd")
+              * ($"sll" - $"sl" * $"sl" / $"nd")))
+          .select($"l_returnflag", $"n",
+            round($"f_var", 6).as("var6"), round($"f_std", 6).as("std6"),
+            round($"f_covar", 6).as("covar6"), round($"f_corr", 6).as("corr6"),
+            close($"b_var", $"f_var").as("var_ok"),
+            close($"b_std", $"f_std").as("std_ok"),
+            close($"b_covar", $"f_covar").as("covar_ok"),
+            close($"b_corr", $"f_corr").as("corr_ok"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          round((SUM(q*q) - SUM(q)*SUM(q) / CAST(COUNT(*) AS DOUBLE))
+            / (COUNT(*) - 1), 6) AS var6,
+          round(sqrt((SUM(q*q) - SUM(q)*SUM(q) / CAST(COUNT(*) AS DOUBLE))
+            / (COUNT(*) - 1)), 6) AS std6,
+          round((SUM(q*l) - SUM(q)*SUM(l) / CAST(COUNT(*) AS DOUBLE))
+            / (COUNT(*) - 1), 6) AS covar6,
+          round((SUM(q*l) - SUM(q)*SUM(l) / CAST(COUNT(*) AS DOUBLE))
+            / sqrt((SUM(q*q) - SUM(q)*SUM(q) / CAST(COUNT(*) AS DOUBLE))
+              * (SUM(l*l) - SUM(l)*SUM(l) / CAST(COUNT(*) AS DOUBLE))), 6)
+            AS corr6,
+          TRUE AS var_ok, TRUE AS std_ok, TRUE AS covar_ok, TRUE AS corr_ok
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                CAST(l_linenumber AS BIGINT) AS l FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- F15b: math function suite -----------------------------------------
     QueryDef(
       "f_math_suite",
