@@ -19,8 +19,11 @@ object SparkEntry {
     QueryDef.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (approx/LSH/minhash/simhash) → driver records a rows-only check. */
+    * the same parquet tables. As of round 8 EVERY query carries oracle
+    * SQL (zero rows-only): approximate ops derive their randomness from
+    * the md5 hash family DuckDB can recompute (see
+    * graft.functions.Md5Hash64), and sketch-valued built-ins emit
+    * bounded-agreement flags the oracle asserts. */
   def oracleSql: Map[String, String] =
     QueryDef.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
