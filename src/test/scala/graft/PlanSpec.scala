@@ -88,6 +88,30 @@ class PlanSpec extends AnyFunSuite {
       "x_stratified_sample window is a global funnel")
   }
 
+  test("round-8 queries keep scale-correct plan shapes") {
+    // winnowing is narrow per-row work: no Exchange may appear before the
+    // per-doc fingerprint computation (the only allowed exchange is the
+    // final orderBy's range partitioning)
+    val winnow = plan("x_winnow_fingerprints")
+    assert("Exchange".r.findAllIn(winnow).size <= 1,
+      s"x_winnow_fingerprints shuffles more than the final sort:\n$winnow")
+    // media metadata extraction must not shuffle bytes at all pre-sort
+    val media = plan("m_media_meta")
+    assert("Exchange".r.findAllIn(media).size <= 1,
+      s"m_media_meta shuffles media bytes:\n$media")
+    // the moments suite is one partial+final aggregate pass (all ten
+    // aggregates share a single grouping — no repeated scans)
+    val stats = plan("a9_stats_moments")
+    assert("HashAggregate".r.findAllIn(stats).size >= 2 &&
+      "Exchange".r.findAllIn(stats).size <= 2,
+      s"a9_stats_moments is not a single partial+final agg pass:\n$stats")
+    // IVF pruned-probe query: the cluster filter must reach the scan side
+    // as a real filter, not a post-scan cross check
+    val ivf = plan("x4_ann_ivf")
+    assert(!ivf.contains("CartesianProduct"),
+      s"x4_ann_ivf degenerated to a cross join:\n$ivf")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
