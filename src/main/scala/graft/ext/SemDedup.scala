@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.queries.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over an embedding column — the SemDeDup recipe
+  * (Abbas et al., arXiv 2303.09540) re-expressed Spark-first: cluster the
+  * embedding space, compare vectors only WITHIN a cluster, and greedily
+  * drop any vector with a sufficiently-similar lower-id neighbor. The
+  * reference engine has no embedding-space dedup (closest surface:
+  * the row-identity loads in its resources SQL); this extends the dedup
+  * pillar (exact → MinHash → SimHash → semantic) for data curation.
+  *
+  * Scale shape: the only all-pairs work is per-cluster. With k clusters of
+  * ~n/k vectors the candidate join is an equi-join on `cluster` producing
+  * Σ n_c² /2 pairs instead of n²/2 — at 100 TB the operator's cost is
+  * controlled by k (more centroids = smaller clusters = fewer pairs), and
+  * the cluster-keyed shuffle matches IvfAnn's at-rest partitioning, so a
+  * persisted index feeds this with zero additional exchange. Vectors ride
+  * the pair join deliberately: the cosine must be computed per pair, and
+  * re-attaching two vectors per candidate would cost MORE than carrying
+  * them through the cluster-bounded join (the ids-only rejoin rule applies
+  * when candidates ≫ rows, which banding guarantees for LSH but clustering
+  * does not).
+  *
+  * Determinism: built on [[IvfAnn.build]] at `lloydIters = 0`, whose
+  * md5-ordered seeding + argmax-cosine assignment the DuckDB oracle
+  * re-derives bit-exactly (see x4_ann_ivf); the drop rule keeps the
+  * lowest vec_id of every similar pair, so the output is seed-free and
+  * hash-exact at the gate.
+  */
+object SemDedup {
+
+  /** Per-vector verdicts: (vec_id, cluster, kept), ordered by vec_id.
+    * A vector is dropped iff some SAME-CLUSTER vector with a smaller id
+    * has round(cosine, 4) ≥ `tau` — greedy keep-first, one pass, no
+    * iteration to converge (unlike connected components, the canonical
+    * representative is defined a priori by id order).
+    */
+  def semanticDedup(e: DataFrame, nCentroids: Int, tau: Double): DataFrame = {
+    val index = IvfAnn.build(e, nCentroids, lloydIters = 0)
+    // materialization barrier: `assigned` feeds both pair-join sides and
+    // the final verdict join; without it the typed assignment kernel (and
+    // the scan below it) re-runs three times. localCheckpoint (not cache)
+    // — blocks free with the RDD, nothing accumulates across invocations.
+    val assigned = index.assigned.localCheckpoint(true)
+    val x = assigned.select(col("cluster"), col("vec_id"), col("ev"))
+    val y = assigned.select(col("cluster"),
+      col("vec_id").as("y_id"), col("ev").as("y_ev"))
+    val dropped = x.join(y, Seq("cluster"))
+      .filter(col("y_id") < col("vec_id") &&
+        round(Similarity.cosine(col("ev"), col("y_ev")), 4) >= tau)
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+}

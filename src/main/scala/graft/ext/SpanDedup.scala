@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-span detection for substring-level deduplication — the
+  * "exact substring dedup" recipe of Lee et al. (arXiv 2107.06499,
+  * "Deduplicating Training Data Makes Language Models Better"),
+  * re-expressed as a distributed k-gram hash join instead of a suffix
+  * array: any `width`-token span occurring in ≥ `minDocs` distinct
+  * documents is a repeated span, and every token it covers is masked.
+  * Complements the document-level dedup family (exact / MinHash /
+  * SimHash / semantic): those drop whole near-identical documents, this
+  * finds verbatim boilerplate INSIDE otherwise-distinct documents.
+  *
+  * Scale shape: one narrow pass explodes each document into its spans
+  * (O(tokens) rows/doc — the span construction reads a projected token
+  * ARRAY attribute, same O(tokens) rule as MinHashDedup.shinglesOfToks);
+  * the only shuffles are keyed by the span text (the repeated-span
+  * aggregate and the hit join — Catalyst reuses the exchange since both
+  * key on `span`), then per-doc aggregates keyed by doc_id. No
+  * self-join, no all-pairs anything: cost is linear in corpus tokens plus
+  * the (tiny) repeated-span set. At 100 TB, key the shuffle by
+  * md5(span) to cap key width at 16 bytes; the span text itself is kept
+  * here so the DuckDB oracle re-derives the pipeline without a hash
+  * detour.
+  *
+  * Interval union (a token masked by ANY overlapping repeated span) is
+  * computed by exploding each hit span into its `width` positions and
+  * DISTINCT-counting per doc — exact, and bounded by hits × width.
+  */
+object SpanDedup {
+
+  /** Per-document mask statistics over `docs(doc_id, text)`:
+    * (doc_id, n_tokens, n_rep_spans, n_masked, keep_ratio), every input
+    * doc present (zero hits ⇒ keep_ratio 1.0), ordered by doc_id.
+    */
+  def repeatedSpanStats(docs: DataFrame, width: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // docs shorter than `width` have no spans; Spark's sequence(1, n)
+    // DESCENDS for n < 1 (DuckDB's generate_series is empty), so the
+    // filter is correctness-critical, not just a fast path.
+    val sp = toks.filter(size(col("t")) >= width)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - (width - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("t"), i, lit(width))).as("span")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+
+    val rep = sp.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("span"))
+    val hits = sp.join(rep, Seq("span")).select(col("doc_id"), col("pos"))
+
+    val nrep = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rep_spans"))
+    val masked = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (width - 1))).as("j"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("j")).as("n_masked"))
+
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .join(nrep, Seq("doc_id"), "left")
+      .join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        round((col("n_tokens") - coalesce(col("n_masked"), lit(0L)))
+          .cast("double") / col("n_tokens"), 6).as("keep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -296,6 +296,79 @@ object DedupQueries {
           CAST(SUM(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << b)
                    WHEN v > 0 AND b = 63 THEN -9223372036854775808
                    ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Semantic dedup over embeddings (HASH-EXACT oracle) ----------------
+    // SemDeDup (graft.ext.SemDedup): cluster-bounded within-cluster cosine,
+    // drop any vector with a ≥ tau lower-id neighbor. lloydIters = 0 seeding
+    // makes the whole path SQL-derivable — the seeds/assign CTEs are the
+    // x4_ann_ivf ones verbatim. tau = 0.35 sits just under this corpus's
+    // cosine ceiling (max pair ≈ 0.51) so the drop path actually exercises.
+    QueryDef(
+      "d_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+        graft.ext.SemDedup.semanticDedup(e, nCentroids = 8, tau = 0.35)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT x.vec_id
+          FROM assign x JOIN assign y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE round(list_cosine_similarity(ex.ev, ey.ev), 4) >= 0.35)
+        SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+        FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        ORDER BY a.vec_id""")),
+
+    // ---- Exact repeated-span masking (HASH-EXACT oracle) -------------------
+    // Substring-level dedup (graft.ext.SpanDedup): 8-token spans occurring
+    // in ≥ 2 distinct docs mask every token they cover; per-doc stats.
+    QueryDef(
+      "d_span_dedup",
+      (s, d) => graft.ext.SpanDedup.repeatedSpanStats(
+        Tables.documents(s, d), width = 8, minDocs = 2),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sp AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(t) - 7, 0)),
+            i -> {'pos': i, 'span': array_to_string(t[i:i+7], ' ')})) AS s
+          FROM toks),
+        sp2 AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM sp),
+        rep AS (SELECT span FROM sp2 GROUP BY span
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM sp2 JOIN rep USING (span)),
+        nrep AS (SELECT doc_id, COUNT(*) AS n_rep_spans FROM hits GROUP BY doc_id),
+        masked AS (
+          SELECT doc_id, COUNT(DISTINCT j) AS n_masked FROM
+            (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS j FROM hits)
+          GROUP BY doc_id)
+        SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+          COALESCE(r.n_rep_spans, 0) AS n_rep_spans,
+          COALESCE(m.n_masked, 0) AS n_masked,
+          round((len(string_split(d.text, ' ')) - COALESCE(m.n_masked, 0))::DOUBLE
+            / len(string_split(d.text, ' ')), 6) AS keep_ratio
+        FROM documents d
+        LEFT JOIN nrep r USING (doc_id) LEFT JOIN masked m USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -745,6 +745,62 @@ object Text {
       Some("""SELECT lang, source, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-        FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- PII redaction: regex detect + replace, counts + redacted hash -----
+    // The scrubbing step every LLM corpus pipeline runs before training.
+    // The corpus carries no natural PII, so deterministic emails / phones /
+    // IPs derived from doc_id are planted first (mod-cycled so counts vary);
+    // detection is then the real operator: three RE2-and-Java-compatible
+    // patterns (no backreferences, no lookaround — the dialect overlap),
+    // counted via regexp_extract_all and removed via sequential
+    // regexp_replace (email → phone → IP; Spark replaces globally by
+    // default, DuckDB needs the 'g' flag). md5 of the redacted text proves
+    // byte-identical redaction cross-engine — far stronger than matching
+    // counts. Narrow per-row work; nothing shuffles but the final sort.
+    QueryDef(
+      "x_pii_redact",
+      (s, d) => {
+        import s.implicits._
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\b555-[0-9]{4}\\b"
+        val ipRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+        val planted = concat($"text",
+          when($"doc_id" % 3 === 0, concat(lit(" contact user"),
+            $"doc_id".cast("string"), lit("@mail.example.com"))).otherwise(""),
+          when($"doc_id" % 4 === 0, concat(lit(" call 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when($"doc_id" % 5 === 0, concat(lit(" from 10.0."),
+            ($"doc_id" % 256).cast("string"), lit(".7"))).otherwise(""))
+        Tables.documents(s, d)
+          .select($"doc_id", planted.as("t"))
+          .select($"doc_id",
+            size(regexp_extract_all($"t", lit(emailRe), lit(0))).as("n_email"),
+            size(regexp_extract_all($"t", lit(phoneRe), lit(0))).as("n_phone"),
+            size(regexp_extract_all($"t", lit(ipRe), lit(0))).as("n_ip"),
+            md5(regexp_replace(regexp_replace(regexp_replace($"t",
+              emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+              .as("red_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+              THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+          len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS n_phone,
+          len(regexp_extract_all(t, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ip,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+            '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS red_md5
+        FROM t ORDER BY doc_id"""))
   )
 }

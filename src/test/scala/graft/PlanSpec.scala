@@ -112,6 +112,25 @@ class PlanSpec extends AnyFunSuite {
       s"x4_ann_ivf degenerated to a cross join:\n$ivf")
   }
 
+  test("dedup additions keep scale-correct plan shapes") {
+    // semantic dedup: all-pairs work must stay cluster-bounded — the pair
+    // join is an equi-join (hash or sort-merge on `cluster`), never a
+    // cartesian product over the corpus
+    val sem = plan("d_semdedup")
+    assert(!sem.contains("CartesianProduct"),
+      s"d_semdedup pair join degenerated to a cross join:\n$sem")
+    // span dedup: no self-join of documents anywhere — the only joins key
+    // on span/doc_id equi-conditions; and no global single-partition funnel
+    val span = plan("d_span_dedup")
+    assert(!span.contains("CartesianProduct") &&
+      !span.contains("BroadcastNestedLoopJoin"),
+      s"d_span_dedup has an all-pairs join:\n$span")
+    // PII redaction is narrow per-row work: only the final sort may shuffle
+    val pii = plan("x_pii_redact")
+    assert("Exchange".r.findAllIn(pii).size <= 1,
+      s"x_pii_redact shuffles more than the final sort:\n$pii")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)

@@ -90,6 +90,58 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("SemDedup drops the near-identical twin, keeps the canonical id") {
+    // vec 1 is a tiny perturbation of vec 0 (cos ≈ 1); vec 2 is orthogonal;
+    // vec 3 is a perturbation of 2. Greedy keep-first must keep {0, 2} and
+    // drop {1, 3} regardless of which vectors seed the clusters.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.999, 0.01, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.01, 0.999, 0.0))).toDF("vec_id", "ev")
+    val out = SemDedup.semanticDedup(e, nCentroids = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("SemDedup at tau above the corpus ceiling keeps everything") {
+    val docs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 100)
+    val out = SemDedup.semanticDedup(docs, nCentroids = 4, tau = 0.99)
+    assert(out.filter(!$"kept").count() == 0)
+    assert(out.count() == 100)
+  }
+
+  test("SpanDedup masks exactly the cross-doc repeated run") {
+    val docs = Seq(
+      (0L, "a b c d e f g h x y"),          // run at pos 1, 10 tokens
+      (1L, "q w e r a b c d e f g h"),      // same 8-run at pos 5, 12 tokens
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),   // no shared span
+      (3L, "too short")                     // < width ⇒ no spans at all
+    ).toDF("doc_id", "text")
+    val rows = SpanDedup.repeatedSpanStats(docs, width = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(0L) == ((1L, 8L, 0.2)))   // 8 of 10 tokens masked
+    assert(rows(1L) == ((1L, 8L, round6(4.0 / 12))))
+    assert(rows(2L) == ((0L, 0L, 1.0)))
+    assert(rows(3L) == ((0L, 0L, 1.0)))
+  }
+
+  test("SpanDedup overlapping hits union their masked intervals") {
+    // two docs share a 9-token run ⇒ two overlapping width-8 spans each;
+    // the union masks 9 positions, not 16
+    val docs = Seq(
+      (0L, "a b c d e f g h i"),
+      (1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val rows = SpanDedup.repeatedSpanStats(docs, width = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L) == ((2L, 9L)) && rows(1L) == ((2L, 9L)))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("multimodal: stubbed decode extracts metadata per partition") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),
