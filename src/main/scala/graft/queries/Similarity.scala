@@ -358,6 +358,68 @@ object Similarity {
         FROM embeddings a, embeddings b
         WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.25
-        ORDER BY cos DESC, a, b"""))
+        ORDER BY cos DESC, a, b""")),
+
+    // ---- kNN label-consistency audit (mislabel detection) ------------------
+    // The confident-learning-style curation check: a row whose k nearest
+    // neighbors vote for a different label is a mislabel suspect. Majority =
+    // most neighbor votes, ties to the smallest label; n_agree = neighbors
+    // sharing the row's own label. Brute-force kNN here is the bounded
+    // oracle anchor (one broadcast of the query side, windowed top-k per
+    // qid — never a global sort); the scale path is the SAME aggregation
+    // fed by IvfAnn.searchJoin's cluster-pruned candidates, whose
+    // equivalence to brute force is pinned by x4_ann_ivf_join.
+    QueryDef(
+      "x4_knn_label_check",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", asDouble($"embedding").as("ev"))
+        val q = e.select($"vec_id".as("qid"), $"label".as("q_label"),
+          $"ev".as("qv"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val nb = e.join(broadcast(q), $"vec_id" =!= $"qid")
+          .select($"qid", $"q_label", $"label".as("n_label"),
+            round(cosine($"ev", $"qv"), 4).as("cos"), $"vec_id")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+        val votes = nb.groupBy($"qid", $"q_label", $"n_label")
+          .agg(count(lit(1)).as("c"))
+        val agree = votes.groupBy($"qid")
+          .agg(sum(when($"n_label" === $"q_label", $"c").otherwise(0L))
+            .as("n_agree"))
+        val wp = Window.partitionBy($"qid").orderBy($"c".desc, $"n_label")
+        val pred = votes.withColumn("pr", row_number().over(wp))
+          .filter($"pr" === 1)
+          .select($"qid", $"q_label", $"n_label".as("pred_label"))
+        pred.join(agree, Seq("qid"))
+          .select($"qid".as("vec_id"), $"q_label".as("label"), $"pred_label",
+            $"n_agree", ($"q_label" === $"pred_label").as("consistent"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH nb AS (
+          SELECT qid, label, n_label FROM (
+            SELECT q.vec_id AS qid, q.label AS label, e.label AS n_label,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+                e.vec_id) AS rn
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id)
+          WHERE rn <= 5),
+        votes AS (
+          SELECT qid, label, n_label, COUNT(*) AS c
+          FROM nb GROUP BY qid, label, n_label),
+        agree AS (
+          SELECT qid,
+            CAST(SUM(CASE WHEN n_label = label THEN c ELSE 0 END) AS BIGINT) AS n_agree
+          FROM votes GROUP BY qid),
+        pred AS (
+          SELECT qid, label, n_label AS pred_label FROM (
+            SELECT qid, label, n_label,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, n_label) AS pr
+            FROM votes) WHERE pr = 1)
+        SELECT p.qid AS vec_id, p.label, p.pred_label, a.n_agree,
+          (p.label = p.pred_label) AS consistent
+        FROM pred p JOIN agree a ON a.qid = p.qid
+        ORDER BY vec_id"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis extension surface (SURVEY.md §2.11 X1–X3/X5 + north-star
@@ -801,6 +802,47 @@ object Text {
             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
             '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
             '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS red_md5
-        FROM t ORDER BY doc_id"""))
+        FROM t ORDER BY doc_id""")),
+
+    // ---- TF-IDF top terms per document -------------------------------------
+    // The classic salience ranking: tf(doc, term) × ln(N / df(term)), top 3
+    // per doc. All shuffles key on `term` or `doc_id` (narrow aggregates);
+    // the corpus size N rides in as a broadcast 1-row scalar, never a
+    // collect. Scores round to 6 decimals BEFORE the rank window on both
+    // engines so float ties break identically (then by term asc).
+    QueryDef(
+      "x_tfidf_top_terms",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+        tf.join(dfq, Seq("term")).crossJoin(broadcast(n))
+          .select($"doc_id", $"term",
+            round($"tf" * log($"n".cast("double") / $"df"), 6).as("tfidf"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"doc_id", $"rn", $"term", $"tfidf")
+          .orderBy($"doc_id", $"rn")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term,
+            round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS tfidf
+          FROM tf t JOIN dfq d USING (term), n),
+        top AS (
+          SELECT doc_id, term, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+        SELECT doc_id, rn, term, tfidf FROM top WHERE rn <= 3
+        ORDER BY doc_id, rn"""))
   )
 }

@@ -129,6 +129,22 @@ class PlanSpec extends AnyFunSuite {
     val pii = plan("x_pii_redact")
     assert("Exchange".r.findAllIn(pii).size <= 1,
       s"x_pii_redact shuffles more than the final sort:\n$pii")
+    // kNN label audit: the corpus-side scan must meet the query side via a
+    // broadcast (the bounded anchor), and top-k stays per-qid windowed —
+    // never a global sort of all candidate pairs
+    val knn = plan("x4_knn_label_check")
+    assert(knn.contains("BroadcastNestedLoopJoin") ||
+      knn.contains("BroadcastHashJoin"),
+      s"x4_knn_label_check candidate join is not broadcast:\n$knn")
+    assert(!knn.contains("CartesianProduct"),
+      s"x4_knn_label_check degenerated to a cross join:\n$knn")
+    // TF-IDF: the corpus size N joins in as a broadcast scalar (the 1-row
+    // global count is the only SinglePartition aggregate), never a
+    // cartesian or a driver-side collect
+    val tfidf = plan("x_tfidf_top_terms")
+    assert(!tfidf.contains("CartesianProduct") &&
+      tfidf.contains("BroadcastExchange"),
+      s"x_tfidf_top_terms N-scalar join is not broadcast:\n$tfidf")
   }
 
   test("approx_count_distinct lands within its error bound of exact") {
