@@ -209,12 +209,53 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Scale-factor probe for the round-8 curation ops: per-op isolated
+    * median-of-3 (Bench protocol: clearCache + GC + one warmup) at the
+    * given dir — run once at sf0.1 and once at the ScaleGen 10× corpus to
+    * measure wall factors. `d_semdedup` is probed twice: at the QueryDef's
+    * fixed k=8 (cluster size grows with n ⇒ within-cluster pairs grow
+    * quadratically — the documented failure mode) and at k ∝ n (constant
+    * cluster size ≈ 250 — the knob the scaladoc prescribes at scale).
+    */
+  def scaleOps(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("scale-ops", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val nVec = graft.Tables.embeddings(spark, sfDir).count()
+    val kProp = math.max(8L, nVec / 250L).toInt
+    def emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "d_span_dedup" ->
+        (() => SparkEntry.queries("d_span_dedup")(spark, sfDir)),
+      "x_pii_redact" ->
+        (() => SparkEntry.queries("x_pii_redact")(spark, sfDir)),
+      "x_tfidf_top_terms" ->
+        (() => SparkEntry.queries("x_tfidf_top_terms")(spark, sfDir)),
+      "d_semdedup_k8" ->
+        (() => SparkEntry.queries("d_semdedup")(spark, sfDir)),
+      s"d_semdedup_k$kProp" ->
+        (() => graft.ext.SemDedup.semanticDedup(emb, kProp, 0.35)))
+    ops.foreach { case (name, f) =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      f().count() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[scaleops] $name%-22s median=${times(1)}%.3f min=${times.head}%.3f n_vec=$nVec")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
     if (args.headOption.contains("a6")) { a6Shootout(sfDir); return }
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
+    if (args.headOption.contains("scaleops")) { scaleOps(sfDir); return }
     if (args.headOption.contains("etl")) {
       etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return
     }
