@@ -137,6 +137,56 @@ object Events {
           asof_click_value
         FROM c WHERE side = 1 ORDER BY event_id""")),
 
+    // ---- Forward-window attribution join (first click after view) ----------
+    // The click-attribution contract: each view matched to the EARLIEST
+    // click by the same user within 30 minutes AFTER it (ties by click id).
+    // Complements t_asof_join's backward-looking last-before semantics.
+    // Batch form is the oracle anchor; graft.streaming.IngestStream
+    // .attributionJoin is the stream-stream twin (same interval condition,
+    // watermarked on both sides), pair-set parity pinned in its spec.
+    // Plan: equi-join on user_id with the time range as a post-join filter
+    // — per-user fan-out is bounded by activity, never a cross join; at
+    // stream scale the watermark bounds the state instead.
+    QueryDef(
+      "t_attribution",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val views = e.filter($"event_type" === "view")
+          .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+        val clicks = e.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id",
+            $"ts".as("click_ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"view_id").orderBy($"click_ts", $"click_id")
+        views.join(clicks, Seq("user_id"))
+          .filter($"click_ts" > $"view_ts" &&
+            $"click_ts" <= $"view_ts" + expr("INTERVAL '30' MINUTE"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"view_id", $"user_id", $"view_ts", $"click_id",
+            $"click_ts",
+            (unix_micros($"click_ts") - unix_micros($"view_ts")).as("lag_us"))
+          .orderBy($"view_id")
+      },
+      Some("""WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events),
+        v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+              FROM e WHERE event_type = 'view'),
+        c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        j AS (
+          SELECT v.view_id, v.user_id, v.view_ts, c.click_id, c.click_ts,
+            ROW_NUMBER() OVER (PARTITION BY v.view_id
+              ORDER BY c.click_ts, c.click_id) AS rn
+          FROM v JOIN c ON c.user_id = v.user_id
+            AND c.click_ts > v.view_ts
+            AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE)
+        SELECT view_id, user_id, view_ts, click_id, click_ts,
+          date_diff('microseconds', view_ts, click_ts) AS lag_us
+        FROM j WHERE rn = 1 ORDER BY view_id""")),
+
     // ---- I4: exact dedup — doubled input collapses back to the original ----
     QueryDef(
       "e_dedup_exact",

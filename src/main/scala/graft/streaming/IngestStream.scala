@@ -197,4 +197,35 @@ object IngestStream {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Stream-stream interval join: attribute each view to every click by the
+    * same user within `gap` AFTER it — the streaming twin of the
+    * oracle-checked `t_attribution` batch query (which additionally keeps
+    * only the first click per view; first-match selection is an
+    * arrival-order-dependent dedup in a stream, so the streaming contract
+    * is the attributed PAIR SET, and its spec pins parity against the batch
+    * join's pre-first-match pairs).
+    *
+    * Both sides are watermarked and the join condition carries the time
+    * range, so Spark derives state-eviction bounds: a buffered view can be
+    * dropped once the click watermark passes view_ts + gap, and a buffered
+    * click once the view watermark passes click_ts — state is bounded by
+    * watermark × rate, never the stream's history. The equi part of the
+    * condition (user_id) keys the shuffle exactly like the batch join.
+    *
+    * Inputs: views(view_id, user_id, view_ts), clicks(click_id, user_id,
+    * click_ts) — any source, batch or streaming (unit: both streaming, fed
+    * through file sources across micro-batches).
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      watermark: String = "1 hour", gap: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark).alias("v")
+    val c = clicks.withWatermark("click_ts", watermark).alias("c")
+    v.join(c, expr(
+      s"""v.user_id = c.user_id
+          AND c.click_ts > v.view_ts
+          AND c.click_ts <= v.view_ts + interval $gap"""))
+      .select(col("v.view_id"), col("v.user_id"), col("v.view_ts"),
+        col("c.click_id"), col("c.click_ts"))
+  }
 }

@@ -145,6 +145,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!tfidf.contains("CartesianProduct") &&
       tfidf.contains("BroadcastExchange"),
       s"x_tfidf_top_terms N-scalar join is not broadcast:\n$tfidf")
+    // attribution: the time range must ride an equi-join on user_id as a
+    // post-join filter — a pure range condition would plan as a cartesian
+    val attr = plan("t_attribution")
+    assert(!attr.contains("CartesianProduct") &&
+      !attr.contains("BroadcastNestedLoopJoin"),
+      s"t_attribution range join lost its user_id equi key:\n$attr")
   }
 
   test("approx_count_distinct lands within its error bound of exact") {

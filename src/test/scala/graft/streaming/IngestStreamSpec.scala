@@ -258,6 +258,63 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(streamed == batchSet)
   }
 
+  test("stream-stream attribution join fires across micro-batches, respects gap") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = Files.createTempDirectory(Paths.get("target"), "attrib")
+    val vDir = Files.createDirectory(root.resolve("views")).toString
+    val cDir = Files.createDirectory(root.resolve("clicks")).toString
+    def write(dir: String, name: String, rows: Seq[String]): Unit =
+      Files.writeString(Paths.get(dir, name), rows.mkString("\n"))
+
+    // batch 1: a view with NO click yet — the view must buffer in state
+    write(vDir, "v1.csv", Seq("10,1,2026-01-01 10:00:00"))
+    write(cDir, "c0.csv", Seq("90,9,2026-01-01 09:00:00")) // unrelated user
+
+    val views = spark.readStream
+      .schema("view_id LONG, user_id LONG, view_ts TIMESTAMP").csv(vDir + "/*.csv")
+    val clicks = spark.readStream
+      .schema("click_id LONG, user_id LONG, click_ts TIMESTAMP").csv(cDir + "/*.csv")
+    val q = IngestStream.attributionJoin(views, clicks)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib_out")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("attrib_out").count() == 0)
+
+    // batch 2: one click inside the 30-min gap, one outside — only the
+    // in-gap click joins the batch-1 view still held in state
+    write(cDir, "c1.csv", Seq(
+      "20,1,2026-01-01 10:10:00",
+      "21,1,2026-01-01 11:30:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib_out")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((10L, 20L)))
+  }
+
+  test("streaming attribution pair set matches the batch join (parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.events(spark, sf)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    // same expression through the streaming API in one batch (the pattern
+    // windowedCounts' parity test uses)
+    val streamed = IngestStream.attributionJoin(views, clicks)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val batch = views.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL '30' MINUTE"))
+      .collect().map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("session windows merge across micro-batches under watermark") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
