@@ -843,6 +843,92 @@ object Text {
             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
           FROM scored)
         SELECT doc_id, rn, term, tfidf FROM top WHERE rn <= 3
-        ORDER BY doc_id, rn"""))
+        ORDER BY doc_id, rn""")),
+
+    // ---- Benchmark contamination by exact span overlap ---------------------
+    // The n-gram decontamination check (GPT-3 appendix C style): an eval
+    // doc is contaminated if any 8-token span of it appears verbatim in the
+    // train split. Splits via the same deterministic md5-nibble rule as
+    // x_hash_split/x_contamination; emits (doc_id, split, n_leaked_spans)
+    // for affected val/test docs. Distinct from x_contamination (whole-doc
+    // near-dup leakage): this catches verbatim FRAGMENTS of train docs
+    // inside otherwise-novel eval docs. Shuffles key on span/doc_id only.
+    QueryDef(
+      "x_span_contamination",
+      (s, d) => {
+        import s.implicits._
+        val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        val base = Tables.documents(s, d)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 8) // sequence() descends below 1 (Spark)
+          .select($"doc_id",
+            when(nib < "8", "train").when(nib < "c", "val")
+              .otherwise("test").as("split"),
+            explode(array_distinct(transform(
+              sequence(lit(1), size($"toks") - 7),
+              i => concat_ws(" ", slice($"toks", i, lit(8)))))).as("span"))
+        val trainSpans = base.filter($"split" === "train")
+          .select($"span").distinct()
+        base.filter($"split" =!= "train")
+          .join(trainSpans, Seq("span"))
+          .groupBy($"doc_id", $"split")
+          .agg(countDistinct($"span").as("n_leaked_spans"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents),
+        sp AS (
+          SELECT doc_id, split, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 7, 0)),
+            i -> array_to_string(t[i:i+7], ' ')))) AS span
+          FROM base),
+        train_spans AS (SELECT DISTINCT span FROM sp WHERE split = 'train')
+        SELECT s.doc_id, s.split, COUNT(DISTINCT s.span) AS n_leaked_spans
+        FROM sp s JOIN train_spans t USING (span)
+        WHERE s.split <> 'train'
+        GROUP BY s.doc_id, s.split ORDER BY s.doc_id""")),
+
+    // ---- Unigram surprisal: information-theoretic outlier scoring ----------
+    // Per-doc mean -ln p(term) under the corpus unigram model — low =
+    // boilerplate-heavy, high = out-of-distribution vocabulary; the
+    // model-free cousin of perplexity filtering. Float-sum determinism:
+    // per-token surprisals are rounded to 1e-6 FIXED POINT and summed as
+    // longs (order-independent, exact — a double AVG would depend on
+    // partition order and never hash-match the oracle); the division back
+    // to a mean happens once, deterministically, per doc.
+    QueryDef(
+      "x_unigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+        val cnt = tok.groupBy($"term").agg(count(lit(1)).as("c"))
+        val tot = tok.agg(count(lit(1)).as("n"))
+        tok.join(cnt, Seq("term")).crossJoin(broadcast(tot))
+          .select($"doc_id",
+            round(-log($"c".cast("double") / $"n") * 1e6, 0).cast("long")
+              .as("fx"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"fx").as("sfx"))
+          .select($"doc_id", $"n_tokens",
+            round($"sfx".cast("double") / 1e6 / $"n_tokens", 6)
+              .as("avg_surprisal"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        tot AS (SELECT COUNT(*) AS n FROM tok),
+        fx AS (
+          SELECT t.doc_id,
+            CAST(round(-ln(c.c::DOUBLE / tot.n) * 1000000) AS BIGINT) AS fx
+          FROM tok t JOIN cnt c USING (term), tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+        FROM fx GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
