@@ -142,6 +142,61 @@ class ExtSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("SpanDedup matches a brute-force reference on seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    for (_ <- 1 to 3) {
+      val docs = (0L until 30L).map(id =>
+        (id, Seq.fill(rnd.nextInt(21))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")))
+      val width = 4
+      // brute force: span -> docs containing it; per doc mask the union of
+      // repeated-span intervals
+      val spanMap = docs.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> (toks.length, (0 to toks.length - width)
+          .map(i => (i + 1, toks.slice(i, i + width).mkString(" "))))
+      }.toMap
+      val docsOf = spanMap.toSeq
+        .flatMap { case (id, (_, sp)) => sp.map { case (_, s) => (s, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = spanMap.map { case (id, (n, sp)) =>
+        val hits = sp.filter { case (_, s) => docsOf(s) >= 2 }
+        val masked = hits.flatMap { case (p, _) => p until p + width }.distinct.size
+        id -> ((n.toLong, hits.size.toLong, masked.toLong))
+      }
+      val got = SpanDedup.repeatedSpanStats(
+          docs.toDF("doc_id", "text"), width = width, minDocs = 2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1).toLong, r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected)
+    }
+  }
+
+  test("SemDedup verdicts satisfy the greedy keep-first rule exactly") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 200)
+    val tau = 0.3
+    val out = SemDedup.semanticDedup(e, nCentroids = 4, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, c, kept) =>
+      val hasLowerNeighbor = byCluster(c).exists { case (other, _, _) =>
+        other < id && cos(vecs(other), vecs(id)) >= tau }
+      assert(kept == !hasLowerNeighbor, s"vec $id cluster $c kept=$kept")
+    }
+    assert(out.length == 200 && out.exists(!_._3))
+  }
+
   test("multimodal: stubbed decode extracts metadata per partition") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),
