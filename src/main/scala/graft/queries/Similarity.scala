@@ -132,6 +132,32 @@ object Similarity {
       .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 4).as("cos"))
   }
 
+  /** Majority-vote label audit over selected neighbor rows
+    * (qid, q_label, n_label): per qid, the predicted label is the one with
+    * the most neighbor votes (ties to the smallest label), n_agree counts
+    * neighbors sharing the row's own label. Shared by the brute-force
+    * oracle anchor (x4_knn_label_check) and the IVF-fed scale path —
+    * their equivalence at full probe is spec-pinned, so which candidate
+    * generator feeds this aggregation is a pure recall/latency knob.
+    */
+  def labelVoteAudit(nb: DataFrame): DataFrame = {
+    val votes = nb.groupBy(col("qid"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("c"))
+    val agree = votes.groupBy(col("qid"))
+      .agg(sum(when(col("n_label") === col("q_label"), col("c"))
+        .otherwise(0L)).as("n_agree"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("c").desc, col("n_label"))
+    val pred = votes.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("q_label"), col("n_label").as("pred_label"))
+    pred.join(agree, Seq("qid"))
+      .select(col("qid").as("vec_id"), col("q_label").as("label"),
+        col("pred_label"), col("n_agree"),
+        (col("q_label") === col("pred_label")).as("consistent"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- X4: brute-force cosine top-k against one query vector -------------
@@ -367,8 +393,10 @@ object Similarity {
     // sharing the row's own label. Brute-force kNN here is the bounded
     // oracle anchor (one broadcast of the query side, windowed top-k per
     // qid — never a global sort); the scale path is the SAME aggregation
-    // fed by IvfAnn.searchJoin's cluster-pruned candidates, whose
-    // equivalence to brute force is pinned by x4_ann_ivf_join.
+    // ([[labelVoteAudit]]) fed by IvfAnn.searchJoin's cluster-pruned
+    // candidates — their equivalence at full probe is spec-pinned
+    // (SkewAndIvfSpec), and pruned probes inherit x4_ann_ivf_join's
+    // recall story.
     QueryDef(
       "x4_knn_label_check",
       (s, d) => {
@@ -383,19 +411,7 @@ object Similarity {
             round(cosine($"ev", $"qv"), 4).as("cos"), $"vec_id")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
-        val votes = nb.groupBy($"qid", $"q_label", $"n_label")
-          .agg(count(lit(1)).as("c"))
-        val agree = votes.groupBy($"qid")
-          .agg(sum(when($"n_label" === $"q_label", $"c").otherwise(0L))
-            .as("n_agree"))
-        val wp = Window.partitionBy($"qid").orderBy($"c".desc, $"n_label")
-        val pred = votes.withColumn("pr", row_number().over(wp))
-          .filter($"pr" === 1)
-          .select($"qid", $"q_label", $"n_label".as("pred_label"))
-        pred.join(agree, Seq("qid"))
-          .select($"qid".as("vec_id"), $"q_label".as("label"), $"pred_label",
-            $"n_agree", ($"q_label" === $"pred_label").as("consistent"))
-          .orderBy($"vec_id")
+        labelVoteAudit(nb)
       },
       Some("""WITH nb AS (
           SELECT qid, label, n_label FROM (

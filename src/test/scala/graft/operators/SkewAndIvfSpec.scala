@@ -142,6 +142,30 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(overlap >= 30, s"pruned kNN-join recall too low: $overlap/60")
   }
 
+  test("IVF-fed label audit at full probe equals the brute-force query") {
+    import graft.Tables
+    import graft.queries.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val labels = Tables.embeddings(spark, sf).select($"vec_id", $"label")
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val index = IvfAnn.build(e, nCentroids = 8)
+    val queries = e.select($"vec_id".as("qid"), $"ev".as("qv"))
+    // searchJoin's top-k tie-break (cos desc, vec_id) matches the brute
+    // query's window, so at nProbe = nCentroids the neighbor sets — and
+    // therefore the whole audit — must be identical
+    val nb = IvfAnn.searchJoin(index, queries, nProbe = 8, k = 5)
+      .join(labels.select($"vec_id", $"label".as("n_label")), Seq("vec_id"))
+      .join(labels.select($"vec_id".as("qid"), $"label".as("q_label")), Seq("qid"))
+      .select($"qid", $"q_label", $"n_label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    val viaIvf = rows(Similarity.labelVoteAudit(nb))
+    val brute = rows(graft.SparkEntry.queries("x4_knn_label_check")(spark, sf))
+    assert(viaIvf == brute)
+  }
+
   test("IVF ANN: full-probe search equals brute force; pruned probe overlaps") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
