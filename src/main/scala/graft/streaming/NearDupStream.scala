@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Incremental NEAR-duplicate suppression over a document stream — the
-  * streaming form of MinHash-LSH banding (the batch form is
-  * `MinHashDedup.candidatePairs`): a new document reaches the sink only if
-  * none of its signature bands exactly matches a band registered by a kept
-  * document in this or any earlier micro-batch.
+  * streaming form of banded LSH dedup, in BOTH signature families:
+  * [[run]] is MinHash-LSH banding (batch form `MinHashDedup
+  * .candidatePairs`), [[runSimHash]] is 4×16-bit SimHash banding (batch
+  * form `SimHash.nearDupPairs`). A new document reaches the sink only if
+  * none of its bands exactly matches a band registered by a kept document
+  * in this or any earlier micro-batch.
   *
   * Same exactly-once skeleton as [[DedupStream]] (file-source checkpoint +
   * `batch=<id>`-partitioned parquet store, anti-matched strictly below the
@@ -29,17 +31,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    that does not also collide with the keeper is kept. This bounds the
   *    store by the number of canonical documents, not arrivals.
   *
-  * Band keys are the exact signature SLICES (CSV-rendered), not a 32-bit
-  * re-hash — the same first-principles semantics the batch oracle
-  * re-derives, so streaming and batch agree on what "collides" means. The
-  * store carries (band_idx, band_key) only: ~90 bytes × bands per kept doc,
-  * and the cross-batch check is an equi-join on those two columns — at
-  * 100 TB this is the banded-LSH shuffle, never an all-pairs comparison.
-  * Documents with fewer than 3 tokens have no shingles, hence no signature:
-  * they are always kept and register nothing.
+  * Band keys are the exact signature SLICES (CSV-rendered) for MinHash and
+  * exact 16-bit fingerprint slices for SimHash — never a 32-bit re-hash —
+  * the same first-principles semantics the batch oracles re-derive, so
+  * streaming and batch agree on what "collides" means. The store carries
+  * (band_idx, band_key) only, and the cross-batch check is an equi-join on
+  * those two columns — at 100 TB this is the banded-LSH shuffle, never an
+  * all-pairs comparison. Docs that produce no bands (MinHash: fewer than 3
+  * tokens ⇒ no shingles) are always kept and register nothing.
   */
 object NearDupStream {
 
+  /** MinHash-LSH family: `numHashes`-long md5-affine signatures split into
+    * `bands` CSV-rendered slices. */
   def run(
       spark: SparkSession,
       docsDir: String,
@@ -49,9 +53,62 @@ object NearDupStream {
       bands: Int = 8,
       availableNow: Boolean = true)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    import spark.implicits._
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
+      docs
+        .withColumn("toks", split(col("value"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("path"), MinHashDedup.signature(
+          MinHashDedup.shinglesOfToks(col("toks")), numHashes).as("sig"))
+        .select(col("path"), explode(transform(
+          sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band_idx"),
+              concat_ws(",", transform(
+                slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                _.cast("string"))).as("band_key")))).as("band"))
+        .select(col("path"), col("band.band_idx"), col("band.band_key"))
+    }(sink)
+  }
+
+  /** SimHash family: the 64-bit md5-family fingerprint split into 4 exact
+    * 16-bit bands (pigeonhole: hamming ≤ 3 between two fingerprints always
+    * leaves one band untouched, so close near-dups are guaranteed to
+    * collide — same banding as the batch `SimHash.nearDupPairs`). Every
+    * tokenizable doc fingerprints, so every doc registers bands. */
+  def runSimHash(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      storeDir: String,
+      availableNow: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
+      docs
+        .select(col("path"), graft.ext.SimHash.simhash(col("value")).as("fp"))
+        .select(col("path"), explode(transform(
+          sequence(lit(0), lit(3)), b =>
+            struct(b.as("band_idx"),
+              call_function("shiftright", col("fp"), b * 16)
+                .bitwiseAND(lit(0xffffL)).cast("string").as("band_key"))))
+          .as("band"))
+        .select(col("path"), col("band.band_idx"), col("band.band_key"))
+    }(sink)
+
+  /** Shared skeleton: `bandify` maps the micro-batch's raw docs
+    * (value, path) to (path, band_idx, band_key STRING) rows; everything
+    * else — greedy in-batch bucket winners, cross-batch store anti-match,
+    * kept-docs-only registration, re-fire idempotence — is family-agnostic.
+    */
+  private def runBanded(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      storeDir: String,
+      availableNow: Boolean)(
+      bandify: DataFrame => DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import spark.implicits._
 
     val stream = spark.readStream
       .option("wholetext", "true")
@@ -61,24 +118,11 @@ object NearDupStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // signature once per doc, materialized: the interpreted HOF chain
-        // must not re-evaluate per downstream join side
-        val docs = batch
-          .withColumn("toks", split($"value", " "))
-          .withColumn("sig", when(size($"toks") >= 3,
-            MinHashDedup.signature(
-              MinHashDedup.shinglesOfToks($"toks"), numHashes)))
-          .drop("toks")
-          .localCheckpoint(true)
-
-        val banded = docs.filter($"sig".isNotNull)
-          .select($"path", explode(transform(
-            sequence(lit(0), lit(bands - 1)), b =>
-              struct(b.as("band_idx"),
-                concat_ws(",", transform(
-                  slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)),
-                  _.cast("string"))).as("band_key")))).as("band"))
-          .select($"path", $"band.band_idx", $"band.band_key")
+        val docs = batch.localCheckpoint(true)
+        // banding chains interpreted HOF/signature expressions: materialize
+        // ONCE so the three consumers (in-batch window, prior join, store
+        // registration) don't re-evaluate them
+        val banded = bandify(docs).localCheckpoint(true)
 
         // in-batch: any bucket with a smaller path suppresses this doc
         val wMin = Window.partitionBy($"band_idx", $"band_key")
@@ -102,7 +146,7 @@ object NearDupStream {
           .select($"band_idx", $"band_key").distinct()
           .write.mode("overwrite")
           .parquet(s"$storeDir/batch=$batchId")
-        sink(kept.drop("sig"), batchId)
+        sink(kept, batchId)
         ()
       }
 

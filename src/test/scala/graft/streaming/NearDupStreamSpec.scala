@@ -70,6 +70,47 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(bandRows == 16L, s"store rows: $bandRows")
   }
 
+  test("SimHash stream suppresses hamming-close docs across batches") {
+    val dir = tmp("shstream")
+    val ckpt = tmp("shstream_ck")
+    val store = tmp("shstream_store") + "/store"
+    val emitted = mutable.ArrayBuffer.empty[(Long, String)]
+
+    def drain(): Unit = {
+      val q = NearDupStream.runSimHash(spark, dir, ckpt, store) { (kept, bid) =>
+        emitted ++= kept.select("path").collect()
+          .map(r => (bid, r.getString(0).split('/').last))
+      }
+      q.awaitTermination()
+    }
+
+    // one changed token OCCURRENCE (not all repeats) keeps hamming ≤ 3
+    // under the md5 family (pinned in ExtSpec) — pigeonhole guarantees a
+    // clean band among the 4×16, so suppression is a deterministic fact
+    val unit = "alpha beta gamma delta epsilon zeta eta theta "
+    val shBase = (unit * 10).trim
+    val shNearA = (unit * 9 + unit.replace("zeta", "rho")).trim
+    // NOT "eta"->… : "eta" substrings beta/zeta/theta and replace() would
+    // rewrite them all (hamming 7, no clean band)
+    val shNearB = (unit * 9 + unit.replace("beta", "nu")).trim
+    val shOther = ("other thing entirely unrelated words " * 10).trim
+
+    Files.writeString(Paths.get(dir, "a.txt"), shBase)
+    Files.writeString(Paths.get(dir, "b.txt"), shNearA) // in-batch near-dup
+    Files.writeString(Paths.get(dir, "c.txt"), shOther)
+    drain()
+    assert(emitted.map(_._2).sorted == Seq("a.txt", "c.txt"),
+      s"batch 0 emitted: $emitted")
+
+    Files.writeString(Paths.get(dir, "d.txt"), shNearB) // cross-batch near-dup
+    drain()
+    assert(emitted.map(_._2).sorted == Seq("a.txt", "c.txt"),
+      s"after batch 1: $emitted")
+
+    // every kept doc fingerprints: a and c registered 4 bands each
+    assert(spark.read.parquet(store).count() == 8L)
+  }
+
   test("re-fired batch re-emits identically against its own store partition") {
     val dir = tmp("ndfire")
     val ckpt = tmp("ndfire_ck")
