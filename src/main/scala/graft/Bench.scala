@@ -16,6 +16,17 @@ import org.apache.spark.sql.SparkSession
   *   3. ITERS timed passes; report the MEDIAN (headline `queries`/`total`)
   *      and the min (`queries_min`) — the median is robust to a single
   *      GC/compilation stall, the min shows the steady-state floor.
+  *
+  * PROTOCOL DISCONTINUITY (round 8): execution is forced through the NOOP
+  * SINK, not `.count()`. Under count(), ColumnPruning + EliminateSorts
+  * strip work that doesn't affect the row count — verified empirically:
+  * q1's seven decimal aggregates and every query's final sort were absent
+  * from the counted plan, so rounds ≤ 7 under-measured real query cost.
+  * The noop writer consumes every output row with all columns
+  * materialized. Round-8 numbers are therefore HIGHER than round-7's for
+  * the same engine — compare rounds ≥ 8 to each other, or to r7's numbers
+  * only qualitatively. The JSON line carries `protocol: "noop-sink"` so
+  * the discontinuity is machine-visible.
   */
 object Bench {
   private val Iters = 5
@@ -38,6 +49,15 @@ object Bench {
     // scheduler) so it doesn't land on the first query's warmup pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // noop sink: materializes every output row with all columns — count()
+    // would let Catalyst prune the actual work (see scaladoc)
+    def force(name: String): Boolean =
+      try {
+        qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+
     val results = names.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // localCheckpoint blocks (lshCandidatePairs, x_contamination) are
@@ -45,16 +65,12 @@ object Bench {
       // RDD is collected, so nudge a GC to keep prior queries' blocks from
       // occupying storage memory during this query's runs
       System.gc()
-      val warmOk = try { qs(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val warmOk = force(name)
       val times =
         if (!warmOk) Seq.empty[Double]
         else (1 to Iters).map { _ =>
           val t0 = System.nanoTime()
-          val ok = try { qs(name)(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          val ok = force(name)
           if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         }
       // a failed query must not masquerade as a (near-zero) fast timing
@@ -82,7 +98,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0 }
 
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

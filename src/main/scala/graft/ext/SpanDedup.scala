@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact repeated-span detection for substring-level deduplication — the
@@ -31,6 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
+  /** All `width`-token spans of a token-array ATTRIBUTE, in order (span i
+    * covers tokens [i, i+width), 1-based). THE single definition of "what
+    * is a span" — shared by [[repeatedSpanStats]] and the
+    * `x_span_contamination` decontamination query so the two operators
+    * cannot silently diverge on width/tokenizer/separator. Callers must
+    * pre-filter `size(toks) >= width`: Spark's `sequence(1, n)` DESCENDS
+    * for n < 1 (DuckDB's generate_series is empty), so the filter is
+    * correctness-critical, not just a fast path.
+    */
+  def spanArray(toks: Column, width: Int): Column =
+    transform(sequence(lit(1), size(toks) - (width - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(width))))
+
   /** Per-document mask statistics over `docs(doc_id, text)`:
     * (doc_id, n_tokens, n_rep_spans, n_masked, keep_ratio), every input
     * doc present (zero hits ⇒ keep_ratio 1.0), ordered by doc_id.
@@ -38,14 +51,10 @@ object SpanDedup {
   def repeatedSpanStats(docs: DataFrame, width: Int = 8,
       minDocs: Int = 2): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    // docs shorter than `width` have no spans; Spark's sequence(1, n)
-    // DESCENDS for n < 1 (DuckDB's generate_series is empty), so the
-    // filter is correctness-critical, not just a fast path.
     val sp = toks.filter(size(col("t")) >= width)
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("t")) - (width - 1)),
-        i => struct(i.as("pos"),
-          concat_ws(" ", slice(col("t"), i, lit(width))).as("span")))).as("s"))
+        spanArray(col("t"), width),
+        (x, i) => struct((i + 1).as("pos"), x.as("span")))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
 
     val rep = sp.groupBy(col("span"))

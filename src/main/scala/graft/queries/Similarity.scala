@@ -403,8 +403,12 @@ object Similarity {
         import s.implicits._
         val e = Tables.embeddings(s, d)
           .select($"vec_id", $"label", asDouble($"embedding").as("ev"))
-        val q = e.select($"vec_id".as("qid"), $"label".as("q_label"),
-          $"ev".as("qv"))
+        // audited side bounded like the sibling brute-force anchors
+        // (emb_neardup_pairs, x4_knn_join): the anchor must stay O(bound·n)
+        // however big the corpus grows; auditing EVERY row is the IVF-fed
+        // path's job (labelVoteAudit over searchJoin candidates)
+        val q = e.filter($"vec_id" < 500)
+          .select($"vec_id".as("qid"), $"label".as("q_label"), $"ev".as("qv"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
         val nb = e.join(broadcast(q), $"vec_id" =!= $"qid")
           .select($"qid", $"q_label", $"label".as("n_label"),
@@ -419,7 +423,8 @@ object Similarity {
               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
                 e.vec_id) AS rn
-            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id)
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 500)
           WHERE rn <= 5),
         votes AS (
           SELECT qid, label, n_label, COUNT(*) AS c

@@ -858,15 +858,20 @@ object Text {
       (s, d) => {
         import s.implicits._
         val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        // span construction is shared with SpanDedup (ONE definition of
+        // "span"); eager localCheckpoint because `base` feeds BOTH the
+        // train-span branch and the eval side of the join — without the
+        // barrier the scan + span explode runs twice (the same trap
+        // x_contamination documents)
         val base = Tables.documents(s, d)
           .withColumn("toks", split($"text", " "))
-          .filter(size($"toks") >= 8) // sequence() descends below 1 (Spark)
+          .filter(size($"toks") >= 8)
           .select($"doc_id",
             when(nib < "8", "train").when(nib < "c", "val")
               .otherwise("test").as("split"),
-            explode(array_distinct(transform(
-              sequence(lit(1), size($"toks") - 7),
-              i => concat_ws(" ", slice($"toks", i, lit(8)))))).as("span"))
+            explode(array_distinct(
+              graft.ext.SpanDedup.spanArray($"toks", 8))).as("span"))
+          .localCheckpoint(true)
         val trainSpans = base.filter($"split" === "train")
           .select($"span").distinct()
         base.filter($"split" =!= "train")

@@ -56,11 +56,16 @@ object NearDupStream {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
-      docs
+      // materialize the signature ONCE PER DOC before banding: without the
+      // barrier CollapseProject inlines the md5-affine signature chain into
+      // the per-band lambda and recomputes it `bands` times per doc
+      val withSig = docs
         .withColumn("toks", split(col("value"), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("path"), MinHashDedup.signature(
           MinHashDedup.shinglesOfToks(col("toks")), numHashes).as("sig"))
+        .localCheckpoint(true)
+      withSig
         .select(col("path"), explode(transform(
           sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band_idx"),
@@ -84,8 +89,12 @@ object NearDupStream {
       availableNow: Boolean = true)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
-      docs
+      // same barrier rationale as the MinHash family: fingerprint once per
+      // doc, not once per band
+      val withFp = docs
         .select(col("path"), graft.ext.SimHash.simhash(col("value")).as("fp"))
+        .localCheckpoint(true)
+      withFp
         .select(col("path"), explode(transform(
           sequence(lit(0), lit(3)), b =>
             struct(b.as("band_idx"),
