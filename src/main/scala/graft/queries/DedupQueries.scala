@@ -298,6 +298,76 @@ object DedupQueries {
                    ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- MinHash-edge duplicate clusters (HASH-EXACT oracle) ---------------
+    // The SCALE composition of the dedup pillar: LSH candidate pairs
+    // (banded equi-join, est_jaccard >= 0.5 — count >= 16 of 32, an exact
+    // double compare) feed connected components (pointer-jumping min-label,
+    // O(log diameter) rounds). d_dedup_clusters is the brute-force-edge twin
+    // (exact Jaccard over a 150-doc subset); THIS variant's edge generation
+    // never does all-pairs work, so the same plan stands at 100 TB. The
+    // oracle re-derives everything: md5-affine signatures (HUGEINT-exact),
+    // exact band-slice candidates, then a recursive-CTE transitive closure.
+    QueryDef(
+      "d_minhash_clusters",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = graft.ext.MinHashDedup
+          .candidatePairs(docs, numHashes = 32, bands = 8)
+          .filter($"est_jaccard" >= 0.5)
+          .select($"a", $"b")
+        val verts = docs
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id".as("id"))
+        graft.ext.DedupClusters.components(verts, pairs)
+          .select($"id".as("doc_id"), $"comp")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id),
+        pairs AS (
+          SELECT c.a, c.b FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b
+          WHERE CAST(len(list_filter(generate_series(1, 32),
+            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM sig
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        SELECT src AS doc_id, MIN(dst) AS comp
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---- Semantic dedup over embeddings (HASH-EXACT oracle) ----------------
     // SemDeDup (graft.ext.SemDedup): cluster-bounded within-cluster cosine,
     // drop any vector with a ≥ tau lower-id neighbor. lloydIters = 0 seeding
