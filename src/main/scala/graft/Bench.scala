@@ -49,13 +49,11 @@ object Bench {
     // scheduler) so it doesn't land on the first query's warmup pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // noop sink: materializes every output row with all columns — count()
-    // would let Catalyst prune the actual work (see scaladoc)
+    // BenchProtocol.force: noop sink materializes every output row with all
+    // columns — count() would let Catalyst prune the actual work (scaladoc)
     def force(name: String): Boolean =
-      try {
-        qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        true
-      } catch { case e: Throwable =>
+      try { BenchProtocol.force(qs(name)(spark, sfDir)); true }
+      catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
 
     val results = names.map { name =>

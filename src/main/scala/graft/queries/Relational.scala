@@ -15,19 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Exact cross-engine sum of a double column: cast to DECIMAL first so the
-    * accumulation is exact (order-independent), return DOUBLE.
-    * Mirrors `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` in the oracle.
-    */
-  /** Exact cross-engine sum: per-row cast to decimal defines the rounding
-    * point, decimal accumulation is distributive (partial-agg safe), one
-    * double conversion at the end. COST NOTE (noop-protocol profile, sf0.1):
-    * q1's per-row double→decimal casts dominate its honest cost (scan+agg
-    * on native doubles ≈ 0.31s vs 1.06s full) — that is the price of
-    * bit-exact distributive aggregation, paid deliberately. The long
-    * fixed-point alternative (round(x·10^s) summed as longs) matches only
-    * while the unscaled sum stays below 2^53 and silently diverges from
-    * the oracle beyond it — wrong at 100 TB group sizes, so decimal it is.
+  /** Exact cross-engine sum of a double column: the per-row cast to DECIMAL
+    * defines the rounding point, decimal accumulation is exact and
+    * order-independent (partial-agg safe), one DOUBLE conversion at the end
+    * — mirrors `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` in the
+    * oracle. COST NOTE (noop-protocol profile, sf0.1): q1's per-row
+    * double→decimal casts dominate its honest cost (scan+agg on native
+    * doubles ≈ 0.31s vs 1.06s full) — the price of bit-exact distributive
+    * aggregation, paid deliberately. The long fixed-point alternative
+    * (round(x·10^s) summed as longs) matches only while the unscaled sum
+    * stays below 2^53 and silently diverges from the oracle beyond it —
+    * wrong at 100 TB group sizes, so decimal it is.
     */
   private[queries] def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")

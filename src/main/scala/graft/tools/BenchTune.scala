@@ -244,11 +244,9 @@ object BenchTune {
     ops.foreach { case (name, f) =>
       spark.sharedState.cacheManager.clearCache()
       System.gc()
-      // noop sink, NOT count(): count() lets ColumnPruning/EliminateSorts
-      // strip the query's real work (x_pii_redact collapsed to a bare scan
-      // — regex/md5 never ran); the noop writer consumes every output row
-      // with all columns materialized
-      def force(): Unit = f().write.mode("overwrite").format("noop").save()
+      // the ONE forcing idiom shared with graft.Bench (BenchProtocol
+      // scaladoc: count() lets Catalyst prune the query's real work)
+      def force(): Unit = graft.BenchProtocol.force(f())
       force() // warmup
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
