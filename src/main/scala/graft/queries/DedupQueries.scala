@@ -374,6 +374,9 @@ object DedupQueries {
     // makes the whole path SQL-derivable — the seeds/assign CTEs are the
     // x4_ann_ivf ones verbatim. tau = 0.35 sits just under this corpus's
     // cosine ceiling (max pair ≈ 0.51) so the drop path actually exercises.
+    // Fixed k = 8 here ONLY because the oracle needs k literally in SQL;
+    // the production entry point is semanticDedup(e, tau) which derives
+    // k ∝ n (see SemDedup scaladoc: fixed k is quadratic at scale).
     QueryDef(
       "d_semdedup",
       (s, d) => {

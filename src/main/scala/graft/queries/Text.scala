@@ -908,7 +908,12 @@ object Text {
     // per-token surprisals are rounded to 1e-6 FIXED POINT and summed as
     // longs (order-independent, exact — a double AVG would depend on
     // partition order and never hash-match the oracle); the division back
-    // to a mean happens once, deterministically, per doc.
+    // to a mean happens once, deterministically, per doc. Residual
+    // cross-engine exposure: each fx is round(-ln(c/n)*1e6) computed by
+    // Java Math.log vs DuckDB's libm independently — a value within ~1e-10
+    // of a .5 boundary could flip the long on one engine (same class as
+    // round(cosine, 4); verified clean on this corpus, but a future corpus
+    // tripping it should widen the quantum or gate this row rows-only).
     QueryDef(
       "x_unigram_surprisal",
       (s, d) => {

@@ -234,7 +234,12 @@ object BenchTune {
       "x_tfidf_top_terms" ->
         (() => SparkEntry.queries("x_tfidf_top_terms")(spark, sfDir)),
       "d_semdedup_k8" ->
-        (() => SparkEntry.queries("d_semdedup")(spark, sfDir))) ++
+        (() => SparkEntry.queries("d_semdedup")(spark, sfDir)),
+      // the r9 default path: semanticDedup(e, tau) derives k ∝ n itself
+      // (count + IvfAnn build included in the measured wall — that's what
+      // a caller pays)
+      "d_semdedup_auto" ->
+        (() => graft.ext.SemDedup.semanticDedup(emb, tau = 0.35))) ++
       // skip the k-proportional probe where it collapses to k=8 (sf0.1):
       // it would re-measure the identical configuration under the same label
       (if (kProp != 8)

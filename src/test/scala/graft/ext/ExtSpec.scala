@@ -92,13 +92,15 @@ class ExtSpec extends AnyFunSuite {
 
   test("SemDedup drops the near-identical twin, keeps the canonical id") {
     // vec 1 is a tiny perturbation of vec 0 (cos ≈ 1); vec 2 is orthogonal;
-    // vec 3 is a perturbation of 2. Greedy keep-first must keep {0, 2} and
-    // drop {1, 3} regardless of which vectors seed the clusters.
+    // vec 3 is a perturbation of 2 that stays EXACTLY orthogonal to vecs 0
+    // and 1 (its mass lives in dims 2–3, theirs in dims 0–1), so {2,3}
+    // co-locate and {0,1} co-locate for every choice of seeds — the rule
+    // must keep {0, 2} and drop {1, 3} seed-invariantly.
     val e = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)),
       (1L, Seq(0.999, 0.01, 0.0, 0.0)),
       (2L, Seq(0.0, 0.0, 1.0, 0.0)),
-      (3L, Seq(0.0, 0.01, 0.999, 0.0))).toDF("vec_id", "ev")
+      (3L, Seq(0.0, 0.0, 0.999, 0.01))).toDF("vec_id", "ev")
     val out = SemDedup.semanticDedup(e, nCentroids = 2, tau = 0.95)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
@@ -175,7 +177,7 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
-  test("SemDedup verdicts satisfy the greedy keep-first rule exactly") {
+  test("SemDedup verdicts satisfy the any-similar-lower-id drop rule exactly") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .filter($"vec_id" < 200)
@@ -195,6 +197,23 @@ class ExtSpec extends AnyFunSuite {
       assert(kept == !hasLowerNeighbor, s"vec $id cluster $c kept=$kept")
     }
     assert(out.length == 200 && out.exists(!_._3))
+  }
+
+  test("SemDedup auto-k path equals the explicit-k path at the derived k") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 300)
+    // n = 300, target 50 ⇒ derived k = 6 < kMin 8 ⇒ k = 8; target 20 ⇒ k = 15
+    val auto = SemDedup.semanticDedup(e, tau = 0.3, targetClusterSize = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    val explicit = SemDedup.semanticDedup(e, nCentroids = 15, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    assert(auto == explicit)
+    val floored = SemDedup.semanticDedup(e, tau = 0.3, targetClusterSize = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    val flooredExplicit = SemDedup.semanticDedup(e, nCentroids = 8, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    assert(floored == flooredExplicit)
   }
 
   test("multimodal: stubbed decode extracts metadata per partition") {
