@@ -65,6 +65,14 @@ object MinHashDedup {
   def signatureXx(sh: Column, numHashes: Int): Column =
     graft.functions.MinHashSignature.minhash_signature(sh, numHashes)
 
+  /** Family-dispatched signature — md5 is the oracle-derivable gate
+    * family, xx the throughput family (see [[HashFamily]] scaladoc). */
+  def signatureOf(sh: Column, numHashes: Int, family: HashFamily): Column =
+    family match {
+      case HashFamily.Md5 => signature(sh, numHashes)
+      case HashFamily.Xx  => signatureXx(sh, numHashes)
+    }
+
   /** HOF formulation of the xx family — kept for the equivalence spec.
     * Single fold so the shingle subtree evaluates once (the transposed
     * transform-of-array_min form re-evaluates it per hash function —
@@ -106,8 +114,12 @@ object MinHashDedup {
 
   /** Candidate near-dup pairs via banded LSH over a `documents(doc_id, text)`
     * frame. Returns (a, b, est_jaccard) ordered by est_jaccard desc.
+    * `family` selects the signature hash (default md5 so the oracle rows
+    * stay hash-exact; pass [[HashFamily.Xx]] for the throughput path —
+    * everything downstream of the signature is family-agnostic).
     */
-  def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int,
+      family: HashFamily = HashFamily.Md5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     // cache() is load-bearing: signatures are higher-order-function
@@ -125,7 +137,7 @@ object MinHashDedup {
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        signature(shinglesOfToks(col("toks")), numHashes).as("sig"))
+        signatureOf(shinglesOfToks(col("toks")), numHashes, family).as("sig"))
       .cache()
 
     // the band self-join shuffles ONLY (band_idx, band_hash, doc_id) — ~20

@@ -37,6 +37,14 @@ object SimHash {
   def simhashXx(text: Column): Column =
     graft.functions.SimHash64.simhash64(split(text, " "))
 
+  /** Family-dispatched fingerprint — md5 is the oracle-derivable gate
+    * family, xx the throughput family (see [[HashFamily]] scaladoc). */
+  def simhashOf(text: Column, family: HashFamily): Column =
+    family match {
+      case HashFamily.Md5 => simhash(text)
+      case HashFamily.Xx  => simhashXx(text)
+    }
+
   /** HOF formulation of the xx family — kept for the equivalence spec. */
   def simhashHof(text: Column): Column = {
     val hashes = transform(split(text, " "), t => xxhash64(t))
@@ -72,16 +80,19 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
-  def withSimHash(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("simhash", simhash(text))
+  def withSimHash(df: DataFrame, text: Column,
+      family: HashFamily = HashFamily.Md5): DataFrame =
+    df.withColumn("simhash", simhashOf(text, family))
 
   /** Near-dup pairs via 4×16-bit banding: candidates collide on ANY band
     * (pigeonhole: hamming ≤ 3 guarantees a clean band; larger distances are
     * caught with high probability), then exact hamming filters. At scale this
     * is an equi-join on (band_idx, band_bits) — never a cross join.
+    * `family` selects the token hash (default md5 for oracle derivability).
     */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = withSimHash(docs, col("text"))
+  def nearDupPairs(docs: DataFrame, maxHamming: Int,
+      family: HashFamily = HashFamily.Md5): DataFrame = {
+    val banded = withSimHash(docs, col("text"), family)
       .select(col("doc_id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(3)), b =>
           struct(b.as("band_idx"),

@@ -330,6 +330,91 @@ object Similarity {
         WHERE a.cluster IN (SELECT cluster FROM probes)
         ORDER BY cos DESC, e.vec_id LIMIT 10""")),
 
+    // ---- X4: pruned-probe IVF recall gate (HASH-EXACT oracle) --------------
+    // The driver-visible answer to "how good is the APPROXIMATE path?":
+    // searchJoin at nProbe = 2 of 8 clusters (a real 4x I/O prune, unlike
+    // the full-probe anchor row) scored against brute-force top-10 truth,
+    // per-query recall emitted with a >= 0.5 bound as a boolean — the
+    // a8_approx_distinct pattern, except here lloydIters = 0 makes the
+    // PRUNED result itself SQL-derivable, so n_hits is hash-exact too, not
+    // just the bound. Probe ranking, assignment, and top-k tie-breaks
+    // (round-4 cosine desc, vec_id asc) mirror the x4_ann_ivf CTEs.
+    // ApproxRecallSpec still owns the spec-side recall floors; this row
+    // makes one of them visible in CORRECTNESS_r{N}.json.
+    QueryDef(
+      "x4_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+        val queries = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"ev".as("qv"))
+        val pruned = graft.ext.IvfAnn.searchJoin(index, queries, nProbe = 2, k = 10)
+          .select($"qid", $"vec_id", lit(1L).as("hit"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val truth = e.join(broadcast(queries), $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id", round(cosine($"ev", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 10)
+          .select($"qid", $"vec_id")
+        truth.join(pruned, Seq("qid", "vec_id"), "left")
+          .groupBy($"qid")
+          .agg(count($"hit").as("n_hits"))
+          .select($"qid", $"n_hits",
+            round($"n_hits".cast("double") / 10, 2).as("recall"),
+            ($"n_hits" >= 5).as("recall_ok"))
+          .orderBy($"qid")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, ev AS qv FROM e WHERE vec_id < 20),
+        probes AS (
+          SELECT qid, cluster FROM (
+            SELECT q.qid, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                list_sum(list_transform(generate_series(1, len(qv)),
+                  k -> qv[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM q, seeds s) WHERE rn <= 2),
+        pruned AS (
+          SELECT qid, vec_id FROM (
+            SELECT p.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                round(list_cosine_similarity(e.ev, q.qv), 4) DESC, e.vec_id) AS rn
+            FROM probes p
+            JOIN assign a ON a.cluster = p.cluster
+            JOIN e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+            WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                round(list_cosine_similarity(e.ev, q.qv), 4) DESC, e.vec_id) AS rn
+            FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10)
+        SELECT t.qid, COUNT(p.vec_id) AS n_hits,
+          round(COUNT(p.vec_id) / 10.0, 2) AS recall,
+          (COUNT(p.vec_id) >= 5) AS recall_ok
+        FROM truth t LEFT JOIN pruned p ON p.qid = t.qid AND p.vec_id = t.vec_id
+        GROUP BY t.qid ORDER BY t.qid""")),
+
     // ---- Embedding int8 quantization (oracle-checked + fidelity bound) -----
     // Storage/ANN compression for 100 TB-scale vector corpora: per-vector
     // symmetric int8 (scale = max|x|/127), 4x smaller at rest. Codes and

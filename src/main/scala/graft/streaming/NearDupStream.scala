@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.MinHashDedup
+import graft.ext.{HashFamily, MinHashDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,8 +42,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object NearDupStream {
 
-  /** MinHash-LSH family: `numHashes`-long md5-affine signatures split into
-    * `bands` CSV-rendered slices. */
+  /** MinHash-LSH family: `numHashes`-long signatures split into `bands`
+    * CSV-rendered slices. `family` selects the signature hash (md5 gate
+    * default / xx throughput — see [[HashFamily]]); the store's band keys
+    * are family-specific, so a store must be read and written under ONE
+    * family for its lifetime. */
   def run(
       spark: SparkSession,
       docsDir: String,
@@ -51,19 +54,20 @@ object NearDupStream {
       storeDir: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      availableNow: Boolean = true)(
+      availableNow: Boolean = true,
+      family: HashFamily = HashFamily.Md5)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
       // materialize the signature ONCE PER DOC before banding: without the
-      // barrier CollapseProject inlines the md5-affine signature chain into
-      // the per-band lambda and recomputes it `bands` times per doc
+      // barrier CollapseProject inlines the signature chain into the
+      // per-band lambda and recomputes it `bands` times per doc
       val withSig = docs
         .withColumn("toks", split(col("value"), " "))
         .filter(size(col("toks")) >= 3)
-        .select(col("path"), MinHashDedup.signature(
-          MinHashDedup.shinglesOfToks(col("toks")), numHashes).as("sig"))
+        .select(col("path"), MinHashDedup.signatureOf(
+          MinHashDedup.shinglesOfToks(col("toks")), numHashes, family).as("sig"))
         .localCheckpoint(true)
       withSig
         .select(col("path"), explode(transform(
@@ -76,7 +80,7 @@ object NearDupStream {
     }(sink)
   }
 
-  /** SimHash family: the 64-bit md5-family fingerprint split into 4 exact
+  /** SimHash family: the 64-bit fingerprint split into 4 exact
     * 16-bit bands (pigeonhole: hamming ≤ 3 between two fingerprints always
     * leaves one band untouched, so close near-dups are guaranteed to
     * collide — same banding as the batch `SimHash.nearDupPairs`). Every
@@ -86,13 +90,15 @@ object NearDupStream {
       docsDir: String,
       checkpointDir: String,
       storeDir: String,
-      availableNow: Boolean = true)(
+      availableNow: Boolean = true,
+      family: HashFamily = HashFamily.Md5)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
       // same barrier rationale as the MinHash family: fingerprint once per
       // doc, not once per band
       val withFp = docs
-        .select(col("path"), graft.ext.SimHash.simhash(col("value")).as("fp"))
+        .select(col("path"),
+          graft.ext.SimHash.simhashOf(col("value"), family).as("fp"))
         .localCheckpoint(true)
       withFp
         .select(col("path"), explode(transform(

@@ -209,6 +209,34 @@ object BenchTune {
     spark.stop()
   }
 
+  /** md5-vs-xx signature family shootout on the d_minhash_pairs shape
+    * (full candidatePairs: signature + banding + candidate join + exact
+    * slice filter), isolated median-of-3 each, noop-sink forced. The md5
+    * family buys DuckDB derivability at one 16-byte digest per shingle;
+    * xx is the Spark-only throughput path (seeded xxhash64) — this mode
+    * measures what that trade costs end-to-end at the probed SF.
+    */
+  def minhashFamilies(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("mh-family", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq[(String, graft.ext.HashFamily)](
+      "md5" -> graft.ext.HashFamily.Md5,
+      "xx" -> graft.ext.HashFamily.Xx).foreach { case (tag, fam) =>
+      def force(): Unit = graft.BenchProtocol.force(
+        graft.ext.MinHashDedup.candidatePairs(
+          graft.Tables.documents(spark, sfDir), 32, 8, fam))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[mhfamily] $tag%-4s median=${times(1)}%.3f min=${times.head}%.3f")
+    }
+    spark.stop()
+  }
+
   /** Scale-factor probe for the round-8 curation ops: per-op isolated
     * median-of-3 (Bench protocol: clearCache + GC + one warmup) at the
     * given dir — run once at sf0.1 and once at the ScaleGen 10× corpus to
@@ -268,6 +296,7 @@ object BenchTune {
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
     if (args.headOption.contains("scaleops")) { scaleOps(sfDir); return }
+    if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
     if (args.headOption.contains("etl")) {
       etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return
     }

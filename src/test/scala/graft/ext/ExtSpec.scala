@@ -11,19 +11,22 @@ class ExtSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("MinHash-LSH surfaces planted near-duplicates first") {
+  test("MinHash-LSH surfaces planted near-duplicates first (both families)") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val nearDup = base.replace("lazy", "sleepy") // one token changed
     val unrelated = "completely different words forming another document " +
       "with nothing shared at all between the two texts " * 3
     val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base + " tail"))
       .toDF("doc_id", "text")
-    val pairs = MinHashDedup.candidatePairs(docs, numHashes = 32, bands = 8)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(pairs.contains((0L, 1L)), "near-dup pair must collide in some band")
-    assert(pairs.contains((0L, 3L)))
-    assert(pairs((0L, 1L)) > 0.5)
-    assert(!pairs.contains((0L, 2L)) || pairs((0L, 2L)) < 0.2)
+    for (family <- Seq(HashFamily.Md5, HashFamily.Xx)) {
+      val pairs = MinHashDedup
+        .candidatePairs(docs, numHashes = 32, bands = 8, family)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(pairs.contains((0L, 1L)), s"$family: near-dup pair must collide")
+      assert(pairs.contains((0L, 3L)), s"$family")
+      assert(pairs((0L, 1L)) > 0.5, s"$family")
+      assert(!pairs.contains((0L, 2L)) || pairs((0L, 2L)) < 0.2, s"$family")
+    }
   }
 
   test("MinHash signature is deterministic across evaluations") {
@@ -84,10 +87,12 @@ class ExtSpec extends AnyFunSuite {
     val near = unit * 9 + unit.replace("zeta", "rho")
     val df = Seq((0L, base.trim), (1L, near.trim),
       (2L, ("other thing entirely unrelated words " * 10).trim)).toDF("doc_id", "text")
-    val pairs = SimHash.nearDupPairs(df, maxHamming = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.contains((0L, 1L)))
-    assert(!pairs.contains((0L, 2L)))
+    for (family <- Seq(HashFamily.Md5, HashFamily.Xx)) {
+      val pairs = SimHash.nearDupPairs(df, maxHamming = 16, family)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((0L, 1L)), s"$family")
+      assert(!pairs.contains((0L, 2L)), s"$family")
+    }
   }
 
   test("SemDedup drops the near-identical twin, keeps the canonical id") {
