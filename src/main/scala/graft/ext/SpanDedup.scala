@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * aggregate and the hit join — Catalyst reuses the exchange since both
   * key on `span`), then per-doc aggregates keyed by doc_id. No
   * self-join, no all-pairs anything: cost is linear in corpus tokens plus
-  * the (tiny) repeated-span set. At 100 TB, key the shuffle by
-  * md5(span) to cap key width at 16 bytes; the span text itself is kept
-  * here so the DuckDB oracle re-derives the pipeline without a hash
-  * detour.
+  * the (tiny) repeated-span set. At 100 TB, pass `hashKeys = true` to key
+  * the shuffle by the 16-byte md5 digest of the span instead of the span
+  * text (a `width`-token span is typically 40–60 bytes and rides TWO
+  * shuffles — the repeated-span aggregate and the hit join): the span is
+  * only ever a KEY, never output, so hashing preserves the statistics
+  * exactly up to md5 collisions (~2⁻¹²⁸ per pair — accepted; a parity
+  * spec pins hash-keyed ≡ text-keyed). The oracle row keeps the default
+  * text keys so DuckDB re-derives the pipeline without a hash detour.
   *
   * Interval union (a token masked by ANY overlapping repeated span) is
   * computed by exploding each hit span into its `width` positions and
@@ -47,14 +51,21 @@ object SpanDedup {
   /** Per-document mask statistics over `docs(doc_id, text)`:
     * (doc_id, n_tokens, n_rep_spans, n_masked, keep_ratio), every input
     * doc present (zero hits ⇒ keep_ratio 1.0), ordered by doc_id.
+    * `hashKeys` swaps the span-text shuffle key for its 16-byte md5
+    * digest — the 100 TB path (see object scaladoc); output is identical.
     */
   def repeatedSpanStats(docs: DataFrame, width: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
+    // the span participates ONLY as a grouping/join key from here on, so
+    // the key column can be the digest; `unhex(md5(_))` is BinaryType —
+    // 16 bytes at rest and through both exchanges
+    def keyOf(span: Column): Column =
+      if (hashKeys) unhex(md5(span)) else span
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val sp = toks.filter(size(col("t")) >= width)
       .select(col("doc_id"), explode(transform(
         spanArray(col("t"), width),
-        (x, i) => struct((i + 1).as("pos"), x.as("span")))).as("s"))
+        (x, i) => struct((i + 1).as("pos"), keyOf(x).as("span")))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
 
     val rep = sp.groupBy(col("span"))

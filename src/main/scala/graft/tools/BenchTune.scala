@@ -209,6 +209,169 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Bucketed-at-rest A/B for the bench star joins (a6_revenue_by_nation,
+    * j7_large_equi): orders + lineitem rewritten bucketed+sorted by
+    * orderkey (32 buckets — one per local core; at cluster scale pick
+    * corpus_bytes/buckets ≲ a few hundred MB), then the SAME two queries
+    * timed against the plain parquet tables and the bucketed catalog
+    * tables. The bucketed side must plan the orders⋈lineitem join with
+    * ZERO exchanges below it (printed as an Exchange count per variant) —
+    * the layout answer to the bench's dominant shuffle. Results are
+    * asserted identical before any timing. The one-time bucketed-write
+    * cost is printed too: that's the amortization price a recurring-join
+    * workload pays once.
+    */
+  def bucketAb(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("bucket-ab", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def dsum6(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(18,6)")).cast("double")
+
+    Seq("ab_lineitem", "ab_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val tw0 = System.nanoTime()
+    graft.sources.Bucketing.writeBucketed(
+      graft.Tables.lineitem(spark, sfDir), "ab_lineitem", "l_orderkey", 32)
+    graft.sources.Bucketing.writeBucketed(
+      graft.Tables.orders(spark, sfDir), "ab_orders", "o_orderkey", 32)
+    println(f"[bucketab] one-time bucketed write " +
+      f"${(System.nanoTime() - tw0) / 1e9}%.2f s (32 buckets)")
+
+    def a6(li: org.apache.spark.sql.DataFrame,
+        ord: org.apache.spark.sql.DataFrame) =
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(graft.Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(graft.Tables.nation(spark, sfDir)),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum6($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    def j7(li: org.apache.spark.sql.DataFrame,
+        ord: org.apache.spark.sql.DataFrame) =
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(dsum6($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+
+    def liP = graft.Tables.lineitem(spark, sfDir)
+    def ordP = graft.Tables.orders(spark, sfDir)
+    def liB = spark.table("ab_lineitem")
+    def ordB = spark.table("ab_orders")
+
+    // identical results is the precondition for comparing timings
+    assert(a6(liP, ordP).collect().toSeq == a6(liB, ordB).collect().toSeq,
+      "a6 plain vs bucketed results differ")
+    assert(j7(liP, ordP).collect().toSeq == j7(liB, ordB).collect().toSeq,
+      "j7 plain vs bucketed results differ")
+
+    // the claim under test is about the ORDERKEY join specifically: find
+    // that join node in the final (AQE-materialized) plan and count the
+    // shuffle exchanges in ITS subtree — bucketed must show 0 there
+    def joinShape(df: org.apache.spark.sql.DataFrame): String = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledJoin}
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def shuffles(p: SparkPlan): Int =
+        p.collect { case _: ShuffleExchangeLike => 1 }.sum
+      val orderkeyJoin = plan.collectFirst {
+        case j: BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(
+              _.name.toLowerCase.contains("orderkey"))) => j
+      }
+      val total = shuffles(plan)
+      orderkeyJoin match {
+        case Some(j) =>
+          val kind = j match {
+            case _: ShuffledJoin => j.nodeName
+            case _ => j.nodeName
+          }
+          s"join=$kind shufflesBelowJoin=${shuffles(j)} totalExchanges=$total"
+        case None => s"join=? totalExchanges=$total"
+      }
+    }
+
+    val variants: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        ("a6", "plain", () => a6(liP, ordP)),
+        ("a6", "bucketed", () => a6(liB, ordB)),
+        ("j7", "plain", () => j7(liP, ordP)),
+        ("j7", "bucketed", () => j7(liB, ordB)),
+        // forced sort-merge isolates the exchange question from AQE's
+        // broadcast choice: at true fact-fact scale neither side
+        // broadcasts, so THIS pair is the 100 TB comparison — plain SMJ
+        // shuffles both sides below the join, bucketed SMJ shuffles none
+        ("j7", "plain-smj", () => j7(liP.hint("merge"), ordP)),
+        ("j7", "bucketed-smj", () => j7(liB.hint("merge"), ordB)))
+    variants.foreach { case (q, tag, f) =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      def force(): Unit = graft.BenchProtocol.force(f())
+      force() // warmup
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val fin = f(); fin.collect() // materialized AQE plan for the count
+      println(f"[bucketab] $q-$tag%-12s median=${times(2)}%.3f " +
+        f"min=${times.head}%.3f ${joinShape(fin)}")
+    }
+    spark.stop()
+  }
+
+  /** Text-keys vs md5-keys SpanDedup: wall + total shuffle write per run.
+    * The hashKeys mode exists to shrink the span-keyed exchanges at 100 TB
+    * (16-byte digest vs ~40-60-byte span text); this probe makes the
+    * reduction a measured number instead of a scaladoc claim.
+    */
+  def spanKeyShootout(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("span-key", 32)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("text" -> false, "md5" -> true).foreach { case (tag, hk) =>
+      def force(): Unit = graft.BenchProtocol.force(
+        graft.ext.SpanDedup.repeatedSpanStats(
+          graft.Tables.documents(spark, sfDir), width = 8, minDocs = 2,
+          hashKeys = hk))
+      force() // warmup
+      val runs = (1 to 3).map { _ =>
+        org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+        shuffleWrite.set(0)
+        val t0 = System.nanoTime(); force()
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+        (sec, shuffleWrite.get)
+      }
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"[spankey] $tag%-4s median=$med%.3f s " +
+        f"shuffleWrite=${runs.map(_._2).max / 1024}%d KiB")
+    }
+    spark.stop()
+  }
+
   /** md5-vs-xx signature family shootout on the d_minhash_pairs shape
     * (full candidatePairs: signature + banding + candidate join + exact
     * slice filter), isolated median-of-3 each, noop-sink forced. The md5
@@ -297,6 +460,8 @@ object BenchTune {
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
     if (args.headOption.contains("scaleops")) { scaleOps(sfDir); return }
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
+    if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
+    if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("etl")) {
       etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return
     }

@@ -147,6 +147,19 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(0L) == ((2L, 9L)) && rows(1L) == ((2L, 9L)))
   }
 
+  test("SpanDedup md5-keyed shuffle path produces identical statistics") {
+    // the 100 TB key mode: span text replaced by its 16-byte digest on
+    // both shuffles — output must be bit-identical to text keys
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 300)
+    def stats(hashKeys: Boolean) =
+      SpanDedup.repeatedSpanStats(docs, width = 8, minDocs = 2,
+          hashKeys = hashKeys)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    assert(stats(hashKeys = true) == stats(hashKeys = false))
+  }
+
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
   test("SpanDedup matches a brute-force reference on seeded random corpora") {
