@@ -209,6 +209,47 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Streaming near-dup throughput: the corpus' documents written as one
+    * text file per doc in `nBatches` chunks, each chunk drained through
+    * [[graft.streaming.NearDupStream.run]] (AvailableNow, md5 family,
+    * 32×8 banding). Reports per-batch docs/s (wall includes the stream
+    * start/stop — the true AvailableNow micro-batch price), kept count,
+    * and band-store row growth — the store must grow with KEPT canonical
+    * docs only, the property that bounds it at 100 TB.
+    */
+  def streamThroughput(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("stream-bench", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+    val nBatches = 4
+    val root = java.nio.file.Files.createTempDirectory("stream_bench")
+    val dir = root.resolve("docs"); java.nio.file.Files.createDirectories(dir)
+    val ckpt = root.resolve("ckpt").toString
+    val store = root.resolve("store").toString
+    val chunkSize = math.ceil(docs.length.toDouble / nBatches).toInt
+    docs.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        java.nio.file.Files.writeString(
+          dir.resolve(f"doc_${r.getLong(0)}%07d.txt"), r.getString(1))
+      }
+      var kept = 0L
+      val t0 = System.nanoTime()
+      val q = graft.streaming.NearDupStream.run(
+        spark, dir.toString, ckpt, store) { (k, _) => kept = k.count() }
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val storeRows = spark.read.parquet(store).count()
+      println(f"[stream] batch=$i docs=${chunk.length} kept=$kept " +
+        f"${chunk.length / sec}%.0f docs/s wall=$sec%.2f s storeRows=$storeRows")
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    spark.stop()
+  }
+
   /** Bucketed-at-rest A/B for the bench star joins (a6_revenue_by_nation,
     * j7_large_equi): orders + lineitem rewritten bucketed+sorted by
     * orderkey (32 buckets — one per local core; at cluster scale pick
@@ -462,6 +503,7 @@ object BenchTune {
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
+    if (args.headOption.contains("stream")) { streamThroughput(sfDir); return }
     if (args.headOption.contains("etl")) {
       etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return
     }
