@@ -381,6 +381,64 @@ object Text {
             / (8000 + (event_id % 8) * 1000), 6) AS duration_sec
         FROM events WHERE event_id < 50 ORDER BY media_id""")),
 
+    // ---- JPEG PIXEL round-trip (r9: the last media stub retired) -----------
+    // Full baseline JPEG encode → entropy DECODE (graft.ext.JpegCodec:
+    // Huffman + dequant + IDCT + YCbCr→RGB, pure JVM, both 4:4:4 and
+    // 4:2:0) per event id. Lossy DCT quantization has no SQL twin, so the
+    // pixel claim rides as a BOUNDED-ACCURACY boolean (a8 pattern):
+    // pixels_ok = decoded dims match AND max channel error vs the
+    // id-derived source gradient ≤ 16 (4:4:4) / 24 (4:2:0, quarter-res
+    // chroma). Dims and components are closed-form from event_id, so the
+    // row is hash-exact; a decoder regression flips pixels_ok and fails
+    // the gate. Bytes never shuffle — synth + decode in one narrow map.
+    QueryDef(
+      "m_jpeg_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d).filter($"event_id" < 48)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val w = 8 + (id % 25).toInt
+            val h = 8 + (id % 17).toInt
+            val sub = id % 2 == 1
+            // smooth id-seeded gradient: slopes stay ≤ 255 so no wrap
+            // discontinuities (ringing would break the error bound)
+            def px(x: Int, y: Int): (Int, Int, Int) = (
+              (150 + id % 106).toInt * x / math.max(1, w - 1),
+              (150 + id % 56).toInt * y / math.max(1, h - 1),
+              (150 + id % 76).toInt * (x + y) / math.max(1, w + h - 2))
+            val bytes = graft.ext.JpegCodec.writeJpegBaseline(
+              w, h, px, quality = 90, subsample420 = sub)
+            val meta = graft.ext.MediaCodecs.parseJpegMeta(bytes)
+            val ok = graft.ext.JpegCodec.decodeJpeg(bytes).exists { img =>
+              var maxErr = 0
+              var y = 0
+              while (y < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val (r, g, b) = px(x, y)
+                  maxErr = math.max(maxErr, math.max(math.abs(img.r(x, y) - r),
+                    math.max(math.abs(img.g(x, y) - g), math.abs(img.b(x, y) - b))))
+                  x += 1
+                }
+                y += 1
+              }
+              img.width == w && img.height == h && maxErr <= (if (sub) 24 else 16)
+            }
+            (id, w, h, meta.map(_.nComponents).getOrElse(-1), sub, ok)
+          }
+          .toDF("media_id", "width", "height", "n_components",
+            "subsampled", "pixels_ok")
+          .orderBy($"media_id")
+      },
+      Some("""SELECT event_id AS media_id,
+          CAST(8 + event_id % 25 AS INTEGER) AS width,
+          CAST(8 + event_id % 17 AS INTEGER) AS height,
+          3 AS n_components,
+          (event_id % 2 = 1) AS subsampled,
+          TRUE AS pixels_ok
+        FROM events WHERE event_id < 48 ORDER BY media_id""")),
+
     // ---- End-to-end curation pipeline (capstone composition) ---------------
     // The real training-data flow in one declarative plan: quality filter →
     // content-hash dedup (keep min doc_id per fingerprint) → deterministic
