@@ -55,6 +55,19 @@ object Sessions {
       // serial driver listing. Cluster profile keeps the default: against
       // object stores with millions of files the parallel listing wins.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+      // KEEP THE 128 MB DEFAULT — measured, twice surprising. The local
+      // corpora are single ~10 MB parquet files per table, which scan as
+      // ONE task (31 cores idle); a 4m split was A/B'd and LOST: (a) a
+      // single-row-group parquet file cannot be parallelized by byte
+      // ranges — only the split containing the row-group start does work,
+      // the rest are overhead (q1 1.26→1.55s); (b) file-packing bins also
+      // shrink, so the 400-file ETL glob went one-file-per-task (419→204
+      // logs/s). The real fix for single-file scan serialization is
+      // at-rest layout (Bucketing rewrite: 32 files → 2.5x, measured in
+      // BENCH_SCALE r9_bucketed_star_joins), not split tuning. Env knob
+      // retained for future sweeps.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
