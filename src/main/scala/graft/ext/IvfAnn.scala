@@ -92,6 +92,33 @@ object IvfAnn {
     }.toDF()
   }
 
+  /** Path-keyed nearest-centroid assignment for streaming callers
+    * ([[graft.streaming.SemDedupStream]]): same broadcast-codebook
+    * mapPartitions kernel as [[assignTo]] (shared [[centroidSims]], same
+    * tie-break) over (path: String, ev) rows. Returns
+    * (path, ev, cluster). */
+  private[graft] def assignKeyed(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col("path"), col("ev")).as[(String, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val cNorm = norms(cs)
+        it.map { case (p, ev) =>
+          val sims = centroidSims(cs, cNorm, ev)
+          var best = Double.NegativeInfinity
+          var bestC = 0
+          var c = 0
+          while (c < sims.length) {
+            if (sims(c) > best) { best = sims(c); bestC = c }
+            c += 1
+          }
+          (p, ev, bestC)
+        }
+      }.toDF("path", "ev", "cluster")
+  }
+
   /** One Lloyd (k-means) step: per-cluster element-wise mean of the current
     * assignment. Distributed as posexplode → partial+final avg — the only
     * exchange carries (cluster, pos) partials, and only k×dim rows reach

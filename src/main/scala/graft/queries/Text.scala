@@ -1001,6 +1001,71 @@ object Text {
           FROM tok t JOIN cnt c USING (term), tot)
         SELECT doc_id, COUNT(*) AS n_tokens,
           round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+        FROM fx GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Bigram-LM surprisal: perplexity filtering proper ------------------
+    // Per-doc mean -ln P(w | prev) under a corpus bigram model with
+    // Laplace smoothing: P(w|prev) = (c(prev,w) + 1) / (c(prev) + V).
+    // This IS the classic perplexity quality filter (x_unigram_surprisal
+    // is its context-free cousin): boilerplate scores low (its bigrams
+    // saturate the corpus), shuffled or OOD text scores high even when
+    // its unigram mix looks normal. Scale shape: bigram construction is
+    // O(tokens) over the projected token-array attribute; the model is
+    // two count aggregates (bigram-keyed, unigram-keyed) joined back to
+    // the bigram stream — all equi-shuffles on token keys, V rides in as
+    // one broadcast scalar. Same fixed-point discipline as the unigram
+    // row (1e-6 longs, order-independent), and the same residual
+    // last-ulp ln() exposure noted there. Docs under 2 tokens have no
+    // bigrams and are excluded (both engines agree).
+    QueryDef(
+      "x_bigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("t"))
+        val tok = toks.select($"doc_id", explode($"t").as("term"))
+        val cnt = tok.groupBy($"term").agg(count(lit(1)).as("c1"))
+        val vocab = tok.agg(countDistinct($"term").as("v"))
+        val bg = toks.filter(size($"t") >= 2)
+          .select($"doc_id", explode(transform(
+            sequence(lit(1), size($"t") - 1),
+            i => struct(element_at($"t", i).as("prev"),
+              element_at($"t", i + 1).as("w")))).as("b"))
+          .select($"doc_id", $"b.prev".as("prev"), $"b.w".as("w"))
+        val cbg = bg.groupBy($"prev", $"w").agg(count(lit(1)).as("c2"))
+        bg.join(cbg, Seq("prev", "w"))
+          .join(cnt.withColumnRenamed("term", "prev"), Seq("prev"))
+          .crossJoin(broadcast(vocab))
+          .select($"doc_id",
+            round(-log(($"c2" + 1).cast("double") / ($"c1" + $"v")) * 1e6, 0)
+              .cast("long").as("fx"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"fx").as("sfx"))
+          .select($"doc_id", $"n_bigrams",
+            round($"sfx".cast("double") / 1e6 / $"n_bigrams", 6)
+              .as("avg_surprisal"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        cnt AS (SELECT term, COUNT(*) AS c1 FROM tok GROUP BY term),
+        vocab AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+        bg0 AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> {'prev': t[i], 'w': t[i+1]})) AS b
+          FROM toks WHERE len(t) >= 2),
+        bg AS (SELECT doc_id, b.prev AS prev, b.w AS w FROM bg0),
+        cbg AS (SELECT prev, w, COUNT(*) AS c2 FROM bg GROUP BY prev, w),
+        fx AS (
+          SELECT g.doc_id,
+            CAST(round(-ln((c.c2 + 1)::DOUBLE / (u.c1 + vocab.v)) * 1000000)
+              AS BIGINT) AS fx
+          FROM bg g JOIN cbg c USING (prev, w)
+          JOIN cnt u ON u.term = g.prev, vocab)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental SEMANTIC deduplication over an embedding stream — the
+  * streaming form of [[graft.ext.SemDedup]], completing batch/streaming
+  * symmetry for the whole dedup pillar (exact, MinHash, SimHash, and now
+  * semantic all have both forms). A new vector reaches the sink only if
+  * no KEPT vector in the same quantizer cell — this batch or any earlier
+  * one — has cosine ≥ `tau` with it.
+  *
+  * The quantizer (IVF codebook) is FIXED at stream start and supplied by
+  * the caller, typically from an offline [[graft.ext.IvfAnn.build]] over
+  * a bootstrap corpus: a streaming operator cannot re-derive k ∝ n
+  * because n is unbounded — the stationary-codebook assumption is the
+  * streaming analogue of the batch auto-k rule, and re-clustering is a
+  * periodic OFFLINE job that starts a new stream generation (new
+  * checkpoint + store), not an in-stream mutation.
+  *
+  * Same exactly-once skeleton as [[DedupStream]]/[[NearDupStream]]:
+  * file-source checkpoint, `batch=<id>`-partitioned parquet store,
+  * cross-batch comparison strictly below the current batch id, own
+  * partition overwritten on re-fire. Near-dup-specific choices mirror
+  * the batch rule and NearDupStream:
+  *
+  *  - **Within a batch**: a vector is suppressed iff ANY
+  *    lexicographically-smaller path in the same cell is ≥ tau similar —
+  *    the deterministic streaming analogue of the batch any-similar-
+  *    lower-id rule (suppressors may themselves be suppressed;
+  *    transitive over-suppression accepted, no iteration in the hot
+  *    path).
+  *  - **Only KEPT vectors register.** The store holds (cluster, path,
+  *    vec) of canonical vectors, so it is bounded by canonical count,
+  *    not arrivals, and the cross-batch check is a cluster-keyed
+  *    equi-join + per-pair cosine — the SemDedup candidate shape, never
+  *    all-pairs.
+  *
+  * At 100 TB the store join stays cluster-keyed (matches IvfAnn's
+  * at-rest partitioning) and per-batch work is Σ_cell batch_c ×
+  * (batch_c + store_c) — bounded by the codebook granularity exactly as
+  * the batch operator's scaladoc prescribes.
+  */
+object SemDedupStream {
+
+  /** Start the stream over `vecsDir` (one text file per vector:
+    * whitespace-separated doubles). `centroids` is the fixed codebook
+    * (cluster id = array index); `sink` receives the KEPT (path, vec)
+    * rows per micro-batch with their batch id.
+    */
+  def run(
+      spark: SparkSession,
+      vecsDir: String,
+      checkpointDir: String,
+      storeDir: String,
+      centroids: Array[Array[Double]],
+      tau: Double,
+      availableNow: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import spark.implicits._
+    val cosine = graft.queries.Similarity.cosine _
+
+    val stream = spark.readStream
+      .option("wholetext", "true")
+      .text(vecsDir)
+      .select($"value", input_file_name().as("path"))
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // parse + quantize once per doc; localCheckpoint pins the
+        // assignment for its three consumers (in-batch self-join sides,
+        // store registration)
+        val parsed = batch.select($"path",
+          transform(split(trim($"value"), "\\s+"), _.cast("double"))
+            .as("ev"))
+        val assigned = graft.ext.IvfAnn.assignKeyed(parsed, centroids)
+          .localCheckpoint(true)
+
+        // in-batch: any >= tau neighbor with a smaller path suppresses
+        val other = assigned.select($"cluster", $"path".as("o_path"),
+          $"ev".as("o_ev"))
+        val inBatch = assigned.join(other, Seq("cluster"))
+          .filter($"o_path" < $"path" &&
+            round(cosine($"ev", $"o_ev"), 4) >= tau)
+          .select($"path")
+
+        // cross-batch: any >= tau KEPT vector from a strictly earlier
+        // batch, same cell
+        val prior = priorVecs(spark, storeDir, batchId) match {
+          case Some(p) => assigned.join(p, Seq("cluster"))
+            .filter(round(cosine($"ev", $"p_ev"), 4) >= tau)
+            .select($"path")
+          case None => spark.emptyDataset[String].toDF("path")
+        }
+
+        val suppressed = inBatch.union(prior).distinct()
+        val kept = assigned.join(suppressed, Seq("path"), "left_anti")
+          .localCheckpoint(true) // pin BEFORE the store gains this batch
+
+        kept.select($"cluster", $"path", $"ev")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId")
+        sink(kept.select($"path", $"ev"), batchId)
+        ()
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  /** Kept vectors registered by batches STRICTLY BEFORE `batchId`
+    * (partition pruning on the `batch` directory column). */
+  private def priorVecs(
+      spark: SparkSession, storeDir: String, batchId: Long): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp) || fs.listStatus(hp).isEmpty) None
+    else Some(
+      spark.read.parquet(storeDir)
+        .filter(col("batch") < batchId)
+        .select(col("cluster"), col("ev").as("p_ev")))
+  }
+}

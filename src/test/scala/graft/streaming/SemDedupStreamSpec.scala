@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import scala.collection.mutable
+
+/** Streaming semantic dedup: a near-parallel vector of one KEPT in any
+  * earlier micro-batch never reaches the sink; orthogonal vectors always
+  * do; within a batch the lexicographically-smaller path wins; the store
+  * holds kept vectors only; re-fired batches re-emit identically.
+  */
+class SemDedupStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  private def rmTree(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  // two orthogonal cells: mass in dims 0-1 vs dims 2-3; the codebook is
+  // the canonical axes so cell assignment is unambiguous for every vector
+  private val cents: Array[Array[Double]] = Array(
+    Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+  private def vec(v: Double*): String = v.mkString(" ")
+
+  test("semantic near-dups suppress across and within batches") {
+    val dir = tmp("sdstream")
+    val ckpt = tmp("sdstream_ck")
+    val store = tmp("sdstream_store") + "/store"
+    val emitted = mutable.ArrayBuffer.empty[(Long, String)]
+
+    def drain(): Unit = {
+      val q = SemDedupStream.run(spark, dir, ckpt, store, cents, tau = 0.95) {
+        (kept, bid) =>
+          emitted ++= kept.select("path").collect()
+            .map(r => (bid, r.getString(0).split('/').last))
+      }
+      q.awaitTermination()
+    }
+
+    // batch 0: a and b are near-parallel in cell 0 (in-batch: a wins by
+    // path order), c is cell 1 — kept
+    Files.writeString(Paths.get(dir, "a.txt"), vec(1.0, 0.0, 0.0, 0.0))
+    Files.writeString(Paths.get(dir, "b.txt"), vec(0.999, 0.01, 0.0, 0.0))
+    Files.writeString(Paths.get(dir, "c.txt"), vec(0.0, 0.0, 1.0, 0.0))
+    drain()
+    assert(emitted.map(_._2).sorted == Seq("a.txt", "c.txt"),
+      s"batch 0 emitted: $emitted")
+
+    // batch 1: d is a near-parallel of KEPT a (store suppresses);
+    // e is near-parallel of c (store suppresses); f is a genuinely new
+    // direction inside cell 0, below tau vs a — kept
+    Files.writeString(Paths.get(dir, "d.txt"), vec(0.998, 0.02, 0.0, 0.0))
+    Files.writeString(Paths.get(dir, "e.txt"), vec(0.0, 0.01, 0.999, 0.0))
+    Files.writeString(Paths.get(dir, "f.txt"), vec(0.6, 0.8, 0.0, 0.0))
+    drain()
+    assert(emitted.map(_._2).sorted == Seq("a.txt", "c.txt", "f.txt"),
+      s"after batch 1: $emitted")
+
+    // store holds exactly the kept vectors (a, c, f), cluster-keyed
+    val stored = spark.read.parquet(store)
+      .select("cluster", "path").collect()
+      .map(r => (r.getInt(0), r.getString(1).split('/').last)).toSet
+    assert(stored == Set((0, "a.txt"), (1, "c.txt"), (0, "f.txt")),
+      s"store: $stored")
+    rmTree(dir); rmTree(ckpt)
+  }
+
+  test("suppression is cell-local: a tau-similar vector in ANOTHER cell passes") {
+    // cosine(g, h) = 1 but they land in different cells only if their
+    // mass differs; instead pin the converse — a vector similar to a
+    // cell-0 resident but assigned to cell 1 is NOT suppressed by it.
+    // (0.6, 0, 0.8, 0) has cos 0.6 with cell0's axis and 0.8 with
+    // cell1's -> assigned cell 1; vs stored cell-1 vector (0,0,1,0) its
+    // cosine is 0.8 < tau -> kept. vs hypothetical cell-0 store it is
+    // never compared at all.
+    val dir = tmp("sdcell")
+    val ckpt = tmp("sdcell_ck")
+    val store = tmp("sdcell_store") + "/store"
+    val emitted = mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = SemDedupStream.run(spark, dir, ckpt, store, cents, tau = 0.95) {
+        (kept, _) =>
+          emitted ++= kept.select("path").collect()
+            .map(_.getString(0).split('/').last)
+      }
+      q.awaitTermination()
+    }
+    Files.writeString(Paths.get(dir, "base.txt"), vec(0.0, 0.0, 1.0, 0.0))
+    drain()
+    Files.writeString(Paths.get(dir, "diag.txt"), vec(0.6, 0.0, 0.8, 0.0))
+    drain()
+    assert(emitted.sorted == Seq("base.txt", "diag.txt"), s"emitted: $emitted")
+    rmTree(dir); rmTree(ckpt)
+  }
+
+  test("re-fired batch re-emits identically against its own store partition") {
+    val dir = tmp("sdrefire")
+    val ckpt1 = tmp("sdrefire_ck1")
+    val ckpt2 = tmp("sdrefire_ck2")
+    val store = tmp("sdrefire_store") + "/store"
+    def runOnce(ckpt: String): Seq[String] = {
+      val emitted = mutable.ArrayBuffer.empty[String]
+      val q = SemDedupStream.run(spark, dir, ckpt, store, cents, tau = 0.95) {
+        (kept, _) =>
+          emitted ++= kept.select("path").collect()
+            .map(_.getString(0).split('/').last)
+      }
+      q.awaitTermination()
+      emitted.toSeq.sorted
+    }
+    Files.writeString(Paths.get(dir, "a.txt"), vec(1.0, 0.0, 0.0, 0.0))
+    Files.writeString(Paths.get(dir, "b.txt"), vec(0.999, 0.01, 0.0, 0.0))
+    val first = runOnce(ckpt1)
+    // fresh checkpoint => batch 0 re-fires over the same files; its store
+    // partition is overwritten, prior batches (< 0) are empty — identical
+    val second = runOnce(ckpt2)
+    assert(first == Seq("a.txt") && second == first,
+      s"first: $first second: $second")
+    rmTree(dir)
+  }
+}
