@@ -465,6 +465,8 @@ object BenchTune {
         (() => SparkEntry.queries("x_pii_redact")(spark, sfDir)),
       "x_tfidf_top_terms" ->
         (() => SparkEntry.queries("x_tfidf_top_terms")(spark, sfDir)),
+      "x_bigram_surprisal" ->
+        (() => SparkEntry.queries("x_bigram_surprisal")(spark, sfDir)),
       "d_semdedup_k8" ->
         (() => SparkEntry.queries("d_semdedup")(spark, sfDir)),
       // the r9 default path: semanticDedup(e, tau) derives k ∝ n itself

@@ -101,6 +101,42 @@ class SemDedupStreamSpec extends AnyFunSuite {
     rmTree(dir); rmTree(ckpt)
   }
 
+  test("one-batch streaming verdicts equal the batch operator's on real vectors") {
+    // parity across forms: same codebook, path order aligned with vec_id
+    // order (zero-padded names), tau above the corpus pair ceiling would
+    // be vacuous — use tau = 0.3 which actually drops vectors (the batch
+    // spec's setting). Batch kept-set == streaming kept-set.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 120)
+    val index = graft.ext.IvfAnn.build(e, nCentroids = 4, lloydIters = 0)
+    val batchKept = graft.ext.SemDedup.semanticDedup(e, nCentroids = 4, tau = 0.3)
+      .filter($"kept").select($"vec_id").collect().map(_.getLong(0)).toSet
+
+    val dir = tmp("sdparity")
+    val ckpt = tmp("sdparity_ck")
+    val store = tmp("sdparity_store") + "/store"
+    e.collect().foreach { r =>
+      Files.writeString(Paths.get(dir, f"v${r.getLong(0)}%06d.txt"),
+        r.getSeq[Double](1).mkString(" "))
+    }
+    val emitted = mutable.ArrayBuffer.empty[String]
+    val cents = index.centroids.map(_._2.toArray)
+    val q = SemDedupStream.run(spark, dir, ckpt, store, cents, tau = 0.3) {
+      (kept, _) =>
+        emitted ++= kept.select("path").collect()
+          .map(_.getString(0).split('/').last)
+    }
+    q.awaitTermination()
+    val streamKept = emitted.map(_.stripPrefix("v").stripSuffix(".txt").toLong).toSet
+    assert(streamKept == batchKept,
+      s"stream-only: ${streamKept -- batchKept}; batch-only: ${batchKept -- streamKept}")
+    assert(batchKept.size < 120, "tau must actually drop something")
+    rmTree(dir); rmTree(ckpt)
+  }
+
   test("re-fired batch re-emits identically against its own store partition") {
     val dir = tmp("sdrefire")
     val ckpt1 = tmp("sdrefire_ck1")
