@@ -175,6 +175,20 @@ object IvfAnn {
     Index(assignTo(emb, cents), centroids)
   }
 
+  /** k∝n build: derives `nCentroids = max(kMin, ceil(n/targetCellSize))`
+    * from one projected count — the same scale rule SemDedup's auto-k
+    * default applies (a FIXED k makes cells grow with n, ballooning both
+    * probe I/O and any within-cell work; constant cell size keeps them
+    * flat). Explicit-k [[build]] remains for oracle rows and for callers
+    * tuning the recall/latency trade deliberately.
+    */
+  def buildAuto(emb: DataFrame, targetCellSize: Int = 256,
+      lloydIters: Int = 1, kMin: Int = 8): Index = {
+    val n = emb.select(col("vec_id")).count()
+    val k = math.max(kMin.toLong, (n + targetCellSize - 1) / targetCellSize)
+    build(emb, k.toInt, lloydIters)
+  }
+
   /** Persist the index partitioned BY CLUSTER — the at-rest layout the
     * build scaladoc promises: a probe filtering on `cluster` reads only
     * `nProbe`/`nCentroids` of the files, enforced by parquet partition

@@ -269,10 +269,15 @@ object JpegCodec {
   /** Encode a baseline JFIF image. `rgb(x, y)` supplies pixels; `quality`
     * follows the libjpeg 1..100 convention; `subsample420` selects 2x2
     * luma sampling with quarter-resolution chroma (averaged), else 4:4:4.
-    * Annex K default Huffman tables, one interleaved scan, no restarts.
+    * Annex K default Huffman tables, one interleaved scan.
+    * `restartInterval` > 0 emits a DRI marker and RSTn every that many
+    * MCUs (bit buffer flushed, DC predictors reset) — the resync
+    * mechanism real encoders use, here mainly so the decoder's restart
+    * path is exercised by round-trip fixtures.
     */
   def writeJpegBaseline(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
-      quality: Int = 90, subsample420: Boolean = false): Array[Byte] = {
+      quality: Int = 90, subsample420: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
     val lumaQ = scaleQ(StdLumaQ, quality)
     val chromaQ = scaleQ(StdChromaQ, quality)
@@ -375,9 +380,17 @@ object JpegCodec {
     }
 
     var my = 0
+    var mcuIdx = 0
+    var rstN = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          bw.flush() // byte-align (1-padded) before the marker
+          entropy.write(0xff); entropy.write(0xd0 + (rstN & 7))
+          rstN += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
         var by = 0
         while (by < vY) {
           var bx = 0
@@ -390,6 +403,7 @@ object JpegCodec {
         }
         encodeBlock(quantize(fdct(block(cbP, cw, ch, mx, my)), chromaQ), 1)
         encodeBlock(quantize(fdct(block(crP, cw, ch, mx, my)), chromaQ), 2)
+        mcuIdx += 1
         mx += 1
       }
       my += 1
@@ -415,6 +429,8 @@ object JpegCodec {
     dht(1, 0, AcLumaBits, AcLumaVals)
     dht(0, 1, DcChromaBits, DcChromaVals)
     dht(1, 1, AcChromaBits, AcChromaVals)
+    if (restartInterval > 0)
+      marker(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
     marker(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     entropy.toByteArray.foreach(b => out.write(b & 0xff))
     u8(0xff); u8(0xd9) // EOI

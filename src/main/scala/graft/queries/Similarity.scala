@@ -451,6 +451,74 @@ object Similarity {
           TRUE AS fidelity_ok
         FROM q ORDER BY vec_id""")),
 
+    // ---- Cluster-quality diagnostics (HASH-EXACT oracle) -------------------
+    // Per-cluster cohesion + assignment confidence for the md5-seeded
+    // codebook the ANN/SemDedup family shares: n_vecs, mean cosine to the
+    // OWN (best) centroid, and mean margin over the second-best centroid.
+    // A collapsing codebook shows up as one fat cluster with near-zero
+    // margin; a healthy one has balanced n_vecs and positive margins —
+    // the "is my quantizer sane" check a curation pipeline runs before
+    // trusting IVF probes or SemDedup cells at 100 TB. Everything is
+    // declarative: vectors cross-join the 8 broadcast seed rows, rank by
+    // ROUND-6 cosine (ties → lower cluster, both engines), fixed-point
+    // long sums make the means order-independent. Scale: the cross join
+    // is n × k with k broadcast — the same shape as assignment itself.
+    QueryDef(
+      "x4_cluster_quality",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+        val seeds = index.centroids.toSeq.toDF("cluster", "cv")
+        val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")
+        val ranked = e.crossJoin(broadcast(seeds))
+          .select($"vec_id", $"cluster", round(cosine($"ev", $"cv"), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+        val own = ranked.filter($"rn" === 1)
+          .select($"vec_id", $"cluster", $"cos".as("cos_own"))
+        val second = ranked.filter($"rn" === 2)
+          .select($"vec_id", $"cos".as("cos_2nd"))
+        own.join(second, Seq("vec_id"))
+          .select($"cluster",
+            round($"cos_own" * 1e6, 0).cast("long").as("fo"),
+            round(($"cos_own" - $"cos_2nd") * 1e6, 0).cast("long").as("fm"))
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_vecs"), sum($"fo").as("so"), sum($"fm").as("sm"))
+          .select($"cluster", $"n_vecs",
+            round($"so".cast("double") / 1e6 / $"n_vecs", 6).as("mean_cos_own"),
+            round($"sm".cast("double") / 1e6 / $"n_vecs", 6).as("mean_margin"))
+          .orderBy($"cluster")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        ranked AS (
+          SELECT vec_id, cluster, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+          FROM (
+            SELECT e.vec_id, s.cluster,
+              round(list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+            FROM e, seeds s)),
+        own AS (SELECT vec_id, cluster, cos FROM ranked WHERE rn = 1),
+        sec AS (SELECT vec_id, cos AS cos2 FROM ranked WHERE rn = 2),
+        fx AS (
+          SELECT o.cluster,
+            CAST(round(o.cos * 1000000) AS BIGINT) AS fo,
+            CAST(round((o.cos - s.cos2) * 1000000) AS BIGINT) AS fm
+          FROM own o JOIN sec s USING (vec_id))
+        SELECT cluster, COUNT(*) AS n_vecs,
+          round(CAST(SUM(fo) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_cos_own,
+          round(CAST(SUM(fm) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_margin
+        FROM fx GROUP BY cluster ORDER BY cluster""")),
+
     // ---- Embedding near-dup pairs over a fixed subset (oracle-checked) -----
     QueryDef(
       "emb_neardup_pairs",

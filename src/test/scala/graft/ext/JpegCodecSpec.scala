@@ -59,6 +59,34 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("restart-marker streams round-trip identically to markerless ones") {
+    // 40x24 4:4:4 = 15 MCUs; interval 4 emits RST0..RST2 mid-scan. The
+    // decoder must resync (byte-align, reset DC predictors) and produce
+    // the SAME pixels as the markerless encoding of the same image.
+    val (w, h) = (40, 24)
+    val plain = JpegCodec.decodeJpeg(
+      JpegCodec.writeJpegBaseline(w, h, smooth(w, h))).get
+    val rst = JpegCodec.decodeJpeg(
+      JpegCodec.writeJpegBaseline(w, h, smooth(w, h), restartInterval = 4)).get
+    assert(rst.pixels.toSeq == plain.pixels.toSeq)
+    // and in the subsampled geometry too (6 MCUs, interval 2)
+    val plain420 = JpegCodec.decodeJpeg(JpegCodec.writeJpegBaseline(
+      w, h, smooth(w, h), subsample420 = true)).get
+    val rst420 = JpegCodec.decodeJpeg(JpegCodec.writeJpegBaseline(
+      w, h, smooth(w, h), subsample420 = true, restartInterval = 2)).get
+    assert(rst420.pixels.toSeq == plain420.pixels.toSeq)
+  }
+
+  test("fuzz: corrupted restart stream never throws") {
+    val bytes = JpegCodec.writeJpegBaseline(40, 24, smooth(40, 24),
+      restartInterval = 3)
+    for (off <- bytes.indices by 7) {
+      val c = bytes.clone()
+      c(off) = (c(off) ^ 0xff).toByte
+      JpegCodec.decodeJpeg(c)
+    }
+  }
+
   test("parseJpegMeta agrees with the pixel decoder on encoder output") {
     val bytes = JpegCodec.writeJpegBaseline(40, 30, smooth(40, 30))
     val meta = MediaCodecs.parseJpegMeta(bytes).get

@@ -47,6 +47,16 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(IvfAnn.build(emb(17), nCentroids = 16).centroids.length == 16)
   }
 
+  test("IVF buildAuto derives k from n with a kMin floor") {
+    def emb(n: Int) = (0 until n)
+      .map(i => (i.toLong, Seq(i.toDouble, 1.0))).toDF("vec_id", "ev")
+    // n=1000 / target 100 => k=10; floor case n=100 / target 100 => kMin=8
+    assert(IvfAnn.buildAuto(emb(1000), targetCellSize = 100, lloydIters = 0)
+      .centroids.length == 10)
+    assert(IvfAnn.buildAuto(emb(100), targetCellSize = 100, lloydIters = 0)
+      .centroids.length == 8)
+  }
+
   test("IVF assignment is a narrow per-row pass: no shuffle, no row explosion") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
