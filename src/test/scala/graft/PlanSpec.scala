@@ -153,6 +153,37 @@ class PlanSpec extends AnyFunSuite {
       s"t_attribution range join lost its user_id equi key:\n$attr")
   }
 
+  test("round-9 queries keep scale-correct plan shapes") {
+    // bigram surprisal: the model joins are token-keyed equi-joins; the
+    // only legitimate non-equi element is the broadcast of the 1-row
+    // vocab scalar (BroadcastNestedLoopJoin over a single row is the
+    // crossJoin(broadcast(v)) idiom, same as TF-IDF's N) — never a
+    // cartesian over data
+    val bg = plan("x_bigram_surprisal")
+    assert(!bg.contains("CartesianProduct"),
+      s"x_bigram_surprisal degenerated to a cross join:\n$bg")
+    assert(bg.contains("BroadcastExchange"),
+      s"x_bigram_surprisal vocab scalar is not broadcast:\n$bg")
+    // cluster quality: the n x k ranking join must broadcast the k seed
+    // rows — a shuffled join of the corpus against 8 rows is wrong at
+    // any scale
+    val cq = plan("x4_cluster_quality")
+    assert(cq.contains("BroadcastExchange") && !cq.contains("CartesianProduct"),
+      s"x4_cluster_quality seeds not broadcast:\n$cq")
+    // pruned-probe recall: both the pruned searchJoin and the truth side
+    // meet the corpus through broadcasts (20 queries / 8 probes); the
+    // per-qid windows must not induce a global sort beyond the final
+    // orderBy
+    val rec = plan("x4_ann_recall")
+    assert(!rec.contains("CartesianProduct"),
+      s"x4_ann_recall degenerated to a cross join:\n$rec")
+    // jpeg round-trip is pure narrow per-row work: only the final sort
+    // may shuffle
+    val jp = plan("m_jpeg_roundtrip")
+    assert("Exchange".r.findAllIn(jp).size <= 1,
+      s"m_jpeg_roundtrip shuffles more than the final sort:\n$jp")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
