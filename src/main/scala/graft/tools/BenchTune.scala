@@ -441,6 +441,47 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Exact-collapse-first MinHash A/B at heavily-cloned corpora. Pair
+    * ENUMERATION is output-bound: a duplicate group of g clones emits
+    * g(g-1)/2 candidate pairs, so a corpus where every doc has c exact
+    * clones produces c² times the pairs — the 100× ScaleGen corpus
+    * (c = 100) measured 193× wall on raw candidatePairs. The pipeline
+    * answer is exact dedup FIRST (one representative per distinct text,
+    * min doc_id), then near-dup over representatives: same near-dup
+    * structure discovered, pair count back to the base corpus's. This
+    * mode measures both paths at the probed SF.
+    */
+  def minhashCollapse(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("mh-collapse", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def docs = graft.Tables.documents(spark, sfDir)
+    def collapsed = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      docs.withColumn("fp", md5($"text"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"doc_id", $"text")
+    }
+    println(s"[mhcollapse] docs=${docs.count()} representatives=${collapsed.count()}")
+    Seq("raw" -> (() => docs), "collapsed" -> (() => collapsed)).foreach {
+      case (tag, d) =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        def pairs() = graft.ext.MinHashDedup.candidatePairs(d(), 32, 8)
+        def force(): Unit = graft.BenchProtocol.force(pairs())
+        force() // warmup
+        val times = (1 to 3).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val n = pairs().count()
+        println(f"[mhcollapse] $tag%-10s median=${times(1)}%.3f min=${times.head}%.3f pairs=$n")
+    }
+    spark.stop()
+  }
+
   /** Scale-factor probe for the round-8 curation ops: per-op isolated
     * median-of-3 (Bench protocol: clearCache + GC + one warmup) at the
     * given dir — run once at sf0.1 and once at the ScaleGen 10× corpus to
@@ -503,6 +544,7 @@ object BenchTune {
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
     if (args.headOption.contains("scaleops")) { scaleOps(sfDir); return }
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
+    if (args.headOption.contains("mhcollapse")) { minhashCollapse(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("stream")) { streamThroughput(sfDir); return }
