@@ -517,6 +517,27 @@ object MediaCodecs {
       durationTicks = be32u(b, mvhdFrom + 16))
   }
 
+  /** The first sample-entry fourcc of the first track (e.g. "avc1",
+    * "hvc1", "mp4a") — the codec identifier a media catalog indexes on,
+    * read from the stsd box down the standard trak→mdia→minf→stbl chain.
+    * None when the chain is absent (e.g. the minimal [[writeMp4Shell]]
+    * fixture carries no mdia) or malformed — never throws.
+    */
+  def parseMp4Codec(b: Array[Byte]): Option[String] = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+    for {
+      (moovFrom, moovTo) <- findBox(b, 0, b.length, "moov")
+      (trakFrom, trakTo) <- findBox(b, moovFrom, moovTo, "trak")
+      (mdiaFrom, mdiaTo) <- findBox(b, trakFrom, trakTo, "mdia")
+      (minfFrom, minfTo) <- findBox(b, mdiaFrom, mdiaTo, "minf")
+      (stblFrom, stblTo) <- findBox(b, minfFrom, minfTo, "stbl")
+      (stsdFrom, stsdTo) <- findBox(b, stblFrom, stblTo, "stsd")
+      // stsd body: version+flags u32, entry_count u32, then entries of
+      // [size u32][format 4cc]...
+      if stsdTo - stsdFrom >= 16 && be32u(b, stsdFrom + 4) >= 1
+    } yield new String(b, stsdFrom + 12, 4, "US-ASCII")
+  }
+
   /** A minimal valid ISO-BMFF stream (ftyp + moov[mvhd + trak[tkhd]]) — the
     * synthesis fixture for [[parseMp4Meta]] round-trip gates; no mdat
     * (sample data needs codecs; the parser reads only moov). Size is
@@ -552,5 +573,32 @@ object MediaCodecs {
         be32(w.toLong << 16) ++ be32(h.toLong << 16)) // 16.16 fixed
     val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
     ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** [[writeMp4Shell]] extended with the trak→mdia→minf→stbl→stsd chain
+    * carrying one sample entry of the given fourcc — the fixture for
+    * [[parseMp4Codec]] round-trips. The existing 236-byte shell stays
+    * untouched (its size is an oracle-pinned closed form).
+    */
+  def writeMp4ShellWithCodec(w: Int, h: Int, timescale: Int,
+      durationTicks: Long, codec: String): Array[Byte] = {
+    require(codec.length == 4, "fourcc required")
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ name.getBytes ++ body
+    val base = writeMp4Shell(w, h, timescale, durationTicks)
+    // minimal sample entry: [size][fourcc][6 reserved + 2 data_ref_index]
+    val entry = be32(16L) ++ codec.getBytes("US-ASCII") ++ new Array[Byte](8)
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+    val mdia = box("mdia", box("minf", box("stbl", stsd)))
+    // splice mdia into the existing trak: rebuild moov = mvhd + trak'
+    val (moovFrom, moovTo) = findBox(base, 0, base.length, "moov").get
+    val (trakFrom, trakTo) = findBox(base, moovFrom, moovTo, "trak").get
+    val trakBody = base.slice(trakFrom, trakTo) ++ mdia
+    val mvhdBytes = base.slice(moovFrom, trakFrom - 8)
+    base.slice(0, moovFrom - 8) ++
+      box("moov", mvhdBytes ++ box("trak", trakBody))
   }
 }

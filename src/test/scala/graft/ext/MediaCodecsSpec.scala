@@ -218,6 +218,24 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(i.timescale == 90000 && i.durationTicks == 123456789L)
   }
 
+  test("MP4 codec fourcc: stsd chain recovered; absent chain is None") {
+    val withCodec = MediaCodecs.writeMp4ShellWithCodec(
+      1280, 720, 30000, 4242L, "avc1")
+    assert(MediaCodecs.parseMp4Codec(withCodec).contains("avc1"))
+    // the spliced shell still parses as ordinary metadata
+    val meta = MediaCodecs.parseMp4Meta(withCodec).get
+    assert(meta.width == 1280 && meta.height == 720 && meta.timescale == 30000)
+    // audio fourcc too
+    assert(MediaCodecs.parseMp4Codec(MediaCodecs.writeMp4ShellWithCodec(
+      0, 0, 44100, 1000L, "mp4a")).contains("mp4a"))
+    // the minimal shell has no mdia chain -> None, not a throw
+    assert(MediaCodecs.parseMp4Codec(
+      MediaCodecs.writeMp4Shell(64, 64, 1000, 10L)).isEmpty)
+    // truncation anywhere never throws
+    for (n <- 0 until withCodec.length by 3)
+      MediaCodecs.parseMp4Codec(withCodec.take(n))
+  }
+
   test("MP4 parser rejects non-BMFF and malformed box sizes") {
     assert(MediaCodecs.parseMp4Meta(Array.fill[Byte](50)(9)).isEmpty)
     assert(MediaCodecs.parseMp4Meta(Array.emptyByteArray).isEmpty)
