@@ -158,21 +158,127 @@ object IvfAnn {
     * follow (each is one narrow scan + one k×dim-bounded aggregate), so
     * total data passes = lloydIters + 1 beyond seeding.
     */
-  def build(emb: DataFrame, nCentroids: Int, lloydIters: Int = 1): Index = {
+  /** The md5-ordered deterministic seed sample (build scaladoc) as a
+    * driver-side codebook — shared by [[build]] and the coarse-assigned
+    * SemDedup variant so seeding can never diverge between them. */
+  private[graft] def seedCentroids(emb: DataFrame, nCentroids: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val seeds = emb.select($"vec_id", $"ev")
+    emb.select($"vec_id", $"ev")
       .orderBy(shiftrightunsigned(
         graft.functions.Md5Hash64.md5_le64($"vec_id".cast("string")), 4),
         $"vec_id")
       .limit(nCentroids).collect()
-    var cents: Array[Array[Double]] =
-      seeds.map(r => r.getSeq[Double](r.fieldIndex("ev")).toArray)
+      .map(r => r.getSeq[Double](r.fieldIndex("ev")).toArray)
+  }
+
+  def build(emb: DataFrame, nCentroids: Int, lloydIters: Int = 1): Index = {
+    var cents: Array[Array[Double]] = seedCentroids(emb, nCentroids)
 
     (1 to lloydIters).foreach(_ => cents = lloydStep(emb, cents))
 
     val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     Index(assignTo(emb, cents), centroids)
+  }
+
+  /** Two-level (coarse-quantized) assignment for LARGE codebooks — the
+    * next rung up the scale ladder after auto-k: flat assignment is
+    * O(n·k), and with k ∝ n that is O(n²/cellSize) (measured: the 100×
+    * corpus at k=800 is 160M cosine evals, 28.6× wall — BENCH_SCALE
+    * `r9_100x_curation_ops`). Here the k fine centroids are themselves
+    * clustered driver-side into ≈√k coarse groups (tiny: k×dim doubles,
+    * a few Lloyd passes in-process); each vector ranks the coarse
+    * centroids and scores ONLY the fine centroids of its best
+    * `coarseProbe` groups — O(n·(√k + coarseProbe·k/√k)).
+    *
+    * APPROXIMATE by design: a vector whose true nearest fine centroid
+    * lives in an unprobed coarse group lands in its best probed one
+    * (the standard IVF coarse-quantizer trade; agreement with flat
+    * assignment is spec-pinned ≥ 95% at coarseProbe = 2 on real
+    * embeddings). EXACT when `coarseProbe >= nCoarse`: every fine
+    * centroid is scored and ties break identically to [[assignTo]]
+    * (members scanned in ascending cluster id) — spec-pinned equal.
+    */
+  private[graft] def assignCoarse(emb: DataFrame, cents: Array[Array[Double]],
+      coarseProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val k = cents.length
+    val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // driver-side spherical k-means over the codebook itself
+    var coarse: Array[Array[Double]] =
+      Array.tabulate(nCoarse)(g => cents(g * k / nCoarse).clone())
+    val cNormFine = norms(cents)
+    var iter = 0
+    var members: Array[Array[Int]] = null
+    while (iter < 5) {
+      val cNormCoarse = norms(coarse)
+      val groupOf = Array.tabulate(k) { c =>
+        var best = Double.NegativeInfinity
+        var bestG = 0
+        var g = 0
+        while (g < nCoarse) {
+          var dot = 0.0
+          var i = 0
+          while (i < coarse(g).length) { dot += cents(c)(i) * coarse(g)(i); i += 1 }
+          val sim = dot / (cNormFine(c) * cNormCoarse(g))
+          if (sim > best) { best = sim; bestG = g }
+          g += 1
+        }
+        bestG
+      }
+      members = Array.tabulate(nCoarse)(g =>
+        (0 until k).filter(groupOf(_) == g).toArray)
+      // recompute coarse means (empty groups keep their centroid)
+      coarse = Array.tabulate(nCoarse) { g =>
+        if (members(g).isEmpty) coarse(g)
+        else {
+          val m = new Array[Double](cents(0).length)
+          members(g).foreach { c =>
+            var i = 0
+            while (i < m.length) { m(i) += cents(c)(i); i += 1 }
+          }
+          var i = 0
+          while (i < m.length) { m(i) /= members(g).length; i += 1 }
+          m
+        }
+      }
+      iter += 1
+    }
+
+    val bcFine = spark.sparkContext.broadcast(cents)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcMembers = spark.sparkContext.broadcast(members)
+    val probe = math.min(coarseProbe, nCoarse)
+    emb.select(col("vec_id"), col("ev")).as[EmbRow].mapPartitions { it =>
+      val fine = bcFine.value
+      val grps = bcCoarse.value
+      val mem = bcMembers.value
+      val fNorm = norms(fine)
+      val gNorm = norms(grps)
+      it.map { r =>
+        val gSims = centroidSims(grps, gNorm, r.ev)
+        val probed = gSims.indices.sortBy(g => (-gSims(g), g)).take(probe)
+        // scan candidate fine centroids in ASCENDING cluster id so the
+        // tie-break matches assignTo exactly at full probe
+        val cand = probed.flatMap(mem(_)).sorted
+        var nv = 0.0
+        var i = 0
+        while (i < r.ev.length) { nv += r.ev(i) * r.ev(i); i += 1 }
+        val vn = math.sqrt(nv)
+        var best = Double.NegativeInfinity
+        var bestC = 0
+        cand.foreach { c =>
+          val cv = fine(c)
+          var dot = 0.0
+          i = 0
+          while (i < cv.length) { dot += r.ev(i) * cv(i); i += 1 }
+          val sim = dot / (vn * fNorm(c))
+          if (sim > best) { best = sim; bestC = c }
+        }
+        AssignedRow(r.vec_id, r.ev, bestC)
+      }
+    }.toDF()
   }
 
   /** k∝n build: derives `nCentroids = max(kMin, ceil(n/targetCellSize))`

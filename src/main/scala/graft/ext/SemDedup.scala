@@ -73,13 +73,35 @@ object SemDedup {
     * similarity chains — accepted so the verdict stays a pure function
     * of the pair set, derivable by a non-iterative oracle query.
     */
-  def semanticDedup(e: DataFrame, nCentroids: Int, tau: Double): DataFrame = {
-    val index = IvfAnn.build(e, nCentroids, lloydIters = 0)
+  def semanticDedup(e: DataFrame, nCentroids: Int, tau: Double): DataFrame =
+    verdicts(IvfAnn.build(e, nCentroids, lloydIters = 0).assigned, tau)
+
+  /** Coarse-assigned variant for VERY large auto-k codebooks: flat
+    * assignment is O(n·k) = O(n²/cellSize) once k ∝ n (measured 28.6×
+    * wall at 100× data — BENCH_SCALE r9_100x_curation_ops); this path
+    * quantizes through ≈√k coarse groups (IvfAnn.assignCoarse) for
+    * O(n·√k). APPROXIMATE: cell boundaries can differ from the flat
+    * assignment, so pair candidates near unprobed-group boundaries may
+    * be missed — acceptable for curation dedup (the same trade IVF
+    * probes make); use the exact path when the gate demands
+    * SQL-derivability.
+    */
+  def semanticDedupCoarse(e: DataFrame, tau: Double,
+      targetClusterSize: Int = DefaultTargetClusterSize): DataFrame = {
+    val n = e.select(col("vec_id")).count()
+    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val cents = IvfAnn.seedCentroids(e, k)
+    verdicts(IvfAnn.assignCoarse(e, cents), tau)
+  }
+
+  /** The shared drop-rule tail over an assignment frame
+    * (vec_id, ev, cluster). */
+  private def verdicts(assignedRaw: DataFrame, tau: Double): DataFrame = {
     // materialization barrier: `assigned` feeds both pair-join sides and
     // the final verdict join; without it the typed assignment kernel (and
     // the scan below it) re-runs three times. localCheckpoint (not cache)
     // — blocks free with the RDD, nothing accumulates across invocations.
-    val assigned = index.assigned.localCheckpoint(true)
+    val assigned = assignedRaw.localCheckpoint(true)
     val x = assigned.select(col("cluster"), col("vec_id"), col("ev"))
     val y = assigned.select(col("cluster"),
       col("vec_id").as("y_id"), col("ev").as("y_ev"))

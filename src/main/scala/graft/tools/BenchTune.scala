@@ -490,10 +490,15 @@ object BenchTune {
     * quadratically — the documented failure mode) and at k ∝ n (constant
     * cluster size ≈ 250 — the knob the scaladoc prescribes at scale).
     */
-  def scaleOps(sfDir: String): Unit = {
+  def scaleOps(sfDir: String, opFilter: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val spark = graft.Sessions.local("scale-ops", 32)
     import spark.implicits._
+    // SPARK_GRAFT_SCALEOPS_ITERS trims the timed passes for very large
+    // corpora (the 100x probe: one d_span_dedup pass is ~minutes; the
+    // fixed-k semdedup leg is the documented quadratic cliff and takes
+    // HOURS there — filter it out rather than re-measuring a known shape)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALEOPS_ITERS", "3").toInt
     spark.range(1000000).selectExpr("sum(id)").collect()
     val nVec = graft.Tables.embeddings(spark, sfDir).count()
     val kProp = math.max(8L, nVec / 250L).toInt
@@ -514,24 +519,30 @@ object BenchTune {
       // (count + IvfAnn build included in the measured wall — that's what
       // a caller pays)
       "d_semdedup_auto" ->
-        (() => graft.ext.SemDedup.semanticDedup(emb, tau = 0.35))) ++
+        (() => graft.ext.SemDedup.semanticDedup(emb, tau = 0.35)),
+      // the O(n·√k) coarse-quantized assignment path (flat auto-k is
+      // O(n²/cellSize) once k ∝ n — its 100× cost is assignment-bound)
+      "d_semdedup_auto2" ->
+        (() => graft.ext.SemDedup.semanticDedupCoarse(emb, tau = 0.35))) ++
       // skip the k-proportional probe where it collapses to k=8 (sf0.1):
       // it would re-measure the identical configuration under the same label
       (if (kProp != 8)
         Seq(s"d_semdedup_k$kProp" ->
           (() => graft.ext.SemDedup.semanticDedup(emb, kProp, 0.35)))
       else Seq.empty)
-    ops.foreach { case (name, f) =>
+    ops.filter { case (name, _) =>
+      opFilter.forall(f => name.contains(f))
+    }.foreach { case (name, f) =>
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       // the ONE forcing idiom shared with graft.Bench (BenchProtocol
       // scaladoc: count() lets Catalyst prune the query's real work)
       def force(): Unit = graft.BenchProtocol.force(f())
       force() // warmup
-      val times = (1 to 3).map { _ =>
+      val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[scaleops] $name%-22s median=${times(1)}%.3f min=${times.head}%.3f n_vec=$nVec")
+      println(f"[scaleops] $name%-22s median=${times(iters / 2)}%.3f min=${times.head}%.3f n_vec=$nVec")
     }
     spark.stop()
   }
@@ -542,7 +553,9 @@ object BenchTune {
     if (args.headOption.contains("a6")) { a6Shootout(sfDir); return }
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
     if (args.headOption.contains("minhash")) { minhashProbe(sfDir); return }
-    if (args.headOption.contains("scaleops")) { scaleOps(sfDir); return }
+    if (args.headOption.contains("scaleops")) {
+      scaleOps(sfDir, args.drop(1).headOption); return
+    }
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
     if (args.headOption.contains("mhcollapse")) { minhashCollapse(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }

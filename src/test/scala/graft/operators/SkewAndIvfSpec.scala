@@ -57,6 +57,53 @@ class SkewAndIvfSpec extends AnyFunSuite {
       .centroids.length == 8)
   }
 
+  test("coarse assignment at full probe equals flat assignment exactly") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 400)
+    val cents = IvfAnn.seedCentroids(e, 32)
+    val flat = IvfAnn.build(e, 32, lloydIters = 0).assigned
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = IvfAnn.assignCoarse(e, cents, coarseProbe = 1000)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == flat, "full-probe coarse assignment must be exact")
+  }
+
+  test("coarse-assigned SemDedup still drops planted near-duplicate twins") {
+    // cell-boundary agreement with flat assignment is the WRONG metric on
+    // isotropic vectors (any cell is almost equally far; measured ~73%) —
+    // what the dedup semantics need is that near-parallel PAIRS co-locate,
+    // which holds because twins have near-identical coarse scores. Plant
+    // 50 twins among 250 seeded-random vectors: the coarse path must drop
+    // (almost) all of them; boundary knife-edges are deterministic, so the
+    // observed drop count is a pinned fact, floored here at 48/50.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until 250).map(i => (i.toLong, unit().toSeq))
+    val twins = (0 until 50).map { i =>
+      val b = base(i)._2.toArray
+      b(0) += 0.01 // tiny perturbation: cos vs base ~ 0.99995
+      (1000L + i, b.toSeq)
+    }
+    val e = (base ++ twins).toDF("vec_id", "ev")
+    val out = graft.ext.SemDedup
+      .semanticDedupCoarse(e, tau = 0.95, targetClusterSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val droppedTwins = (0 until 50).count(i => !out(1000L + i))
+    assert(droppedTwins >= 48, s"only $droppedTwins/50 planted twins dropped")
+    // and the coarse path must not over-drop the distinct base vectors
+    val keptBase = (50 until 250).count(i => out(i.toLong))
+    assert(keptBase >= 195, s"only $keptBase/200 distinct bases kept")
+  }
+
   test("IVF assignment is a narrow per-row pass: no shuffle, no row explosion") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
