@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding near-duplicate detection (SURVEY.md §2.9 I5).
@@ -112,11 +113,39 @@ object MinHashDedup {
       })
   }
 
+  /** [[candidatePairs]] with exact-duplicate PRE-COLLAPSE — the corpus
+    * order of operations at scale. Pair enumeration is output-bound:
+    * a duplicate group of g exact clones emits g(g−1)/2 pairs, so on a
+    * heavily-cloned corpus the pair listing itself goes quadratic
+    * (measured at a factor-100 corpus: 96s / 28M pairs raw vs 1.1s /
+    * 306 pairs collapsed — BENCH_SCALE r9_100x). This operator first
+    * keeps ONE representative per distinct text (min doc_id, the exact
+    * dedup rule), then runs banded LSH over representatives only.
+    * Returns (rep_pairs, representatives): `rep_pairs` has the usual
+    * (a, b, est_jaccard) shape over representative ids; `representatives`
+    * maps every doc_id to its rep_id so callers can re-expand verdicts
+    * to the full corpus (a doc inherits its representative's near-dup
+    * relations by definition of exact equality).
+    */
+  def candidatePairsCollapsed(docs: DataFrame, numHashes: Int, bands: Int,
+      family: HashFamily = HashFamily.Md5): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("fp"))
+    val mapped = docs.withColumn("fp", md5(col("text")))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+    val reps = mapped.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    (candidatePairs(reps, numHashes, bands, family),
+      mapped.select(col("doc_id"), col("rep_id")))
+  }
+
   /** Candidate near-dup pairs via banded LSH over a `documents(doc_id, text)`
     * frame. Returns (a, b, est_jaccard) ordered by est_jaccard desc.
     * `family` selects the signature hash (default md5 so the oracle rows
     * stay hash-exact; pass [[HashFamily.Xx]] for the throughput path —
     * everything downstream of the signature is family-agnostic).
+    * On corpora with heavy EXACT duplication, use
+    * [[candidatePairsCollapsed]] — pair output here is quadratic in
+    * clone-group size by contract.
     */
   def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int,
       family: HashFamily = HashFamily.Md5): DataFrame = {

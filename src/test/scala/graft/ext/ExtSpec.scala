@@ -29,6 +29,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("collapse-first pairs equal representative-level pairs on a cloned corpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = ("totally different content about orbital mechanics " * 6).trim
+    // 3 distinct texts, each with clones: reps must be the min ids
+    val docs = Seq(
+      (0L, base), (10L, base), (20L, base),          // rep 0
+      (1L, nearDup), (11L, nearDup),                 // rep 1
+      (2L, unrelated), (12L, unrelated), (22L, unrelated)) // rep 2
+      .toDF("doc_id", "text")
+    val (pairs, repMap) =
+      MinHashDedup.candidatePairsCollapsed(docs, numHashes = 32, bands = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the representative-level near-dup pair survives; the 3+1+3
+    // intra-group clone pairs are gone by construction
+    assert(got == Set((0L, 1L)), s"pairs: $got")
+    val m = repMap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 10L -> 0L, 20L -> 0L, 1L -> 1L, 11L -> 1L,
+      2L -> 2L, 12L -> 2L, 22L -> 2L), s"repMap: $m")
+  }
+
   test("MinHash signature is deterministic across evaluations") {
     val docs = Seq((0L, "a b c d e f g h i j k")).toDF("doc_id", "text")
     val sig1 = docs.select(MinHashDedup.signature(
