@@ -210,6 +210,70 @@ object DedupQueries {
         ORDER BY est_jaccard DESC, a, b"""),
       bench = true),
 
+    // ---- I5 collapse-first near-dup (HASH-EXACT oracle) --------------------
+    // Gates MinHashDedup.candidatePairsCollapsed: exact clones are planted
+    // by unioning the subset with an id-shifted copy of itself (+100000,
+    // same text — SQL-derivable), then the operator must (1) pick min-id
+    // representatives per distinct text, erasing every planted clone, and
+    // (2) surface exactly the representative-level near-dup pairs the
+    // d_minhash_pairs pipeline finds over those reps. This is the
+    // output-bound-quadratic fix measured at the 100x corpus (96s/28M
+    // pairs raw -> 1.1s/306 collapsed) as a driver-visible gate row.
+    QueryDef(
+      "d_minhash_collapsed",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).filter($"doc_id" < 300)
+          .select($"doc_id", $"text")
+        val cloned = base.union(
+          base.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        graft.ext.MinHashDedup
+          .candidatePairsCollapsed(cloned, numHashes = 32, bands = 8)._1
+      },
+      Some("""WITH cl AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300),
+        reps AS (
+          SELECT MIN(doc_id) AS doc_id, text FROM cl GROUP BY text),
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM reps
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id)
+        SELECT c.a, c.b,
+          CAST(len(list_filter(generate_series(1, 32),
+            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+        ORDER BY est_jaccard DESC, a, b""")),
+
     // ---- I5 recall guarantee as an ORACLE row ------------------------------
     // The LSH candidate set is seed-dependent and not SQL-derivable, but its
     // RECALL claim is: every pair with exact 3-gram Jaccard >= 0.9 (which
