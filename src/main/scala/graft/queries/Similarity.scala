@@ -451,6 +451,64 @@ object Similarity {
           TRUE AS fidelity_ok
         FROM q ORDER BY vec_id""")),
 
+    // ---- LSH recall vs exact truth (HASH-EXACT oracle) ---------------------
+    // The banded-LSH twin of x4_ann_recall: the 50 strongest exact-cosine
+    // pairs of a bounded subset, each flagged with whether the md5-plane
+    // banded candidate set contains it. Both sides are SQL-derivable
+    // (planes from md5, candidates from sign sums, truth from brute-force
+    // cosine), so the per-pair `recalled` boolean is hash-exact — the
+    // deterministic recall outcome ApproxRecallSpec pins in-process
+    // becomes a driver-visible gate row. On this corpus (max cos ~0.45,
+    // no planted embedding dups) 8×8 banding recalls ~20% of moderate-cos
+    // pairs BY DESIGN (it is calibrated for near-dups at cos ≥ 0.95) —
+    // the gate pins that fixed-seed outcome against regressions, e.g. the
+    // single-table variant that scored zero.
+    QueryDef(
+      "x4_lsh_recall",
+      (s, d) => {
+        import s.implicits._
+        val sub = emb(s, d).filter($"vec_id" < 200)
+        val cand = lshCandidatePairs(sub, dim = 64)
+          .select($"a", $"b", lit(true).as("found"))
+        val av = sub.select($"vec_id".as("a"), $"ev".as("av"))
+        val bv = sub.select($"vec_id".as("b"), $"ev".as("bv"))
+        val truth = av.join(broadcast(bv), $"a" < $"b")
+          .select($"a", $"b", round(cosine($"av", $"bv"), 4).as("cos"))
+          .orderBy($"cos".desc, $"a", $"b").limit(50)
+        truth.join(cand, Seq("a", "b"), "left")
+          .select($"a", $"b", $"cos",
+            coalesce($"found", lit(false)).as("recalled"))
+          .orderBy($"cos".desc, $"a", $"b")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+          WHERE vec_id < 200),
+        planes AS (
+          SELECT i.i AS i, list_transform(generate_series(0, 63),
+            j -> (md5_number_upper('gr_lsh_' || i.i || '_' || j) >> 11)::DOUBLE
+                 / 9007199254740992.0 - 0.5) AS p
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) i),
+        sigs AS (
+          SELECT vec_id, i // 8 AS band_idx,
+            SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                  k -> ev[k] * p[k])) >= 0
+                THEN (1::BIGINT << (i % 8)) ELSE 0 END) AS band_sig
+          FROM e, planes
+          GROUP BY vec_id, i // 8),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM sigs x JOIN sigs y
+            ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+          WHERE x.vec_id < y.vec_id),
+        truth AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            round(list_cosine_similarity(x.ev, y.ev), 4) AS cos
+          FROM e x JOIN e y ON x.vec_id < y.vec_id
+          ORDER BY cos DESC, a, b LIMIT 50)
+        SELECT t.a, t.b, t.cos, (c.a IS NOT NULL) AS recalled
+        FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+        ORDER BY t.cos DESC, t.a, t.b""")),
+
     // ---- Cluster-quality diagnostics (HASH-EXACT oracle) -------------------
     // Per-cluster cohesion + assignment confidence for the md5-seeded
     // codebook the ANN/SemDedup family shares: n_vecs, mean cosine to the
