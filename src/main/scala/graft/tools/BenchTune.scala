@@ -441,6 +441,36 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Per-bench-query total shuffle write — the direct measure of what
+    * each query MOVES, complementing the wall-clock bench (at cluster
+    * scale shuffle bytes cross a network; locally they only cross page
+    * cache, so bytes are the better proxy for the 100 TB cost).
+    */
+  def shuffleBytes(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("shuffle-bytes", 32)
+    val sw = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val qs = SparkEntry.queries
+    SparkEntry.benchQueries.foreach { n =>
+      spark.sharedState.cacheManager.clearCache()
+      graft.BenchProtocol.force(qs(n)(spark, sfDir)) // warmup
+      org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+      sw.set(0)
+      graft.BenchProtocol.force(qs(n)(spark, sfDir))
+      org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+      println(f"[shufbytes] $n%-24s ${sw.get / 1024}%9d KiB")
+    }
+    spark.stop()
+  }
+
   /** Exact-collapse-first MinHash A/B at heavily-cloned corpora. Pair
     * ENUMERATION is output-bound: a duplicate group of g clones emits
     * g(g-1)/2 candidate pairs, so a corpus where every doc has c exact
@@ -558,6 +588,7 @@ object BenchTune {
     }
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
     if (args.headOption.contains("mhcollapse")) { minhashCollapse(sfDir); return }
+    if (args.headOption.contains("shufbytes")) { shuffleBytes(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("stream")) { streamThroughput(sfDir); return }
