@@ -92,4 +92,38 @@ object DedupClusters {
         "raise maxIter above log2 of the largest component diameter")
     labels
   }
+
+  /** MinHash-edge duplicate clusters with exact-duplicate PRE-COLLAPSE —
+    * the clone-safe composition (see `MinHashDedup
+    * .candidatePairsCollapsed`): components run over one representative
+    * per distinct text, then every doc inherits its representative's
+    * component. This is EXACT, not an approximation: representatives are
+    * clone-group minima (so the component's min-id label is unchanged),
+    * and clones carry the identical signature as their representative
+    * (so any edge a clone would contribute, its representative
+    * contributes too). The edge enumeration shrinks by the clone factor
+    * SQUARED — the difference between 28M and 306 candidate pairs at the
+    * factor-100 corpus. Equality with the full-corpus composition is
+    * spec-pinned on planted clones.
+    */
+  def minhashClustersCollapsed(docs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, minEstJaccard: Double = 0.5,
+      family: HashFamily = HashFamily.Md5): DataFrame = {
+    val (pairs, repMap) =
+      MinHashDedup.candidatePairsCollapsed(docs, numHashes, bands, family)
+    val edges = pairs.filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"))
+    // tokenizable representatives only — the same >= 3-token vertex rule
+    // as the full composition (a clone is tokenizable iff its rep is:
+    // identical text)
+    val tokReps = docs
+      .join(repMap.filter(col("doc_id") === col("rep_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("id"))
+    val comps = components(tokReps, edges)
+    repMap.join(comps, repMap("rep_id") === comps("id"))
+      .select(repMap("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -509,6 +509,14 @@ object BenchTune {
         val n = pairs().count()
         println(f"[mhcollapse] $tag%-10s median=${times(1)}%.3f min=${times.head}%.3f pairs=$n")
     }
+    // the transitive-clusters composition over the collapsed graph (the
+    // full-graph twin at a clone-heavy corpus is edge-quadratic — see
+    // r9_100x — so only the scale path is timed here)
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+    val t0 = System.nanoTime()
+    val nOut = graft.ext.DedupClusters.minhashClustersCollapsed(docs).count()
+    println(f"[mhcollapse] clusters-collapsed ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$nOut")
     spark.stop()
   }
 

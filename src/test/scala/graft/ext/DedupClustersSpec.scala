@@ -59,4 +59,35 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(comps.values.toSet == Set(1L))
     assert(comps.size == 64)
   }
+
+  test("collapsed minhash clusters equal the full-corpus composition exactly") {
+    import org.apache.spark.sql.functions._
+    // real docs + planted exact clones at shifted ids: the collapsed
+    // composition (components over representatives, clones inherit) must
+    // equal running the full pipeline over every doc -- same ids, same
+    // min-id component labels
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 150).select($"doc_id", $"text")
+    val cloned = base.union(
+      base.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+
+    val full = {
+      val pairs = MinHashDedup.candidatePairs(cloned, 32, 8)
+        .filter($"est_jaccard" >= 0.5).select($"a", $"b")
+      val verts = cloned.withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3).select($"doc_id".as("id"))
+      DedupClusters.components(verts, pairs)
+        .select($"id".as("doc_id"), $"comp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val collapsed = DedupClusters.minhashClustersCollapsed(cloned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collapsed == full,
+      s"collapsed-only: ${collapsed -- full}; full-only: ${full -- collapsed}")
+    // and every planted clone landed in its original's component
+    val byId = collapsed.toMap
+    base.collect().map(_.getLong(0)).foreach { id =>
+      assert(byId(id + 10000) == byId(id), s"clone of $id split off")
+    }
+  }
 }
