@@ -432,6 +432,80 @@ object DedupQueries {
         SELECT src AS doc_id, MIN(dst) AS comp
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- Collapse-first duplicate clusters (HASH-EXACT oracle) -------------
+    // The clone-safe transitive-clusters composition (DedupClusters
+    // .minhashClustersCollapsed): planted exact clones (id-shifted union,
+    // as d_minhash_collapsed), components over REPRESENTATIVES, every doc
+    // inheriting its representative's component — spec-pinned exactly
+    // equal to the full composition, and here the oracle re-derives the
+    // whole thing: rep selection, md5-affine signatures over reps, banded
+    // candidates, est_jaccard >= 0.5 edges, recursive-CTE closure, then
+    // rep-map expansion back to all docs.
+    QueryDef(
+      "d_minhash_clusters_collapsed",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).filter($"doc_id" < 300)
+          .select($"doc_id", $"text")
+        val cloned = base.union(
+          base.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        graft.ext.DedupClusters.minhashClustersCollapsed(cloned)
+      },
+      Some("""WITH RECURSIVE cl AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300),
+        rm AS (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+          FROM cl),
+        reps AS (
+          SELECT MIN(doc_id) AS doc_id, text FROM cl GROUP BY text),
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM reps
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id),
+        prs AS (
+          SELECT c.a, c.b FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b
+          WHERE CAST(len(list_filter(generate_series(1, 32),
+            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5),
+        edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM sig
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src)
+        SELECT rm.doc_id, c.comp
+        FROM rm JOIN comp c ON c.id = rm.rep_id
+        ORDER BY rm.doc_id""")),
+
     // ---- Semantic dedup over embeddings (HASH-EXACT oracle) ----------------
     // SemDeDup (graft.ext.SemDedup): cluster-bounded within-cluster cosine,
     // drop any vector with a ≥ tau lower-id neighbor. lloydIters = 0 seeding
