@@ -441,6 +441,75 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Bucketed-at-rest A/B for the WINDOW operator class (w3_moving_avg):
+    * a window PARTITION BY only needs ClusteredDistribution, which a
+    * table bucketed by the window key already satisfies — the per-window
+    * exchange (117 MiB at the 10× corpus, r9_shuffle_bytes) disappears
+    * and only the local sort remains. The join story's layout argument
+    * (r9_bucketed_star_joins), extended to the second operator family
+    * that dominates the bench's data movement.
+    */
+  def windowAb(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("window-ab", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.sql("DROP TABLE IF EXISTS ab_orders_cust")
+    val loc = java.nio.file.Paths.get("spark-warehouse", "ab_orders_cust")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val tw0 = System.nanoTime()
+    graft.sources.Bucketing.writeBucketed(
+      graft.Tables.orders(spark, sfDir), "ab_orders_cust", "o_custkey", 32)
+    println(f"[windowab] one-time bucketed write " +
+      f"${(System.nanoTime() - tw0) / 1e9}%.2f s")
+
+    def w3(ord: org.apache.spark.sql.DataFrame) = {
+      val f = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-2, 0)
+      ord.select($"o_custkey", $"o_orderkey",
+        (sum($"o_totalprice".cast("decimal(18,4)")).over(f).cast("double") /
+          count(lit(1)).over(f)).as("mavg3"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }
+    def plain = w3(graft.Tables.orders(spark, sfDir))
+    def bucketed = w3(spark.table("ab_orders_cust"))
+    assert(plain.collect().toSeq == bucketed.collect().toSeq,
+      "w3 plain vs bucketed results differ")
+
+    def exchangesBelowWindow(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.window.WindowExec
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectFirst { case w: WindowExec =>
+        w.collect { case _: ShuffleExchangeLike => 1 }.sum
+      }.getOrElse(-1)
+    }
+
+    Seq("plain" -> (() => plain), "bucketed" -> (() => bucketed)).foreach {
+      case (tag, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        def force(): Unit = graft.BenchProtocol.force(f())
+        force() // warmup
+        val times = (1 to 5).map { _ =>
+          val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val fin = f(); fin.collect()
+        println(f"[windowab] $tag%-8s median=${times(2)}%.3f " +
+          f"min=${times.head}%.3f exchangesBelowWindow=${exchangesBelowWindow(fin)}")
+    }
+    spark.stop()
+  }
+
   /** Per-bench-query total shuffle write — the direct measure of what
     * each query MOVES, complementing the wall-clock bench (at cluster
     * scale shuffle bytes cross a network; locally they only cross page
@@ -597,6 +666,7 @@ object BenchTune {
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
     if (args.headOption.contains("mhcollapse")) { minhashCollapse(sfDir); return }
     if (args.headOption.contains("shufbytes")) { shuffleBytes(sfDir); return }
+    if (args.headOption.contains("windowab")) { windowAb(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("stream")) { streamThroughput(sfDir); return }
