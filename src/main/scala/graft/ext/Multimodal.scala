@@ -103,9 +103,12 @@ object Multimodal {
       "duration_sec", "rms", "zero_crossings")
   }
 
-  /** Image feature extraction over 24bpp BMP or 8-bit RGB/RGBA PNG
-    * payloads (format sniffed per row by magic bytes): dimensions + mean
-    * luminance. Same narrow shape as [[audioFeatures]]. */
+  /** Image feature extraction over 24bpp BMP, 8-bit RGB/RGBA PNG, or
+    * baseline JPEG payloads (format sniffed per row by magic bytes):
+    * dimensions + mean luminance. JPEG goes through the full pixel
+    * decoder ([[JpegCodec.decodeJpeg]] — r9), so mean luminance is
+    * computed from DECODED pixels for all three formats, not a stub.
+    * Same narrow shape as [[audioFeatures]]. */
   def imageFeatures(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -115,6 +118,21 @@ object Multimodal {
           .orElse(MediaCodecs.parsePng(r.bytes).map(i =>
             (r.media_id, i.width, i.height,
               if (i.colorType == 6) 32 else 24, i.meanLuminance)))
+          .orElse(JpegCodec.decodeJpeg(r.bytes).map { img =>
+            var s = 0.0
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                s += 0.299 * img.r(x, y) + 0.587 * img.g(x, y) +
+                  0.114 * img.b(x, y)
+                x += 1
+              }
+              y += 1
+            }
+            (r.media_id, img.width, img.height, 24,
+              s / (img.width.toLong * img.height))
+          })
       }
     }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
   }

@@ -218,6 +218,17 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(i.timescale == 90000 && i.durationTicks == 123456789L)
   }
 
+  test("imageFeatures decodes JPEG pixels for real (mean luminance)") {
+    import spark.implicits._
+    val bytes = JpegCodec.writeJpegBaseline(24, 16, (_, _) => (200, 80, 40))
+    val rows = Seq(Multimodal.MediaRow(5L, "jpeg", bytes)).toDS()
+    val f = Multimodal.imageFeatures(rows).collect().head
+    assert(f.getInt(1) == 24 && f.getInt(2) == 16)
+    // flat (200,80,40) has luminance 111.32; quantization error <= ~4
+    assert(math.abs(f.getDouble(4) - 111.32) <= 5.0,
+      s"mean luminance ${f.getDouble(4)}")
+  }
+
   test("MP4 codec fourcc: stsd chain recovered; absent chain is None") {
     val withCodec = MediaCodecs.writeMp4ShellWithCodec(
       1280, 720, 30000, 4242L, "avc1")
