@@ -1066,6 +1066,81 @@ object Text {
           JOIN cnt u ON u.term = g.prev, vocab)
         SELECT doc_id, COUNT(*) AS n_bigrams,
           round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+        FROM fx GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Kneser-Ney bigram surprisal (the principled LM filter) ------------
+    // Laplace smoothing (x_bigram_surprisal) over-reserves mass for unseen
+    // events; interpolated Kneser-Ney is what real LM-based quality
+    // filters use: P(w|prev) = max(c(prev,w)-d, 0)/c(prev·)
+    //   + d·N1+(prev,·)/c(prev·) · N1+(·,w)/|distinct bigrams|,
+    // where c(prev·) counts bigram STARTS (not unigrams — the standard
+    // bigram-normalized form), N1+(prev,·) = distinct continuations of
+    // prev, and the continuation probability N1+(·,w) rewards words seen
+    // in many CONTEXTS rather than many times ("reading Francisco" is
+    // frequent but only ever after "San"). d = 0.75 is exact in binary
+    // (3/4), every count is integral, and the formula is written with the
+    // same association order on both engines, so the fixed-point rounding
+    // discipline carries the row hash-exact like its Laplace sibling.
+    QueryDef(
+      "x_kn_bigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("t"))
+        val bg = toks.filter(size($"t") >= 2)
+          .select($"doc_id", explode(transform(
+            sequence(lit(1), size($"t") - 1),
+            i => struct(element_at($"t", i).as("prev"),
+              element_at($"t", i + 1).as("w")))).as("b"))
+          .select($"doc_id", $"b.prev".as("prev"), $"b.w".as("w"))
+        val cbg = bg.groupBy($"prev", $"w").agg(count(lit(1)).as("c2"))
+        val starts = cbg.groupBy($"prev")
+          .agg(sum($"c2").as("c1"), count(lit(1)).as("n1p_fwd"))
+        val cont = cbg.groupBy($"w").agg(count(lit(1)).as("n1p_bwd"))
+        val totb = cbg.agg(count(lit(1)).as("tb"))
+        bg.join(cbg, Seq("prev", "w"))
+          .join(starts, Seq("prev"))
+          .join(cont, Seq("w"))
+          .crossJoin(broadcast(totb))
+          .select($"doc_id",
+            round(-log(
+              greatest($"c2" - 0.75d, lit(0.0d)) / $"c1" +
+                (lit(0.75d) * $"n1p_fwd" / $"c1") *
+                  ($"n1p_bwd".cast("double") / $"tb")) * 1e6, 0)
+              .cast("long").as("fx"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"fx").as("sfx"))
+          .select($"doc_id", $"n_bigrams",
+            round($"sfx".cast("double") / 1e6 / $"n_bigrams", 6)
+              .as("avg_surprisal"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg0 AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> {'prev': t[i], 'w': t[i+1]})) AS b
+          FROM toks WHERE len(t) >= 2),
+        bg AS (SELECT doc_id, b.prev AS prev, b.w AS w FROM bg0),
+        cbg AS (SELECT prev, w, COUNT(*) AS c2 FROM bg GROUP BY prev, w),
+        starts AS (
+          SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1p_fwd
+          FROM cbg GROUP BY prev),
+        cont AS (SELECT w, COUNT(*) AS n1p_bwd FROM cbg GROUP BY w),
+        totb AS (SELECT COUNT(*) AS tb FROM cbg),
+        fx AS (
+          SELECT g.doc_id,
+            CAST(round(-ln(
+              greatest(c.c2 - 0.75, 0.0) / s.c1 +
+                (0.75 * s.n1p_fwd / s.c1) *
+                  (CAST(o.n1p_bwd AS DOUBLE) / totb.tb)) * 1000000)
+              AS BIGINT) AS fx
+          FROM bg g JOIN cbg c USING (prev, w)
+          JOIN starts s ON s.prev = g.prev
+          JOIN cont o ON o.w = g.w, totb)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
