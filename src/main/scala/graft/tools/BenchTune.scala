@@ -620,6 +620,8 @@ object BenchTune {
         (() => SparkEntry.queries("x_tfidf_top_terms")(spark, sfDir)),
       "x_bigram_surprisal" ->
         (() => SparkEntry.queries("x_bigram_surprisal")(spark, sfDir)),
+      "x_kn_bigram_surprisal" ->
+        (() => SparkEntry.queries("x_kn_bigram_surprisal")(spark, sfDir)),
       "d_semdedup_k8" ->
         (() => SparkEntry.queries("d_semdedup")(spark, sfDir)),
       // the r9 default path: semanticDedup(e, tau) derives k ∝ n itself
