@@ -1003,6 +1003,71 @@ object Text {
           round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Zipf rank-frequency slope: corpus-health diagnostic ---------------
+    // Natural-language corpora follow Zipf's law: log-log rank-frequency
+    // is near-linear with slope ≈ −1. A synthetic, templated, or
+    // scrambled corpus bends away from it, so the fitted slope is a
+    // one-number corpus-health check a curation pipeline runs before
+    // training. Least squares over the top-1000 terms (rank by freq
+    // desc, term asc — deterministic): x = ln(rank), y = ln(count),
+    // both rounded to 1e-6 FIXED POINT and summed as longs (exact,
+    // order-independent); the normal-equation numerator/denominator are
+    // combined in DECIMAL(38,0) (n·Σxy overflows a long at these
+    // magnitudes), and only the final division happens in doubles —
+    // both engines divide the same exact integers, so the row is
+    // hash-exact.
+    QueryDef(
+      "x_zipf_slope",
+      (s, d) => {
+        import s.implicits._
+        // top-1000 via orderBy+limit = TakeOrderedAndProject (distributed
+        // top-k) — the row_number window then runs over 1000 rows, not the
+        // full vocabulary (a global window over a 100M-term vocab would be
+        // a single-partition funnel)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"c".desc, $"term")
+        val ranked = Tables.documents(s, d)
+          .select(explode(split($"text", " ")).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"term").limit(1000)
+          .withColumn("rank", row_number().over(w))
+          .select(
+            round(log($"rank".cast("double")) * 1e6, 0).cast("long").as("fx"),
+            round(log($"c".cast("double")) * 1e6, 0).cast("long").as("fy"))
+        val sums = ranked.agg(
+          count(lit(1)).as("n"),
+          sum($"fx").as("sx"), sum($"fy").as("sy"),
+          sum($"fx" * $"fy").as("sxy"), sum($"fx" * $"fx").as("sxx"))
+        val dec = "decimal(38,0)"
+        sums.select($"n",
+          round(
+            (($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy").cast("double")
+              / (($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx")
+                  .cast("double"))), 6).as("slope"))
+      },
+      Some("""WITH cnt AS (
+          SELECT term, COUNT(*) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term),
+        ranked AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS fx,
+            CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS fy
+          FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank
+                FROM cnt)
+          WHERE rank <= 1000),
+        sums AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(fx) AS BIGINT) AS sx, CAST(SUM(fy) AS BIGINT) AS sy,
+            CAST(SUM(fx * fy) AS HUGEINT) AS sxy,
+            CAST(SUM(fx * fx) AS HUGEINT) AS sxx
+          FROM ranked)
+        SELECT n,
+          round(
+            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+            6) AS slope
+        FROM sums""")),
+
     // ---- Bigram-LM surprisal: perplexity filtering proper ------------------
     // Per-doc mean -ln P(w | prev) under a corpus bigram model with
     // Laplace smoothing: P(w|prev) = (c(prev,w) + 1) / (c(prev) + V).
