@@ -260,8 +260,13 @@ object IvfAnn {
         val gSims = centroidSims(grps, gNorm, r.ev)
         val probed = gSims.indices.sortBy(g => (-gSims(g), g)).take(probe)
         // scan candidate fine centroids in ASCENDING cluster id so the
-        // tie-break matches assignTo exactly at full probe
-        val cand = probed.flatMap(mem(_)).sorted
+        // tie-break matches assignTo exactly at full probe. Degenerate
+        // codebooks can leave stale EMPTY coarse groups that outrank the
+        // populated ones — an empty candidate set would silently assign
+        // cluster 0, so fall back to the exact full scan instead
+        val probedCand = probed.flatMap(mem(_)).sorted
+        val cand =
+          if (probedCand.nonEmpty) probedCand else fine.indices.toSeq
         var nv = 0.0
         var i = 0
         while (i < r.ev.length) { nv += r.ev(i) * r.ev(i); i += 1 }

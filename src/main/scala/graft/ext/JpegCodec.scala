@@ -437,13 +437,93 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode a single-component (grayscale) baseline JFIF. Per T.81 A.2 a
+    * one-component scan is NON-interleaved — one 8x8 data unit per MCU,
+    * ceil(w/8) × ceil(h/8) units in row order, REGARDLESS of the sampling
+    * factors the SOF declares. `declaredSampling` (packed h<<4|v) lets
+    * fixtures pin that rule: a conforming decoder must ignore it for a
+    * one-component scan, so 0x22 here must decode identically to 0x11.
+    */
+  def writeJpegGray(w: Int, h: Int, gray: (Int, Int) => Int,
+      quality: Int = 90, declaredSampling: Int = 0x11): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    val lumaQ = scaleQ(StdLumaQ, quality)
+    val dcL = huffEncoder(DcLumaBits, DcLumaVals)
+    val acL = huffEncoder(AcLumaBits, AcLumaVals)
+    val entropy = new java.io.ByteArrayOutputStream()
+    val bw = new BitWriter(entropy)
+    var dcPred = 0
+    val bxN = (w + 7) / 8
+    val byN = (h + 7) / 8
+    var by = 0
+    while (by < byN) {
+      var bx = 0
+      while (bx < bxN) {
+        val block = Array.tabulate(64) { i =>
+          val x = math.min(bx * 8 + i % 8, w - 1)
+          val y = math.min(by * 8 + i / 8, h - 1)
+          gray(x, y).toDouble - 128.0
+        }
+        val coefN = fdct(block).zipWithIndex
+          .map { case (v, i) => math.round(v / lumaQ(i)).toInt }
+        val z = Array.tabulate(64)(k => coefN(Zigzag(k)))
+        val diff = z(0) - dcPred
+        dcPred = z(0)
+        val s = category(diff)
+        val dcCode = dcL(s)
+        bw.put(dcCode & 0xffff, dcCode >>> 16)
+        if (s > 0) bw.put(valueBits(diff, s), s)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          if (z(k) == 0) run += 1
+          else {
+            while (run >= 16) {
+              val zrl = acL(0xf0); bw.put(zrl & 0xffff, zrl >>> 16); run -= 16
+            }
+            val sz = category(z(k))
+            val code = acL((run << 4) | sz)
+            bw.put(code & 0xffff, code >>> 16)
+            bw.put(valueBits(z(k), sz), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val eob = acL(0x00); bw.put(eob & 0xffff, eob >>> 16) }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int, body: Array[Int]): Unit = {
+      u8(0xff); u8(m); u16(body.length + 2); body.foreach(u8)
+    }
+    u8(0xff); u8(0xd8)
+    marker(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    marker(0xdb, 0 +: Array.tabulate(64)(k => lumaQ(Zigzag(k))))
+    marker(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      1, 1, declaredSampling, 0))
+    marker(0xc4, (0x00 +: (DcLumaBits.drop(1) ++ DcLumaVals)))
+    marker(0xc4, (0x10 +: (AcLumaBits.drop(1) ++ AcLumaVals)))
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    entropy.toByteArray.foreach(b => out.write(b & 0xff))
+    u8(0xff); u8(0xd9)
+    out.toByteArray
+  }
+
   // ---- decoder -------------------------------------------------------------
 
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
-    var hitMarker = false // a non-RST marker ended the entropy stream
-    /** next bit, or -1 when the stream is exhausted */
+    /** next bit, or -1 when the stream ends — either true truncation or
+      * a non-RST marker (pos is rewound to the marker's 0xFF so restart()
+      * can inspect it); decode paths treat both as termination via the
+      * -1 sentinel */
     def bit(): Int = {
       if (nBits == 0) {
         if (pos >= b.length) return -1
@@ -453,7 +533,7 @@ object JpegCodec {
           if (pos >= b.length) return -1
           val nxt = b(pos) & 0xff
           if (nxt == 0x00) pos += 1 // stuffed FF
-          else { hitMarker = true; pos -= 1; return -1 }
+          else { pos -= 1; return -1 } // marker: rewind to its 0xFF
           v = 0xff
         }
         acc = v; nBits = 8
@@ -473,7 +553,7 @@ object JpegCodec {
     }
     /** Byte-align and consume an expected RST marker; false on anything else. */
     def restart(expected: Int): Boolean = {
-      nBits = 0; hitMarker = false
+      nBits = 0
       // tolerate fill bytes before the marker
       while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) == 0xff)
         pos += 1
@@ -619,17 +699,27 @@ object JpegCodec {
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int,
-      comps: Array[Component], qTabs: Array[Array[Int]],
+      compsIn: Array[Component], qTabs: Array[Array[Int]],
       dcTabs: Array[HuffDecoder], acTabs: Array[HuffDecoder],
       width: Int, height: Int, restartInterval: Int): Option[JpegImage] = {
+    // T.81 A.2: a SINGLE-component scan is NON-interleaved — one 8x8
+    // data unit per MCU, ceil(w/8) x ceil(h/8) units, sampling factors
+    // ignored (a valid grayscale file may still DECLARE 2x2 sampling)
+    val comps =
+      if (compsIn.length == 1) compsIn.map(_.copy(hSamp = 1, vSamp = 1))
+      else compsIn
     val hMax = comps.map(_.hSamp).max
     val vMax = comps.map(_.vSamp).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // MCU-count sanity bound: reject absurd dimension/sampling combos
-    // before allocating planes (fuzz inputs can claim 65535x65535)
-    if (mcusX.toLong * mcusY > (1L << 22)) return None
     val nC = comps.length
+    // allocation sanity bound: cap TOTAL plane samples (the quantity that
+    // actually allocates), not MCU count — a crafted SOF can pair a
+    // modest MCU count with 4x4 sampling and claim multi-GiB planes
+    // (fuzz contract: reject, never OOM). 2^26 ints = 256 MB ceiling.
+    val totalSamples = comps.map(c =>
+      mcusX.toLong * c.hSamp * 8 * mcusY * c.vSamp * 8).sum
+    if (totalSamples > (1L << 26)) return None
     val planes = new Array[Array[Int]](nC)
     val planeW = new Array[Int](nC)
     val planeH = new Array[Int](nC)

@@ -130,7 +130,10 @@ object Multimodal {
               }
               y += 1
             }
-            (r.media_id, img.width, img.height, 24,
+            // bpp from the SOF component count: grayscale JPEG is 8 bpp
+            val bpp = MediaCodecs.parseJpegMeta(r.bytes)
+              .map(m => if (m.nComponents == 1) 8 else 24).getOrElse(24)
+            (r.media_id, img.width, img.height, bpp,
               s / (img.width.toLong * img.height))
           })
       }

@@ -236,8 +236,10 @@ object BenchTune {
       }
       var kept = 0L
       val t0 = System.nanoTime()
+      // accumulate, don't overwrite: AvailableNow may split a chunk into
+      // several micro-batches and the sink fires once per micro-batch
       val q = graft.streaming.NearDupStream.run(
-        spark, dir.toString, ckpt, store) { (k, _) => kept = k.count() }
+        spark, dir.toString, ckpt, store) { (k, _) => kept += k.count() }
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       val storeRows = spark.read.parquet(store).count()
@@ -324,7 +326,7 @@ object BenchTune {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledJoin}
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
       val plan = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
@@ -339,11 +341,7 @@ object BenchTune {
       val total = shuffles(plan)
       orderkeyJoin match {
         case Some(j) =>
-          val kind = j match {
-            case _: ShuffledJoin => j.nodeName
-            case _ => j.nodeName
-          }
-          s"join=$kind shufflesBelowJoin=${shuffles(j)} totalExchanges=$total"
+          s"join=${j.nodeName} shufflesBelowJoin=${shuffles(j)} totalExchanges=$total"
         case None => s"join=? totalExchanges=$total"
       }
     }
@@ -651,7 +649,9 @@ object BenchTune {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[scaleops] $name%-22s median=${times(iters / 2)}%.3f min=${times.head}%.3f n_vec=$nVec")
+      // lower median — (iters-1)/2 is correct for odd iters and picks the
+      // LOWER middle for even (iters/2 would print the MAX at iters=2)
+      println(f"[scaleops] $name%-22s median=${times((iters - 1) / 2)}%.3f min=${times.head}%.3f n_vec=$nVec")
     }
     spark.stop()
   }

@@ -132,6 +132,38 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("grayscale: non-interleaved scan; declared sampling factors ignored") {
+    // T.81 A.2: a one-component scan is one 8x8 unit per MCU regardless
+    // of SOF sampling — 0x22-declared must decode identically to 0x11
+    def ramp(x: Int, y: Int): Int = math.min(255, x * 6 + y * 4)
+    val plain = JpegCodec.decodeJpeg(
+      JpegCodec.writeJpegGray(29, 18, ramp)).get
+    assert(plain.width == 29 && plain.height == 18)
+    // grayscale decode replicates into RGB; tolerance as the color paths
+    var e = 0
+    for (y <- 0 until 18; x <- 0 until 29)
+      e = math.max(e, math.abs(plain.r(x, y) - ramp(x, y)))
+    assert(e <= 16, s"gray round-trip error $e")
+    val declared22 = JpegCodec.decodeJpeg(
+      JpegCodec.writeJpegGray(29, 18, ramp, declaredSampling = 0x22)).get
+    assert(declared22.pixels.toSeq == plain.pixels.toSeq,
+      "declared 2x2 sampling must be ignored for a one-component scan")
+  }
+
+  test("fuzz: sampling-factor plane blowup is rejected, not allocated") {
+    // modest MCU count x 4x4 sampling = multi-GiB claimed planes; the
+    // bound must reject on total plane samples without OOM (the old
+    // MCU-count bound passed this stream)
+    val big = JpegCodec.writeJpegBaseline(8, 8, smooth(8, 8))
+    val idx = big.indices.dropRight(1)
+      .find(i => (big(i) & 0xff) == 0xff && (big(i + 1) & 0xff) == 0xc0).get
+    val c = big.clone()
+    c(idx + 5) = 0x3f.toByte; c(idx + 6) = 0xc0.toByte // height 16320
+    c(idx + 7) = 0xff.toByte; c(idx + 8) = 0xff.toByte // width 65535
+    c(idx + 11) = 0x44.toByte // component 1: 4x4 sampling
+    assert(JpegCodec.decodeJpeg(c).isEmpty)
+  }
+
   test("fuzz: absurd claimed dimensions are rejected before allocation") {
     // a stream whose SOF claims 65535x65535 must fail fast, not OOM
     val big = JpegCodec.writeJpegBaseline(8, 8, smooth(8, 8))
