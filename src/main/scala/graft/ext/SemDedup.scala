@@ -47,20 +47,46 @@ object SemDedup {
     */
   val DefaultTargetClusterSize = 250
 
+  /** Above this derived k the default path routes assignment through the
+    * two-level coarse quantizer ([[IvfAnn.assignCoarse]]): flat assignment
+    * is O(n·k) cosines, and with auto-k's k ∝ n that is O(n²/cellSize) —
+    * measured 28.6× wall at 100× data vs 4.1× faster coarse
+    * (BENCH_SCALE `r9_100x_curation_ops`). At k ≤ 64 the flat scan is at
+    * most 64 cosines/vector — cheaper than the coarse path's two-level
+    * bookkeeping — and stays exactly SQL-derivable.
+    */
+  val CoarseDispatchK = 64
+
   /** Scale-safe default entry point: derives `nCentroids` from the input
     * size so within-cluster pair work stays ~linear in n. One cheap
     * count of the projected id column (vectors are pruned at the scan),
-    * then k = max(8, ceil(n / targetClusterSize)). The explicit-k
-    * overload below remains for oracle rows, which need k to appear
-    * literally in SQL.
+    * then k = max(8, ceil(n / targetClusterSize)). When the derived k
+    * exceeds [[CoarseDispatchK]], assignment dispatches through the
+    * O(n·√k) coarse quantizer instead of the O(n·k) flat scan — the
+    * scale-safe path is what callers get WITHOUT reading the scaladoc;
+    * pass `exact = true` to force flat assignment (bit-exact,
+    * SQL-derivable) at any k. The explicit-k overload below remains for
+    * oracle rows, which need k to appear literally in SQL.
     */
   def semanticDedup(e: DataFrame, tau: Double): DataFrame =
     semanticDedup(e, tau, DefaultTargetClusterSize)
 
-  def semanticDedup(e: DataFrame, tau: Double, targetClusterSize: Int): DataFrame = {
-    val n = e.select(col("vec_id")).count()
-    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)
-    semanticDedup(e, nCentroids = k.toInt, tau = tau)
+  def semanticDedup(e: DataFrame, tau: Double, targetClusterSize: Int): DataFrame =
+    semanticDedup(e, tau, targetClusterSize, exact = false)
+
+  def semanticDedup(e: DataFrame, tau: Double, targetClusterSize: Int,
+      exact: Boolean): DataFrame = {
+    // one materialization barrier up front: the count and the subsequent
+    // seeding/assignment must see the SAME rows (a non-deterministic
+    // input recomputed between the two actions could disagree with the
+    // derived k), and the checkpoint also saves the second full scan
+    val ec = e.localCheckpoint(true)
+    val n = ec.select(col("vec_id")).count()
+    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    if (!exact && k > CoarseDispatchK)
+      verdicts(IvfAnn.assignCoarse(ec, IvfAnn.seedCentroids(ec, k)), tau)
+    else
+      semanticDedup(ec, nCentroids = k, tau = tau)
   }
 
   /** Per-vector verdicts: (vec_id, cluster, kept), ordered by vec_id.
@@ -76,22 +102,21 @@ object SemDedup {
   def semanticDedup(e: DataFrame, nCentroids: Int, tau: Double): DataFrame =
     verdicts(IvfAnn.build(e, nCentroids, lloydIters = 0).assigned, tau)
 
-  /** Coarse-assigned variant for VERY large auto-k codebooks: flat
-    * assignment is O(n·k) = O(n²/cellSize) once k ∝ n (measured 28.6×
-    * wall at 100× data — BENCH_SCALE r9_100x_curation_ops); this path
-    * quantizes through ≈√k coarse groups (IvfAnn.assignCoarse) for
-    * O(n·√k). APPROXIMATE: cell boundaries can differ from the flat
-    * assignment, so pair candidates near unprobed-group boundaries may
-    * be missed — acceptable for curation dedup (the same trade IVF
-    * probes make); use the exact path when the gate demands
+  /** Coarse-assigned variant, unconditionally: same two-level quantizer
+    * the default path dispatches to above [[CoarseDispatchK]], but
+    * applied at ANY derived k (useful for measuring the crossover).
+    * APPROXIMATE: cell boundaries can differ from the flat assignment,
+    * so pair candidates near unprobed-group boundaries may be missed —
+    * acceptable for curation dedup (the same trade IVF probes make); use
+    * `semanticDedup(e, tau, target, exact = true)` when the gate demands
     * SQL-derivability.
     */
   def semanticDedupCoarse(e: DataFrame, tau: Double,
       targetClusterSize: Int = DefaultTargetClusterSize): DataFrame = {
-    val n = e.select(col("vec_id")).count()
+    val ec = e.localCheckpoint(true)
+    val n = ec.select(col("vec_id")).count()
     val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
-    val cents = IvfAnn.seedCentroids(e, k)
-    verdicts(IvfAnn.assignCoarse(e, cents), tau)
+    verdicts(IvfAnn.assignCoarse(ec, IvfAnn.seedCentroids(ec, k)), tau)
   }
 
   /** The shared drop-rule tail over an assignment frame

@@ -255,6 +255,31 @@ class ExtSpec extends AnyFunSuite {
     assert(floored == flooredExplicit)
   }
 
+  test("SemDedup default dispatches to coarse assignment above CoarseDispatchK") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 400)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    // n = 400, target 5 ⇒ derived k = 80 > CoarseDispatchK = 64 ⇒ the
+    // default path must be EXACTLY the coarse-quantized path …
+    assert(SemDedup.CoarseDispatchK == 64)
+    val dflt = rows(SemDedup.semanticDedup(e, tau = 0.3, targetClusterSize = 5))
+    val coarse = rows(SemDedup.semanticDedupCoarse(e, tau = 0.3, targetClusterSize = 5))
+    assert(dflt == coarse, "default above threshold must equal the coarse path")
+    // … while exact = true forces the flat O(n·k) scan at the same k
+    val exact = rows(SemDedup.semanticDedup(e, tau = 0.3, targetClusterSize = 5,
+      exact = true))
+    val flat = rows(SemDedup.semanticDedup(e, nCentroids = 80, tau = 0.3))
+    assert(exact == flat, "exact=true above threshold must equal flat explicit-k")
+    // below the threshold (k = 80 only with target 5; target 20 ⇒ k = 20)
+    // the default stays flat — pinned by the auto-k test above; re-assert
+    // here against the coarse path NOT being taken
+    val below = rows(SemDedup.semanticDedup(e, tau = 0.3, targetClusterSize = 20))
+    val belowFlat = rows(SemDedup.semanticDedup(e, nCentroids = 20, tau = 0.3))
+    assert(below == belowFlat, "default below threshold must stay flat")
+  }
+
   test("multimodal: stubbed decode extracts metadata per partition") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),
