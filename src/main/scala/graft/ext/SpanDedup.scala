@@ -53,9 +53,52 @@ object SpanDedup {
     * doc present (zero hits ⇒ keep_ratio 1.0), ordered by doc_id.
     * `hashKeys` swaps the span-text shuffle key for its 16-byte md5
     * digest — the 100 TB path (see object scaladoc); output is identical.
+    * On corpora with heavy EXACT duplication use [[spanStatsCollapsed]]:
+    * every clone re-explodes all its spans here, so the span volume (and
+    * both span-keyed shuffles) carries the clone factor by contract.
     */
   def repeatedSpanStats(docs: DataFrame, width: Int = 8,
+      minDocs: Int = 2, hashKeys: Boolean = false): DataFrame =
+    statsOf(docs, width, minDocs, hashKeys).orderBy(col("doc_id"))
+
+  /** [[repeatedSpanStats]] with exact-duplicate PRE-COLLAPSE — the corpus
+    * order of operations at scale, mirroring
+    * [[MinHashDedup.candidatePairsCollapsed]]. The span explode is linear
+    * in corpus tokens, so on a clone-heavy corpus the explode (and the two
+    * span-keyed shuffles behind it) carries the clone factor; collapsing
+    * to ONE representative per distinct text first (min doc_id, the exact
+    * dedup rule) shrinks that volume by the clone factor, and every doc
+    * then INHERITS its representative's stats — identical text means
+    * identical n_tokens/n_rep_spans/n_masked/keep_ratio by construction.
+    *
+    * SEMANTIC NOTE: `minDocs` here counts DISTINCT TEXTS, not raw doc
+    * rows — a span "repeated" only because a document is cloned verbatim
+    * does not become a repeated span (clone-level repetition is exact
+    * dedup's job; this operator measures cross-document boilerplate among
+    * genuinely distinct texts — the curation-correct reading of Lee et
+    * al.'s recipe, which deduplicates exactly before suffix-array work).
+    * On a clone-free corpus this is EXACTLY [[repeatedSpanStats]]
+    * (spec-pinned). The collapse keys on md5(text) — a collision
+    * (~2⁻¹²⁸ per pair) would merge two distinct texts into one
+    * representative; accepted, same trade as `hashKeys` documents above.
+    */
+  def spanStatsCollapsed(docs: DataFrame, width: Int = 8,
       minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val mapped = docs.withColumn("fp", md5(col("text")))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+    val reps = mapped.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    mapped.select(col("doc_id"), col("rep_id"))
+      .join(statsOf(reps, width, minDocs, hashKeys)
+        .withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rep_spans"),
+        col("n_masked"), col("keep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def statsOf(docs: DataFrame, width: Int,
+      minDocs: Int, hashKeys: Boolean): DataFrame = {
     // the span participates ONLY as a grouping/join key from here on, so
     // the key column can be the digest; `unhex(md5(_))` is BinaryType —
     // 16 bytes at rest and through both exchanges
@@ -89,6 +132,5 @@ object SpanDedup {
         coalesce(col("n_masked"), lit(0L)).as("n_masked"),
         round((col("n_tokens") - coalesce(col("n_masked"), lit(0L)))
           .cast("double") / col("n_tokens"), 6).as("keep_ratio"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -580,6 +580,62 @@ object DedupQueries {
             / len(string_split(d.text, ' ')), 6) AS keep_ratio
         FROM documents d
         LEFT JOIN nrep r USING (doc_id) LEFT JOIN masked m USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- Collapse-first span dedup (HASH-EXACT oracle) ---------------------
+    // Gates SpanDedup.spanStatsCollapsed: exact clones are planted exactly
+    // like d_minhash_collapsed (id-shifted +100000 copy of the subset, same
+    // text — SQL-derivable); the operator must (1) collapse to min-id
+    // representatives per distinct text so the span explode runs over reps
+    // only (the clone factor never rides the two span-keyed shuffles), with
+    // minDocs counted over DISTINCT texts, and (2) hand every clone its
+    // representative's stats verbatim. This is the r9 100x finding
+    // (d_span_dedup 68.8s at the clone-heavy corpus, explode carries the
+    // clone factor) fixed the same way as candidatePairsCollapsed, as a
+    // driver-visible gate row.
+    QueryDef(
+      "d_span_collapsed",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).filter($"doc_id" < 300)
+          .select($"doc_id", $"text")
+        val cloned = base.union(
+          base.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        graft.ext.SpanDedup.spanStatsCollapsed(cloned, width = 8, minDocs = 2)
+      },
+      Some("""WITH cl AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300),
+        rm AS (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id, text
+          FROM cl),
+        reps AS (SELECT doc_id, text FROM rm WHERE doc_id = rep_id),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+        sp AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(t) - 7, 0)),
+            i -> {'pos': i, 'span': array_to_string(t[i:i+7], ' ')})) AS s
+          FROM toks),
+        sp2 AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM sp),
+        rep AS (SELECT span FROM sp2 GROUP BY span
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM sp2 JOIN rep USING (span)),
+        nrep AS (SELECT doc_id, COUNT(*) AS n_rep_spans FROM hits GROUP BY doc_id),
+        masked AS (
+          SELECT doc_id, COUNT(DISTINCT j) AS n_masked FROM
+            (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS j FROM hits)
+          GROUP BY doc_id),
+        st AS (
+          SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+            COALESCE(r.n_rep_spans, 0) AS n_rep_spans,
+            COALESCE(m.n_masked, 0) AS n_masked,
+            round((len(string_split(d.text, ' ')) - COALESCE(m.n_masked, 0))::DOUBLE
+              / len(string_split(d.text, ' ')), 6) AS keep_ratio
+          FROM reps d
+          LEFT JOIN nrep r USING (doc_id) LEFT JOIN masked m USING (doc_id))
+        SELECT rm.doc_id, st.n_tokens, st.n_rep_spans, st.n_masked, st.keep_ratio
+        FROM rm JOIN st ON st.doc_id = rm.rep_id
+        ORDER BY rm.doc_id"""))
   )
 }

@@ -612,6 +612,13 @@ object BenchTune {
     val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "d_span_dedup" ->
         (() => SparkEntry.queries("d_span_dedup")(spark, sfDir)),
+      // the collapse-first composition over the SAME corpus (reps only ride
+      // the span explode; clones inherit) — the r10 answer to d_span_dedup's
+      // clone-factor wall at the 100x corpus
+      "d_span_collapsed" ->
+        (() => graft.ext.SpanDedup.spanStatsCollapsed(
+          graft.Tables.documents(spark, sfDir).select($"doc_id", $"text"),
+          width = 8, minDocs = 2)),
       "x_pii_redact" ->
         (() => SparkEntry.queries("x_pii_redact")(spark, sfDir)),
       "x_tfidf_top_terms" ->

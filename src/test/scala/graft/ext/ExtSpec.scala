@@ -183,6 +183,42 @@ class ExtSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("spanStatsCollapsed equals repeatedSpanStats on a clone-free corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 300).select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // the corpus subset has no exact duplicates ⇒ every doc is its own rep
+    // and the collapsed path must be EXACTLY the direct one
+    assert(docs.groupBy($"text").count().filter($"count" > 1).count() == 0)
+    assert(rows(SpanDedup.spanStatsCollapsed(docs, width = 8, minDocs = 2))
+      == rows(SpanDedup.repeatedSpanStats(docs, width = 8, minDocs = 2)))
+  }
+
+  test("spanStatsCollapsed: clones inherit rep stats; minDocs counts distinct texts") {
+    // doc 0 and its clones 10/11 share an 8-run with doc 1 (cross-TEXT
+    // repetition ⇒ masked); docs 2/12 are clones with a span repeated
+    // ONLY via cloning ⇒ NOT a repeated span under distinct-text counting
+    val docs = Seq(
+      (0L, "a b c d e f g h x y"),
+      (1L, "q w e r a b c d e f g h"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (10L, "a b c d e f g h x y"),   // clone of 0
+      (11L, "a b c d e f g h x y"),   // clone of 0
+      (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9") // clone of 2
+    ).toDF("doc_id", "text")
+    val rows = SpanDedup.spanStatsCollapsed(docs, width = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L), "every doc present")
+    assert(rows(0L) == ((1L, 8L, 0.2)))
+    assert(rows(10L) == rows(0L) && rows(11L) == rows(0L), "clones inherit")
+    assert(rows(1L) == ((1L, 8L, round6(4.0 / 12))))
+    // clone-only repetition is NOT cross-document boilerplate
+    assert(rows(2L) == ((0L, 0L, 1.0)) && rows(12L) == rows(2L))
+  }
+
   test("SpanDedup matches a brute-force reference on seeded random corpora") {
     val rnd = new scala.util.Random(42)
     val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
