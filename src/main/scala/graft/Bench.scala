@@ -27,9 +27,20 @@ import org.apache.spark.sql.SparkSession
   * the same engine — compare rounds ≥ 8 to each other, or to r7's numbers
   * only qualitatively. The JSON line carries `protocol: "noop-sink"` so
   * the discontinuity is machine-visible.
+  *
+  * ROUND-10 leg changes: (1) the near-dup leg is `d_minhash_pipeline`
+  * (collapse-first over the full corpus — what a production pipeline
+  * runs); `d_minhash_pairs` keeps its oracle gate row but is no longer
+  * benched (raw pair enumeration is output-bound-quadratic on cloned
+  * corpora by contract — r9 100x: 79.2s of the 119.1s total). (2) The
+  * ETL leg runs FIRST (fresh JVM — `etl_protocol: "first-400-med5"`);
+  * compare etl numbers only within the same etl_protocol. (3) q1 runs
+  * 7 timed passes (`iters_q1`).
   */
 object Bench {
   private val Iters = 5
+  private val HeadlineQuery = "q1_pricing_summary"
+  private val HeadlineIters = 7
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -49,6 +60,29 @@ object Bench {
     // scheduler) so it doesn't land on the first query's warmup pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // ETL throughput: the reference's own workload (parse logs → 4 tables).
+    // Its loader forks one JVM per log file, sequentially; warm logs/s here
+    // is the single-node apples-to-apples number. r8 verdict item 6: the
+    // old 200-log median-of-3 with one warmup showed ~4x cross-round
+    // variance (195.8 vs 302.6 on near-identical engines) — too noisy for
+    // regression detection. Same remedy as the query legs: isolate from
+    // the query storage/GC state (clearCache + GC), TWO warmups (the first
+    // load JIT-compiles the whole parse pipeline, the second settles it),
+    // 400 logs so a run is ~2x longer than the scheduler jitter floor, and
+    // median-of-5. ORDER (r9 verdict item 7): the ETL leg runs FIRST, on a
+    // fresh JVM — running it after nine query legs left it hostage to
+    // their accumulated JIT/GC state, the residual source of the ±20% r9
+    // band (r10 two-run band recorded in BENCH_SCALE.json).
+    val etlLogsPerSec = try {
+      val nLogs = 400
+      val glob = tools.BenchTune.genEtlLogs(nLogs)
+      tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
+      tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
+      val secs = (1 to 5).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
+      nLogs / median(secs)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0 }
+
     // BenchProtocol.force: noop sink materializes every output row with all
     // columns — count() would let Catalyst prune the actual work (scaladoc)
     def force(name: String): Boolean =
@@ -63,10 +97,14 @@ object Bench {
       // RDD is collected, so nudge a GC to keep prior queries' blocks from
       // occupying storage memory during this query's runs
       System.gc()
+      // the headline query gets 7 timed passes (r9 verdict item 8: its
+      // median-of-5 drifted 22% above a simultaneously-IMPROVED min —
+      // session noise; a median over 7 tolerates three stalled passes)
+      val iters = if (name == HeadlineQuery) HeadlineIters else Iters
       val warmOk = force(name)
       val times =
         if (!warmOk) Seq.empty[Double]
-        else (1 to Iters).map { _ =>
+        else (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           val ok = force(name)
           if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
@@ -85,33 +123,15 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nFailed = results.count(_._2._1 < 0)
 
-    // ETL throughput: the reference's own workload (parse logs → 4 tables).
-    // Its loader forks one JVM per log file, sequentially; warm logs/s here
-    // is the single-node apples-to-apples number. r8 verdict item 6: the
-    // old 200-log median-of-3 with one warmup showed ~4x cross-round
-    // variance (195.8 vs 302.6 on near-identical engines) — too noisy for
-    // regression detection. Same remedy as the query legs: isolate from
-    // the query storage/GC state (clearCache + GC), TWO warmups (the first
-    // load JIT-compiles the whole parse pipeline, the second settles it),
-    // 400 logs so a run is ~2x longer than the scheduler jitter floor, and
-    // median-of-5.
-    val etlLogsPerSec = try {
-      val nLogs = 400
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
-      val glob = tools.BenchTune.genEtlLogs(nLogs)
-      tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
-      tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
-      val secs = (1 to 5).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
-      nLogs / median(secs)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0 }
-
     // etl_protocol tag: r9 changed the ETL leg (isolated, 2 warmups,
     // 400 logs, median-of-5) — absolute logs/s moved up ~1.7x vs the old
     // 200-log median-of-3 because fixed per-load overhead amortizes over
     // longer runs; compare etl numbers only within the same etl_protocol.
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"isolated-400-med5","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
+    // layout tag: "plain" unless an opt-in bucketed at-rest layout is
+    // active (Tables scaladoc) — bucketed totals are a different storage
+    // contract, never compared against plain ones silently
+    val layout = Tables.activeLayout.getOrElse("plain")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,23 +9,101 @@ import org.apache.spark.sql.functions.expr
   * All engine queries read through here so that scan options (and, at real
   * cluster scale, things like bucketing metadata or a catalog) live in one
   * place. Reads are plain `spark.read.parquet` — Catalyst handles column
-  * pruning + predicate pushdown into the parquet scan.
+  * pruning + predicate pushdown into the parquet scan — UNLESS an opt-in
+  * bucketed at-rest layout is selected (below).
+  *
+  * ==Bucketed at-rest layouts (opt-in)==
+  * At 100 TB the recurring cost of the star-join workload is re-shuffling
+  * the SAME fact tables on the SAME keys every query; bucketing pays that
+  * shuffle once at write time (the r9 A/B: forced-SMJ j7 below-join
+  * exchanges 2→0, join wall halved). Set `SPARK_GRAFT_BUCKETED=<layout>`
+  * (env, or the `graft.bucketed` JVM property for in-process probes) and
+  * the three star tables resolve to bucketed+sorted catalog tables written
+  * by `BenchTune bucketwrite <layout>`:
+  *
+  *  - `orderkey`: lineitem/orders by the ORDERKEY join key (zero-exchange
+  *    orders⋈lineitem — the j7/a6/q5 shape), customer by c_custkey.
+  *  - `custkey`: orders by o_custkey (zero-exchange customer⋈orders — the
+  *    q3 crossover shuffle — and zero-exchange custkey windows — the w3
+  *    shape), lineitem by l_orderkey, customer by c_custkey.
+  *
+  * One bucketing per table per layout — choosing between them is the
+  * workload call a warehouse makes (or it maintains both, as projections).
+  * A selected-but-unwritten layout FAILS LOUDLY: a silent parquet fallback
+  * would invalidate any A/B read off the bench numbers.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** 32 buckets everywhere (= the session shuffle partitions, so bucketed
+    * scans line up with shuffle output). */
+  val BucketCount = 32
+
+  /** layout -> (table -> bucket key). */
+  val BucketedLayouts: Map[String, Map[String, String]] = Map(
+    "orderkey" -> Map("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+      "customer" -> "c_custkey"),
+    "custkey" -> Map("lineitem" -> "l_orderkey", "orders" -> "o_custkey",
+      "customer" -> "c_custkey"))
+
+  /** Catalog-safe tag for a corpus dir: bucketed tables are per-corpus. */
+  def dirTag(d: String): String =
+    d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
+
+  def bucketedName(layout: String, table: String, d: String): String =
+    s"graft_bk_${layout}_${table}_${dirTag(d)}"
+
+  /** Active layout: JVM property wins (in-process probes), then env. */
+  def activeLayout: Option[String] =
+    Option(System.getProperty("graft.bucketed"))
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).filter(_.nonEmpty)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  private def resolve(s: SparkSession, d: String, name: String): DataFrame =
+    activeLayout match {
+      case Some(layout) =>
+        val keys = BucketedLayouts.getOrElse(layout, throw new IllegalArgumentException(
+          s"unknown bucketed layout '$layout' (known: ${BucketedLayouts.keys.mkString(", ")})"))
+        if (!keys.contains(name)) apply(s, d, name)
+        else {
+          val t = bucketedName(layout, name, d)
+          // the default session catalog is in-memory: `bucketwrite`'s
+          // saveAsTable leaves the bucketed FILES in the warehouse but its
+          // metadata dies with the writing session — re-register the
+          // external bucketed table over them on first touch (bucket ids
+          // ride in the file names, so the layout survives re-attachment)
+          if (!s.catalog.tableExists(t)) {
+            val loc = s"${s.conf.get("spark.sql.warehouse.dir")}/$t"
+            val fsPath = new org.apache.hadoop.fs.Path(loc)
+            val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+            require(fs.exists(fsPath), s"bucketed layout '$layout' selected " +
+              s"but neither catalog table $t nor its warehouse dir $loc exists — " +
+              s"run `BenchTune bucketwrite $layout` against $d first " +
+              s"(no silent parquet fallback: it would invalidate the A/B)")
+            val key = keys(name)
+            // bucketed CREATE TABLE demands an explicit column list —
+            // infer it from the files themselves (one footer read)
+            val cols = s.read.parquet(loc).schema
+              .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+            s.sql(s"CREATE TABLE $t ($cols) USING parquet CLUSTERED BY ($key) " +
+              s"SORTED BY ($key) INTO $BucketCount BUCKETS LOCATION '$loc'")
+          }
+          s.table(t)
+        }
+      case None => apply(s, d, name)
+    }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def customer(s: SparkSession, d: String): DataFrame   = resolve(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = resolve(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = resolve(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
     * Read nanos as long (legacy conf) and truncate to a microsecond
     * timestamp — the same truncation DuckDB's `CAST(ts AS TIMESTAMP)` does,

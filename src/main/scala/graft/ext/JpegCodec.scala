@@ -551,17 +551,23 @@ object JpegCodec {
       }
       v
     }
-    /** Byte-align and consume an expected RST marker; false on anything else. */
-    def restart(expected: Int): Boolean = {
+    /** Byte-align and consume the next RST marker; returns its index
+      * (0–7), or -1 on anything that is not an RSTn. ANY RSTn is
+      * accepted — a dropped or duplicated restart marker in a
+      * real-world stream resynchronizes (the caller adopts the
+      * stream's counter, libjpeg's resync_to_restart posture) instead
+      * of aborting the whole decode; pixels of the affected interval
+      * may shift, the rest of the image survives. */
+    def restart(): Int = {
       nBits = 0
       // tolerate fill bytes before the marker
       while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) == 0xff)
         pos += 1
-      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return false
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return -1
       val m = b(pos + 1) & 0xff
-      if (m != 0xd0 + expected) return false
+      if (m < 0xd0 || m > 0xd7) return -1
       pos += 2
-      true
+      m - 0xd0
     }
     def decodeHuff(t: HuffDecoder): Int = {
       var code = 0
@@ -746,8 +752,12 @@ object JpegCodec {
       var mx = 0
       while (mx < mcusX) {
         if (restartInterval > 0 && mcusSinceRst == restartInterval) {
-          if (!br.restart(rstCount & 7)) return None
-          rstCount += 1
+          // any RSTn resyncs (a non-RST marker here still aborts: the
+          // scan genuinely ended early); adopt the stream's counter so
+          // a dropped/duplicated marker costs one interval, not the image
+          val got = br.restart()
+          if (got < 0) return None
+          rstCount = got + 1
           mcusSinceRst = 0
           java.util.Arrays.fill(dcPred, 0)
         }

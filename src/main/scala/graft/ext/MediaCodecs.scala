@@ -601,4 +601,129 @@ object MediaCodecs {
     base.slice(0, moovFrom - 8) ++
       box("moov", mvhdBytes ++ box("trak", trakBody))
   }
+
+  // ---- MJPEG-in-MP4: real sample tables + sample extraction ---------------
+
+  /** A complete MJPEG mp4 (r10 — retires the mp4 sample-decode stub for
+    * ONE real codec): the [[writeMp4Shell]] movie plus a trak carrying the
+    * full ISO-BMFF sample machinery — stsd with a "jpeg" sample entry,
+    * stts (one run, `ticksPerFrame` per sample), stsc (one chunk holding
+    * all samples), stsz (per-frame byte sizes), stco (the chunk's ABSOLUTE
+    * file offset) — and an mdat whose body is the concatenated baseline
+    * JPEG frames, each independently decodable by [[JpegCodec.decodeJpeg]]
+    * (that is what motion-JPEG IS: intra-only frames, no inter prediction,
+    * which is why it's the one video codec a pure-JVM engine can do
+    * end-to-end). H.264/HEVC sample DECODE stays out of scope
+    * (inter-prediction codecs need a codec library); their metadata path
+    * ([[parseMp4Meta]]/[[parseMp4Codec]]) is shared with this writer.
+    */
+  def writeMp4Mjpeg(w: Int, h: Int, timescale: Int, ticksPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ name.getBytes ++ body
+    val durationTicks = frames.length.toLong * ticksPerFrame
+    val base = writeMp4Shell(w, h, timescale, durationTicks)
+    val entry = be32(16L) ++ "jpeg".getBytes("US-ASCII") ++ new Array[Byte](8)
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+    val stts = box("stts",
+      be32(0) ++ be32(1) ++ be32(frames.length) ++ be32(ticksPerFrame))
+    val stsc = box("stsc",
+      be32(0) ++ be32(1) ++ be32(1) ++ be32(frames.length) ++ be32(1))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.length) ++
+      frames.toArray.flatMap(f => be32(f.length)))
+    // stco carries the mdat BODY's absolute offset; its own size is
+    // offset-independent, so assemble once with a placeholder to measure,
+    // then once with the real value
+    def assemble(chunkOffset: Long): Array[Byte] = {
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(chunkOffset))
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val mdia = box("mdia", box("minf", stbl))
+      val (moovFrom, moovTo) = findBox(base, 0, base.length, "moov").get
+      val (trakFrom, trakTo) = findBox(base, moovFrom, moovTo, "trak").get
+      val trakBody = base.slice(trakFrom, trakTo) ++ mdia
+      val mvhdBytes = base.slice(moovFrom, trakFrom - 8)
+      base.slice(0, moovFrom - 8) ++
+        box("moov", mvhdBytes ++ box("trak", trakBody))
+    }
+    val prefixLen = assemble(0L).length + 8 // + mdat header
+    assemble(prefixLen.toLong) ++
+      box("mdat", frames.toArray.flatten)
+  }
+
+  /** Raw sample payloads of the first track, reconstructed from the
+    * standard stsz/stsc/stco walk (general ISO-BMFF: any chunking, uniform
+    * or per-sample sizes) — codec-agnostic byte extraction; pair with
+    * [[parseMp4Codec]] to dispatch an actual decoder per fourcc. None on
+    * missing/malformed tables, out-of-file offsets, or absurd counts
+    * (> 65536 samples — a fuzz guard, real clips chunk long before that);
+    * never throws.
+    */
+  def readMp4Samples(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+    for {
+      (moovFrom, moovTo) <- findBox(b, 0, b.length, "moov")
+      (trakFrom, trakTo) <- findBox(b, moovFrom, moovTo, "trak")
+      (mdiaFrom, mdiaTo) <- findBox(b, trakFrom, trakTo, "mdia")
+      (minfFrom, minfTo) <- findBox(b, mdiaFrom, mdiaTo, "minf")
+      (stblFrom, stblTo) <- findBox(b, minfFrom, minfTo, "stbl")
+      (stszFrom, stszTo) <- findBox(b, stblFrom, stblTo, "stsz")
+      (stscFrom, stscTo) <- findBox(b, stblFrom, stblTo, "stsc")
+      (stcoFrom, stcoTo) <- findBox(b, stblFrom, stblTo, "stco")
+      samples <- walkSampleTables(b, stszFrom, stszTo, stscFrom, stscTo,
+        stcoFrom, stcoTo)
+    } yield samples
+  }
+
+  private def walkSampleTables(b: Array[Byte], stszFrom: Int, stszTo: Int,
+      stscFrom: Int, stscTo: Int, stcoFrom: Int, stcoTo: Int)
+      : Option[Seq[Array[Byte]]] = {
+    // stsz: version+flags, uniform sample_size (0 = per-sample), count
+    if (stszTo - stszFrom < 12) return None
+    val uniform = be32u(b, stszFrom + 4)
+    val nSamples = be32u(b, stszFrom + 8)
+    if (nSamples < 1 || nSamples > 65536) return None
+    val n = nSamples.toInt
+    if (uniform == 0 && stszTo - stszFrom < 12 + 4L * n) return None
+    def sizeOf(i: Int): Long =
+      if (uniform != 0) uniform else be32u(b, stszFrom + 12 + 4 * i)
+    // stco: version+flags, entry_count, offsets
+    if (stcoTo - stcoFrom < 8) return None
+    val nChunks = be32u(b, stcoFrom + 4)
+    if (nChunks < 1 || nChunks > 65536 ||
+      stcoTo - stcoFrom < 8 + 4L * nChunks) return None
+    def chunkOffset(c: Int): Long = be32u(b, stcoFrom + 8 + 4 * c)
+    // stsc: version+flags, entry_count, (first_chunk, samples_per_chunk,
+    // desc_idx) runs — first_chunk is 1-based and strictly increasing
+    if (stscTo - stscFrom < 8) return None
+    val nRuns = be32u(b, stscFrom + 4)
+    if (nRuns < 1 || stscTo - stscFrom < 8 + 12L * nRuns) return None
+    def runFirstChunk(r: Int): Long = be32u(b, stscFrom + 8 + 12 * r)
+    def runPerChunk(r: Int): Long = be32u(b, stscFrom + 12 + 12 * r)
+    val out = Seq.newBuilder[Array[Byte]]
+    var sample = 0
+    var run = 0
+    var chunk = 0 // 0-based
+    while (sample < n && chunk < nChunks.toInt) {
+      while (run + 1 < nRuns.toInt && runFirstChunk(run + 1) <= chunk + 1)
+        run += 1
+      val perChunk = runPerChunk(run)
+      if (perChunk < 1 || perChunk > 65536) return None
+      var off = chunkOffset(chunk)
+      var i = 0L
+      while (i < perChunk && sample < n) {
+        val sz = sizeOf(sample)
+        if (sz < 1 || off + sz > b.length) return None
+        out += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+        off += sz
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    if (sample < n) None else Some(out.result())
+  }
 }

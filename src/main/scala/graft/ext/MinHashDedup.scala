@@ -126,6 +126,14 @@ object MinHashDedup {
     * maps every doc_id to its rep_id so callers can re-expand verdicts
     * to the full corpus (a doc inherits its representative's near-dup
     * relations by definition of exact equality).
+    *
+    * The collapse keys on md5(text), not the text itself — the window
+    * shuffle then carries a fixed 16-byte key instead of the full
+    * document. An md5 collision (~2⁻¹²⁸ per pair) would merge two
+    * DISTINCT texts into one representative — accepted, the same trade
+    * [[SpanDedup.repeatedSpanStats]] documents for its hashKeys mode
+    * (the oracle row groups by raw text, so a collision would also
+    * surface as a gate mismatch rather than pass silently).
     */
   def candidatePairsCollapsed(docs: DataFrame, numHashes: Int, bands: Int,
       family: HashFamily = HashFamily.Md5): (DataFrame, DataFrame) = {

@@ -140,6 +140,57 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
   }
 
+  /** Video frame features for mp4 payloads — the SAMPLE decode, not just
+    * container metadata (r10; retires the last media stub for one real
+    * codec): stsd fourcc dispatch ([[MediaCodecs.parseMp4Codec]]) →
+    * per-sample byte extraction via the standard stsz/stsc/stco walk
+    * ([[MediaCodecs.readMp4Samples]]) → full baseline JPEG pixel decode
+    * per frame ([[JpegCodec.decodeJpeg]]) for fourcc "jpeg" (motion-JPEG:
+    * intra-only frames, the one video codec decodable without a codec
+    * library). Emits (media_id, codec, n_frames, n_decoded, width,
+    * height, mean_luminance): dims from the first decoded frame (falling
+    * back to tkhd display dims), luma averaged over ALL decoded frames.
+    * Non-"jpeg" codecs (avc1/hvc1 need inter-prediction libraries) emit
+    * n_decoded = 0 with their fourcc so a catalog still indexes them.
+    * Same narrow shape as [[audioFeatures]]: bytes never shuffle. */
+  def videoFrameFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseMp4Meta(r.bytes).map { info =>
+          val codec = MediaCodecs.parseMp4Codec(r.bytes).getOrElse("")
+          val samples =
+            MediaCodecs.readMp4Samples(r.bytes).getOrElse(Seq.empty)
+          val decoded =
+            if (codec == "jpeg") samples.flatMap(JpegCodec.decodeJpeg)
+            else Seq.empty
+          val (w, h) = decoded.headOption
+            .map(i => (i.width, i.height))
+            .getOrElse((info.width, info.height))
+          val luma =
+            if (decoded.isEmpty) 0.0
+            else decoded.map(lumaOf).sum / decoded.size
+          (r.media_id, codec, samples.size, decoded.size, w, h, luma)
+        }
+      }
+    }.toDF("media_id", "codec", "n_frames", "n_decoded",
+      "width", "height", "mean_luminance")
+  }
+
+  private def lumaOf(img: JpegCodec.JpegImage): Double = {
+    var s = 0.0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        s += 0.299 * img.r(x, y) + 0.587 * img.g(x, y) + 0.114 * img.b(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    s / (img.width.toLong * img.height)
+  }
+
   /** Real nearest-neighbor resize for BMP payloads; rows whose bytes do
     * not parse as 24bpp BMP pass through UNCHANGED (resize semantics are
     * format-specific — callers wanting the format-agnostic byte-stride

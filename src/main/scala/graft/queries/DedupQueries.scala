@@ -207,6 +207,58 @@ object DedupQueries {
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.a
         JOIN sig sb ON sb.doc_id = c.b
+        ORDER BY est_jaccard DESC, a, b""")),
+
+    // ---- I5 pipeline-order near-dup over the FULL corpus (HASH-EXACT, BENCH)
+    // The collapse-first composition a production pipeline actually runs:
+    // exact-collapse to min-id representatives, banded LSH over reps only.
+    // Pair enumeration over the raw corpus is quadratic in clone-group size
+    // by contract (r9 100x: 79.2s of the 119.1s bench total was raw pair
+    // listing on a cloned corpus), so THIS leg carries the bench flag from
+    // r10 on — d_minhash_pairs stays as the raw gate row, un-benched. The
+    // bench trend now tracks the pipeline-order path at every corpus.
+    QueryDef(
+      "d_minhash_pipeline",
+      (s, d) => graft.ext.MinHashDedup.candidatePairsCollapsed(
+        Tables.documents(s, d), numHashes = 32, bands = 8)._1,
+      Some("""WITH reps AS (
+          SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM reps
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id)
+        SELECT c.a, c.b,
+          CAST(len(list_filter(generate_series(1, 32),
+            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
         ORDER BY est_jaccard DESC, a, b"""),
       bench = true),
 

@@ -330,6 +330,43 @@ object Similarity {
         WHERE a.cluster IN (SELECT cluster FROM probes)
         ORDER BY cos DESC, e.vec_id LIMIT 10""")),
 
+    // ---- X4: coarse (two-level) assignment gate (HASH-EXACT oracle) --------
+    // Driver-visible row for IvfAnn.assignCoarse — the O(n·√k) assignment
+    // path SemDedup's default dispatches to above CoarseDispatchK. At FULL
+    // coarse probe every fine centroid is scored and ties break identically
+    // to the flat kernel (spec-pinned in SkewAndIvfSpec), so the oracle is
+    // the flat argmax-cosine assignment the DuckDB CTEs already re-derive
+    // for x4_ann_ivf/d_semdedup — the coarse quantizer's two-level routing
+    // must be invisible at full probe, and a hash match proves it on the
+    // driver's corpus, not just the spec fixture.
+    QueryDef(
+      "x4_ann_coarse",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val cents = graft.ext.IvfAnn.seedCentroids(e, 8)
+        graft.ext.IvfAnn.assignCoarse(e, cents, coarseProbe = 8)
+          .select($"vec_id", $"cluster").orderBy($"vec_id")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1)
+        SELECT vec_id, cluster FROM assign ORDER BY vec_id""")),
+
     // ---- X4: pruned-probe IVF recall gate (HASH-EXACT oracle) --------------
     // The driver-visible answer to "how good is the APPROXIMATE path?":
     // searchJoin at nProbe = 2 of 8 clusters (a real 4x I/O prune, unlike

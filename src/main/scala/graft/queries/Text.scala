@@ -439,6 +439,68 @@ object Text {
           TRUE AS pixels_ok
         FROM events WHERE event_id < 48 ORDER BY media_id""")),
 
+    // ---- MJPEG-in-mp4 SAMPLE decode (r10: the last media stub retired) -----
+    // Synthesize a real MJPEG mp4 per event id (full ISO-BMFF sample
+    // tables + mdat of per-frame baseline JPEGs), then run the production
+    // path: stsd fourcc dispatch → stsz/stsc/stco sample walk → per-frame
+    // JPEG pixel decode (Multimodal.videoFrameFeatures). frames_ok is the
+    // m_jpeg_roundtrip bounded-accuracy boolean lifted to video: every
+    // frame decodes at the declared dims with max channel error ≤ 16 vs
+    // its id+frame-derived source gradient. Codec fourcc, frame count,
+    // and dims are closed-form from event_id — hash-exact.
+    QueryDef(
+      "m_mp4_frame",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d).filter($"event_id" < 40)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val w = 16 + (id % 9).toInt
+            val h = 16 + (id % 5).toInt
+            val nF = 1 + (id % 3).toInt
+            def px(f: Int)(x: Int, y: Int): (Int, Int, Int) = (
+              (120 + (id + f) % 130).toInt * x / math.max(1, w - 1),
+              (120 + (id + 2 * f) % 80).toInt * y / math.max(1, h - 1),
+              (120 + (id + 3 * f) % 100).toInt * (x + y) / math.max(1, w + h - 2))
+            val frames = (0 until nF).map(f =>
+              graft.ext.JpegCodec.writeJpegBaseline(w, h, px(f), quality = 90))
+            val bytes = graft.ext.MediaCodecs.writeMp4Mjpeg(
+              w, h, timescale = 1000, ticksPerFrame = 40, frames)
+            val codec = graft.ext.MediaCodecs.parseMp4Codec(bytes).getOrElse("?")
+            val decoded = graft.ext.MediaCodecs.readMp4Samples(bytes)
+              .getOrElse(Seq.empty)
+              .map(graft.ext.JpegCodec.decodeJpeg)
+            val ok = decoded.size == nF && decoded.zipWithIndex.forall {
+              case (Some(img), f) =>
+                var maxErr = 0
+                var y = 0
+                while (y < img.height) {
+                  var x = 0
+                  while (x < img.width) {
+                    val (r, g, b) = px(f)(x, y)
+                    maxErr = math.max(maxErr,
+                      math.max(math.abs(img.r(x, y) - r),
+                        math.max(math.abs(img.g(x, y) - g),
+                          math.abs(img.b(x, y) - b))))
+                    x += 1
+                  }
+                  y += 1
+                }
+                img.width == w && img.height == h && maxErr <= 16
+              case (None, _) => false
+            }
+            (id, codec, nF, w, h, ok)
+          }
+          .toDF("media_id", "codec", "n_frames", "width", "height", "frames_ok")
+          .orderBy($"media_id")
+      },
+      Some("""SELECT event_id AS media_id, 'jpeg' AS codec,
+          CAST(1 + event_id % 3 AS INTEGER) AS n_frames,
+          CAST(16 + event_id % 9 AS INTEGER) AS width,
+          CAST(16 + event_id % 5 AS INTEGER) AS height,
+          TRUE AS frames_ok
+        FROM events WHERE event_id < 40 ORDER BY media_id""")),
+
     // ---- End-to-end curation pipeline (capstone composition) ---------------
     // The real training-data flow in one declarative plan: quality filter →
     // content-hash dedup (keep min doc_id per fingerprint) → deterministic
@@ -1039,11 +1101,15 @@ object Text {
           sum($"fx").as("sx"), sum($"fy").as("sy"),
           sum($"fx" * $"fy").as("sxy"), sum($"fx" * $"fx").as("sxx"))
         val dec = "decimal(38,0)"
+        // n >= 2 guard: a single-term vocabulary zeroes the least-squares
+        // denominator (n·Σxx − Σx² = 0), and 0/0 is engine-dependent
+        // (Spark NaN vs DuckDB error/NULL) — emit NULL slope for
+        // degenerate corpora on BOTH engines instead
         sums.select($"n",
-          round(
+          when($"n" >= 2, round(
             (($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy").cast("double")
               / (($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx")
-                  .cast("double"))), 6).as("slope"))
+                  .cast("double"))), 6)).as("slope"))
       },
       Some("""WITH cnt AS (
           SELECT term, COUNT(*) AS c
@@ -1062,10 +1128,10 @@ object Text {
             CAST(SUM(fx * fx) AS HUGEINT) AS sxx
           FROM ranked)
         SELECT n,
-          round(
+          CASE WHEN n >= 2 THEN round(
             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
-            6) AS slope
+            6) ELSE NULL END AS slope
         FROM sums""")),
 
     // ---- Bigram-LM surprisal: perplexity filtering proper ------------------

@@ -35,7 +35,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    vec) of canonical vectors, so it is bounded by canonical count,
   *    not arrivals, and the cross-batch check is a cluster-keyed
   *    equi-join + per-pair cosine — the SemDedup candidate shape, never
-  *    all-pairs.
+  *    all-pairs. This makes multi-batch verdicts DIVERGE from the batch
+  *    operator by design (spec-pinned): the batch rule suppresses on any
+  *    lower-id similar vector INCLUDING dropped ones, while a similarity
+  *    chain split across batches compares only against kept vectors — a
+  *    vector similar only to a previously-DROPPED vector is kept here.
+  *    Registering dropped vectors too would make the store grow with
+  *    arrivals instead of canonicals, the wrong trade at 100 TB.
   *
   * At 100 TB the store join stays cluster-keyed (matches IvfAnn's
   * at-rest partitioning) and per-batch work is Σ_cell batch_c ×

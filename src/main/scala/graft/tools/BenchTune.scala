@@ -373,6 +373,77 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Write one of Tables.BucketedLayouts for the probed corpus (the
+    * catalog tables graft.Tables resolves when SPARK_GRAFT_BUCKETED /
+    * -Dgraft.bucketed selects the layout), then A/B the q3 crossover
+    * query in-process: result equality (the precondition), exchange
+    * counts in the materialized AQE plan, and isolated med-of-3 wall.
+    * q3 is probed here because r9_shuffle_bytes measured its
+    * broadcast→shuffle crossover (76 KiB → 207 MiB at 10×) as the
+    * largest single unaddressed mover; the full-bench A/B runs through
+    * `graft.Bench` with the env set.
+    */
+  def bucketWrite(sfDir: String, layout: String): Unit = {
+    val spark = graft.Sessions.local("bucket-write", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val keys = graft.Tables.BucketedLayouts(layout)
+    keys.foreach { case (table, key) =>
+      val t = graft.Tables.bucketedName(layout, table, sfDir)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val t0 = System.nanoTime()
+      graft.sources.Bucketing.writeBucketed(
+        graft.Tables(spark, sfDir, table), t, key, 32)
+      println(f"[bucketwrite] $t by $key " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (32 buckets)")
+    }
+
+    // q3 A/B through the REAL query path (Tables resolution toggled by
+    // the JVM property — DataFrames capture the layout at build time)
+    def q3(): org.apache.spark.sql.DataFrame =
+      SparkEntry.queries("q3_shipping_priority")(spark, sfDir)
+    def withLayout[A](l: Option[String])(f: () => A): A = {
+      l match {
+        case Some(v) => System.setProperty("graft.bucketed", v)
+        case None => System.clearProperty("graft.bucketed")
+      }
+      try f() finally System.clearProperty("graft.bucketed")
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      df.collect() // materialize so AQE's final plan is inspectable
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case _: ShuffleExchangeLike => 1 }.sum
+    }
+    val plainRows = withLayout(None)(() => q3().collect().toSeq)
+    val bRows = withLayout(Some(layout))(() => q3().collect().toSeq)
+    assert(plainRows == bRows, "q3 plain vs bucketed results differ")
+    Seq(None -> "plain", Some(layout) -> s"bucketed-$layout").foreach {
+      case (l, tag) =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        withLayout(l) { () =>
+          def force(): Unit = graft.BenchProtocol.force(q3())
+          force() // warmup
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[bucketwrite] q3-$tag%-18s median=${times(1)}%.3f " +
+            f"min=${times.head}%.3f exchanges=${exchanges(q3())}")
+        }
+    }
+    spark.stop()
+  }
+
   /** Text-keys vs md5-keys SpanDedup: wall + total shuffle write per run.
     * The hashKeys mode exists to shrink the span-keyed exchanges at 100 TB
     * (16-byte digest vs ~40-60-byte span text); this probe makes the
@@ -678,6 +749,9 @@ object BenchTune {
     if (args.headOption.contains("windowab")) { windowAb(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
+    if (args.headOption.contains("bucketwrite")) {
+      bucketWrite(sfDir, args.drop(1).headOption.getOrElse("orderkey")); return
+    }
     if (args.headOption.contains("stream")) { streamThroughput(sfDir); return }
     if (args.headOption.contains("etl")) {
       etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return

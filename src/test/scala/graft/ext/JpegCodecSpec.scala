@@ -77,6 +77,29 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(rst420.pixels.toSeq == plain420.pixels.toSeq)
   }
 
+  test("out-of-sequence RSTn indices resync instead of losing the image") {
+    // real-world streams drop/duplicate restart markers; the decoder must
+    // adopt the stream's counter (libjpeg resync_to_restart posture) and
+    // still hand back an image. Rewrite every RSTn in the entropy stream
+    // to RST5 — indices are now wrong at every interval but the byte
+    // positions are intact, so pixels must be IDENTICAL to the
+    // unmodified stream's.
+    val (w, h) = (40, 24)
+    val bytes = JpegCodec.writeJpegBaseline(w, h, smooth(w, h), restartInterval = 4)
+    val expected = JpegCodec.decodeJpeg(bytes).get
+    val mangled = bytes.clone()
+    // scan entropy data only (after SOS): stuffed FFs are followed by 0x00,
+    // so any 0xFF D0-D7 pair is a restart marker
+    for (i <- mangled.indices.dropRight(1))
+      if ((mangled(i) & 0xff) == 0xff &&
+          (mangled(i + 1) & 0xff) >= 0xd0 && (mangled(i + 1) & 0xff) <= 0xd7)
+        mangled(i + 1) = 0xd5.toByte
+    assert(mangled.toSeq != bytes.toSeq, "fixture must actually mangle markers")
+    val got = JpegCodec.decodeJpeg(mangled)
+    assert(got.isDefined, "wrong RSTn index must resync, not abort")
+    assert(got.get.pixels.toSeq == expected.pixels.toSeq)
+  }
+
   test("fuzz: corrupted restart stream never throws") {
     val bytes = JpegCodec.writeJpegBaseline(40, 24, smooth(40, 24),
       restartInterval = 3)

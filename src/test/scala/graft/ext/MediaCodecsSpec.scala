@@ -258,6 +258,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseMp4Meta(evil).isEmpty)
   }
 
+  test("MJPEG mp4: sample walk returns the exact frame bytes written") {
+    val frames = Seq(
+      JpegCodec.writeJpegBaseline(24, 16, (x, y) => (x * 10, y * 12, x + y)),
+      JpegCodec.writeJpegBaseline(24, 16, (x, y) => (y * 7, x * 3, 2 * x)),
+      JpegCodec.writeJpegBaseline(24, 16, (x, y) => (x, y, x * y % 256)))
+    val mp4 = MediaCodecs.writeMp4Mjpeg(24, 16, 1000, 40, frames)
+    assert(MediaCodecs.parseMp4Codec(mp4).contains("jpeg"))
+    val meta = MediaCodecs.parseMp4Meta(mp4).get
+    assert(meta.width == 24 && meta.height == 16 &&
+      meta.durationTicks == 120) // 3 frames x 40 ticks
+    val samples = MediaCodecs.readMp4Samples(mp4).get
+    assert(samples.size == 3)
+    samples.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq == want.toSeq, "sample bytes must round-trip exactly")
+    }
+    // and every extracted sample decodes as a standalone baseline JPEG
+    samples.foreach { s =>
+      val img = JpegCodec.decodeJpeg(s)
+      assert(img.isDefined && img.get.width == 24 && img.get.height == 16)
+    }
+  }
+
+  test("videoFrameFeatures decodes MJPEG samples; foreign codecs pass through") {
+    import spark.implicits._
+    val mjpeg = MediaCodecs.writeMp4Mjpeg(16, 16, 1000, 40, Seq(
+      JpegCodec.writeJpegBaseline(16, 16, (_, _) => (200, 100, 50)),
+      JpegCodec.writeJpegBaseline(16, 16, (_, _) => (200, 100, 50))))
+    val avc = MediaCodecs.writeMp4ShellWithCodec(320, 200, 1000, 500, "avc1")
+    val rows = Multimodal.videoFrameFeatures(Seq(
+      Multimodal.MediaRow(1L, "mp4", mjpeg),
+      Multimodal.MediaRow(2L, "mp4", avc)).toDS())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m = rows(1L)
+    assert(m.getString(1) == "jpeg" && m.getInt(2) == 2 && m.getInt(3) == 2)
+    assert(m.getInt(4) == 16 && m.getInt(5) == 16)
+    // flat color: decoded luma within JPEG quantization error of the source
+    val srcLuma = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
+    assert(math.abs(m.getDouble(6) - srcLuma) <= 4.0, s"luma ${m.getDouble(6)}")
+    // avc1: indexed by fourcc, zero decoded frames, tkhd display dims
+    val a = rows(2L)
+    assert(a.getString(1) == "avc1" && a.getInt(3) == 0 &&
+      a.getInt(4) == 320 && a.getInt(5) == 200)
+  }
+
+  test("fuzz: MJPEG mp4 truncation and byte corruption never throw") {
+    val mp4 = MediaCodecs.writeMp4Mjpeg(16, 16, 1000, 40, Seq(
+      JpegCodec.writeJpegBaseline(16, 16, (x, y) => (x * 9, y * 11, x + y))))
+    for (len <- 0 until mp4.length by 5)
+      MediaCodecs.readMp4Samples(java.util.Arrays.copyOf(mp4, len))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val c = mp4.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.readMp4Samples(c).foreach(_.foreach(JpegCodec.decodeJpeg))
+    }
+  }
+
   test("jpeg/mp4 parsers survive seeded byte fuzz: no throw, no hang") {
     // executor-side parsers see arbitrary bytes; None is fine, an exception
     // or an unbounded marker/box walk is not. Seeded loop (scalacheck is

@@ -101,6 +101,49 @@ class SemDedupStreamSpec extends AnyFunSuite {
     rmTree(dir); rmTree(ckpt)
   }
 
+  test("multi-batch divergence: similar only to a DROPPED vector => stream keeps it") {
+    // The documented asymmetry between the forms, pinned test-visibly:
+    // the batch operator drops on ANY lower-id similar vector INCLUDING
+    // dropped ones, while the stream's cross-batch check compares only
+    // against KEPT (registered) vectors — so a similarity chain split
+    // across batches keeps a vector the single-batch rule would drop.
+    // Geometry (cell 0, tau = 0.95 ~ 18.19 deg): a at 0 deg, b at 18 deg
+    // (cos 0.9511 >= tau, dropped by a), x at 36 deg — cos(x,b) = 0.9511
+    // >= tau but cos(x,a) = 0.809 < tau: x's ONLY suppressor is b.
+    val a = vec(1.0, 0.0, 0.0, 0.0)
+    val b = vec(0.9510565, 0.3090170, 0.0, 0.0)
+    val x = vec(0.8090170, 0.5877853, 0.0, 0.0)
+
+    def emittedBy(batches: Seq[Seq[(String, String)]]): Seq[String] = {
+      val dir = tmp("sdchain")
+      val ckpt = tmp("sdchain_ck")
+      val store = tmp("sdchain_store") + "/store"
+      val emitted = mutable.ArrayBuffer.empty[String]
+      batches.foreach { files =>
+        files.foreach { case (name, v) =>
+          Files.writeString(Paths.get(dir, name), v) }
+        val q = SemDedupStream.run(spark, dir, ckpt, store, cents, tau = 0.95) {
+          (kept, _) =>
+            emitted ++= kept.select("path").collect()
+              .map(_.getString(0).split('/').last)
+        }
+        q.awaitTermination()
+      }
+      rmTree(dir); rmTree(ckpt)
+      emitted.toSeq.sorted
+    }
+
+    // chain split across batches: b is dropped in batch 0 and never
+    // registers, so batch 1's x sees only KEPT {a} -> kept
+    assert(emittedBy(Seq(Seq("a.txt" -> a, "b.txt" -> b), Seq("x.txt" -> x)))
+      == Seq("a.txt", "x.txt"))
+    // the same three vectors in ONE batch: the in-batch rule (any
+    // smaller-path similar vector, dropped or not) suppresses x via b —
+    // the batch-operator semantics the stream deliberately diverges from
+    assert(emittedBy(Seq(Seq("a.txt" -> a, "b.txt" -> b, "x.txt" -> x)))
+      == Seq("a.txt"))
+  }
+
   test("one-batch streaming verdicts equal the batch operator's on real vectors") {
     // parity across forms: same codebook, path order aligned with vec_id
     // order (zero-padded names), tau above the corpus pair ceiling would
