@@ -367,6 +367,56 @@ object Similarity {
             FROM e, seeds s) WHERE rn = 1)
         SELECT vec_id, cluster FROM assign ORDER BY vec_id""")),
 
+    // ---- X4: product-quantization ADC top-k (HASH-EXACT oracle) ------------
+    // PQ (graft.ext.PqAnn): md5-seeded sub-codebooks (m = 8 blocks × 16
+    // codes over dim 64 — 64× compression), per-block argmin-L2 encoding,
+    // ADC scoring with 1e-6 fixed-point block distances summed as longs.
+    // Every stage is SQL-derivable: the seeds CTE is the x4_ann_ivf one,
+    // block slicing is list indexing, the argmin is the same
+    // ROW_NUMBER-over-sequential-fold pattern as the assign CTE, and the
+    // integer distance sum is order-free — so the top-10 hash-matches
+    // bit-for-bit. Query = vec 0's own embedding (its ADC distance to
+    // itself is the quantization error, not 0 — asymmetric by design).
+    QueryDef(
+      "x4_pq_topk",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d).select($"vec_id", $"ev")
+        val cb = graft.ext.PqAnn.seedCodebooks(e, m = 8, k = 16)
+        val qv = e.filter($"vec_id" === 0).head().getSeq[Double](1)
+        graft.ext.PqAnn.searchAdc(graft.ext.PqAnn.encode(e, cb), cb, qv, 10)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS code
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 16)),
+        blocks AS (SELECT unnest(generate_series(0, 7)) AS b),
+        codes AS (
+          SELECT vec_id, b, code FROM (
+            SELECT e.vec_id, blocks.b, s.code,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id, blocks.b ORDER BY
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (ev[blocks.b*8+i] - cv[blocks.b*8+i])
+                     * (ev[blocks.b*8+i] - cv[blocks.b*8+i]))) ASC,
+                s.code) AS rn
+            FROM e, blocks, seeds s) WHERE rn = 1),
+        q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        dt AS (
+          SELECT blocks.b, s.code,
+            CAST(round(list_sum(list_transform(generate_series(1, 8),
+              i -> (qv[blocks.b*8+i] - cv[blocks.b*8+i])
+                 * (qv[blocks.b*8+i] - cv[blocks.b*8+i]))) * 1000000) AS BIGINT) AS dl
+          FROM blocks, seeds s, q),
+        scored AS (
+          SELECT c.vec_id, SUM(dt.dl) AS dsum
+          FROM codes c JOIN dt ON dt.b = c.b AND dt.code = c.code
+          GROUP BY c.vec_id)
+        SELECT vec_id, round(CAST(dsum AS DOUBLE) / 1000000, 6) AS adc_dist
+        FROM scored ORDER BY adc_dist, vec_id LIMIT 10""")),
+
     // ---- X4: pruned-probe IVF recall gate (HASH-EXACT oracle) --------------
     // The driver-visible answer to "how good is the APPROXIMATE path?":
     // searchJoin at nProbe = 2 of 8 clusters (a real 4x I/O prune, unlike
