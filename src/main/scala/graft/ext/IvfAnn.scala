@@ -39,7 +39,7 @@ object IvfAnn {
 
   /** Cosine of `v` against every codebook row; shared by assignment and
     * query-probe ranking so the two sides can never disagree. */
-  private def centroidSims(cs: Array[Array[Double]], cNorm: Array[Double],
+  private[ext] def centroidSims(cs: Array[Array[Double]], cNorm: Array[Double],
       v: Seq[Double]): Array[Double] = {
     var nv = 0.0
     var i = 0
@@ -58,7 +58,7 @@ object IvfAnn {
     sims
   }
 
-  private def norms(cs: Array[Array[Double]]): Array[Double] =
+  private[ext] def norms(cs: Array[Array[Double]]): Array[Double] =
     cs.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }

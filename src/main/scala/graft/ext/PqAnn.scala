@@ -202,4 +202,40 @@ object PqAnn {
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(topK)
   }
+
+  // ---- IVF × PQ: the composed 100 TB retrieval shape -----------------------
+
+  /** PQ codes JOINED to the IVF cell assignment: (vec_id, cluster,
+    * codes). Persisted partitioned by `cluster` (the
+    * [[IvfAnn.writeIndex]] layout) this is the classic IVFADC index —
+    * a probe reads only its cells, and within them only nibble codes.
+    * One narrow pass over the already-assigned frame (the encode kernel
+    * keyed through the assignment's vec_id — zero additional shuffle
+    * when both come off the same scan). */
+  def encodeIndexed(index: IvfAnn.Index, cb: Codebooks): DataFrame =
+    index.assigned.select(col("vec_id"), col("cluster"))
+      .join(encode(index.assigned.select(col("vec_id"), col("ev")), cb),
+        Seq("vec_id"))
+
+  /** IVFADC search (Jégou §V.A): rank the IVF codebook for `q` (same
+    * [[IvfAnn.centroidSims]] kernel as every other probe path), scan
+    * ONLY the `nProbe` best cells' PQ codes with ADC, exact-L2 re-rank
+    * the `nCandidates` survivors against the raw vectors of those same
+    * cells. At rest (cluster-partitioned index + codes) the I/O is
+    * probed-cells × codes plus nCandidates raw rows — both prunings
+    * compose multiplicatively. Output (vec_id, l2_dist) ascending,
+    * ties by vec_id; degrades to exact brute force at nProbe =
+    * nCentroids with a corpus-sized shortlist (spec-pinned). */
+  def searchIvfPq(index: IvfAnn.Index, encodedIdx: DataFrame, cb: Codebooks,
+      q: Seq[Double], nProbe: Int, topK: Int, nCandidates: Int): DataFrame = {
+    val cents = index.centroids.map(_._2.toArray)
+    val sims = IvfAnn.centroidSims(cents, IvfAnn.norms(cents), q)
+    val probed = sims.indices.sortBy(c => (-sims(c), c)).take(nProbe)
+    val inCells = encodedIdx.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+    searchAdcRerank(
+      inCells,
+      index.assigned.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+        .select(col("vec_id"), col("ev")),
+      cb, q, topK, nCandidates)
+  }
 }

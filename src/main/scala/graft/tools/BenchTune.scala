@@ -444,6 +444,60 @@ object BenchTune {
     spark.stop()
   }
 
+  /** PQ / IVFADC shootout at the probed corpus: exact brute-force L2
+    * top-10 over raw vectors vs ADC over nibble codes vs the composed
+    * IVFADC (pruned cells + ADC shortlist + exact re-rank). local[32]
+    * measures the COMPUTE side (the at-rest I/O win — cluster-partitioned
+    * codes — is the documented layout story); the point on a big corpus
+    * is the raw-vector scan vs code-scan gap. Build/encode cost is paid
+    * once outside the timed region, like an index.
+    */
+  def pqProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("pq-probe", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    val q = e.filter($"vec_id" === 0).head().getSeq[Double](1)
+    val qLit = array(q.map(lit): _*)
+    val l2c = aggregate(zip_with($"ev", qLit, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+    val cb = graft.ext.PqAnn.seedCodebooks(e, m = 8, k = 16)
+    val enc = graft.ext.PqAnn.encode(e, cb).localCheckpoint(true)
+    val kIvf = math.max(8L, n / 250L).toInt
+    // materialize the assignment ONCE, as writeIndex would at rest — an
+    // un-pinned index re-runs the O(n·k) flat assignment on every probe
+    // evaluation (first probe draft measured 24.6 s/run at 200k vectors
+    // from exactly that)
+    val built = graft.ext.IvfAnn.build(e, kIvf, lloydIters = 0)
+    val index = built.copy(assigned = built.assigned.localCheckpoint(true))
+    val encIdx = graft.ext.PqAnn.encodeIndexed(index, cb).localCheckpoint(true)
+    val nProbe = math.max(2, kIvf / 16)
+
+    val legs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "bruteforce_l2" -> (() => e.select($"vec_id",
+        round(l2c, 6).as("d")).orderBy($"d", $"vec_id").limit(10)),
+      "pq_adc" -> (() => graft.ext.PqAnn.searchAdc(enc, cb, q, 10)),
+      "pq_adc_rerank100" ->
+        (() => graft.ext.PqAnn.searchAdcRerank(enc, e, cb, q, 10, 100)),
+      s"ivfadc_p${nProbe}of$kIvf" -> (() =>
+        graft.ext.PqAnn.searchIvfPq(index, encIdx, cb, q, nProbe, 10, 100)))
+    legs.foreach { case (tag, f) =>
+      System.gc()
+      def force(): Unit = graft.BenchProtocol.force(f())
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[pq] $tag%-22s median=${times(1)}%.3f min=${times.head}%.3f n=$n")
+    }
+    spark.stop()
+  }
+
   /** Text-keys vs md5-keys SpanDedup: wall + total shuffle write per run.
     * The hashKeys mode exists to shrink the span-keyed exchanges at 100 TB
     * (16-byte digest vs ~40-60-byte span text); this probe makes the
@@ -749,6 +803,7 @@ object BenchTune {
     if (args.headOption.contains("windowab")) { windowAb(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
+    if (args.headOption.contains("pq")) { pqProbe(sfDir); return }
     if (args.headOption.contains("bucketwrite")) {
       bucketWrite(sfDir, args.drop(1).headOption.getOrElse("orderkey")); return
     }

@@ -123,6 +123,41 @@ class SkewAndIvfSpec extends AnyFunSuite {
       s"trained rerank@100 recall: $trained100")
   }
 
+  test("IVFADC: full probe + corpus shortlist degrades to exact; pruned probes recall") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val index = IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+    val cb = graft.ext.PqAnn.seedCodebooks(e, m = 8, k = 16)
+    val enc = graft.ext.PqAnn.encodeIndexed(index, cb).localCheckpoint(true)
+    def exactTop(q: Long, k: Int): Seq[Long] = {
+      val qv = vecs(q)
+      vecs.toSeq.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    }
+    // full probe + corpus-sized shortlist: the exact-L2 re-rank sees every
+    // vector, so the output IS brute force (quantization only ordered the
+    // shortlist, which no longer truncates)
+    val full = graft.ext.PqAnn
+      .searchIvfPq(index, enc, cb, vecs(3L), nProbe = 8, topK = 10,
+        nCandidates = 500)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exactTop(3L, 10), "degradation-to-exact broken")
+    // pruned: 2 of 8 cells + 100-candidate shortlist — the composed
+    // approximation. Deterministic overlap pinned at observed.
+    val recalls = Seq(0L, 7L, 42L).map { q =>
+      val got = graft.ext.PqAnn
+        .searchIvfPq(index, enc, cb, vecs(q), nProbe = 2, topK = 10,
+          nCandidates = 100)
+        .collect().map(_.getLong(0)).toSet
+      (exactTop(q, 10).toSet & got).size
+    }
+    info(s"IVFADC nProbe=2/8 rerank@100 recall: $recalls")
+    assert(recalls.forall(_ >= 3) && recalls.sum >= 11,
+      s"IVFADC pruned recall collapsed: $recalls")
+  }
+
   test("IVF build seeds exactly min(n, nCentroids) centroids, any input size") {
     def emb(n: Int) = (0 until n)
       .map(i => (i.toLong, Seq(i.toDouble, 1.0))).toDF("vec_id", "ev")
