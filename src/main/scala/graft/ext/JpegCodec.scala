@@ -745,7 +745,6 @@ object JpegCodec {
     val coefZ = new Array[Int](64)
     val coefD = new Array[Double](64)
 
-    var rstCount = 0
     var mcusSinceRst = 0
     var my = 0
     while (my < mcusY) {
@@ -753,11 +752,9 @@ object JpegCodec {
       while (mx < mcusX) {
         if (restartInterval > 0 && mcusSinceRst == restartInterval) {
           // any RSTn resyncs (a non-RST marker here still aborts: the
-          // scan genuinely ended early); adopt the stream's counter so
-          // a dropped/duplicated marker costs one interval, not the image
-          val got = br.restart()
-          if (got < 0) return None
-          rstCount = got + 1
+          // scan genuinely ended early) — a dropped/duplicated marker
+          // costs one interval's alignment, not the image
+          if (br.restart() < 0) return None
           mcusSinceRst = 0
           java.util.Arrays.fill(dcPred, 0)
         }

@@ -209,9 +209,10 @@ object PqAnn {
     * codes). Persisted partitioned by `cluster` (the
     * [[IvfAnn.writeIndex]] layout) this is the classic IVFADC index —
     * a probe reads only its cells, and within them only nibble codes.
-    * One narrow pass over the already-assigned frame (the encode kernel
-    * keyed through the assignment's vec_id — zero additional shuffle
-    * when both come off the same scan). */
+    * One encode pass plus a vec_id-keyed equi-join against the
+    * assignment — both sides tiny per row (a cluster int, m nibbles);
+    * materialize the assignment (writeIndex / localCheckpoint) first or
+    * the O(n·k) assignment kernel re-runs under both join sides. */
   def encodeIndexed(index: IvfAnn.Index, cb: Codebooks): DataFrame =
     index.assigned.select(col("vec_id"), col("cluster"))
       .join(encode(index.assigned.select(col("vec_id"), col("ev")), cb),
