@@ -602,6 +602,56 @@ object DedupQueries {
         FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
         ORDER BY a.vec_id""")),
 
+    // ---- Semantic dedup DEFAULT path (HASH-EXACT oracle, r10) --------------
+    // The zero-knob entry point callers actually use: semanticDedup(e, tau)
+    // derives k = max(8, ceil(n/250)) itself. Below CoarseDispatchK the
+    // dispatch stays on flat assignment, so the WHOLE default path is
+    // SQL-derivable — the oracle recomputes the derived k from COUNT(*)
+    // and feeds it into the same seeds/assign/drop CTEs as d_semdedup.
+    // (Above the threshold the default routes through the coarse
+    // quantizer and is gate-anchored by x4_ann_coarse at full probe +
+    // the dispatch-equality spec instead.) At every driver SF the
+    // derived k is 8, comfortably below the threshold.
+    QueryDef(
+      "d_semdedup_auto",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+        graft.ext.SemDedup.semanticDedup(e, tau = 0.35)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        kk AS (
+          SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) AS k
+          FROM e),
+        seeds AS (
+          SELECT cv, rn - 1 AS cluster FROM (
+            SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) AS rn
+            FROM (SELECT vec_id, ev,
+                    (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                  FROM e))
+          WHERE rn <= (SELECT k FROM kk)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT x.vec_id
+          FROM assign x JOIN assign y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE round(list_cosine_similarity(ex.ev, ey.ev), 4) >= 0.35)
+        SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+        FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        ORDER BY a.vec_id""")),
+
     // ---- Exact repeated-span masking (HASH-EXACT oracle) -------------------
     // Substring-level dedup (graft.ext.SpanDedup): 8-token spans occurring
     // in ≥ 2 distinct docs mask every token they cover; per-doc stats.
