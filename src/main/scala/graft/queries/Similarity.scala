@@ -158,6 +158,39 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Matryoshka (prefix-dim) two-stage search: shortlist by cosine over the
+    * FIRST `prefixDim` components (MRL-trained embeddings front-load
+    * information, so a dim/4 prefix preserves neighborhood structure at a
+    * quarter of the compute/read), then re-rank the shortlist by full-dim
+    * exact cosine. The shortlist window shuffles only
+    * (qid, vec_id, cos_lo) — vectors join back per surviving candidate,
+    * never riding the candidate shuffle (the MinHashDedup/lshCandidatePairs
+    * rule). The low-dim pass here is the brute-force anchor (O(n·|Q|) like
+    * x4_knn_join — bounded query side by contract); at corpus scale the
+    * same re-rank stage composes with IVF/PQ shortlists instead
+    * (PqAnn.searchAdcRerank is the identical funnel shape).
+    * Output: (qid, rn, vec_id, cos) — full-dim round-4 cosine, top `k`.
+    */
+  def mrlSearchJoin(e: DataFrame, queries: DataFrame, prefixDim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val wS = Window.partitionBy(col("qid")).orderBy(col("cos_lo").desc, col("vec_id"))
+    val short = e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(slice(col("ev"), 1, prefixDim),
+          slice(col("qv"), 1, prefixDim)), 4).as("cos_lo"))
+      .withColumn("rs", row_number().over(wS))
+      .filter(col("rs") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    short
+      .join(e.select(col("vec_id"), col("ev")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("ev"), col("qv")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- X4: brute-force cosine top-k against one query vector -------------
@@ -739,6 +772,121 @@ object Similarity {
         SELECT p.qid AS vec_id, p.label, p.pred_label, a.n_agree,
           (p.label = p.pred_label) AS consistent
         FROM pred p JOIN agree a ON a.qid = p.qid
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ---- X4: Matryoshka prefix-dim shortlist recall (HASH-EXACT oracle) ----
+    // The MRL funnel driver-visible: shortlist 50 at dim 16 (4× less read/
+    // compute per candidate), exact full-dim re-rank to top-10, scored
+    // against brute-force truth with the x4_ann_recall aggregation. Every
+    // stage is SQL-derivable (list slicing + the same round-4 window
+    // tie-breaks), so n_hits is hash-exact, not just the >= 0.5 bound.
+    QueryDef(
+      "x4_mrl_recall",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val queries = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"ev".as("qv"))
+        val pruned = mrlSearchJoin(e, queries, prefixDim = 16, shortlist = 50, k = 10)
+          .select($"qid", $"vec_id", lit(1L).as("hit"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val truth = e.join(broadcast(queries), $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id", round(cosine($"ev", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 10)
+          .select($"qid", $"vec_id")
+        truth.join(pruned, Seq("qid", "vec_id"), "left")
+          .groupBy($"qid")
+          .agg(count($"hit").as("n_hits"))
+          .select($"qid", $"n_hits",
+            round($"n_hits".cast("double") / 10, 2).as("recall"),
+            ($"n_hits" >= 5).as("recall_ok"))
+          .orderBy($"qid")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        q AS (SELECT vec_id AS qid, ev AS qv FROM e WHERE vec_id < 20),
+        lo AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                round(list_cosine_similarity(e.ev[1:16], q.qv[1:16]), 4) DESC,
+                e.vec_id) AS rs
+            FROM e, q WHERE e.vec_id <> q.qid) WHERE rs <= 50),
+        pruned AS (
+          SELECT qid, vec_id FROM (
+            SELECT l.qid, l.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY l.qid ORDER BY
+                round(list_cosine_similarity(e.ev, q.qv), 4) DESC, l.vec_id) AS rn
+            FROM lo l JOIN e ON e.vec_id = l.vec_id JOIN q ON q.qid = l.qid)
+          WHERE rn <= 10),
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                round(list_cosine_similarity(e.ev, q.qv), 4) DESC, e.vec_id) AS rn
+            FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10)
+        SELECT t.qid, COUNT(p.vec_id) AS n_hits,
+          round(COUNT(p.vec_id) / 10.0, 2) AS recall,
+          (COUNT(p.vec_id) >= 5) AS recall_ok
+        FROM truth t LEFT JOIN pruned p ON p.qid = t.qid AND p.vec_id = t.vec_id
+        GROUP BY t.qid ORDER BY t.qid""")),
+
+    // ---- X4: cluster-balanced prototypicality sample (HASH-EXACT oracle) ---
+    // The post-SemDedup curation stage (SSL-prototypes / D4 order): rank
+    // each vector within its cluster by cosine to the own centroid
+    // (hardest — least prototypical — first), keep ceil(0.25 · cluster
+    // size) per cluster, so the kept set is balanced across the embedding
+    // space instead of collapsing onto dense clusters. Assignment is the
+    // lloydIters = 0 flat argmax the DuckDB CTEs re-derive (x4_ann_coarse);
+    // round-6 cosines and vec_id tie-breaks make rank and kept hash-exact.
+    QueryDef(
+      "x4_cluster_sample",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+        val proto = graft.ext.ClusterPrune.prototypicality(
+          index.assigned, index.centroids)
+        graft.ext.ClusterPrune.balancedSample(proto, frac = 0.25)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        proto AS (
+          SELECT a.vec_id, a.cluster,
+            round(list_sum(list_transform(generate_series(1, len(ev)),
+                k -> ev[k] * cv[k]))
+              / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                 * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos_own
+          FROM assign a
+          JOIN e ON e.vec_id = a.vec_id
+          JOIN seeds s ON s.cluster = a.cluster),
+        sized AS (
+          SELECT cluster, COUNT(*) AS n_c FROM proto GROUP BY cluster),
+        ranked AS (
+          SELECT p.vec_id, p.cluster, p.cos_own,
+            ROW_NUMBER() OVER (PARTITION BY p.cluster
+              ORDER BY p.cos_own ASC, p.vec_id) AS rank,
+            z.n_c
+          FROM proto p JOIN sized z ON z.cluster = p.cluster)
+        SELECT vec_id, cluster, cos_own, rank,
+          (rank <= CEIL(n_c * 0.25)) AS kept
+        FROM ranked ORDER BY vec_id"""))
   )
 }
