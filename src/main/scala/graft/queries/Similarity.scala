@@ -173,11 +173,17 @@ object Similarity {
     */
   def mrlSearchJoin(e: DataFrame, queries: DataFrame, prefixDim: Int,
       shortlist: Int, k: Int): DataFrame = {
+    // slice BELOW the join, once per input row — slicing inside the join
+    // output re-copies the prefix array per (row, query) PAIR (probe
+    // measured it costing more than the 4× dot-product saving at 200k
+    // vectors); this projection is also exactly the at-rest truncated
+    // column a 100 TB layout would store alongside the full vectors
+    val eLo = e.select(col("vec_id"), slice(col("ev"), 1, prefixDim).as("ev_lo"))
+    val qLo = queries.select(col("qid"), slice(col("qv"), 1, prefixDim).as("qv_lo"))
     val wS = Window.partitionBy(col("qid")).orderBy(col("cos_lo").desc, col("vec_id"))
-    val short = e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+    val short = eLo.join(broadcast(qLo), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(slice(col("ev"), 1, prefixDim),
-          slice(col("qv"), 1, prefixDim)), 4).as("cos_lo"))
+        round(cosine(col("ev_lo"), col("qv_lo")), 4).as("cos_lo"))
       .withColumn("rs", row_number().over(wS))
       .filter(col("rs") <= shortlist)
       .select(col("qid"), col("vec_id"))

@@ -788,6 +788,106 @@ object BenchTune {
     spark.stop()
   }
 
+  /** ClusterPrune + MRL probe at the probed corpus: (a) the post-SemDedup
+    * curation stage — coarse k∝n assignment, prototypicality scoring, and
+    * the per-cluster balanced sample — as one pipeline wall; (b) the MRL
+    * funnel (prefix-16 shortlist → full-dim re-rank) against brute-force
+    * full-dim kNN for a 200-query batch, with the funnel's recall over the
+    * brute-force truth printed alongside the walls. Assignment is
+    * materialized once, like an at-rest index (the pq-probe lesson).
+    */
+  def clusterPruneProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("clusterprune-probe", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    val k = math.max(8L, (n + 249) / 250).toInt
+    val cents = graft.ext.IvfAnn.seedCentroids(e, k)
+    val centPairs = cents.zipWithIndex.map { case (c, i) => i -> c.toSeq }
+    def timed(tag: String)(f: () => org.apache.spark.sql.DataFrame): Unit = {
+      System.gc()
+      def force(): Unit = graft.BenchProtocol.force(f())
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[cp] $tag%-26s median=${times(1)}%.3f min=${times.head}%.3f n=$n k=$k")
+    }
+    // assignment materialized once (index-at-rest); sample timed over it
+    val assigned = graft.ext.IvfAnn.assignCoarse(e, cents).localCheckpoint(true)
+    timed("assign_coarse(fresh)") { () => graft.ext.IvfAnn.assignCoarse(e, cents) }
+    timed("proto+balancedSample") { () =>
+      graft.ext.ClusterPrune.balancedSample(
+        graft.ext.ClusterPrune.prototypicality(assigned, centPairs), 0.25) }
+
+    val queries = e.filter($"vec_id" < 200)
+      .select($"vec_id".as("qid"), $"ev".as("qv")).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    def brute() = e.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(graft.queries.Similarity.cosine($"ev", $"qv"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+      .select($"qid", $"vec_id")
+    def mrl() = graft.queries.Similarity
+      .mrlSearchJoin(e, queries, prefixDim = 16, shortlist = 50, k = 10)
+      .select($"qid", $"vec_id")
+    timed("knn_bruteforce_200q") { () => brute() }
+    timed("knn_mrl16_short50") { () => mrl() }
+    val truth = brute().as[(Long, Long)].collect().toSet
+    val got = mrl().as[(Long, Long)].collect().toSet
+    println(f"[cp] mrl_recall@10 ${truth.count(got.contains).toDouble / truth.size}%.3f " +
+      s"(${truth.size} truth pairs)")
+
+    // At local[32] with vectors in memory both funnels are sort-bound, so
+    // walls tie — the MRL dividend at corpus scale is AT-REST I/O: a
+    // stored prefix column means stage 1 scans prefixDim/dim of the
+    // vector bytes. The honest 100 TB proxy is the layout footprint
+    // ratio (same argument as PQ's 64× code compression), plus the
+    // stage-1 wall from each layout.
+    val fullPath = "/tmp/cp_probe_full"
+    val loPath = "/tmp/cp_probe_lo16"
+    e.write.mode("overwrite").parquet(fullPath)
+    e.select($"vec_id", slice($"ev", 1, 16).as("ev_lo"))
+      .write.mode("overwrite").parquet(loPath)
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    println(f"[cp] layout_bytes full64=${dirBytes(fullPath) / 1024}%d KiB " +
+      f"prefix16=${dirBytes(loPath) / 1024}%d KiB " +
+      f"ratio=${dirBytes(fullPath).toDouble / dirBytes(loPath)}%.1f")
+    val qLo = queries.select($"qid", slice($"qv", 1, 16).as("qv_lo"))
+      .localCheckpoint(true)
+    def stage1(scan: org.apache.spark.sql.DataFrame, lo: org.apache.spark.sql.Column) =
+      scan.join(broadcast(qLo), col("vec_id") =!= col("qid"))
+        .select($"qid", $"vec_id", round(graft.queries.Similarity.cosine(
+          lo, $"qv_lo"), 4).as("cos_lo"))
+        .withColumn("rs", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+            .orderBy($"cos_lo".desc, $"vec_id")))
+        .filter($"rs" <= 50).select($"qid", $"vec_id")
+    Seq(
+      "stage1_full64_layout" ->
+        (() => stage1(spark.read.parquet(fullPath), slice($"ev", 1, 16))),
+      "stage1_prefix16_layout" ->
+        (() => stage1(spark.read.parquet(loPath), $"ev_lo"))
+    ).foreach { case (tag, f) =>
+      def force(): Unit = graft.BenchProtocol.force(f())
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[cp] $tag%-26s median=${times(1)}%.3f min=${times.head}%.3f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
@@ -804,6 +904,7 @@ object BenchTune {
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("pq")) { pqProbe(sfDir); return }
+    if (args.headOption.contains("clusterprune")) { clusterPruneProbe(sfDir); return }
     if (args.headOption.contains("bucketwrite")) {
       bucketWrite(sfDir, args.drop(1).headOption.getOrElse("orderkey")); return
     }
