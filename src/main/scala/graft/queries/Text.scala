@@ -1065,6 +1065,79 @@ object Text {
           round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- DSIR importance weights: target-conditioned data selection --------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every RAW-pool document by the log-likelihood ratio of its tokens
+    // under a TARGET unigram model vs the RAW unigram model, both
+    // Laplace-smoothed over the shared vocabulary — documents whose
+    // vocabulary looks like the target distribution get positive weights
+    // and are what importance resampling would keep. Target here is the
+    // `src0` slice standing in for "high-quality reference corpus"; raw
+    // is everything else. Scale shape: the model is a VOCAB-sized frame
+    // (per-term fx computed once, not per token), the scoring join is
+    // token→term equi (the x_unigram_surprisal shape), and per-token
+    // log-ratios are 1e-6 fixed-point longs so doc sums are
+    // order-independent and hash-exact (same float-determinism contract
+    // and Math.log-vs-libm caveat as the surprisal family).
+    QueryDef(
+      "x_dsir_weights",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", $"source", explode(split($"text", " ")).as("term"))
+        val isT = $"source" === "src0"
+        val cntT = tok.filter(isT).groupBy($"term").agg(count(lit(1)).as("ct"))
+        val cntR = tok.filter(!isT).groupBy($"term").agg(count(lit(1)).as("cr"))
+        val stats = tok.agg(
+          count(when(isT, lit(1))).as("nt"),
+          count(when(!isT, lit(1))).as("nr"),
+          countDistinct($"term").as("v"))
+        val model = tok.select($"term").distinct()
+          .join(cntT, Seq("term"), "left")
+          .join(cntR, Seq("term"), "left")
+          .crossJoin(broadcast(stats))
+          .select($"term", round((
+            log((coalesce($"ct", lit(0L)) + 1).cast("double")
+              / ($"nt" + $"v").cast("double"))
+            - log((coalesce($"cr", lit(0L)) + 1).cast("double")
+              / ($"nr" + $"v").cast("double"))) * 1e6, 0).cast("long").as("fx"))
+        // emit the TOTAL log-ratio (the paper's log importance weight):
+        // dividing the fixed-point sum by n_tokens manufactures .5e-6
+        // round boundaries (one flipped at sf0.001) — /1e6 alone keeps
+        // the value ON the 6-dp grid, the x4_pq_topk adc_dist pattern
+        tok.filter(!isT).join(model, Seq("term"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"fx").as("sfx"))
+          .select($"doc_id", $"n_tokens",
+            round($"sfx".cast("double") / 1e6, 6).as("log_weight"),
+            ($"sfx" > 0).as("preferred"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tt AS (SELECT term, COUNT(*) AS ct FROM tok WHERE source = 'src0' GROUP BY term),
+        tr AS (SELECT term, COUNT(*) AS cr FROM tok WHERE source <> 'src0' GROUP BY term),
+        st AS (
+          SELECT COUNT(*) FILTER (source = 'src0') AS nt,
+            COUNT(*) FILTER (source <> 'src0') AS nr,
+            COUNT(DISTINCT term) AS v
+          FROM tok),
+        model AS (
+          SELECT t.term,
+            CAST(round((
+              ln((COALESCE(tt.ct, 0) + 1)::DOUBLE / (st.nt + st.v))
+              - ln((COALESCE(tr.cr, 0) + 1)::DOUBLE / (st.nr + st.v)))
+              * 1000000) AS BIGINT) AS fx
+          FROM (SELECT DISTINCT term FROM tok) t
+          LEFT JOIN tt USING (term) LEFT JOIN tr USING (term), st)
+        SELECT k.doc_id, COUNT(*) AS n_tokens,
+          round(CAST(SUM(m.fx) AS DOUBLE) / 1000000, 6) AS log_weight,
+          (SUM(m.fx) > 0) AS preferred
+        FROM tok k JOIN model m USING (term)
+        WHERE k.source <> 'src0'
+        GROUP BY k.doc_id ORDER BY k.doc_id""")),
+
     // ---- Zipf rank-frequency slope: corpus-health diagnostic ---------------
     // Natural-language corpora follow Zipf's law: log-log rank-frequency
     // is near-linear with slope ≈ −1. A synthetic, templated, or
