@@ -126,6 +126,10 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t")
       assert(!spark.catalog.tableExists(t))
       copyTree(stash, loc.toPath)
+      // remove the stash (walk deletes children before parents)
+      java.nio.file.Files.walk(stash.getParent).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       assert(ordersRows() == plain, "re-registered content must equal plain")
       assert(spark.catalog.tableExists(t), "resolve must have re-registered")
       // a bare scan reports "Bucketed: false (disabled by query planner)"
