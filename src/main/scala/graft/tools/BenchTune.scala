@@ -746,6 +746,8 @@ object BenchTune {
           width = 8, minDocs = 2)),
       "x_pii_redact" ->
         (() => SparkEntry.queries("x_pii_redact")(spark, sfDir)),
+      "x_dsir_weights" ->
+        (() => SparkEntry.queries("x_dsir_weights")(spark, sfDir)),
       "x_tfidf_top_terms" ->
         (() => SparkEntry.queries("x_tfidf_top_terms")(spark, sfDir)),
       "x_bigram_surprisal" ->
