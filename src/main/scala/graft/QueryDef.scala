@@ -35,6 +35,7 @@ object QueryDef {
       queries.Windows.defs ++
       queries.Events.defs ++
       queries.Text.defs ++
+      queries.Curation.defs ++
       queries.Similarity.defs ++
       queries.DedupQueries.defs ++
       queries.ParserQueries.defs

@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation recipes from the published LLM-pretraining playbook,
+  * composed from the engine's existing primitives (token explode shapes,
+  * the md5 60-bit hash bridge, fixed-point long sums):
+  *
+  *  - Gopher repetition rules (Rae et al. 2021 §A1.1): per-document
+  *    duplicate-n-gram character fractions as removal signals.
+  *  - CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+  *    head/middle/tail terciles by LM surprisal.
+  *  - Soft deduplication (down-weight duplicates instead of dropping).
+  *  - Count-Min sketch heavy hitters: fixed-footprint frequency sketch
+  *    as pure relational algebra, oracle-recomputable cell by cell.
+  *
+  * Everything stays in codegen'd built-ins + HOFs (zero UDFs); the only
+  * wide operations are token/gram-keyed equi-shuffles and fixed-size
+  * sketch aggregations, so each recipe is linear in corpus bytes and
+  * safe at the 100 TB target.
+  */
+object Curation {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Gopher repetition rules: duplicate-n-gram char fractions ----------
+    // The two strongest signals from the published rule-set that apply to a
+    // newline-free token stream: the fraction of characters covered by the
+    // single most frequent 2-gram (threshold 0.20) and the fraction of
+    // characters inside duplicated 5-grams (threshold 0.15, occurrences
+    // counted with overlap as the paper does). Both are rational arithmetic
+    // (int·int/int in one double division, rounded) — bit-exact cross-engine
+    // with no fixed-point detour. Scale shape: grams explode to (doc, gram)
+    // keyed counts — one equi-shuffle per n — and the per-doc top-1 is a
+    // window over per-doc gram counts, not the corpus.
+    QueryDef(
+      "x_gopher_repetition",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 5)
+          .select($"doc_id", length($"text").as("nc"), $"toks")
+        def grams(n: Int) = docs.select(
+          $"doc_id", $"nc",
+          explode(transform(sequence(lit(1), size($"toks") - (n - 1)),
+            i => concat_ws(" ", slice($"toks", i, lit(n))))).as("g"))
+        val top2 = grams(2)
+          .groupBy($"doc_id", $"nc", $"g").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"c".desc, $"g")))
+          .filter($"rn" === 1)
+          .select($"doc_id",
+            round(($"c" * length($"g")).cast("double") / $"nc", 6)
+              .as("top2_frac"))
+        val dup5 = grams(5)
+          .groupBy($"doc_id", $"nc", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id", $"nc")
+          .agg(sum(when($"c" >= 2, $"c" * length($"g")).otherwise(0L))
+            .as("dup_chars"))
+          .select($"doc_id",
+            round($"dup_chars".cast("double") / $"nc", 6).as("dup5_frac"))
+        top2.join(dup5, Seq("doc_id"))
+          .select($"doc_id", $"top2_frac", $"dup5_frac",
+            ($"top2_frac" <= 0.20 && $"dup5_frac" <= 0.15).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS t
+          FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        g2 AS (
+          SELECT doc_id, nc, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS g
+          FROM docs),
+        g2c AS (SELECT doc_id, nc, g, COUNT(*) AS c FROM g2 GROUP BY ALL),
+        top2 AS (
+          SELECT doc_id, round(CAST(c * length(g) AS DOUBLE) / nc, 6) AS top2_frac
+          FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2c)
+          WHERE rn = 1),
+        g5 AS (
+          SELECT doc_id, nc, unnest(list_transform(
+            generate_series(1, len(t) - 4),
+            i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM docs),
+        g5c AS (SELECT doc_id, nc, g, COUNT(*) AS c FROM g5 GROUP BY ALL),
+        dup5 AS (
+          SELECT doc_id,
+            round(CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+              AS DOUBLE) / nc, 6) AS dup5_frac
+          FROM g5c GROUP BY doc_id, nc)
+        SELECT t.doc_id, t.top2_frac, d.dup5_frac,
+          (t.top2_frac <= 0.20 AND d.dup5_frac <= 0.15) AS keep
+        FROM top2 t JOIN dup5 d USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- CCNet bucketing: per-language perplexity terciles -----------------
+    // The CCNet recipe: score each document with an LM (here the corpus
+    // unigram model standing in for the paper's wiki KenLM), then cut each
+    // language into head/middle/tail terciles by score — pipelines keep
+    // head+middle and drop or downsample tail. Per-doc surprisal reuses the
+    // x_unigram_surprisal fixed-point contract (per-token fx longs, exact
+    // order-free sums); the tercile is ntile(3) over (avg, doc_id) — a total
+    // order, so bucket assignment is deterministic on both engines. Bucket
+    // aggregates come from exact long sums with ONE final division. Scale
+    // shape: the only per-language serialization is the ntile window, whose
+    // input is one row per DOCUMENT (not token); at 100 TB that window would
+    // run per (lang, shard) exactly like x_pack_sequences' per-shard packing.
+    QueryDef(
+      "x_ccnet_buckets",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+        val cnt = tok.groupBy($"term").agg(count(lit(1)).as("c"))
+        val tot = tok.agg(count(lit(1)).as("n"))
+        val perdoc = tok.join(cnt, Seq("term")).crossJoin(broadcast(tot))
+          .select($"doc_id", $"lang",
+            round(-log($"c".cast("double") / $"n") * 1e6, 0).cast("long")
+              .as("fx"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"), sum($"fx").as("sfx"))
+          .withColumn("avg_s",
+            $"sfx".cast("double") / 1e6 / $"n_tokens")
+        perdoc
+          .withColumn("b", ntile(3).over(
+            Window.partitionBy($"lang").orderBy($"avg_s", $"doc_id")))
+          .groupBy($"lang", $"b")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            round(sum($"sfx").cast("double") / 1e6 / sum($"n_tokens"), 6)
+              .as("avg_surprisal"))
+          .select($"lang",
+            when($"b" === 1, "head").when($"b" === 2, "middle")
+              .otherwise("tail").as("bucket"),
+            $"n_docs", $"n_tokens", $"avg_surprisal")
+          .orderBy($"lang", $"bucket")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        tot AS (SELECT COUNT(*) AS n FROM tok),
+        fx AS (SELECT t.doc_id, t.lang,
+            CAST(round(-ln(c.c::DOUBLE / tot.n) * 1000000) AS BIGINT) AS fx
+          FROM tok t JOIN cnt c USING (term), tot),
+        perdoc AS (
+          SELECT doc_id, lang, COUNT(*) AS n_tokens, SUM(fx) AS sfx,
+            CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*) AS avg_s
+          FROM fx GROUP BY doc_id, lang),
+        bkt AS (
+          SELECT *, ntile(3) OVER (
+            PARTITION BY lang ORDER BY avg_s, doc_id) AS b
+          FROM perdoc)
+        SELECT lang,
+          CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+            AS bucket,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          round(CAST(SUM(sfx) AS DOUBLE) / 1000000 / SUM(n_tokens), 6)
+            AS avg_surprisal
+        FROM bkt GROUP BY lang, b ORDER BY lang, bucket""")),
+
+    // ---- Soft deduplication: down-weight copies instead of dropping --------
+    // The sampling-weight alternative to hard dedup: every document gets
+    // weight 1/n_copies of its exact-duplicate group, so a training sampler
+    // sees each distinct text with total mass 1 while keeping all rows (the
+    // published soft-dedup observation: hard-dropping can hurt when
+    // duplication correlates with quality). Clones are planted (id-shifted
+    // unions, the d_minhash_collapsed pattern) because the corpus has no
+    // natural exact copies; group size reaches 3. The group key is the raw
+    // text column — one text-keyed equi-shuffle; at 100 TB the key would be
+    // md5(text) (16-byte shuffle keys, the SpanDedup discipline) with the
+    // documented 2^-128 collision acceptance. Near-dup commonness composes
+    // the same way from DedupClusters.minhashClustersCollapsed cluster ids.
+    QueryDef(
+      "x_softdedup_weights",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select($"doc_id", $"text")
+        val cloned = base.filter($"doc_id" < 300)
+          .union(base.filter($"doc_id" < 300)
+            .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+          .union(base.filter($"doc_id" < 100)
+            .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+        val grp = cloned.groupBy($"text").agg(count(lit(1)).as("n_copies"))
+        cloned.join(grp, Seq("text"))
+          .select($"doc_id", $"n_copies",
+            round(lit(1.0) / $"n_copies", 6).as("weight"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH cl AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE doc_id < 100),
+        grp AS (SELECT text, COUNT(*) AS n_copies FROM cl GROUP BY text)
+        SELECT c.doc_id, g.n_copies, round(1.0 / g.n_copies, 6) AS weight
+        FROM cl c JOIN grp g USING (text) ORDER BY doc_id""")),
+
+    // ---- Count-Min sketch heavy hitters (HASH-EXACT, cell-recomputable) ----
+    // A frequency sketch as pure relational algebra: depth 4 rows of width
+    // 1024 counters; cell_d(term) = (md5_upper(d || ':' || term) >>> 4) mod
+    // 1024 (the oracle-recomputable md5 60-bit family), cell value = sum of
+    // counts hashing there, estimate = min over depths. Counter addition is
+    // commutative, so the sketch — and therefore every estimate — is
+    // IDENTICAL regardless of partition order or merge tree: the whole
+    // report is hash-exact, not bounded-accuracy. Scale shape: the sketch is
+    // a FIXED 4×1024-row table no matter the corpus size (the point of the
+    // sketch) — partial aggregation builds per-partition sketches map-side
+    // and merges by (d, cell); `overcount` makes the CMS error (est − exact,
+    // always ≥ 0) driver-visible. Exact counts are computed alongside only
+    // because the gate audits the sketch; a production pipeline ships the
+    // 4096-row sketch and drops the per-term table.
+    QueryDef(
+      "x_cms_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Md5Hash64.md5_le64
+        val w = 1024
+        def cell(dep: org.apache.spark.sql.Column,
+            term: org.apache.spark.sql.Column) =
+          shiftrightunsigned(
+            md5_le64(concat(dep.cast("string"), lit(":"), term)), 4) % w
+        val cnt = Tables.documents(s, d)
+          .select(explode(split($"text", " ")).as("term"))
+          .filter(length($"term") > 0)
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+        val cells = cnt
+          .select(explode(sequence(lit(0), lit(3))).as("d"), $"term", $"c")
+          .select($"d", cell($"d", $"term").as("cell"), $"c")
+          .groupBy($"d", $"cell").agg(sum($"c").as("cc"))
+        val top = cnt.orderBy($"c".desc, $"term").limit(20)
+        broadcast(top)
+          .select($"term", $"c",
+            explode(sequence(lit(0), lit(3))).as("d"))
+          .withColumn("cell", cell($"d", $"term"))
+          .join(cells, Seq("d", "cell"))
+          .groupBy($"term", $"c").agg(min($"cc").as("est"))
+          .select($"term", $"c".as("exact_count"), $"est".as("cms_est"),
+            ($"est" - $"c").as("overcount"))
+          .orderBy($"exact_count".desc, $"term")
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        cnt AS (
+          SELECT term, COUNT(*) AS c FROM tok
+          WHERE length(term) > 0 GROUP BY term),
+        cells AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' || term)
+              >> 4) AS BIGINT) % 1024 AS cell,
+            SUM(c) AS cc
+          FROM cnt, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 20),
+        est AS (
+          SELECT t.term, t.c, MIN(cells.cc) AS est
+          FROM top t, generate_series(0, 3) AS gs(d)
+          JOIN cells ON cells.d = gs.d
+           AND cells.cell = CAST((md5_number_upper(
+              CAST(gs.d AS VARCHAR) || ':' || t.term) >> 4) AS BIGINT) % 1024
+          GROUP BY t.term, t.c)
+        SELECT term, CAST(c AS BIGINT) AS exact_count,
+          CAST(est AS BIGINT) AS cms_est, CAST(est - c AS BIGINT) AS overcount
+        FROM est ORDER BY exact_count DESC, term""")))
+}

@@ -748,6 +748,12 @@ object BenchTune {
         (() => SparkEntry.queries("x_pii_redact")(spark, sfDir)),
       "x_dsir_weights" ->
         (() => SparkEntry.queries("x_dsir_weights")(spark, sfDir)),
+      "x_gopher_repetition" ->
+        (() => SparkEntry.queries("x_gopher_repetition")(spark, sfDir)),
+      "x_ccnet_buckets" ->
+        (() => SparkEntry.queries("x_ccnet_buckets")(spark, sfDir)),
+      "x_cms_heavy_hitters" ->
+        (() => SparkEntry.queries("x_cms_heavy_hitters")(spark, sfDir)),
       "x_tfidf_top_terms" ->
         (() => SparkEntry.queries("x_tfidf_top_terms")(spark, sfDir)),
       "x_bigram_surprisal" ->
