@@ -778,7 +778,7 @@ object BenchTune {
           (() => graft.ext.SemDedup.semanticDedup(emb, kProp, 0.35)))
       else Seq.empty)
     ops.filter { case (name, _) =>
-      opFilter.forall(f => name.contains(f))
+      opFilter.forall(_.split(",").exists(name.contains))
     }.foreach { case (name, f) =>
       spark.sharedState.cacheManager.clearCache()
       System.gc()
