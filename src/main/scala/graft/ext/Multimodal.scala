@@ -77,6 +77,8 @@ object Multimodal {
             .map(i => (i.width, i.height, 0))
           case "jpeg" => MediaCodecs.parseJpegMeta(r.bytes)
             .map(i => (i.width, i.height, 0))
+          case "gif" => GifCodec.parseGifMeta(r.bytes)
+            .map(i => (i.width, i.height, 0))
           case "mp4" => MediaCodecs.parseMp4Meta(r.bytes)
             .map(i => (i.width, i.height, i.timescale))
           case _ => None
@@ -103,12 +105,13 @@ object Multimodal {
       "duration_sec", "rms", "zero_crossings")
   }
 
-  /** Image feature extraction over 24bpp BMP, 8-bit RGB/RGBA PNG, or
-    * baseline JPEG payloads (format sniffed per row by magic bytes):
-    * dimensions + mean luminance. JPEG goes through the full pixel
-    * decoder ([[JpegCodec.decodeJpeg]] — r9), so mean luminance is
-    * computed from DECODED pixels for all three formats, not a stub.
-    * Same narrow shape as [[audioFeatures]]. */
+  /** Image feature extraction over 24bpp BMP, 8-bit RGB/RGBA PNG,
+    * baseline JPEG, or GIF payloads (format sniffed per row by magic
+    * bytes): dimensions + mean luminance. JPEG and GIF go through the
+    * full pixel decoders ([[JpegCodec.decodeJpeg]] — r9;
+    * [[GifCodec.decodeGif]] — r10), so mean luminance is computed from
+    * DECODED pixels for all four formats, not a stub. GIF reports 8 bpp
+    * (palette-indexed). Same narrow shape as [[audioFeatures]]. */
   def imageFeatures(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -134,6 +137,21 @@ object Multimodal {
             val bpp = MediaCodecs.parseJpegMeta(r.bytes)
               .map(m => if (m.nComponents == 1) 8 else 24).getOrElse(24)
             (r.media_id, img.width, img.height, bpp,
+              s / (img.width.toLong * img.height))
+          })
+          .orElse(GifCodec.decodeGif(r.bytes).map { img =>
+            var s = 0.0
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                s += 0.299 * img.r(x, y) + 0.587 * img.g(x, y) +
+                  0.114 * img.b(x, y)
+                x += 1
+              }
+              y += 1
+            }
+            (r.media_id, img.width, img.height, 8,
               s / (img.width.toLong * img.height))
           })
       }

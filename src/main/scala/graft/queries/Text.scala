@@ -501,6 +501,69 @@ object Text {
           TRUE AS frames_ok
         FROM events WHERE event_id < 40 ORDER BY media_id""")),
 
+    // ---- GIF round-trip (r10: lossless arm of the media family) ------------
+    // writeGif/writeGifAnimated → decodeGifFrames with id-derived noise
+    // indices (poor LZW compressibility — code widths grow) over an
+    // id-derived palette. GIF is palette-indexed and LZW is lossless, so
+    // unlike m_jpeg_roundtrip's bounded error, pixels_ok pins EXACT index
+    // and palette recovery per frame; single frames with odd id are
+    // stored interlaced (the four-pass row order must invert exactly),
+    // multi-frame ids take the animated writer. parseGifMeta must agree
+    // on dims/frames/animated. All columns closed-form from event_id —
+    // hash-exact. Bytes never shuffle: synth + decode in one narrow map.
+    QueryDef(
+      "m_gif_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d).filter($"event_id" < 48)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val w = 8 + (id % 21).toInt
+            val h = 8 + (id % 13).toInt
+            val nc = 2 + (id % 250).toInt
+            val nF = 1 + (id % 3).toInt
+            val inter = nF == 1 && id % 2 == 1
+            val pal = Array.tabulate(nc)(i =>
+              ((i * 2654435761L + id) & 0xffffff).toInt)
+            def frame(f: Int): Array[Byte] = {
+              val a = new Array[Byte](w * h)
+              var i = 0
+              while (i < a.length) {
+                a(i) = (((i * 7919 + f * 104729 + id * 31) >>> 3) % nc).toByte
+                i += 1
+              }
+              a
+            }
+            val frames = (0 until nF).map(frame)
+            val bytes =
+              if (nF == 1) graft.ext.GifCodec.writeGif(
+                w, h, pal, frames.head, interlaced = inter)
+              else graft.ext.GifCodec.writeGifAnimated(
+                w, h, pal, frames, delayCs = 4)
+            val meta = graft.ext.GifCodec.parseGifMeta(bytes)
+            val ok = graft.ext.GifCodec.decodeGifFrames(bytes).exists { imgs =>
+              imgs.size == nF && imgs.zip(frames).forall { case (img, src) =>
+                img.width == w && img.height == h &&
+                  java.util.Arrays.equals(img.indices, src) &&
+                  img.palette.take(nc).sameElements(pal)
+              }
+            } && meta.exists(m => m.width == w && m.height == h &&
+              m.nFrames == nF && m.animated == (nF > 1))
+            (id, w, h, nc, nF, inter, ok)
+          }
+          .toDF("media_id", "width", "height", "n_colors", "n_frames",
+            "interlaced", "pixels_ok")
+          .orderBy($"media_id")
+      },
+      Some("""SELECT event_id AS media_id,
+          CAST(8 + event_id % 21 AS INTEGER) AS width,
+          CAST(8 + event_id % 13 AS INTEGER) AS height,
+          CAST(2 + event_id % 250 AS INTEGER) AS n_colors,
+          CAST(1 + event_id % 3 AS INTEGER) AS n_frames,
+          (event_id % 3 = 0 AND event_id % 2 = 1) AS interlaced,
+          TRUE AS pixels_ok
+        FROM events WHERE event_id < 48 ORDER BY media_id""")),
+
     // ---- End-to-end curation pipeline (capstone composition) ---------------
     // The real training-data flow in one declarative plan: quality filter →
     // content-hash dedup (keep min doc_id per fingerprint) → deterministic

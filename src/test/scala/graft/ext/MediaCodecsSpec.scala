@@ -229,6 +229,23 @@ class MediaCodecsSpec extends AnyFunSuite {
       s"mean luminance ${f.getDouble(4)}")
   }
 
+  test("imageFeatures and extractMeta handle GIF (exact palette luminance)") {
+    import spark.implicits._
+    // single-color palette image: luminance is exact (GIF is lossless)
+    val pal = Array(0x000000, 0xc85028) // (200, 80, 40)
+    val idx = Array.fill[Byte](18 * 7)(1)
+    val bytes = GifCodec.writeGif(18, 7, pal, idx)
+    val rows = Seq(Multimodal.MediaRow(6L, "gif", bytes)).toDS()
+    val f = Multimodal.imageFeatures(rows).collect().head
+    assert(f.getInt(1) == 18 && f.getInt(2) == 7)
+    assert(f.getInt(3) == 8) // palette-indexed bpp
+    assert(math.abs(f.getDouble(4) - 111.32) < 1e-9,
+      s"mean luminance ${f.getDouble(4)}")
+    val m = Multimodal.extractMeta(rows.map(r =>
+      Multimodal.MediaRow(r.media_id, "gif", r.bytes))).collect().head
+    assert(m.width == 18 && m.height == 7)
+  }
+
   test("MP4 codec fourcc: stsd chain recovered; absent chain is None") {
     val withCodec = MediaCodecs.writeMp4ShellWithCodec(
       1280, 720, 30000, 4242L, "avc1")
