@@ -263,5 +263,130 @@ object Curation {
           GROUP BY t.term, t.c)
         SELECT term, CAST(c AS BIGINT) AS exact_count,
           CAST(est AS BIGINT) AS cms_est, CAST(est - c AS BIGINT) AS overcount
-        FROM est ORDER BY exact_count DESC, term""")))
+        FROM est ORDER BY exact_count DESC, term""")),
+
+    // ---- Benchmark decontamination: n-gram overlap vs a held-out set -------
+    // The published eval-decontamination recipe (GPT-3 appx C / The Pile):
+    // flag any training document sharing an n-token gram with the
+    // benchmark set. Benchmark membership is closed-form (doc_id % 17 =
+    // 0) so the row is hash-exact. Shape: distinct 5-gram shingles per
+    // doc (projected-attribute transform, O(tokens)); the benchmark gram
+    // set is DISTINCT-collapsed and broadcast (an eval set stays tiny —
+    // KBs — while the raw pool is the 100 TB side, so the contaminated
+    // scan is one broadcast semi-ish join keyed on the gram, no shuffle
+    // of the corpus); per-doc overlap counts come from the surviving
+    // pairs. frac_contaminated uses the d_ngram_jaccard round(...,6)
+    // double-division bridge.
+    QueryDef(
+      "x_decontamination",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 5)
+          .select($"doc_id", expr(
+            """array_distinct(transform(sequence(1, size(toks) - 4),
+               i -> concat_ws(' ', slice(toks, i, 5))))""").as("sh"))
+        val bench = sh.filter($"doc_id" % 17 === 0)
+          .select(explode($"sh").as("g")).distinct()
+        sh.filter($"doc_id" % 17 =!= 0)
+          .select($"doc_id", size($"sh").as("n_grams"), explode($"sh").as("g"))
+          .join(broadcast(bench), "g")
+          .groupBy($"doc_id", $"n_grams")
+          .agg(count(lit(1)).as("n_shared"))
+          .select($"doc_id", $"n_shared",
+            round($"n_shared".cast("double") / $"n_grams", 6)
+              .as("frac_contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 4),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+              string_split(text, ' ')[i+1], string_split(text, ' ')[i+2],
+              string_split(text, ' ')[i+3], string_split(text, ' ')[i+4]))) AS sh
+          FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+        raw AS (
+          SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM sh
+          WHERE doc_id % 17 <> 0)
+        SELECT raw.doc_id, COUNT(*) AS n_shared,
+          round(CAST(COUNT(*) AS DOUBLE) / n_grams, 6) AS frac_contaminated
+        FROM raw JOIN bench ON raw.g = bench.g
+        GROUP BY raw.doc_id, n_grams ORDER BY raw.doc_id""")),
+
+    // ---- Bloom-filter membership: fixed-footprint set sketch ---------------
+    // The CMS pattern's sibling: an m=8192-cell, k=4 Bloom filter over
+    // the distinct English vocabulary, built as pure relational algebra —
+    // bits = DISTINCT (hash-fn, cell) rows via the md5 60-bit bridge, so
+    // the sketch is partition-order-free and the report is HASH-EXACT
+    // with driver-visible false positives. The one-sided guarantee (a
+    // member term always hits all k cells) is spec-pinned over the WHOLE
+    // vocabulary; the gate row probes the top-50 corpus terms. The bit
+    // set is a fixed-size table regardless of corpus bytes (map-side
+    // DISTINCT collapse), and probing is a broadcast join of k·probe
+    // rows against it — the 100 TB shape for membership pre-filters.
+    QueryDef(
+      "x_bloom_membership",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Md5Hash64.md5_le64
+        val m = 8192
+        def cell(dep: org.apache.spark.sql.Column,
+            term: org.apache.spark.sql.Column) =
+          shiftrightunsigned(
+            md5_le64(concat(dep.cast("string"), lit(":"), term)), 4) % m
+        val tok = Tables.documents(s, d)
+          .select($"lang", explode(split($"text", " ")).as("term"))
+          .filter(length($"term") > 0)
+        val members = tok.filter($"lang" === "en").select($"term").distinct()
+        val bits = members
+          .select(explode(sequence(lit(0), lit(3))).as("d"), $"term")
+          .select($"d", cell($"d", $"term").as("cell")).distinct()
+        val probe = tok.groupBy($"term").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"term").limit(50)
+        // every join builds on a bounded side: bits is ≤ 4·m rows by
+        // construction (broadcast right of the left join), and in_set
+        // comes from the ≤ |probe| members∩probe slice (leftsemi with
+        // the 50-row probe as build side), not a vocab-sized join
+        val probeMembers = members
+          .join(broadcast(probe.select($"term")), Seq("term"), "leftsemi")
+          .withColumn("in_set", lit(true))
+        probe
+          .select($"term", $"c", explode(sequence(lit(0), lit(3))).as("d"))
+          .withColumn("cell", cell($"d", $"term"))
+          .join(broadcast(bits.withColumn("b", lit(1))), Seq("d", "cell"), "left")
+          .groupBy($"term", $"c").agg((count($"b") === 4).as("bloom_hit"))
+          .join(broadcast(probeMembers), Seq("term"), "left")
+          .select($"term", $"c".as("exact_count"),
+            coalesce($"in_set", lit(false)).as("in_set"), $"bloom_hit",
+            ($"bloom_hit" && !coalesce($"in_set", lit(false)))
+              .as("false_positive"))
+          .orderBy($"exact_count".desc, $"term")
+      },
+      Some("""WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        tokf AS (SELECT * FROM tok WHERE length(term) > 0),
+        members AS (SELECT DISTINCT term FROM tokf WHERE lang = 'en'),
+        bits AS (
+          SELECT DISTINCT d, CAST((md5_number_upper(CAST(d AS VARCHAR)
+              || ':' || term) >> 4) AS BIGINT) % 8192 AS cell
+          FROM members, generate_series(0, 3) AS gs(d)),
+        probe AS (
+          SELECT term, COUNT(*) AS c FROM tokf GROUP BY term
+          ORDER BY c DESC, term LIMIT 50),
+        ph AS (
+          SELECT p.term, p.c, COUNT(b.cell) AS nhit
+          FROM probe p CROSS JOIN generate_series(0, 3) AS gs(d)
+          LEFT JOIN bits b ON b.d = gs.d AND b.cell =
+            CAST((md5_number_upper(CAST(gs.d AS VARCHAR) || ':' || p.term)
+              >> 4) AS BIGINT) % 8192
+          GROUP BY p.term, p.c)
+        SELECT ph.term, CAST(ph.c AS BIGINT) AS exact_count,
+          ph.term IN (SELECT term FROM members) AS in_set,
+          ph.nhit = 4 AS bloom_hit,
+          (ph.nhit = 4 AND ph.term NOT IN (SELECT term FROM members))
+            AS false_positive
+        FROM ph ORDER BY exact_count DESC, ph.term""")))
 }

@@ -89,4 +89,64 @@ class CurationSpec extends AnyFunSuite {
     val badWeight = w.filter($"weight" =!= round(lit(1.0) / $"n_copies", 6)).count()
     assert(badWeight === 0)
   }
+
+  test("x_bloom_membership: no member ever misses (one-sided over whole vocab)") {
+    // The Bloom guarantee must hold for EVERY member term, not just the
+    // top-50 the gate row probes: rebuild the bit set and probe the whole
+    // English vocabulary — all k cells must be present for all members.
+    import graft.functions.Md5Hash64.md5_le64
+    def cell(dep: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      shiftrightunsigned(md5_le64(concat(dep.cast("string"), lit(":"), t)), 4) % 8192
+    val members = Tables.documents(spark, sf)
+      .filter($"lang" === "en")
+      .select(explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0).distinct()
+    val bits = members
+      .select(explode(sequence(lit(0), lit(3))).as("d"), $"term")
+      .select($"d", cell($"d", $"term").as("cell")).distinct()
+    val misses = members
+      .select($"term", explode(sequence(lit(0), lit(3))).as("d"))
+      .withColumn("cell", cell($"d", $"term"))
+      .join(broadcast(bits.withColumn("b", lit(1))), Seq("d", "cell"), "left")
+      .groupBy($"term").agg(count($"b").as("nhit"))
+      .filter($"nhit" < 4)
+    assert(misses.count() === 0, "a Bloom filter must never false-negative")
+    // and the gate row's flags are internally consistent: every in-set
+    // probe hits; every false_positive is genuinely not a member
+    val out = SparkEntry.queries("x_bloom_membership")(spark, sf)
+    assert(out.filter($"in_set" && !$"bloom_hit").count() === 0)
+    assert(out.filter($"false_positive" && $"in_set").count() === 0)
+  }
+
+  test("x_decontamination flags a planted leak and ignores clean docs") {
+    // 901000 % 17 == 0 -> benchmark; 901001 shares one exact 5-gram with
+    // it; 901002 is token-disjoint. Same expressions as the QueryDef,
+    // recomputed inline over base+planted (the QueryDef reads
+    // Tables.documents directly).
+    assert(901000L % 17 === 0L)
+    val leak5 = "alpha bravo charlie delta echo"
+    val planted = Seq(
+      (901000L, s"benchmark prompt $leak5 benchmark answer"),
+      (901001L, s"innocent preamble $leak5 then original continuation text"),
+      (901002L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .union(planted)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 4),
+           i -> concat_ws(' ', slice(toks, i, 5))))""").as("sh"))
+    val bench = sh.filter($"doc_id" % 17 === 0)
+      .select(explode($"sh").as("g")).distinct()
+    val hits = sh.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id", explode($"sh").as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    val flagged = hits.filter($"doc_id" >= 901000L)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.contains(901001L) && flagged(901001L) >= 1L,
+      "the planted 5-gram leak must be flagged")
+    assert(!flagged.contains(901002L), "token-disjoint doc must stay clean")
+  }
 }
