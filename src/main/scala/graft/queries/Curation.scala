@@ -266,17 +266,19 @@ object Curation {
         FROM est ORDER BY exact_count DESC, term""")),
 
     // ---- Benchmark decontamination: n-gram overlap vs a held-out set -------
-    // The published eval-decontamination recipe (GPT-3 appx C / The Pile):
-    // flag any training document sharing an n-token gram with the
-    // benchmark set. Benchmark membership is closed-form (doc_id % 17 =
-    // 0) so the row is hash-exact. Shape: distinct 5-gram shingles per
-    // doc (projected-attribute transform, O(tokens)); the benchmark gram
-    // set is DISTINCT-collapsed and broadcast (an eval set stays tiny —
-    // KBs — while the raw pool is the 100 TB side, so the contaminated
-    // scan is one broadcast semi-ish join keyed on the gram, no shuffle
-    // of the corpus); per-doc overlap counts come from the surviving
-    // pairs. frac_contaminated uses the d_ngram_jaccard round(...,6)
-    // double-division bridge.
+    // The REMOVAL direction of the eval-overlap family — the complement
+    // of Text's x_span_contamination (which flags EVAL docs leaked into
+    // an md5-split train set): here a fixed external benchmark (doc_id %
+    // 17 = 0, closed-form) is the reference, and every RAW-POOL document
+    // sharing a 5-token gram with it is flagged for removal before
+    // training. The direction flips the scale shape: the benchmark gram
+    // set is DISTINCT-collapsed and BROADCAST (an eval set stays tiny —
+    // KBs — while the raw pool is the 100 TB side), so the contaminated
+    // scan is one broadcast join keyed on the gram with no shuffle of
+    // the corpus, where x_span_contamination's self-split form shuffles
+    // spans. Distinct 5-gram shingles per doc via the
+    // projected-attribute transform (O(tokens)); frac_contaminated uses
+    // the d_ngram_jaccard round(...,6) double-division bridge.
     QueryDef(
       "x_decontamination",
       (s, d) => {

@@ -1032,6 +1032,71 @@ object Text {
         SELECT doc_id, rn, term, tfidf FROM top WHERE rn <= 3
         ORDER BY doc_id, rn""")),
 
+    // ---- BM25 retrieval scoring: top-k documents for a term query ----------
+    // Okapi BM25 (k1=1.2, b=0.75) — the production retrieval scorer next
+    // to the plain TF-IDF above: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    // tf saturation normalized by doc length vs corpus average. The query
+    // is the 5 highest-df terms (closed-form, deterministic tiebreak) so
+    // the row needs no external input. Float-sum determinism: per
+    // (doc, term) contributions are 1e-6 fixed-point longs (the
+    // x_unigram_surprisal idiom — identical expression structure on both
+    // engines, same Math.log-vs-libm caveat), doc scores are long sums,
+    // and the top-20 ranking orders by the LONG sum, so ties and order
+    // are exact. Scale shape: df + query fit on the driver (broadcast);
+    // the only wide ops are the token tf groupBy and the final top-k —
+    // same as any inverted-index scoring pass.
+    QueryDef(
+      "x_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+          .filter(length($"term") > 0)
+        val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"),
+          (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+        val df = tok.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val qterms = df.orderBy($"df".desc, $"term").limit(5)
+        val tf = tok.join(broadcast(qterms), Seq("term"))
+          .groupBy($"doc_id", $"term", $"df").agg(count(lit(1)).as("tf"))
+        tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+          .select($"doc_id",
+            round(log(lit(1.0) + ($"nd" - $"df" + 0.5) / ($"df" + 0.5)) *
+              (($"tf" * 2.2) /
+                ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))) * 1e6,
+              0).cast("long").as("fx"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_terms_hit"), sum($"fx").as("sfx"))
+          .orderBy($"sfx".desc, $"doc_id").limit(20)
+          .select($"doc_id", $"n_terms_hit",
+            round($"sfx".cast("double") / 1e6, 6).as("bm25"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tokf AS (SELECT * FROM tok WHERE length(term) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokf GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokf
+          GROUP BY term),
+        qterms AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 5),
+        tf AS (SELECT t.doc_id, t.term, q.df, COUNT(*) AS tf
+          FROM tokf t JOIN qterms q USING (term)
+          GROUP BY t.doc_id, t.term, q.df),
+        fx AS (SELECT tf.doc_id,
+            CAST(round(ln(1.0 + (s.nd - tf.df + 0.5) / (tf.df + 0.5)) *
+              ((tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1000000)
+              AS BIGINT) AS fx
+          FROM tf JOIN dl USING (doc_id), stats s),
+        top AS (SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(fx) AS sfx
+          FROM fx GROUP BY doc_id ORDER BY sfx DESC, doc_id LIMIT 20)
+        SELECT doc_id, n_terms_hit,
+          round(CAST(sfx AS DOUBLE) / 1000000, 6) AS bm25
+        FROM top ORDER BY sfx DESC, doc_id""")),
+
     // ---- Benchmark contamination by exact span overlap ---------------------
     // The n-gram decontamination check (GPT-3 appendix C style): an eval
     // doc is contaminated if any 8-token span of it appears verbatim in the

@@ -896,6 +896,29 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Scale probe for the round-10 retrieval/decontamination additions:
+    * x_decontamination (broadcast benchmark-gram join — should track
+    * corpus bytes), x_bloom_membership (fixed 4·8192-cell sketch —
+    * should stay near-flat like CMS), x_bm25_topk (token tf shuffle +
+    * broadcast query — linear). Run at sf0.1 / 10× / 100× via
+    * SPARK_GRAFT_SF_DIR to pin the factors.
+    */
+  def retrievalProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("retrieval-probe", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (q <- Seq("x_decontamination", "x_bloom_membership", "x_bm25_topk")) {
+      def force(): Unit =
+        graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
+      System.gc()
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[ret] $q%-22s median=${times(1)}%.3f min=${times.head}%.3f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
@@ -913,6 +936,7 @@ object BenchTune {
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("pq")) { pqProbe(sfDir); return }
     if (args.headOption.contains("clusterprune")) { clusterPruneProbe(sfDir); return }
+    if (args.headOption.contains("retrieval")) { retrievalProbe(sfDir); return }
     if (args.headOption.contains("bucketwrite")) {
       bucketWrite(sfDir, args.drop(1).headOption.getOrElse("orderkey")); return
     }
