@@ -48,6 +48,18 @@ object SpanDedup {
     transform(sequence(lit(1), size(toks) - (width - 1)),
       i => concat_ws(" ", slice(toks, i, lit(width))))
 
+  /** Distinct `width`-token grams of a whitespace-tokenized text column;
+    * docs shorter than `width` tokens yield an EMPTY array (callers need
+    * no size pre-filter — the guard matters because `sequence(1, 0)`
+    * descends). The guarded DISTINCT form of [[spanArray]], shared by the
+    * decontamination recipe in both forms (batch `x_decontamination`,
+    * streaming `DeconStream`) so there is one definition of "gram". */
+  def distinctGrams(text: Column, width: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= width, array_distinct(spanArray(toks, width)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Per-document mask statistics over `docs(doc_id, text)`:
     * (doc_id, n_tokens, n_rep_spans, n_masked, keep_ratio), every input
     * doc present (zero hits ⇒ keep_ratio 1.0), ordered by doc_id.

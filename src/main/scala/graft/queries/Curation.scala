@@ -283,12 +283,11 @@ object Curation {
       "x_decontamination",
       (s, d) => {
         import s.implicits._
+        // ONE definition of "gram" with the streaming form (DeconStream)
         val sh = Tables.documents(s, d)
-          .withColumn("toks", split($"text", " "))
-          .filter(size($"toks") >= 5)
-          .select($"doc_id", expr(
-            """array_distinct(transform(sequence(1, size(toks) - 4),
-               i -> concat_ws(' ', slice(toks, i, 5))))""").as("sh"))
+          .select($"doc_id",
+            graft.ext.SpanDedup.distinctGrams($"text", 5).as("sh"))
+          .filter(size($"sh") > 0)
         val bench = sh.filter($"doc_id" % 17 === 0)
           .select(explode($"sh").as("g")).distinct()
         sh.filter($"doc_id" % 17 =!= 0)

@@ -132,11 +132,9 @@ class CurationSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val sh = Tables.documents(spark, sf).select($"doc_id", $"text")
       .union(planted)
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 5)
-      .select($"doc_id", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 4),
-           i -> concat_ws(' ', slice(toks, i, 5))))""").as("sh"))
+      .select($"doc_id",
+        graft.ext.SpanDedup.distinctGrams($"text", 5).as("sh"))
+      .filter(size($"sh") > 0)
     val bench = sh.filter($"doc_id" % 17 === 0)
       .select(explode($"sh").as("g")).distinct()
     val hits = sh.filter($"doc_id" % 17 =!= 0)
