@@ -1060,12 +1060,11 @@ object Text {
         val qterms = df.orderBy($"df".desc, $"term").limit(5)
         val tf = tok.join(broadcast(qterms), Seq("term"))
           .groupBy($"doc_id", $"term", $"df").agg(count(lit(1)).as("tf"))
+        // ONE definition of the contribution with the inverted-index
+        // query path (InvertedIndex.bm25TopK) — parity by construction
         tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
-          .select($"doc_id",
-            round(log(lit(1.0) + ($"nd" - $"df" + 0.5) / ($"df" + 0.5)) *
-              (($"tf" * 2.2) /
-                ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))) * 1e6,
-              0).cast("long").as("fx"))
+          .select($"doc_id", graft.sources.InvertedIndex
+            .bm25Fx($"tf", $"df", $"dl", $"nd", $"avgdl").as("fx"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_terms_hit"), sum($"fx").as("sfx"))
           .orderBy($"sfx".desc, $"doc_id").limit(20)

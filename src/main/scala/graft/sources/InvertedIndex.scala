@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index-at-rest: the retrieval counterpart of the bucketed join
+  * layouts ([[Bucketing]]) — postings persisted bucketed+sorted BY TERM so
+  * a query-term lookup is a bucket-pruned scan (`SelectedBucketsCount: q
+  * out of N` — the scan touches only the query terms' buckets, never the
+  * corpus). At 100 TB this is the difference between a retrieval query
+  * reading ~terabytes of token rows and reading a few hundred MB of
+  * postings: the token-explode + tf/df/dl aggregation is paid ONCE at
+  * index-build time and amortized over every query, exactly like the
+  * bucketed star-join layouts amortize their shuffle.
+  *
+  * Postings are denormalized — (term, doc_id, tf, df, dl) — so scoring
+  * needs NO join except a broadcast of the 1-row corpus stats table
+  * (`<table>_stats`: nd, avgdl): the classic posting-list design, trading
+  * a few bytes per row for a join-free, shuffle-free-until-topk query.
+  *
+  * [[bm25Fx]] is the ONE definition of the BM25 contribution (identical
+  * expression structure to the `x_bm25_topk` oracle SQL): per-posting
+  * fixed-point longs, so scores sum order-independently and rankings tie
+  * exactly — the query path and the full-scan QueryDef are parity-pinned
+  * by construction and by spec.
+  */
+object InvertedIndex {
+
+  /** Okapi BM25 (k1=1.2, b=0.75) per-posting contribution as a 1e-6
+    * fixed-point long. Expression structure mirrors the `x_bm25_topk`
+    * DuckDB oracle term-for-term (same double-op order, same
+    * Math.log-vs-libm caveat as the surprisal family). */
+  def bm25Fx(tf: Column, df: Column, dl: Column,
+      nd: Column, avgdl: Column): Column =
+    round(log(lit(1.0) + (nd - df + 0.5) / (df + 0.5)) *
+      ((tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)))
+      * 1e6, 0).cast("long")
+
+  /** Build the postings layout from `docs(doc_id, text)`: one row per
+    * (term, doc_id) carrying tf + denormalized df and dl, bucketed and
+    * sorted by term into `table`; corpus stats (nd, avgdl) into
+    * `<table>_stats`. Build cost is one token explode + three token-keyed
+    * aggregations — linear in corpus bytes, paid once. */
+  def buildPostings(docs: DataFrame, table: String, buckets: Int): Unit = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = tf.join(dfq, "term").join(dl, "doc_id")
+      .select("term", "doc_id", "tf", "df", "dl")
+    Bucketing.writeBucketed(postings, table, "term", buckets)
+    dl.agg(count(lit(1)).as("nd"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_stats")
+  }
+
+  /** Top-k BM25 over the postings layout. The `isin` filter on the bucket
+    * column prunes the scan to the query terms' buckets; scoring is
+    * join-free (stats broadcast); the only wide op is the per-doc score
+    * sum over |q| postings per doc. Ranking orders by the LONG score sum
+    * (ties exact), same contract as `x_bm25_topk`. */
+  def bm25TopK(spark: SparkSession, table: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val stats = spark.table(table + "_stats")
+    spark.table(table)
+      .filter(col("term").isin(terms: _*))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Fx(col("tf"), col("df"), col("dl"), col("nd"), col("avgdl"))
+          .as("fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("fx")).as("sfx"))
+      .orderBy(col("sfx").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("sfx").cast("double") / 1e6, 6).as("bm25"))
+  }
+}

@@ -916,6 +916,34 @@ object BenchTune {
       }.sorted
       println(f"[ret] $q%-22s median=${times(1)}%.3f min=${times.head}%.3f")
     }
+    // inverted-index-at-rest A/B: build once (amortized cost), then the
+    // same BM25 query as a bucket-pruned postings lookup — vs the
+    // full-scan x_bm25_topk leg above
+    spark.sql("DROP TABLE IF EXISTS ret_postings")
+    spark.sql("DROP TABLE IF EXISTS ret_postings_stats")
+    import spark.implicits._
+    val tb0 = System.nanoTime()
+    graft.sources.InvertedIndex.buildPostings(
+      graft.Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      "ret_postings", buckets = 8)
+    println(f"[ret] postings_build        once=${(System.nanoTime() - tb0) / 1e9}%.3f")
+    val terms = spark.table("ret_postings")
+      .groupBy($"term")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+      .orderBy($"df".desc, $"term").limit(5)
+      .select($"term").as[String].collect().toSeq
+    def forceIdx(): Unit = graft.BenchProtocol.force(
+      graft.sources.InvertedIndex.bm25TopK(spark, "ret_postings", terms, 20))
+    System.gc(); forceIdx()
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); forceIdx(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"[ret] bm25_via_index        median=${ts(1)}%.3f min=${ts.head}%.3f")
+    spark.sql("DROP TABLE IF EXISTS ret_postings")
+    spark.sql("DROP TABLE IF EXISTS ret_postings_stats")
     spark.stop()
   }
 
