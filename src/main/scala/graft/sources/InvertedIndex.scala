@@ -76,4 +76,44 @@ object InvertedIndex {
       .select(col("doc_id"), col("n_terms_hit"),
         round(col("sfx").cast("double") / 1e6, 6).as("bm25"))
   }
+
+  /** Top-k BM25 over a LIVE postings layout — the append-able variant
+    * maintained by [[graft.streaming.IndexStream]]. Live postings carry
+    * (term, doc_id, tf, dl) but NOT df (any baked-in corpus-level stat
+    * would go stale on every append); instead df is recomputed here from
+    * the bucket-pruned scan itself — the pruned slice holds EVERY posting
+    * of the query terms, so `count per term` over it IS the exact global
+    * df, at the cost of one extra aggregation over |q| terms' postings
+    * (not the corpus). Corpus stats (nd, avgdl) come from summing the
+    * per-batch `<table>_stats` rows (one tiny row per micro-batch).
+    * Scoring and ranking share [[bm25Fx]] with the sealed path and the
+    * `x_bm25_topk` QueryDef, so all three agree exactly (spec-pinned).
+    *
+    * The `distinct()` on the pruned slice is load-bearing: a crash-replayed
+    * micro-batch may have appended its postings twice (see
+    * [[graft.streaming.IndexStream]]'s at-least-once append contract), and
+    * replayed rows are EXACT copies (deterministic tokenization of the same
+    * checkpointed files) — collapsing them here makes query results
+    * exactly-once regardless of ingest-side replays, for the price of one
+    * small shuffle over |q| terms' postings, never the corpus. */
+  def bm25TopKLive(spark: SparkSession, table: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val stats = spark.table(table + "_stats")
+      .agg(sum(col("nd")).as("nd"),
+        (sum(col("sum_dl")).cast("double") / sum(col("nd"))).as("avgdl"))
+    val pruned = spark.table(table)
+      .filter(col("term").isin(terms: _*)).distinct()
+    val dfq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    pruned
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Fx(col("tf"), col("df"), col("dl"), col("nd"), col("avgdl"))
+          .as("fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("fx")).as("sfx"))
+      .orderBy(col("sfx").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("sfx").cast("double") / 1e6, 6).as("bm25"))
+  }
 }
