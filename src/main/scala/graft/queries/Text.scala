@@ -67,6 +67,45 @@ object Text {
           / len(string_split(text, ' ')) AS avg_token_len
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Context chunking: overlapping token windows (RAG / training-
+    // context prep). W=32-token windows every S=24 tokens (8-token overlap);
+    // the last window per doc is short (n - start tokens) rather than
+    // padded, and every token lands in ≥1 chunk. Pure per-row array ops —
+    // embarrassingly parallel, no shuffle at all until the output sort;
+    // at 100 TB this is a map-only pass whose output is ~n/S rows per doc.
+    // Spark slice(arr, start+1, W) and DuckDB arr[start+1 : start+W] both
+    // clamp at the array end, so the engines agree on the short tail.
+    QueryDef(
+      "x_chunk_windows",
+      (s, d) => {
+        import s.implicits._
+        val W = 32
+        val S = 24
+        Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n"))
+          .select($"doc_id", $"toks", $"n",
+            posexplode(sequence(lit(0), $"n" - 1, lit(S)))
+              .as(Seq("chunk_idx", "start_tok")))
+          .select(
+            $"doc_id", $"chunk_idx", $"start_tok",
+            least(lit(W), $"n" - $"start_tok").as("n_tok"),
+            array_join(slice($"toks", $"start_tok" + 1, lit(W)), " ")
+              .as("chunk"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""SELECT doc_id,
+        CAST(start_tok // 24 AS INTEGER) AS chunk_idx,
+        CAST(start_tok AS INTEGER) AS start_tok,
+        CAST(least(32, n - start_tok) AS INTEGER) AS n_tok,
+        array_to_string(toks[start_tok + 1 : start_tok + 32], ' ') AS chunk
+        FROM (
+          SELECT doc_id, toks, n,
+            unnest(generate_series(0, n - 1, 24)) AS start_tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n FROM documents))
+        ORDER BY doc_id, chunk_idx""")),
+
     // ---- Quality scoring: stopword ratio + length score (rational only) ----
     QueryDef(
       "x_quality_score",
