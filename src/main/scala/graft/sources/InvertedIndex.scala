@@ -96,6 +96,39 @@ object InvertedIndex {
     * checkpointed files) — collapsing them here makes query results
     * exactly-once regardless of ingest-side replays, for the price of one
     * small shuffle over |q| terms' postings, never the corpus. */
+  /** Compact a LIVE postings table (maintained by
+    * [[graft.streaming.IndexStream]]) into the sealed layout: collapse any
+    * crash-replay duplicates, bake the now-current df back onto each
+    * posting, rewrite bucketed-by-term, and replace the per-batch stats
+    * rows with the single-row sealed form. The periodic maintenance step
+    * of the live index lifecycle — stream appends accumulate small
+    * per-batch bucket files and query-time df work; sealing folds both
+    * back to the read-optimized shape (one aggregation pass over the live
+    * table, no re-tokenization of the corpus). Offline: readers of
+    * `into` see the old version until the final `saveAsTable` commits. */
+  def seal(spark: SparkSession, liveTable: String, into: String): Unit = {
+    require(liveTable != into,
+      "seal reads the live table while writing - target a fresh name")
+    val live = spark.table(liveTable).distinct()
+    val dfq = live.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    Bucketing.writeBucketed(
+      live.join(dfq, "term")
+        .select("term", "doc_id", "tf", "df", "dl"),
+      into, "term", buckets = bucketCount(spark, liveTable))
+    spark.table(liveTable + "_stats")
+      .agg(sum(col("nd")).as("nd"),
+        (sum(col("sum_dl")).cast("double") / sum(col("nd"))).as("avgdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(into + "_stats")
+  }
+
+  /** Bucket count of an existing bucketed catalog table (sealing keeps
+    * the live table's bucket spec unless the caller rewrites it). */
+  private def bucketCount(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+
   def bm25TopKLive(spark: SparkSession, table: String, terms: Seq[String],
       k: Int): DataFrame = {
     val stats = spark.table(table + "_stats")

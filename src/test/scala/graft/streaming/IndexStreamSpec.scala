@@ -106,9 +106,31 @@ class IndexStreamSpec extends AnyFunSuite {
         .mode("append").format("parquet").saveAsTable("ix_live")
       assert(ranking() == expected,
         "replayed duplicate postings must be invisible at query time")
+
+      // sealing the live table (replay duplicates INCLUDED) collapses
+      // them, bakes df back on, and yields the sealed query path with
+      // the same ranking — the compaction step of the lifecycle
+      Seq("ix_sealed", "ix_sealed_stats").foreach(dropTable)
+      InvertedIndex.seal(spark, "ix_live", "ix_sealed")
+      val sealedRank = InvertedIndex.bm25TopK(spark, "ix_sealed", terms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(sealedRank == expected, "sealed ranking diverged from live")
+      // sealed row count = distinct live postings (duplicates collapsed)
+      assert(spark.table("ix_sealed").count() ==
+        spark.table("ix_live").distinct().count())
+
+      // edge cases on both query paths: unknown terms ⇒ empty, not error
+      assert(InvertedIndex
+        .bm25TopKLive(spark, "ix_live", Seq("zzz_no_such_term"), 5).isEmpty)
+      assert(InvertedIndex
+        .bm25TopK(spark, "ix_sealed", Seq("zzz_no_such_term"), 5).isEmpty)
+      // k beyond the corpus ⇒ all scored docs, still ordered
+      val all = InvertedIndex
+        .bm25TopKLive(spark, "ix_live", terms.take(1), 100000)
+      assert(all.count() > 0 && all.count() <= docs.count())
     } finally {
-      Seq("ix_live", "ix_live_stats").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("ix_live", "ix_live_stats", "ix_sealed", "ix_sealed_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }
