@@ -92,6 +92,13 @@ object IvfAnn {
     }.toDF()
   }
 
+  /** vec_id-keyed assignment against a FIXED codebook, for callers that
+    * extend an existing index without retraining (FAISS-style add):
+    * [[graft.streaming.AnnStream]] per micro-batch, and its parity spec's
+    * batch side. Same kernel and tie-break as [[assignTo]]. */
+  private[graft] def assign(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = assignTo(emb, cents)
+
   /** Path-keyed nearest-centroid assignment for streaming callers
     * ([[graft.streaming.SemDedupStream]]): same broadcast-codebook
     * mapPartitions kernel as [[assignTo]] (shared [[centroidSims]], same

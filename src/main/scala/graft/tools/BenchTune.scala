@@ -973,8 +973,48 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Extension-vs-rebuild for the incremental IVF path: (a) full
+    * buildAuto + writeIndex over the corpus (what every corpus extension
+    * costs WITHOUT AnnStream), (b) extending a persisted index with a
+    * ~1% batch against the existing codebook (assign + partitioned
+    * write — what AnnStream's foreachBatch does). The claim under test:
+    * (a) grows with the corpus, (b) with the batch.
+    */
+  def annIncProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("ann-inc-probe", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform(
+          $"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = emb.count()
+    val idxDir = "/tmp/ann_inc_idx_" + math.abs(sfDir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idxDir))
+    val t0 = System.nanoTime()
+    val index = graft.ext.IvfAnn.buildAuto(emb)
+    index.assigned
+      .withColumn("batch", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("cluster", "batch")
+      .mode("overwrite").parquet(idxDir)
+    println(f"[anninc] full_rebuild  n=$n%-8d once=${(System.nanoTime() - t0) / 1e9}%.3f")
+    val batch = emb.filter($"vec_id" % 100 === 0).localCheckpoint(true)
+    val cents = index.centroids.sortBy(_._1).map(_._2.toArray)
+    val t1 = System.nanoTime()
+    graft.ext.IvfAnn.assign(batch, cents)
+      .withColumn("batch", org.apache.spark.sql.functions.lit(9999L))
+      .write.partitionBy("cluster", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(idxDir)
+    println(f"[anninc] extend_1pct   n=${batch.count()}%-8d once=${(System.nanoTime() - t1) / 1e9}%.3f")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idxDir))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("anninc")) { annIncProbe(sfDir); return }
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
     if (args.headOption.contains("a6")) { a6Shootout(sfDir); return }
     if (args.headOption.contains("all")) { allQueries(sfDir); return }
