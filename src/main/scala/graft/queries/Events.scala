@@ -20,6 +20,44 @@ object Events {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- Z-order (Morton) clustering value ---------------------------------
+    // The multi-dimensional at-rest clustering key (Layout.writeZOrdered):
+    // interleaved bits of (user_id, event_id), driver-visible so the layout
+    // family's ordering primitive is oracle-pinned — DuckDB reproduces the
+    // identical mask-shift ladder on BIGINTs (31-bit keys keep z
+    // non-negative, so plain signed ordering agrees across engines).
+    QueryDef(
+      "x_zorder_value",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            graft.sinks.Layout.zValue($"user_id", $"event_id").as("z"))
+          .orderBy($"z", $"event_id")
+          .limit(200)
+      },
+      Some("""WITH t0 AS (
+          SELECT event_id, user_id,
+            user_id & 2147483647 AS ax, event_id & 2147483647 AS bx
+          FROM events),
+        t1 AS (SELECT event_id, user_id,
+          (ax | (ax << 16)) & 281470681808895 AS ax,
+          (bx | (bx << 16)) & 281470681808895 AS bx FROM t0),
+        t2 AS (SELECT event_id, user_id,
+          (ax | (ax << 8)) & 71777214294589695 AS ax,
+          (bx | (bx << 8)) & 71777214294589695 AS bx FROM t1),
+        t3 AS (SELECT event_id, user_id,
+          (ax | (ax << 4)) & 1085102592571150095 AS ax,
+          (bx | (bx << 4)) & 1085102592571150095 AS bx FROM t2),
+        t4 AS (SELECT event_id, user_id,
+          (ax | (ax << 2)) & 3689348814741910323 AS ax,
+          (bx | (bx << 2)) & 3689348814741910323 AS bx FROM t3),
+        t5 AS (SELECT event_id, user_id,
+          (ax | (ax << 1)) & 6148914691236517205 AS ax,
+          (bx | (bx << 1)) & 6148914691236517205 AS bx FROM t4)
+        SELECT event_id, user_id, ax | (bx << 1) AS z
+        FROM t5 ORDER BY z, event_id LIMIT 200""")),
+
     // ---- T4: tumbling window (1 hour) --------------------------------------
     QueryDef(
       "t4_tumbling_hour",

@@ -1012,8 +1012,70 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Data-skipping A/B for the Z-order layout: the same conjunctive box
+    * predicate (both dims ~7% selective) over three at-rest layouts of
+    * the events table on BALANCED-width keys (user_id × event_id ranked
+    * into the same cardinality — the zValue scaladoc's skew contract):
+    * unordered, single-dim sorted, Z-ordered. Reports records READ
+    * (task input metrics — i.e. rows surviving parquet row-group/page
+    * skipping) and wall. The claim: single-dim sort skips in its one
+    * dimension; Z-order skips in both.
+    */
+  def zorderProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("zorder-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // balanced dims at every scale: rank both keys into the same 1500-value
+    // space (the zValue scaladoc's skew contract — real OPTIMIZE ZORDER
+    // implementations interleave ranks for the same reason)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(($"user_id" % 1500).as("a"), ($"event_id" % 1500).as("b"),
+        $"value")
+      .localCheckpoint(true)
+    val base = "/tmp/zorder_probe_" + math.abs(sfDir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    // skipping granularity is one row group = one file here, so the split
+    // tree must stay deep enough that a file's (a, b) region is finer
+    // than the query box — scale file count with the corpus
+    val nFiles = math.max(64, (ev.count() / 40000L).toInt)
+    ev.repartition(nFiles).write.parquet(base + "/plain")
+    ev.repartitionByRange(nFiles, $"a").sortWithinPartitions($"a")
+      .write.parquet(base + "/bysort_a")
+    graft.sinks.Layout.writeZOrdered(ev, base + "/zorder", "a", "b", nFiles)
+
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val total = ev.count()
+    for (layout <- Seq("plain", "bysort_a", "zorder")) {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(base + "/" + layout)
+          .filter($"a".between(700, 800) && $"b".between(700, 800))
+          .agg(sum($"value")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.gc(); run() // warmup
+      recs.set(0)
+      val t = run()
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(500)
+      val r = recs.get()
+      println(f"[zorder] $layout%-9s records_read=$r%-9d (${100.0 * r / total}%.1f%% of $total) wall=$t%.3f")
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("zorder")) { zorderProbe(sfDir); return }
     if (args.headOption.contains("anninc")) { annIncProbe(sfDir); return }
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
     if (args.headOption.contains("a6")) { a6Shootout(sfDir); return }
