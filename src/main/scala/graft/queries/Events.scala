@@ -256,6 +256,77 @@ object Events {
         CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
         COUNT(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Funnel: ordered step completion per user --------------------------
+    // view → click-after-that-view → purchase-after-that-click, counted
+    // per step. Each step is a per-user min-timestamp aggregate (map-side
+    // combinable) plus one equi-join on user_id — no window, no per-user
+    // event-sequence materialization, so the shape survives 100 TB event
+    // tables: three token-sized (user_id, ts) aggregates joining by key.
+    // STRICT ts ordering (>) on the micros-truncated timestamps both
+    // engines share (see the file header note on TIMESTAMP(NANOS)).
+    QueryDef(
+      "t_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("tv"))
+        val c = ev.filter($"event_type" === "click")
+          .join(v, "user_id").filter($"ts" > $"tv")
+          .groupBy($"user_id").agg(min($"ts").as("tc"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(c, "user_id").filter($"ts" > $"tc")
+          .groupBy($"user_id").agg(min($"ts").as("tp"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+      },
+      Some("""WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS tv
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tc
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.tv
+          GROUP BY 1),
+        p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.tc
+          GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+          (SELECT COUNT(*) FROM c) AS n_view_click,
+          (SELECT COUNT(*) FROM p) AS n_full_funnel""")),
+
+    // ---- Cohort retention: weekly cohorts × weeks-since-first --------------
+    // cohort = Monday of the user's first activity week; one row per
+    // (cohort, k) counting users active k weeks later. The distinct
+    // (user, week) projection collapses event volume BEFORE any join —
+    // the big table shrinks to ≤ users × weeks rows, then one equi-join
+    // on user_id; week arithmetic stays integral (Monday-truncated
+    // dates, day-diff / 7 exact) so the engines agree bit-for-bit.
+    QueryDef(
+      "t_retention_cohorts",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", date_trunc("week", $"ts").as("w"))
+        val first = ev.groupBy($"user_id").agg(min($"w").as("w0"))
+        ev.distinct().join(first, "user_id")
+          .select(date_format($"w0", "yyyy-MM-dd").as("cohort"),
+            (datediff($"w".cast("date"), $"w0".cast("date")) / 7)
+              .cast("int").as("k"))
+          .groupBy($"cohort", $"k").agg(count(lit(1)).as("n_users"))
+          .orderBy($"cohort", $"k")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+            date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+        f AS (SELECT user_id, min(w) AS w0 FROM ev GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, w FROM ev)
+        SELECT strftime(f.w0, '%Y-%m-%d') AS cohort,
+          CAST(date_diff('day', CAST(f.w0 AS DATE), CAST(a.w AS DATE)) // 7
+            AS INTEGER) AS k,
+          COUNT(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, k"""))
   )
 }
