@@ -81,7 +81,11 @@ object Text {
         import s.implicits._
         val W = 32
         val S = 24
+        // NULL text would make sequence(0, size(null)-1) THROW on Spark
+        // while DuckDB's generate_series(0, NULL) silently emits nothing —
+        // filter on both engines so the contract stays cross-engine
         Tables.documents(s, d)
+          .filter($"text".isNotNull)
           .select($"doc_id", split($"text", " ").as("toks"))
           .select($"doc_id", $"toks", size($"toks").as("n"))
           .select($"doc_id", $"toks", $"n",
@@ -103,7 +107,8 @@ object Text {
           SELECT doc_id, toks, n,
             unnest(generate_series(0, n - 1, 24)) AS start_tok
           FROM (SELECT doc_id, string_split(text, ' ') AS toks,
-                  len(string_split(text, ' ')) AS n FROM documents))
+                  len(string_split(text, ' ')) AS n FROM documents
+                WHERE text IS NOT NULL))
         ORDER BY doc_id, chunk_idx""")),
 
     // ---- Quality scoring: stopword ratio + length score (rational only) ----

@@ -39,14 +39,18 @@ object InvertedIndex {
   /** Build the postings layout from `docs(doc_id, text)`: one row per
     * (term, doc_id) carrying tf + denormalized df and dl, bucketed and
     * sorted by term into `table`; corpus stats (nd, avgdl) into
-    * `<table>_stats`. Build cost is one token explode + three token-keyed
-    * aggregations — linear in corpus bytes, paid once. */
+    * `<table>_stats`. The corpus is tokenized ONCE: the (doc, term, tf)
+    * aggregate is materialized (localCheckpoint) and dl (= sum of tf per
+    * doc), df, and the corpus stats all derive from it — without the
+    * barrier, the two saveAsTable actions would re-run the token explode
+    * 3-4x as independent scan subtrees. */
   def buildPostings(docs: DataFrame, table: String, buckets: Int): Unit = {
-    val tok = docs
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val postings = tf.join(dfq, "term").join(dl, "doc_id")
       .select("term", "doc_id", "tf", "df", "dl")
@@ -82,9 +86,11 @@ object InvertedIndex {
     * (term, doc_id, tf, dl) but NOT df (any baked-in corpus-level stat
     * would go stale on every append); instead df is recomputed here from
     * the bucket-pruned scan itself — the pruned slice holds EVERY posting
-    * of the query terms, so `count per term` over it IS the exact global
-    * df, at the cost of one extra aggregation over |q| terms' postings
-    * (not the corpus). Corpus stats (nd, avgdl) come from summing the
+    * of the query terms, so a per-term window count over it IS the exact
+    * global df. The whole query stays ONE pass over the pruned slice:
+    * scan → distinct → window-df → score (a df-by-aggregate-and-rejoin
+    * would execute the scan+distinct subtree twice, once inside the
+    * broadcast). Corpus stats (nd, avgdl) come from summing the
     * per-batch `<table>_stats` rows (one tiny row per micro-batch).
     * Scoring and ranking share [[bm25Fx]] with the sealed path and the
     * `x_bm25_topk` QueryDef, so all three agree exactly (spec-pinned).
@@ -96,6 +102,26 @@ object InvertedIndex {
     * checkpointed files) — collapsing them here makes query results
     * exactly-once regardless of ingest-side replays, for the price of one
     * small shuffle over |q| terms' postings, never the corpus. */
+  def bm25TopKLive(spark: SparkSession, table: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val stats = spark.table(table + "_stats")
+      .agg(sum(col("nd")).as("nd"),
+        (sum(col("sum_dl")).cast("double") / sum(col("nd"))).as("avgdl"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    spark.table(table)
+      .filter(col("term").isin(terms: _*)).distinct()
+      .withColumn("df", count(lit(1)).over(w))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Fx(col("tf"), col("df"), col("dl"), col("nd"), col("avgdl"))
+          .as("fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("fx")).as("sfx"))
+      .orderBy(col("sfx").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("sfx").cast("double") / 1e6, 6).as("bm25"))
+  }
+
   /** Compact a LIVE postings table (maintained by
     * [[graft.streaming.IndexStream]]) into the sealed layout: collapse any
     * crash-replay duplicates, bake the now-current df back onto each
@@ -128,25 +154,4 @@ object InvertedIndex {
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
-
-  def bm25TopKLive(spark: SparkSession, table: String, terms: Seq[String],
-      k: Int): DataFrame = {
-    val stats = spark.table(table + "_stats")
-      .agg(sum(col("nd")).as("nd"),
-        (sum(col("sum_dl")).cast("double") / sum(col("nd"))).as("avgdl"))
-    val pruned = spark.table(table)
-      .filter(col("term").isin(terms: _*)).distinct()
-    val dfq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
-    pruned
-      .join(broadcast(dfq), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        bm25Fx(col("tf"), col("df"), col("dl"), col("nd"), col("avgdl"))
-          .as("fx"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms_hit"), sum(col("fx")).as("sfx"))
-      .orderBy(col("sfx").desc, col("doc_id")).limit(k)
-      .select(col("doc_id"), col("n_terms_hit"),
-        round(col("sfx").cast("double") / 1e6, 6).as("bm25"))
-  }
 }

@@ -73,14 +73,16 @@ object IndexStream {
           !spark.table(statsTable)
             .filter(col("batch_id") === batchId).isEmpty
         if (!committed) {
-          val docs = batch.localCheckpoint(true)
-          val tok = docs
+          // one tokenization of the batch: tf is the materialization
+          // barrier, dl (= sum of tf per doc) derives from it — the same
+          // single-pass shape as the sealed buildPostings
+          val tf = batch.localCheckpoint(true)
             .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
             .filter(length(col("term")) > 0)
-          val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
             .localCheckpoint(true)
-          val postings = tok.groupBy("doc_id", "term")
-            .agg(count(lit(1)).as("tf"))
+          val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          val postings = tf
             .join(dl, "doc_id")
             .select("term", "doc_id", "tf", "dl")
           postings.write

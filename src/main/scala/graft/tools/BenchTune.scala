@@ -918,9 +918,18 @@ object BenchTune {
     }
     // inverted-index-at-rest A/B: build once (amortized cost), then the
     // same BM25 query as a bucket-pruned postings lookup — vs the
-    // full-scan x_bm25_topk leg above
-    spark.sql("DROP TABLE IF EXISTS ret_postings")
-    spark.sql("DROP TABLE IF EXISTS ret_postings_stats")
+    // full-scan x_bm25_topk leg above. DROP alone is a no-op for a fresh
+    // JVM's in-memory catalog, so also delete any warehouse directory a
+    // crashed prior run left behind (saveAsTable throws on a leftover
+    // location it has no catalog entry for)
+    def dropRetTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(wh, t))
+      ()
+    }
+    Seq("ret_postings", "ret_postings_stats", "ret_live", "ret_live_stats")
+      .foreach(dropRetTable)
     import spark.implicits._
     val tb0 = System.nanoTime()
     graft.sources.InvertedIndex.buildPostings(
@@ -1061,9 +1070,11 @@ object BenchTune {
         (System.nanoTime() - t0) / 1e9
       }
       System.gc(); run() // warmup
+      // listener events are async — drain the warmup's task-end events
+      // BEFORE zeroing, or they leak into the measured count
+      Thread.sleep(500)
       recs.set(0)
       val t = run()
-      // listener events are async; give the bus a moment to drain
       Thread.sleep(500)
       val r = recs.get()
       println(f"[zorder] $layout%-9s records_read=$r%-9d (${100.0 * r / total}%.1f%% of $total) wall=$t%.3f")

@@ -21,4 +21,22 @@ object SparkTestSession {
       org.apache.logging.log4j.Level.ERROR)
     s
   }
+
+  /** Drop a managed table AND its warehouse directory: a fresh JVM's
+    * in-memory catalog has no entry for a leftover directory from a
+    * crashed earlier run, so DROP alone is a no-op and the next
+    * saveAsTable throws on the existing location. Shared by every spec
+    * that creates managed tables. */
+  def dropManagedTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
 }

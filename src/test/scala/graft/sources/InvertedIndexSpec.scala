@@ -14,18 +14,8 @@ class InvertedIndexSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
-  private def dropTable(t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
-  }
+  private def dropTable(t: String): Unit =
+    SparkTestSession.dropManagedTable(t)
 
   test("postings BM25 ≡ full-scan BM25; scan prunes to query-term buckets") {
     Seq("ii_postings", "ii_postings_stats").foreach(dropTable)

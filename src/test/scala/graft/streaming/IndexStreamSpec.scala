@@ -23,18 +23,8 @@ class IndexStreamSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(Paths.get("target"), prefix).toString
 
-  private def dropTable(t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
-  }
+  private def dropTable(t: String): Unit =
+    SparkTestSession.dropManagedTable(t)
 
   test("streamed live index ≡ full-scan BM25; pruned scan; replay-safe") {
     Seq("ix_live", "ix_live_stats").foreach(dropTable)
