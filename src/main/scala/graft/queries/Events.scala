@@ -297,6 +297,32 @@ object Events {
           (SELECT COUNT(*) FROM c) AS n_view_click,
           (SELECT COUNT(*) FROM p) AS n_full_funnel""")),
 
+    // ---- Event-type transition counts (first-order Markov edges) -----------
+    // lead() over each user's ts-ordered stream, then a count per
+    // (from, to) pair — the per-user window is the only wide op and it
+    // keys on user_id, so at 100 TB the sort is per-user-partition, never
+    // global; the transition matrix itself is |types|² tiny. Ties in ts
+    // are broken by event_id for a total order on both engines.
+    QueryDef(
+      "t_event_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"event_type", $"next_type").limit(10)
+      },
+      Some("""WITH t AS (SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+          FROM events)
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM t WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY n DESC, event_type, next_type LIMIT 10""")),
+
     // ---- Cohort retention: weekly cohorts × weeks-since-first --------------
     // cohort = Monday of the user's first activity week; one row per
     // (cohort, k) counting users active k weeks later. The distinct

@@ -976,6 +976,14 @@ object BenchTune {
       val t0 = System.nanoTime(); forceLive(); (System.nanoTime() - t0) / 1e9
     }.sorted
     println(f"[ret] bm25_via_live_index   median=${tl(1)}%.3f min=${tl.head}%.3f")
+    // sealing the live table vs rebuilding from the corpus: seal is one
+    // aggregation pass over the postings (no re-tokenization), so it
+    // should undercut postings_build at every scale
+    Seq("ret_sealed", "ret_sealed_stats").foreach(dropRetTable)
+    val tseal = System.nanoTime()
+    graft.sources.InvertedIndex.seal(spark, "ret_live", "ret_sealed")
+    println(f"[ret] seal_live             once=${(System.nanoTime() - tseal) / 1e9}%.3f")
+    Seq("ret_sealed", "ret_sealed_stats").foreach(dropRetTable)
     spark.sql("DROP TABLE IF EXISTS ret_live")
     spark.sql("DROP TABLE IF EXISTS ret_live_stats")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(liveDocs))
