@@ -1092,8 +1092,32 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Scale probe for the round-10 event-analytics + chunking additions:
+    * funnel (per-user min-aggs + equi-joins), retention (distinct
+    * user-week collapse), transitions (per-user window), chunking
+    * (map-only explode), z-values (per-row bit math). Run at sf0.1 /
+    * 10× / 100× via SPARK_GRAFT_SF_DIR to pin the factors.
+    */
+  def eventOpsProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("eventops-probe", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (q <- Seq("t_funnel", "t_retention_cohorts", "t_event_transitions",
+        "x_chunk_windows", "x_zorder_value")) {
+      def force(): Unit =
+        graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
+      System.gc()
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[evops] $q%-22s median=${times(1)}%.3f min=${times.head}%.3f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("eventops")) { eventOpsProbe(sfDir); return }
     if (args.headOption.contains("zorder")) { zorderProbe(sfDir); return }
     if (args.headOption.contains("anninc")) { annIncProbe(sfDir); return }
     if (args.headOption.contains("cosine")) { cosineShootout(sfDir); return }
