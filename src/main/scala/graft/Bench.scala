@@ -65,14 +65,15 @@ object Bench {
     // is the single-node apples-to-apples number. r8 verdict item 6: the
     // old 200-log median-of-3 with one warmup showed ~4x cross-round
     // variance (195.8 vs 302.6 on near-identical engines) — too noisy for
-    // regression detection. Same remedy as the query legs: isolate from
-    // the query storage/GC state (clearCache + GC), TWO warmups (the first
-    // load JIT-compiles the whole parse pipeline, the second settles it),
+    // regression detection. Remedy: TWO warmups (the first load
+    // JIT-compiles the whole parse pipeline, the second settles it),
     // 400 logs so a run is ~2x longer than the scheduler jitter floor, and
     // median-of-5. ORDER (r9 verdict item 7): the ETL leg runs FIRST, on a
     // fresh JVM — running it after nine query legs left it hostage to
     // their accumulated JIT/GC state, the residual source of the ±20% r9
-    // band (r10 two-run band recorded in BENCH_SCALE.json).
+    // band (r10 two-run band recorded in BENCH_SCALE.json). Leg-first IS
+    // the isolation: the r9-era clearCache+GC preamble guarded against
+    // prior-query storage state that a fresh JVM no longer has.
     val etlLogsPerSec = try {
       val nLogs = 400
       val glob = tools.BenchTune.genEtlLogs(nLogs)

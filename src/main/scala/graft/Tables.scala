@@ -48,9 +48,20 @@ object Tables {
     "custkey" -> Map("lineitem" -> "l_orderkey", "orders" -> "o_custkey",
       "customer" -> "c_custkey"))
 
-  /** Catalog-safe tag for a corpus dir: bucketed tables are per-corpus. */
-  def dirTag(d: String): String =
-    d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
+  /** Catalog-safe tag for a corpus dir: bucketed tables are per-corpus.
+    * The readable leaf alone is NOT unique (any two corpora named sf0.1
+    * would silently share tables — wrong rows, no error), so the tag
+    * carries an 8-hex digest of the FULL path; the leaf stays for
+    * human-readable table names. Tables written before this scheme
+    * resolve() as missing and fail loudly asking for a bucketwrite —
+    * the documented no-silent-fallback contract, not a regression. */
+  def dirTag(d: String): String = {
+    val leaf =
+      d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${leaf}_$digest"
+  }
 
   def bucketedName(layout: String, table: String, d: String): String =
     s"graft_bk_${layout}_${table}_${dirTag(d)}"

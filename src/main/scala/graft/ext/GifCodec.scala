@@ -45,6 +45,17 @@ object GifCodec {
     * of OOMing past the caller's recovery. */
   private val MaxPixels = 1 << 24
 
+  /** Encoder-side dimension guard: GIF stores w/h as u16, so a larger
+    * value would silently truncate in le16 and emit a descriptor that
+    * contradicts the LZW payload; and anything over MaxPixels could not
+    * be decoded by this codec's own decoder. Throw at encode time. */
+  private def requireDims(width: Int, height: Int): Unit = {
+    require(width >= 1 && width <= 0xffff && height >= 1 && height <= 0xffff,
+      s"GIF dimensions are u16: got ${width}x$height")
+    require(width.toLong * height <= MaxPixels,
+      s"${width}x$height exceeds the ${MaxPixels}-pixel decode cap")
+  }
+
   // ---------------------------------------------------------------- encode
 
   /** Write a single-frame GIF89a: one global color table (padded to a
@@ -54,6 +65,7 @@ object GifCodec {
     */
   def writeGif(width: Int, height: Int, palette: Array[Int],
       indices: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
+    requireDims(width, height)
     require(palette.length >= 2 && palette.length <= 256, "palette 2..256")
     require(indices.length == width * height, "indices = w*h")
     val out = new ByteArrayOutputStream()
@@ -70,6 +82,7 @@ object GifCodec {
     */
   def writeGifAnimated(width: Int, height: Int, palette: Array[Int],
       frames: Seq[Array[Byte]], delayCs: Int): Array[Byte] = {
+    requireDims(width, height)
     require(palette.length >= 2 && palette.length <= 256, "palette 2..256")
     require(frames.nonEmpty && frames.forall(_.length == width * height))
     val out = new ByteArrayOutputStream()

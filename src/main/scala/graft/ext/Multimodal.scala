@@ -122,37 +122,15 @@ object Multimodal {
             (r.media_id, i.width, i.height,
               if (i.colorType == 6) 32 else 24, i.meanLuminance)))
           .orElse(JpegCodec.decodeJpeg(r.bytes).map { img =>
-            var s = 0.0
-            var y = 0
-            while (y < img.height) {
-              var x = 0
-              while (x < img.width) {
-                s += 0.299 * img.r(x, y) + 0.587 * img.g(x, y) +
-                  0.114 * img.b(x, y)
-                x += 1
-              }
-              y += 1
-            }
             // bpp from the SOF component count: grayscale JPEG is 8 bpp
             val bpp = MediaCodecs.parseJpegMeta(r.bytes)
               .map(m => if (m.nComponents == 1) 8 else 24).getOrElse(24)
             (r.media_id, img.width, img.height, bpp,
-              s / (img.width.toLong * img.height))
+              meanLuma(img.width, img.height, img.r, img.g, img.b))
           })
           .orElse(GifCodec.decodeGif(r.bytes).map { img =>
-            var s = 0.0
-            var y = 0
-            while (y < img.height) {
-              var x = 0
-              while (x < img.width) {
-                s += 0.299 * img.r(x, y) + 0.587 * img.g(x, y) +
-                  0.114 * img.b(x, y)
-                x += 1
-              }
-              y += 1
-            }
             (r.media_id, img.width, img.height, 8,
-              s / (img.width.toLong * img.height))
+              meanLuma(img.width, img.height, img.r, img.g, img.b))
           })
       }
     }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
@@ -195,19 +173,26 @@ object Multimodal {
       "width", "height", "mean_luminance")
   }
 
-  private def lumaOf(img: JpegCodec.JpegImage): Double = {
+  /** ONE definition of mean BT.601 luminance over any decoded image's
+    * (r, g, b) accessors — JPEG, GIF, and the mp4 frame path all score
+    * through here so the formula cannot drift between formats. */
+  private def meanLuma(w: Int, h: Int, r: (Int, Int) => Int,
+      g: (Int, Int) => Int, b: (Int, Int) => Int): Double = {
     var s = 0.0
     var y = 0
-    while (y < img.height) {
+    while (y < h) {
       var x = 0
-      while (x < img.width) {
-        s += 0.299 * img.r(x, y) + 0.587 * img.g(x, y) + 0.114 * img.b(x, y)
+      while (x < w) {
+        s += 0.299 * r(x, y) + 0.587 * g(x, y) + 0.114 * b(x, y)
         x += 1
       }
       y += 1
     }
-    s / (img.width.toLong * img.height)
+    s / (w.toLong * h)
   }
+
+  private def lumaOf(img: JpegCodec.JpegImage): Double =
+    meanLuma(img.width, img.height, img.r, img.g, img.b)
 
   /** Real nearest-neighbor resize for BMP payloads; rows whose bytes do
     * not parse as 24bpp BMP pass through UNCHANGED (resize semantics are

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** md5-derived sketch cell `(md5_le64(dep:term) >>> 4) % cells` — ONE
+    * definition shared by the CMS (cells=1024) and Bloom (cells=8192)
+    * recipes; their DuckDB oracles mirror it via the md5_number_upper
+    * bridge, so a change here must change both oracles in lockstep. */
+  private def sketchCell(dep: org.apache.spark.sql.Column,
+      term: org.apache.spark.sql.Column, cells: Int) = {
+    import graft.functions.Md5Hash64.md5_le64
+    shiftrightunsigned(
+      md5_le64(concat(dep.cast("string"), lit(":"), term)), 4) % cells
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Gopher repetition rules: duplicate-n-gram char fractions ----------
@@ -221,9 +232,7 @@ object Curation {
         import graft.functions.Md5Hash64.md5_le64
         val w = 1024
         def cell(dep: org.apache.spark.sql.Column,
-            term: org.apache.spark.sql.Column) =
-          shiftrightunsigned(
-            md5_le64(concat(dep.cast("string"), lit(":"), term)), 4) % w
+            term: org.apache.spark.sql.Column) = sketchCell(dep, term, w)
         val cnt = Tables.documents(s, d)
           .select(explode(split($"text", " ")).as("term"))
           .filter(length($"term") > 0)
@@ -335,9 +344,7 @@ object Curation {
         import graft.functions.Md5Hash64.md5_le64
         val m = 8192
         def cell(dep: org.apache.spark.sql.Column,
-            term: org.apache.spark.sql.Column) =
-          shiftrightunsigned(
-            md5_le64(concat(dep.cast("string"), lit(":"), term)), 4) % m
+            term: org.apache.spark.sql.Column) = sketchCell(dep, term, m)
         val tok = Tables.documents(s, d)
           .select($"lang", explode(split($"text", " ")).as("term"))
           .filter(length($"term") > 0)

@@ -618,6 +618,17 @@ object DedupQueries {
         import s.implicits._
         val e = Tables.embeddings(s, d)
           .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+        // the oracle below re-derives FLAT assignment; above the dispatch
+        // threshold the default routes through the approximate coarse
+        // quantizer and the hash gate would mismatch for no real
+        // regression — fail LOUDLY with the reason instead
+        val n = e.count()
+        val k = math.max(8L, (n + 249) / 250)
+        require(k <= graft.ext.SemDedup.CoarseDispatchK,
+          s"d_semdedup_auto gates the flat-assignment default, but $n vectors " +
+            s"derive k=$k > CoarseDispatchK=${graft.ext.SemDedup.CoarseDispatchK}: " +
+            "the default dispatches to the coarse quantizer here — anchor this " +
+            "corpus via x4_ann_coarse + the dispatch-equality spec instead")
         graft.ext.SemDedup.semanticDedup(e, tau = 0.35)
       },
       Some("""WITH e AS (

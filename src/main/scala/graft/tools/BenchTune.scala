@@ -880,19 +880,12 @@ object BenchTune {
           org.apache.spark.sql.expressions.Window.partitionBy($"qid")
             .orderBy($"cos_lo".desc, $"vec_id")))
         .filter($"rs" <= 50).select($"qid", $"vec_id")
-    Seq(
-      "stage1_full64_layout" ->
-        (() => stage1(spark.read.parquet(fullPath), slice($"ev", 1, 16))),
-      "stage1_prefix16_layout" ->
-        (() => stage1(spark.read.parquet(loPath), $"ev_lo"))
-    ).foreach { case (tag, f) =>
-      def force(): Unit = graft.BenchProtocol.force(f())
-      force() // warmup
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[cp] $tag%-26s median=${times(1)}%.3f min=${times.head}%.3f")
-    }
+    // same harness as the timed() legs above (incl. the GC nudge), so the
+    // full64-vs-prefix16 walls are measured under one protocol
+    timed("stage1_full64_layout") { () =>
+      stage1(spark.read.parquet(fullPath), slice($"ev", 1, 16)) }
+    timed("stage1_prefix16_layout") { () =>
+      stage1(spark.read.parquet(loPath), $"ev_lo") }
     spark.stop()
   }
 
