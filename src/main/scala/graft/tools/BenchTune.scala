@@ -1108,8 +1108,51 @@ object BenchTune {
     spark.stop()
   }
 
+  /** At-rest compression codec A/B over the biggest table (lineitem):
+    * bytes at rest, one-time write cost, and scan wall for a q1-shaped
+    * aggregate. The 100 TB knob this measures: storage $/TB vs scan
+    * CPU — snappy is Spark's default, zstd typically ~30-40% smaller at
+    * a modest decode cost, uncompressed is the anti-baseline.
+    */
+  def codecProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("codec-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val li = graft.Tables.lineitem(spark, sfDir).localCheckpoint(true)
+    val base = "/tmp/codec_probe_" + math.abs(sfDir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    for (codec <- Seq("uncompressed", "snappy", "zstd", "lz4")) {
+      val p = s"$base/$codec"
+      val tw0 = System.nanoTime()
+      li.write.option("compression", codec).parquet(p)
+      val tw = (System.nanoTime() - tw0) / 1e9
+      def scan(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(p)
+          .filter($"l_shipdate" <= "1998-09-02")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity"), sum($"l_extendedprice"), count(lit(1)))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.gc(); scan() // warmup
+      val times = (1 to 3).map(_ => scan()).sorted
+      println(f"[codec] $codec%-13s bytes=${dirBytes(p) / 1024}%-8d KiB " +
+        f"write=$tw%.3f scan_median=${times(1)}%.3f min=${times.head}%.3f")
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("codec")) { codecProbe(sfDir); return }
     if (args.headOption.contains("eventops")) { eventOpsProbe(sfDir); return }
     if (args.headOption.contains("zorder")) { zorderProbe(sfDir); return }
     if (args.headOption.contains("anninc")) { annIncProbe(sfDir); return }
