@@ -132,6 +132,68 @@ object Similarity {
       .select(col("a"), col("b"), round(cosine(col("av"), col("bv")), 4).as("cos"))
   }
 
+  /** [[lshCandidatePairs]] with the band width derived from the corpus —
+    * the k∝n rule applied to banded LSH. FIXED band bits are a scale
+    * cliff: expected bucket size is n/2^bits, so candidate pairs per
+    * bucket grow ~(n/2^bits)² and total candidates grow QUADRATICALLY in
+    * n (measured: the 8×8 default that runs in 5.6 s on 20k vectors
+    * spilled >78 GB of shuffle at 200k and died on disk — BENCH_SCALE
+    * `r10_lsh_auto_bits`). Deriving `bandBits = ceil(log2(n /
+    * targetBucket))` (floored at 8) keeps the expected bucket size — and
+    * with it per-bucket pair work — constant as the corpus grows, the
+    * same constant-cell-size rule as `IvfAnn.buildAuto` and SemDedup's
+    * auto-k. The recall trade is explicit: more bits per band lowers
+    * per-band collision probability for a given cosine (p^bits), so
+    * near-dup recall at fixed nBands falls as the corpus grows — raise
+    * `nBands` together with bits to hold recall (1-(1-p^bits)^bands);
+    * the spec pins band-bits derivation and small-corpus equality with
+    * the fixed form. */
+  def lshCandidatePairsAuto(e: DataFrame, dim: Int, nBands: Int = 8,
+      targetBucket: Int = 256): DataFrame = {
+    val n = math.max(1L, e.select(col("vec_id")).count())
+    lshCandidatePairs(e, dim, nBands, autoBandBits(n, targetBucket))
+  }
+
+  /** ceil(log2(n / targetBucket)) floored at 8 bits (the gate-row
+    * default, so small corpora reproduce the oracle-pinned form). */
+  private[graft] def autoBandBits(n: Long, targetBucket: Int = 256): Int = {
+    val buckets = math.max(1.0, n.toDouble / targetBucket)
+    math.max(8, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
+  /** [[lshCandidatePairsAuto]] with exact-duplicate PRE-COLLAPSE — the
+    * pipeline order for embedding corpora, the vector analog of
+    * [[graft.ext.MinHashDedup.candidatePairsCollapsed]]. Embedding tables
+    * at scale carry exact clones (duplicate documents embed to identical
+    * vectors), clones collide in EVERY band by construction, and pair
+    * enumeration is quadratic in clone-group size by contract — auto band
+    * bits cannot help because identical signatures are not a bucket-width
+    * problem (measured: the factor-100 clone corpus emits 219M pairs in
+    * 212 s even at auto bits; reps-only emits the base corpus's ~74k —
+    * BENCH_SCALE `r10_lsh_auto_bits`). This operator keeps ONE
+    * representative per distinct vector (min vec_id), runs banded LSH over
+    * representatives only, and returns (rep_pairs, representatives) so
+    * callers re-expand verdicts: a clone inherits its rep's near-dup
+    * relations by definition of exact equality.
+    *
+    * The collapse keys on md5(to_json(ev)) — a fixed 32-byte key instead
+    * of dim×8 bytes riding the window shuffle. Distinct doubles render to
+    * distinct shortest-repr JSON, so key equality ≡ vector equality up to
+    * md5 collision (~2⁻¹²⁸ per pair, accepted — the same trade
+    * [[graft.ext.MinHashDedup.candidatePairsCollapsed]] documents; the
+    * gate row's oracle groups by the raw embedding list, so a collision
+    * would surface as a gate mismatch rather than pass silently). */
+  def lshCandidatePairsCollapsed(e: DataFrame, dim: Int, nBands: Int = 8,
+      targetBucket: Int = 256): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("fp"))
+    val mapped = e.withColumn("fp", md5(to_json(col("ev"))))
+      .withColumn("rep_id", min(col("vec_id")).over(w))
+    val reps = mapped.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("ev"))
+    (lshCandidatePairsAuto(reps, dim, nBands, targetBucket),
+      mapped.select(col("vec_id"), col("rep_id")))
+  }
+
   /** Majority-vote label audit over selected neighbor rows
     * (qid, q_label, n_label): per qid, the predicted label is the one with
     * the most neighbor votes (ties to the smallest label), n_agree counts
@@ -313,6 +375,57 @@ object Similarity {
         FROM cand c
         JOIN embeddings ea ON ea.vec_id = c.a
         JOIN embeddings eb ON eb.vec_id = c.b
+        ORDER BY cos DESC, a, b LIMIT 100""")),
+
+    // ---- X4 collapse-first LSH pairs (HASH-EXACT oracle) -------------------
+    // Gates lshCandidatePairsCollapsed: exact vector clones are planted by
+    // unioning embeddings with an id-shifted copy (+100000, same vector —
+    // SQL-derivable), then the operator must (1) pick min-id representatives
+    // per DISTINCT vector, erasing every planted clone, and (2) surface
+    // exactly the representative-level candidate pairs x4_ann_lsh_pairs
+    // finds over those reps (at gate scale auto band bits floor to the
+    // oracle-pinned 8×8 form). This is the output-bound-quadratic fix for
+    // embedding corpora (clones collide in EVERY band; 219M pairs at the
+    // factor-100 corpus vs ~74k over reps) as a driver-visible gate row.
+    QueryDef(
+      "x4_lsh_collapsed",
+      (s, d) => {
+        import s.implicits._
+        val base = emb(s, d).select($"vec_id", $"ev")
+        val cloned = base.union(
+          base.select(($"vec_id" + 100000).as("vec_id"), $"ev"))
+        lshCandidatePairsCollapsed(cloned, dim = 64)._1
+          .orderBy($"cos".desc, $"a", $"b")
+          .limit(100)
+      },
+      Some("""WITH cl AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings),
+        reps AS (
+          SELECT MIN(vec_id) AS vec_id, embedding FROM cl GROUP BY embedding),
+        planes AS (
+          SELECT i.i AS i, list_transform(generate_series(0, 63),
+            j -> (md5_number_upper('gr_lsh_' || i.i || '_' || j) >> 11)::DOUBLE
+                 / 9007199254740992.0 - 0.5) AS p
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) i),
+        sigs AS (
+          SELECT vec_id, i // 8 AS band_idx,
+            SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                  k -> (embedding::DOUBLE[])[k] * p[k])) >= 0
+                THEN (1::BIGINT << (i % 8)) ELSE 0 END) AS band_sig
+          FROM reps, planes
+          GROUP BY vec_id, i // 8),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM sigs x JOIN sigs y
+            ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+          WHERE x.vec_id < y.vec_id)
+        SELECT c.a, c.b,
+          round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+        FROM cand c
+        JOIN reps ea ON ea.vec_id = c.a
+        JOIN reps eb ON eb.vec_id = c.b
         ORDER BY cos DESC, a, b LIMIT 100""")),
 
     // ---- X4 scale path 2: IVF partition-pruned ANN (HASH-EXACT oracle) -----

@@ -30,18 +30,29 @@ object BenchTune {
     spark.stop()
   }
 
-  /** Single-pass wall time of EVERY declared query (cold then warm). */
+  /** Single-pass wall time of EVERY declared query (cold then warm).
+    * SPARK_GRAFT_SKIP=q1,q2 names queries to skip — for corpora where a
+    * gate-form query is KNOWN infeasible by contract (x4_ann_lsh_pairs'
+    * fixed 8-bit bands at ≥200k vectors spill unboundedly; its scale
+    * siblings lshCandidatePairsAuto/Collapsed are measured instead under
+    * `r10_lsh_auto_bits`). Skips print loudly so a sweep never silently
+    * under-covers. */
   def allQueries(sfDir: String): Unit = {
     val spark = graft.Sessions.local("bench-all", 32)
+    val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
+      .split(',').filter(_.nonEmpty).toSet
     // absorb first-job session warmup (codegen compiler, broadcast infra,
     // scheduler) so it doesn't land on the alphabetically-first query —
     // a10_min_max_by read as "5.2s" when its true cost was ~0.3s
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-      val t0 = System.nanoTime()
-      val res = try { fn(spark, sfDir).count(); "" }
-        catch { case e: Throwable => s"  FAILED ${e.getMessage.take(60)}" }
-      println(f"[all] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s$res")
+      if (skip(n)) println(f"[all] $n%-24s  SKIPPED (SPARK_GRAFT_SKIP)")
+      else {
+        val t0 = System.nanoTime()
+        val res = try { fn(spark, sfDir).count(); "" }
+          catch { case e: Throwable => s"  FAILED ${e.getMessage.take(60)}" }
+        println(f"[all] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s$res")
+      }
     }
     spark.stop()
   }
@@ -1150,8 +1161,65 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Generic per-query scale probe: `probe q1,q2,...` times the named
+    * QueryDefs (warmup + median-of-3, noop force) at SPARK_GRAFT_SF_DIR.
+    * The reusable form of the per-family probes — point it at any
+    * suspect rows from an `all` sweep. */
+  def queryProbe(sfDir: String, names: Seq[String]): Unit = {
+    val spark = graft.Sessions.local("query-probe", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (q <- names) {
+      def force(): Unit =
+        graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
+      System.gc()
+      force() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[probe] $q%-24s median=${times(1)}%.3f min=${times.head}%.3f")
+    }
+    spark.stop()
+  }
+
+  /** Banded-LSH auto-bits A/B: the fixed 8-bit gate form vs
+    * corpus-derived band bits at the same nBands. At 200k vectors the
+    * fixed form's buckets hold ~780 vectors each and the candidate join
+    * spilled >78 GB before dying — so the fixed form runs only under
+    * SPARK_GRAFT_LSH_FIXED=1 (safe at ≤10× corpora). */
+  def lshAutoProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("lsh-auto-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    val bits = graft.queries.Similarity.autoBandBits(n)
+    def timed(tag: String)(f: () => org.apache.spark.sql.DataFrame): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val pairs = f().count()
+      println(f"[lsh] $tag%-14s n=$n%-8d pairs=$pairs%-9d wall=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    timed("collapsed") { () =>
+      graft.queries.Similarity.lshCandidatePairsCollapsed(e, dim = 64)._1 }
+    timed(s"auto(bits=$bits)") { () =>
+      graft.queries.Similarity.lshCandidatePairsAuto(e, dim = 64) }
+    if (sys.env.get("SPARK_GRAFT_LSH_FIXED").contains("1"))
+      timed("fixed(bits=8)") { () =>
+        graft.queries.Similarity.lshCandidatePairs(e, dim = 64) }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
+    if (args.headOption.contains("probe")) {
+      queryProbe(sfDir,
+        args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty))
+      return
+    }
     if (args.headOption.contains("codec")) { codecProbe(sfDir); return }
     if (args.headOption.contains("eventops")) { eventOpsProbe(sfDir); return }
     if (args.headOption.contains("zorder")) { zorderProbe(sfDir); return }

@@ -102,6 +102,55 @@ class ApproxRecallSpec extends AnyFunSuite {
     assert(recalled >= 18, s"planted near-dup recall $recalled/20")
   }
 
+  test("auto band bits hold expected bucket size constant; small corpora " +
+      "reproduce the fixed 8-bit form") {
+    import graft.queries.Similarity.autoBandBits
+    // small corpora floor at the gate row's 8 bits — the oracle-pinned form
+    assert(autoBandBits(2000) == 8 && autoBandBits(20000) == 8)
+    // beyond 2^8 buckets of targetBucket, bits grow with log2(n): the
+    // expected bucket n/2^bits stays in [targetBucket/2, targetBucket]
+    for (n <- Seq(100000L, 200000L, 1000000L, 100000000L)) {
+      val bits = autoBandBits(n)
+      val bucket = n.toDouble / (1L << bits)
+      assert(bucket <= 256.0 && bits >= 8,
+        s"n=$n bits=$bits expected bucket $bucket")
+    }
+    // equality of the auto entry point with the explicit form at small n
+    var state = 3L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val corpus = (0 until 60).map(i => i.toLong -> Seq.fill(64)(next()))
+      .toDF("vec_id", "ev")
+    val auto = graft.queries.Similarity.lshCandidatePairsAuto(corpus, dim = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val fixed = graft.queries.Similarity.lshCandidatePairs(corpus, dim = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(auto == fixed, "auto must equal the fixed 8x8 form below the knee")
+  }
+
+  test("lshCandidatePairsCollapsed: rep pairs over a cloned corpus equal raw " +
+      "pairs over the originals; clones map to their original rep") {
+    val base = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val cloned = base.union(
+      base.select(($"vec_id" + 100000).as("vec_id"), $"ev"))
+    val (repPairs, repMap) =
+      graft.queries.Similarity.lshCandidatePairsCollapsed(cloned, dim = 64)
+    val raw = graft.queries.Similarity.lshCandidatePairs(base, dim = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val collapsed = repPairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(collapsed == raw,
+      "rep-level pairs must equal the raw form over distinct vectors")
+    // every planted clone inherits its original as representative
+    val m = repMap.as[(Long, Long)].collect().toMap
+    val orig = base.select($"vec_id").as[Long].collect()
+    assert(orig.forall(id => m(id + 100000) == m(id)),
+      "clone must share its original's rep_id")
+    assert(orig.forall(id => m(id) <= id), "rep is the min id of its group")
+  }
+
   test("x4_ann_lsh_pairs: deterministic recall floor vs exact strongest pairs") {
     val lshPairs = SparkEntry.queries("x4_ann_lsh_pairs")(spark, sf)
       .select("a", "b").as[(Long, Long)].collect().toSet
