@@ -121,8 +121,15 @@ object Bench {
         .mkString("{", ",", "}")
     val qJson = fmt(_._1)
     val qMinJson = fmt(_._2)
-    val total = results.map(_._2._1).filter(_ >= 0).sum
     val nFailed = results.count(_._2._1 < 0)
+    // A failed query silently SHRINKS the summed workload, making the
+    // headline total read as an improvement over prior rounds (r11: t4
+    // failed, total covered 8 queries vs r9's 9). Only publish a total
+    // from a clean run; otherwise emit the failure sentinel and a
+    // machine-visible comparability flag.
+    val total =
+      if (nFailed > 0) -1.0 else results.map(_._2._1).sum
+    val comparable = nFailed == 0
 
     // etl_protocol tag: r9 changed the ETL leg (isolated, 2 warmups,
     // 400 logs, median-of-5) — absolute logs/s moved up ~1.7x vs the old
@@ -132,7 +139,7 @@ object Bench {
     // active (Tables scaladoc) — bucketed totals are a different storage
     // contract, never compared against plain ones silently
     val layout = Tables.activeLayout.getOrElse("plain")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -115,15 +115,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = resolve(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = resolve(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as long (legacy conf) and truncate to a microsecond
-    * timestamp — the same truncation DuckDB's `CAST(ts AS TIMESTAMP)` does,
-    * so oracle comparisons stay bit-exact.
+  /** `events.ts` has not had a stable parquet type across corpus
+    * generations: some fixtures store TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — readable only as a raw long via the legacy
+    * conf), the current ones TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark 4 infers as TIMESTAMP_NTZ). The accessor therefore
+    * adapts to the SCANNED type rather than assuming a unit:
+    *
+    *  - `LongType` (nanos-as-long legacy read): truncate to micros — the
+    *    same truncation DuckDB's `CAST(ts AS TIMESTAMP)` performs, so
+    *    oracle comparisons stay bit-exact;
+    *  - `TimestampNTZType`: cast to the session timestamp type (session TZ
+    *    is pinned to UTC everywhere, so the micros value is unchanged and
+    *    downstream window/event-time queries keep the TimestampType they
+    *    were built against);
+    *  - `TimestampType`: pass through.
+    *
+    * One footer read decides; anything else fails loudly rather than
+    * letting ~15 event-time queries break at analysis time (the r11
+    * regression this guards against).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as unsupported type $other in $d — " +
+          "expected long (nanos), timestamp_ntz, or timestamp")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -19,13 +19,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must NOT silently vanish from the correctness artifact
+    // (r11: the whole event-time family broke at analysis and the round
+    // read as clean because failures only went to stderr). On failure we
+    // still write outDir/<name> — a one-row sentinel whose schema can never
+    // match any oracle — so the driver's compare records a RED row under
+    // the query's own name, and we dump errors.json + a stdout summary.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq((name, msg.take(500))).toDF("__graft_failed_query", "__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +60,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty) {
+      println(s"[verify] FAILED ${failures.size}/${SparkEntry.queries.size} queries: " +
+        failures.keys.mkString(", "))
+    } else {
+      println(s"[verify] all ${SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }} queries dumped OK")
+    }
     spark.stop()
   }
 }
