@@ -38,5 +38,6 @@ object QueryDef {
       queries.Curation.defs ++
       queries.Similarity.defs ++
       queries.DedupQueries.defs ++
-      queries.ParserQueries.defs
+      queries.ParserQueries.defs ++
+      queries.GraphQueries.defs
 }

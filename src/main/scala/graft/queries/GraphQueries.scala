@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Md5Hash64
+import org.apache.spark.sql.functions._
+
+/** Iterative-graph query surface: PageRank over a deterministic document
+  * link graph (graft.ext.Graphs).
+  *
+  * The link graph is synthetic but fully deterministic ON BOTH ENGINES:
+  * each document emits 3 out-links whose targets are the 60-bit md5 hash
+  * of "doc_id:j" (j = 1..3) mod |documents| — the same md5 family every
+  * other hash-exact operator here uses (`Md5Hash64.md5_le64` ≡ DuckDB
+  * `md5_number_upper`). That makes the whole power iteration — an
+  * inherently iterative, join-heavy computation — recomputable in the
+  * oracle as 5 unrolled CTEs, so the gate is hash-exact rather than
+  * rows-only. Self-links and multi-edges are kept (both sides identically).
+  *
+  * Integer fixed-point ranks (see Graphs scaladoc) make the distributed
+  * contribution sums order-independent — the only reason a shuffled,
+  * partitioned PageRank can bit-match a single-threaded SQL engine.
+  */
+object GraphQueries {
+
+  private val Iters = 5
+  private val Scale = 1000000000L
+
+  /** The 5-iteration recurrence, unrolled for DuckDB. Kept in one place so
+    * the SQL can't drift from [[graft.ext.Graphs.pageRank]]'s definition:
+    * r0 = scale; rK = base + (85 * inbound_sum(r{K-1})) // 100. */
+  private def pagerankOracle: String = {
+    val base = 15L * Scale / 100
+    val iterCtes = (1 to Iters).map { k =>
+      s"""r$k AS (SELECT d.doc_id AS id,
+         |    CAST($base + (85 * COALESCE(a.agg, 0)) // 100 AS BIGINT) AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT ed.dst AS id, CAST(SUM(r.r // ed.deg) AS BIGINT) AS agg
+         |    FROM ed JOIN r${k - 1} r ON ed.src = r.id
+         |    GROUP BY ed.dst) a ON d.doc_id = a.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |j AS (SELECT unnest([1,2,3]) AS j),
+       |e AS (SELECT d.doc_id AS src,
+       |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+       |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+       |  FROM documents d, j, n),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS r
+       |  FROM documents),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS pagerank_e9 FROM r$Iters
+       |ORDER BY r DESC, id LIMIT 20""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PageRank: 5 damped power iterations over the md5 link graph ------
+    QueryDef(
+      "x_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        // |documents| joined in (broadcast 1-row), never collected — the
+        // same plan works when the node table is 100 TB
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val edges = docs.crossJoin(broadcast(n))
+          .select($"doc_id".as("src"),
+            explode(array(lit(1), lit(2), lit(3))).as("j"), $"n_docs")
+          .select($"src",
+            pmod(
+              shiftrightunsigned(Md5Hash64.md5_le64(
+                concat($"src".cast("string"), lit(":"), $"j".cast("string"))), 4),
+              $"n_docs").as("dst"))
+        val nodes = docs.select($"doc_id".as("id"))
+        graft.ext.Graphs.pageRank(nodes, edges, Iters, Scale)
+          .orderBy($"r".desc, $"id")
+          .limit(20)
+          .select($"id".as("doc_id"), $"r".as("pagerank_e9"))
+      },
+      Some(pagerankOracle))
+  )
+}

@@ -1006,6 +1006,98 @@ object Similarity {
           FROM proto p JOIN sized z ON z.cluster = p.cluster)
         SELECT vec_id, cluster, cos_own, rank,
           (rank <= CEIL(n_c * 0.25)) AS kept
-        FROM ranked ORDER BY vec_id"""))
+        FROM ranked ORDER BY vec_id""")),
+
+    // ---- Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine --
+    // The standard RAG/decontamination retrieval stack runs a lexical and a
+    // dense ranker and fuses with RRF: score(d) = Σ_rankers 1/(60 + rank_d).
+    // Lexical leg = the x_bm25_topk formulation (same bm25Fx fixed-point
+    // contribution, same 5 highest-df query terms); dense leg = cosine vs
+    // the vec_id=0 query embedding (vec_id ≡ doc_id in the fixture corpus).
+    // Each leg is cut to top-50 via orderBy+limit (TakeOrderedAndProject —
+    // distributed reduction, NOT a global sort), and only THEN ranked with
+    // a window over ≤50 rows, so the single-partition window is bounded by
+    // construction; at 100 TB with many queries the window would partition
+    // by query id. 1/(60+rank) is one double division per row —
+    // deterministic, no accumulation-order dependence (the two legs are
+    // combined by expression, not aggregation).
+    QueryDef(
+      "x_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+          .filter(length($"term") > 0)
+        val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"),
+          (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+        val dfq = tok.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val qterms = dfq.orderBy($"df".desc, $"term").limit(5)
+        val tf = tok.join(broadcast(qterms), Seq("term"))
+          .groupBy($"doc_id", $"term", $"df").agg(count(lit(1)).as("tf"))
+        val bm = tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+          .select($"doc_id", graft.sources.InvertedIndex
+            .bm25Fx($"tf", $"df", $"dl", $"nd", $"avgdl").as("fx"))
+          .groupBy($"doc_id").agg(sum($"fx").as("sfx"))
+        val bmRank = bm.orderBy($"sfx".desc, $"doc_id").limit(50)
+          .select($"doc_id", row_number()
+            .over(Window.orderBy($"sfx".desc, $"doc_id")).as("ra"))
+
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" === 0).select($"ev".as("qv"))
+        val cos = e.crossJoin(broadcast(q))
+          .select($"vec_id".as("doc_id"),
+            round(cosine($"ev", $"qv"), 4).as("cos"))
+        val cosRank = cos.orderBy($"cos".desc, $"doc_id").limit(50)
+          .select($"doc_id", row_number()
+            .over(Window.orderBy($"cos".desc, $"doc_id")).as("rb"))
+
+        bmRank.join(cosRank, Seq("doc_id"), "full_outer")
+          .select($"doc_id", $"ra", $"rb",
+            round(
+              coalesce(lit(1.0) / ($"ra" + 60), lit(0.0)) +
+                coalesce(lit(1.0) / ($"rb" + 60), lit(0.0)), 6).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id").limit(20)
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tokf AS (SELECT * FROM tok WHERE length(term) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokf GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokf
+          GROUP BY term),
+        qterms AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 5),
+        tf AS (SELECT t.doc_id, t.term, q.df, COUNT(*) AS tf
+          FROM tokf t JOIN qterms q USING (term)
+          GROUP BY t.doc_id, t.term, q.df),
+        fx AS (SELECT tf.doc_id,
+            CAST(round(ln(1.0 + (s.nd - tf.df + 0.5) / (tf.df + 0.5)) *
+              ((tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1000000)
+              AS BIGINT) AS fx
+          FROM tf JOIN dl USING (doc_id), stats s),
+        bm AS (SELECT doc_id, SUM(fx) AS sfx FROM fx GROUP BY doc_id),
+        bmtop AS (SELECT doc_id, sfx FROM bm
+          ORDER BY sfx DESC, doc_id LIMIT 50),
+        bmrank AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY sfx DESC, doc_id) AS ra FROM bmtop),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0),
+        cosv AS (SELECT vec_id AS doc_id,
+            round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
+          FROM embeddings, q),
+        costop AS (SELECT doc_id, cos FROM cosv
+          ORDER BY cos DESC, doc_id LIMIT 50),
+        cosrank AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rb FROM costop),
+        f AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.ra, c.rb,
+            round(COALESCE(CAST(1 AS DOUBLE) / (b.ra + 60), 0) +
+              COALESCE(CAST(1 AS DOUBLE) / (c.rb + 60), 0), 6) AS rrf
+          FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id)
+        SELECT doc_id, ra, rb, rrf FROM f
+        ORDER BY rrf DESC, doc_id LIMIT 20"""))
   )
 }

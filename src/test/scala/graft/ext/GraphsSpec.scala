@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Scale = 1000000000L
+
+  /** Ring: i -> (i+1) mod n. Out-degree 1 everywhere, in-degree 1
+    * everywhere, so damped PR has the EXACT integer fixed point r = scale:
+    * base (0.15*scale) + 85 * scale div 100 (0.85*scale) = scale, no
+    * truncation loss anywhere. Pins both the recurrence constants and the
+    * zero-loss arithmetic path. */
+  test("ring graph is an exact integer fixed point at r = scale") {
+    val n = 20
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val out = Graphs.pageRank(nodes, edges, iters = 5).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == Scale))
+  }
+
+  test("checkpointed iteration is bit-identical to unchecked lineage") {
+    val nodes = (0L until 60L).toDF("id")
+    // irregular graph: md5-free but deterministic — i links to (i*7+1)%60
+    // and (i*13+5)%60 (multi-edge collisions possible, kept)
+    val edges = (0L until 60L)
+      .flatMap(i => Seq((i, (i * 7 + 1) % 60), (i, (i * 13 + 5) % 60)))
+      .toDF("src", "dst")
+    val plain = Graphs.pageRank(nodes, edges, iters = 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ckpt = Graphs.pageRank(nodes, edges, iters = 6, checkpointEvery = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.sameElements(ckpt))
+  }
+
+  test("mass is conserved up to deterministic truncation loss") {
+    val n = 100L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n)
+      .flatMap(i => Seq((i, (i * 3 + 1) % n), (i, (i * 11 + 2) % n), (i, (i * 17 + 7) % n)))
+      .toDF("src", "dst")
+    val total = Graphs.pageRank(nodes, edges, iters = 5)
+      .agg(sum($"r")).collect().head.getLong(0)
+    val exact = n * Scale
+    // per iteration the integer divs lose < 1 unit per edge (3n) plus
+    // < 1 unit per node from the damping div — bound 5 * 4n, plus slack
+    assert(total <= exact)
+    assert(exact - total < 5 * 4 * n * 2)
+  }
+
+  test("sink-heavy node accumulates rank") {
+    val n = 50L
+    val nodes = (0L until n).toDF("id")
+    // everyone links to node 0 and to a spread target
+    val edges = (0L until n)
+      .flatMap(i => Seq((i, 0L), (i, (i + 1) % n))).toDF("src", "dst")
+    val ranks = Graphs.pageRank(nodes, edges, iters = 5)
+      .orderBy($"r".desc, $"id").collect()
+    assert(ranks.head.getLong(0) == 0L)
+    assert(ranks.head.getLong(1) > 5 * Scale) // ~half of all mass each round
+  }
+}
