@@ -30,14 +30,21 @@ import org.apache.spark.sql.functions._
   * Each iteration is ONE shuffle pair: edges ⋈ ranks on src (edges can be
   * pre-partitioned/bucketed by src so only the small rank table moves),
   * then a groupBy(dst) with map-side partial sums. Nothing is collected;
-  * the rank table stays (id, long) — 16 bytes a node. The classic
-  * iterative-Spark failure mode is NOT the shuffles, it is LINEAGE: the
-  * logical plan doubles in depth every iteration, and analysis/optimization
-  * cost grows superlinearly until the driver, not the cluster, is the
-  * bottleneck. `checkpointEvery = k` truncates lineage every k iterations
-  * via `localCheckpoint` (single-JVM here; on a real cluster use reliable
-  * `checkpoint()` to survive executor loss). The parity spec pins that
-  * checkpointing never changes a single rank value.
+  * the rank table stays (id, long) — 16 bytes a node.
+  *
+  * `checkpointEvery = k` truncates lineage every k iterations via
+  * `localCheckpoint` (single-JVM; on a real cluster use reliable
+  * `checkpoint()`). MEASURED (BenchTune `pagerank`, 2M nodes / 6M edges,
+  * local[32], `BENCH_SCALE.json` r12_pagerank_lineage): wall time is
+  * ~linear in iteration count with OR without checkpointing up to 40
+  * iterations (~2.6 s/iter), and checkpoint frequency is a wash within
+  * run-to-run noise — plan-depth superlinearity does not bite yet at this
+  * scale. What checkpointing buys is therefore not local wall time but
+  * (a) bounded recomputation on executor loss (without it, a lost task at
+  * iteration 40 recomputes all 40), (b) a driver plan/task-graph size cap
+  * for UNBOUNDED iteration counts (convergence-driven loops), and (c) a
+  * stable memory profile. The parity spec + probe pin that checkpointing
+  * never changes a single rank unit (identical total mass, all pairings).
   */
 object Graphs {
 

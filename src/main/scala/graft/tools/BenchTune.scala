@@ -1212,9 +1212,52 @@ object BenchTune {
     spark.stop()
   }
 
+  /** PageRank iteration-cost probe: wall time vs iteration count, with and
+    * without lineage checkpointing, on a 2M-node / 6M-edge synthetic graph
+    * (inputs pre-materialized so only the iteration loop is timed).
+    *
+    * What this measures for 100 TB: each iteration's DATA cost is constant
+    * (one edges⋈ranks shuffle + one groupBy), but without checkpointing
+    * the logical plan DEEPENS every iteration — analysis/optimization and
+    * task-graph bookkeeping grow with plan size, and on a real cluster a
+    * lost executor would recompute the whole chain. checkpointEvery=k caps
+    * plan depth at k iterations, making wall time genuinely linear in
+    * iteration count. */
+  def pagerankProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("pagerank-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = 2000000L
+    val nodes = spark.range(n).select($"id").localCheckpoint(true)
+    // deterministic 3-out-regular graph; xxhash64 is fine here (probe-only,
+    // no oracle), and matches the query's md5 graph in shape
+    val edges = spark.range(n)
+      .select($"id".as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select($"src", pmod(xxhash64($"src", $"j"), lit(n)).as("dst"))
+      .localCheckpoint(true)
+    // untimed warmup: JIT-compile the join/agg codegen paths so the first
+    // timed leg isn't charged for compiler warmup
+    graft.ext.Graphs.pageRank(nodes, edges, 2).agg(sum($"r")).head()
+    for ((tag, iters, ck) <- Seq(
+        ("iters5_nock", 5, 0), ("iters5_ck2", 5, 2),
+        ("iters10_nock", 10, 0), ("iters10_ck5", 10, 5),
+        ("iters20_nock", 20, 0), ("iters20_ck5", 20, 5),
+        ("iters20_ck10", 20, 10),
+        ("iters40_nock", 40, 0), ("iters40_ck10", 40, 10))) {
+      System.gc()
+      val t0 = System.nanoTime()
+      val total = graft.ext.Graphs.pageRank(nodes, edges, iters, checkpointEvery = ck)
+        .agg(sum($"r")).head().getLong(0)
+      println(f"[pagerank] $tag%-14s n=$n wall=${(System.nanoTime() - t0) / 1e9}%.3f s totalMass=$total")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
+    if (args.headOption.contains("pagerank")) { pagerankProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
       queryProbe(sfDir,
         args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty))

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * matches exactly one customer, every lineitem its one order/part/supp.
   * region/nation stay single-copy (fixed-size dimensions, as in TPC-H).
   *
-  * events.ts is TIMESTAMP(NANOS): read with nanosAsLong and written back
-  * as a plain long — `Tables.events`' `timestamp_micros(ts div 1000)`
-  * treats both encodings identically.
+  * events.ts has varied across fixture generations (TIMESTAMP(NANOS) vs
+  * TIMESTAMP(MICROS, ntz)): the nanosAsLong conf makes a nanos fixture
+  * read (and replicate) as a plain long, a micros fixture passes through
+  * as-is — `Tables.events` adapts to whichever type the scaled corpus
+  * ends up carrying.
   *
   * Usage: runMain graft.tools.ScaleGen [srcDir] [destDir] [factor]
   */
