@@ -1254,10 +1254,74 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Skewed-join mitigation A/B: 20M-row fact table with HALF its rows on
+    * one hot key (the hot-customer / default-key shape), joined to a
+    * 100k-key dimension. Four strategies, same result pinned:
+    *
+    *  1. broadcast       — the first-choice fix whenever the small side
+    *                       fits (no shuffle of the big side at all; skew
+    *                       is irrelevant because rows never co-locate);
+    *  2. aqe_skew        — shuffle join with AQE skew-split (the cluster
+    *                       default profile): AQE splits the oversized
+    *                       partition into sub-reads at runtime;
+    *  3. plain_noaqe     — shuffle join, no mitigation: the partition
+    *                       holding the hot key is a 10M-row straggler
+    *                       while 31 threads idle (the 100 TB failure);
+    *  4. salted_noaqe    — operators.SkewJoin.saltedJoin (32 salts): the
+    *                       manual fix for engines/joins AQE can't split
+    *                       (bucketed inputs, aggregation-state skew).
+    *
+    * The broadcast threshold is disabled for legs 2-4 (the probe is the
+    * both-sides-big regime; with a 100k-row dim Spark would otherwise
+    * just broadcast and hide the skew). */
+  def skewProbe(sfDir: String, nRows: Option[Long] = None): Unit = {
+    val spark = graft.Sessions.local("skew-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = nRows.getOrElse(20000000L)
+    println(s"[skew] n=$n")
+    val hotShare = 50L // percent of rows on key 0
+    val big = spark.range(n).select(
+      when(pmod(xxhash64($"id"), lit(100L)) < hotShare, 0L)
+        .otherwise(pmod(xxhash64($"id", lit(7)), lit(100000L))).as("k"),
+      pmod(xxhash64($"id", lit(13)), lit(1000000L)).as("v"))
+      .localCheckpoint(true)
+    val small = spark.range(100000L).select($"id".as("k"),
+      pmod(xxhash64($"id", lit(3)), lit(97L)).as("w"))
+      .localCheckpoint(true)
+    def force(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum($"w")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def timed(tag: String)(f: => (Long, Long)): Unit = {
+      System.gc()
+      val t0 = System.nanoTime(); val warm = f // warmup pass
+      val t1 = System.nanoTime(); val r = f
+      require(r == warm, s"nondeterministic result in $tag")
+      println(f"[skew] $tag%-14s wall=${(System.nanoTime() - t1) / 1e9}%.3f " +
+        f"(cold=${(t1 - t0) / 1e9}%.3f) rows=${r._1} sum_w=${r._2}")
+    }
+    timed("broadcast") { force(big.join(broadcast(small), Seq("k"))) }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    timed("aqe_skew") { force(big.join(small, Seq("k"))) }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timed("plain_noaqe") { force(big.join(small, Seq("k"))) }
+    timed("salted_noaqe") {
+      force(graft.operators.SkewJoin.saltedJoin(big, small, "k", 32, Seq($"v")))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(sfDir); return }
+    if (args.headOption.contains("skew")) {
+      skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
+    }
     if (args.headOption.contains("probe")) {
       queryProbe(sfDir,
         args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty))
