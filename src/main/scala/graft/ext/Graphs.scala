@@ -59,6 +59,29 @@ object Graphs {
     * @param checkpointEvery 0 = never (fine for small iteration counts);
     *                        k > 0 = cut lineage every k iterations
     */
+  /** Static per-iteration operand (src, dst, deg). At cluster scale this
+    * is the table to bucket/pre-partition by src — it never changes, so
+    * the per-iteration shuffle of it amortizes to zero. */
+  private def withDeg(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("deg"))
+  }
+
+  /** One power-iteration step: ranks (id, r) -> ranks (id, r). Shared by
+    * the fixed-count and convergence-driven entry points so the recurrence
+    * cannot drift between them (the oracle unrolls exactly this). */
+  private def step(nodes: DataFrame, ed: DataFrame, ranks: DataFrame,
+      scale: Long): DataFrame = {
+    val base = lit(15L * scale / 100)
+    val contrib = ed.join(ranks, ed("src") === ranks("id"))
+      .select(col("dst").as("nid"), expr("r div deg").as("c"))
+      .groupBy(col("nid")).agg(sum(col("c")).as("agg"))
+    nodes.select(col("id"))
+      .join(contrib, col("id") === col("nid"), "left")
+      .select(col("id"),
+        (base + expr("(85 * coalesce(agg, 0L)) div 100")).as("r"))
+  }
+
   def pageRank(
       nodes: DataFrame,
       edges: DataFrame,
@@ -66,28 +89,51 @@ object Graphs {
       scale: Long = 1000000000L,
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // static per-iteration operand: (src, dst, deg). At cluster scale this
-    // is the table to bucket/pre-partition by src — it never changes, so
-    // the per-iteration shuffle of it amortizes to zero.
-    val ed = edges.join(deg, Seq("src")).select(
-      col("src"), col("dst"), col("deg"))
-    val base = lit(15L * scale / 100)
-
+    val ed = withDeg(edges)
     var ranks = nodes.select(col("id"), lit(scale).as("r"))
     var i = 1
     while (i <= iters) {
-      val contrib = ed.join(ranks, ed("src") === ranks("id"))
-        .select(col("dst").as("nid"), expr("r div deg").as("c"))
-        .groupBy(col("nid")).agg(sum(col("c")).as("agg"))
-      ranks = nodes.select(col("id"))
-        .join(contrib, col("id") === col("nid"), "left")
-        .select(col("id"),
-          (base + expr("(85 * coalesce(agg, 0L)) div 100")).as("r"))
+      ranks = step(nodes, ed, ranks, scale)
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
         ranks = ranks.localCheckpoint()
       i += 1
     }
     ranks
+  }
+
+  /** Convergence-driven PageRank: iterate until the total L1 rank change
+    * per iteration drops to `tolPerNode` mass units per node (or
+    * `maxIters`). Returns (ranks, iterations actually run).
+    *
+    * This is the production shape the fixed-count form approximates — and
+    * the case where lineage management stops being optional: the
+    * iteration count is unknowable up front, so each new rank table is
+    * eagerly `localCheckpoint`ed. That serves double duty: it cuts
+    * lineage AND materializes the iterate once, so the per-iteration
+    * delta action (one driver-bounded row: sum |r_k − r_{k−1}|) does not
+    * re-execute the step the next iteration also needs. Damping
+    * contracts the iteration by 0.85 per step, so the distance to the
+    * fixed point at stop is ≤ delta · 0.85/(1−0.85) ≈ 5.7 · delta.
+    */
+  def pageRankConverged(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 50,
+      tolPerNode: Long = 1000L,
+      scale: Long = 1000000000L): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val ed = withDeg(edges)
+    val nNodes = nodes.count()
+    var ranks = nodes.select(col("id"), lit(scale).as("r")).localCheckpoint()
+    var i = 0
+    var delta = Long.MaxValue
+    while (i < maxIters && delta > tolPerNode * nNodes) {
+      val next = step(nodes, ed, ranks, scale).localCheckpoint()
+      delta = next.as("n").join(ranks.as("p"), col("n.id") === col("p.id"))
+        .agg(sum(abs(col("n.r") - col("p.r")))).head().getLong(0)
+      ranks = next
+      i += 1
+    }
+    (ranks, i)
   }
 }

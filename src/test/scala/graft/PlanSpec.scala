@@ -184,6 +184,25 @@ class PlanSpec extends AnyFunSuite {
       s"m_jpeg_roundtrip shuffles more than the final sort:\n$jp")
   }
 
+  test("round-12 queries keep scale-correct plan shapes") {
+    // pagerank: the only non-equi join is the 1-row |documents| scalar
+    // broadcast (crossJoin(broadcast(n)) idiom); every iteration join is
+    // an equi-join — a cartesian anywhere means the edge derivation or an
+    // iteration degenerated
+    val pr = plan("x_pagerank")
+    assert(!pr.contains("CartesianProduct"),
+      s"x_pagerank degenerated to a cross join:\n$pr")
+    assert(pr.contains("BroadcastExchange"),
+      s"x_pagerank count scalar is not broadcast:\n$pr")
+    // rrf: both retrieval legs must cut to top-50 via the distributed
+    // top-k operator, not a global sort feeding a window
+    val rrf = plan("x_rrf_fusion")
+    assert(rrf.contains("TakeOrderedAndProject"),
+      s"x_rrf_fusion legs lost their TakeOrdered top-k reduction:\n$rrf")
+    assert(!rrf.contains("CartesianProduct"),
+      s"x_rrf_fusion degenerated to a cross join:\n$rrf")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)

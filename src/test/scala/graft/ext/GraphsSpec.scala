@@ -53,6 +53,33 @@ class GraphsSpec extends AnyFunSuite {
     assert(exact - total < 5 * 4 * n * 2)
   }
 
+  test("converged loop stops immediately at an exact fixed point") {
+    val n = 20
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    // ring: iteration 1 reproduces r = scale exactly, so delta = 0
+    val (ranks, iters) = Graphs.pageRankConverged(nodes, edges, maxIters = 30)
+    assert(iters == 1)
+    assert(ranks.collect().forall(_.getLong(1) == Scale))
+  }
+
+  test("converged ranks agree with a deep fixed-count run") {
+    val nodes = (0L until 80L).toDF("id")
+    val edges = (0L until 80L)
+      .flatMap(i => Seq((i, (i * 7 + 1) % 80), (i, (i * 13 + 5) % 80), (i, 0L)))
+      .toDF("src", "dst")
+    val tol = 1000L
+    val (conv, iters) = Graphs.pageRankConverged(nodes, edges,
+      maxIters = 50, tolPerNode = tol)
+    assert(iters > 1 && iters < 50) // genuinely iterated, genuinely stopped
+    val deep = Graphs.pageRank(nodes, edges, iters = 60)
+    val totalDiff = conv.as("c").join(deep.as("d"), $"c.id" === $"d.id")
+      .agg(sum(abs($"c.r" - $"d.r"))).head().getLong(0)
+    // damping contracts by 0.85/step: distance to fixpoint at stop is
+    // <= 5.7x the stop delta (<= tol * n); allow that plus slack
+    assert(totalDiff <= 10 * tol * 80)
+  }
+
   test("sink-heavy node accumulates rank") {
     val n = 50L
     val nodes = (0L until n).toDF("id")
