@@ -78,6 +78,57 @@ object GraphQueries {
           .limit(20)
           .select($"id".as("doc_id"), $"r".as("pagerank_e9"))
       },
-      Some(pagerankOracle))
+      Some(pagerankOracle)),
+
+    // ---- Triangle count over the undirected simple doc graph --------------
+    // The join-based graph metric: symmetrize + simplify the md5 link graph
+    // (distinct (least, greatest) pairs, self-loops dropped), keep each
+    // edge ORIENTED low-id -> high-id, then close wedges with a 3-way
+    // self-join: (a,b) ⋈ (b,c) ⋈ (a,c), a < b < c, so every triangle is
+    // counted exactly once with no permutation blowup. Orientation is the
+    // scale lever: on skewed graphs orient low-DEGREE -> high-DEGREE so
+    // per-vertex join fan-out is bounded by arboricity (id order suffices
+    // here — the md5 graph is near-regular, in-degree ≈ Poisson(3)).
+    // Wedge counts ride along as the work metric the orientation bounds.
+    QueryDef(
+      "x_triangle_count",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val e0 = docs.crossJoin(broadcast(n))
+          .select($"doc_id".as("src"),
+            explode(array(lit(1), lit(2), lit(3))).as("j"), $"n_docs")
+          .select($"src",
+            pmod(
+              shiftrightunsigned(Md5Hash64.md5_le64(
+                concat($"src".cast("string"), lit(":"), $"j".cast("string"))), 4),
+              $"n_docs").as("dst"))
+        val und = e0.filter($"src" =!= $"dst")
+          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+        val wedges = und.as("e1").join(und.as("e2"), $"e1.v" === $"e2.u")
+          .select($"e1.u".as("a"), $"e1.v".as("b"), $"e2.v".as("c"))
+        val triangles = wedges.join(und.as("e3"),
+          $"a" === $"e3.u" && $"c" === $"e3.v")
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+          .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        j AS (SELECT unnest([1,2,3]) AS j),
+        e0 AS (SELECT d.doc_id AS src,
+            CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+              CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+          FROM documents d, j, n),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e0 WHERE src <> dst),
+        w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1 JOIN und e2 ON e1.v = e2.u),
+        t AS (SELECT COUNT(*) AS n_triangles FROM w
+          JOIN und e3 ON w.a = e3.u AND w.c = e3.v)
+        SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+          (SELECT COUNT(*) FROM w) AS n_wedges,
+          t.n_triangles FROM t"""))
   )
 }

@@ -80,6 +80,33 @@ class GraphsSpec extends AnyFunSuite {
     assert(totalDiff <= 10 * tol * 80)
   }
 
+  test("composes with the near-dup graph: duplicated docs outrank isolated ones") {
+    // the production composition: rank documents by centrality in the
+    // MinHash duplicate graph (hub docs = heavily-cloned boilerplate).
+    // Exact invariant: a node with NO inbound edges holds exactly the
+    // base mass 0.15*scale after any >=1 iterations, so every doc outside
+    // the dup graph pins to 150000000 and every doc inside exceeds it.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 40)
+    val cloned = base.unionByName(
+      base.filter($"doc_id" < 10).select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val pairs = graft.ext.MinHashDedup.candidatePairs(cloned, 32, 8)
+      .filter($"est_jaccard" >= 0.9).select($"a", $"b")
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val nodes = cloned.select($"doc_id".as("id"))
+    val ranks = Graphs.pageRank(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupIds = pairs.select($"a".as("id"))
+      .unionByName(pairs.select($"b".as("id")))
+      .distinct().as[Long].collect().toSet
+    assert(dupIds.nonEmpty) // the planted clones must surface as pairs
+    val isolated = ranks.filterNot { case (id, _) => dupIds(id) }
+    assert(isolated.nonEmpty)
+    assert(isolated.values.forall(_ == 150000000L))
+    assert(dupIds.forall(id => ranks(id) > 150000000L))
+  }
+
   test("sink-heavy node accumulates rank") {
     val n = 50L
     val nodes = (0L until n).toDF("id")
