@@ -308,6 +308,42 @@ object Similarity {
         WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
         WHERE rn <= 3 ORDER BY qid, rn""")),
 
+    // ---- Hard-negative mining: nearest neighbors with a DIFFERENT label ----
+    // The contrastive-training staple: for each anchor, the most similar
+    // vectors that are NOT its class — exactly the examples a retrieval or
+    // embedding model must learn to push apart. Same broadcast-kNN shape
+    // as x4_knn_join with the label-mismatch predicate fused into the join
+    // condition, so excluded same-label rows never reach the rank window.
+    // Scale path: identical to kNN's — swap the broadcast brute force for
+    // IvfAnn.searchJoin candidates and keep the filter + window.
+    QueryDef(
+      "x4_hard_negatives",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val queries = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"ev".as("qv"), $"label".as("qlabel"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        e.join(broadcast(queries),
+            $"vec_id" =!= $"qid" && $"label" =!= $"qlabel")
+          .select($"qid", $"qlabel", $"vec_id", $"label",
+            round(cosine($"ev", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"qid", $"rn", $"vec_id", $"cos", $"qlabel", $"label")
+          .orderBy($"qid", $"rn")
+      },
+      Some("""SELECT qid, rn, vec_id, cos, qlabel, label FROM (
+        SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS vec_id,
+          e.label AS label,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+                     e.vec_id) AS rn
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id AND e.label <> q.label)
+        WHERE rn <= 3 ORDER BY qid, rn""")),
+
     // ---- X4: IVF-accelerated kNN join, full-probe oracle anchor ------------
     // Same result contract as x4_knn_join, but through the IVF machinery:
     // probe-list explosion, cluster equi-join, windowed top-k. At
