@@ -396,5 +396,50 @@ object Curation {
           ph.nhit = 4 AS bloom_hit,
           (ph.nhit = 4 AND ph.term NOT IN (SELECT term FROM members))
             AS false_positive
-        FROM ph ORDER BY exact_count DESC, ph.term""")))
+        FROM ph ORDER BY exact_count DESC, ph.term""")),
+
+    // ---- Temperature-scaled source mixture (alpha-sampling) ---------------
+    // The multilingual/multi-source training recipe: sample source s with
+    // p_s ∝ (tokens_s)^alpha, alpha < 1 flattening the natural
+    // distribution so low-resource sources are up-weighted (alpha = 0.7,
+    // the mT5/XLM-R convention). x_source_mix samples BY fixed per-source
+    // rates; this computes the rates themselves from the corpus. pow() is
+    // the one transcendental: its result rounds into 1e-6 fixed point
+    // (BIGINT) on both engines before any further arithmetic — the bm25
+    // ln() trick — so cross-engine ulp drift cannot reach the output.
+    // One groupBy(source) + a broadcast 1-row total: two shuffles of
+    // |sources| rows regardless of corpus size.
+    QueryDef(
+      "x_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.documents(s, d)
+          .select($"source", size(split($"text", " ")).as("ntok"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+        val w = per.withColumn("w_fp",
+          round(pow($"n_tokens".cast("double"), lit(0.7)) * 1e6, 0).cast("long"))
+        w.crossJoin(broadcast(w.agg(
+            sum($"w_fp").as("tot_w"), sum($"n_docs").as("tot_docs"))))
+          .withColumn("p", round($"w_fp".cast("double") / $"tot_w", 6))
+          .withColumn("expected_docs", round($"p" * $"tot_docs", 0).cast("long"))
+          .select($"source", $"n_docs", $"n_tokens", $"w_fp", $"p",
+            $"expected_docs")
+          .orderBy($"source")
+      },
+      Some("""WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_docs, n_tokens,
+            CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000)
+              AS BIGINT) AS w_fp
+          FROM per),
+        t AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS tot_w,
+            CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM w)
+        SELECT w.source, w.n_docs, w.n_tokens, w.w_fp,
+          round(CAST(w.w_fp AS DOUBLE) / t.tot_w, 6) AS p,
+          CAST(round(round(CAST(w.w_fp AS DOUBLE) / t.tot_w, 6) * t.tot_docs)
+            AS BIGINT) AS expected_docs
+        FROM w, t ORDER BY w.source""")))
 }

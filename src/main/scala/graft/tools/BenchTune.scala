@@ -1315,10 +1315,49 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Graph ops at 2M nodes / 6M edges: convergence-driven PageRank (how
+    * many iterations to tolerance, wall per iteration under eager
+    * checkpointing) and triangle counting (does the wedge join survive
+    * millions of edges — it does iff fan-out stays degree-bounded). */
+  def graphScaleProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("graph-scale-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = 2000000L
+    val nodes = spark.range(n).select($"id").localCheckpoint(true)
+    val edges = spark.range(n)
+      .select($"id".as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select($"src", pmod(xxhash64($"src", $"j"), lit(n)).as("dst"))
+      .localCheckpoint(true)
+    // converged PageRank: tol = 1000 units/node (1e-6 of initial mass)
+    System.gc()
+    var t0 = System.nanoTime()
+    val (ranks, iters) = graft.ext.Graphs.pageRankConverged(
+      nodes, edges, maxIters = 50, tolPerNode = 1000L)
+    val mass = ranks.agg(sum($"r")).head().getLong(0)
+    println(f"[graphscale] pagerank_converged n=$n iters=$iters " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.3f s totalMass=$mass")
+    // triangle counting over the symmetrized simple graph
+    System.gc()
+    t0 = System.nanoTime()
+    val und = edges.filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    val tri = und.as("e1").join(und.as("e2"), $"e1.v" === $"e2.u")
+      .select($"e1.u".as("a"), $"e2.v".as("c"))
+      .join(und.as("e3"), $"a" === $"e3.u" && $"c" === $"e3.v")
+      .count()
+    println(f"[graphscale] triangles n=$n count=$tri " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(sfDir); return }
+    if (args.headOption.contains("graphscale")) { graphScaleProbe(sfDir); return }
     if (args.headOption.contains("skew")) {
       skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
     }
