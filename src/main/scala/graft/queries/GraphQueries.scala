@@ -25,6 +25,24 @@ object GraphQueries {
   private val Iters = 5
   private val Scale = 1000000000L
 
+  /** The deterministic doc link graph both queries share: 3 out-links per
+    * document, target = 60-bit md5("doc_id:j") mod |documents| (the 1-row
+    * count joins in broadcast, never collected). Mirrored verbatim by the
+    * `e` CTE in both oracles. */
+  private def md5Edges(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"), col("n_docs"))
+      .select(col("src"),
+        pmod(
+          shiftrightunsigned(Md5Hash64.md5_le64(
+            concat(col("src").cast("string"), lit(":"),
+              col("j").cast("string"))), 4),
+          col("n_docs")).as("dst"))
+  }
+
   /** The 5-iteration recurrence, unrolled for DuckDB. Kept in one place so
     * the SQL can't drift from [[graft.ext.Graphs.pageRank]]'s definition:
     * r0 = scale; rK = base + (85 * inbound_sum(r{K-1})) // 100. */
@@ -61,17 +79,7 @@ object GraphQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).select($"doc_id")
-        // |documents| joined in (broadcast 1-row), never collected — the
-        // same plan works when the node table is 100 TB
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val edges = docs.crossJoin(broadcast(n))
-          .select($"doc_id".as("src"),
-            explode(array(lit(1), lit(2), lit(3))).as("j"), $"n_docs")
-          .select($"src",
-            pmod(
-              shiftrightunsigned(Md5Hash64.md5_le64(
-                concat($"src".cast("string"), lit(":"), $"j".cast("string"))), 4),
-              $"n_docs").as("dst"))
+        val edges = md5Edges(docs)
         val nodes = docs.select($"doc_id".as("id"))
         graft.ext.Graphs.pageRank(nodes, edges, Iters, Scale)
           .orderBy($"r".desc, $"id")
@@ -95,16 +103,7 @@ object GraphQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).select($"doc_id")
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val e0 = docs.crossJoin(broadcast(n))
-          .select($"doc_id".as("src"),
-            explode(array(lit(1), lit(2), lit(3))).as("j"), $"n_docs")
-          .select($"src",
-            pmod(
-              shiftrightunsigned(Md5Hash64.md5_le64(
-                concat($"src".cast("string"), lit(":"), $"j".cast("string"))), 4),
-              $"n_docs").as("dst"))
-        val und = e0.filter($"src" =!= $"dst")
+        val und = md5Edges(docs).filter($"src" =!= $"dst")
           .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
           .distinct()
         val wedges = und.as("e1").join(und.as("e2"), $"e1.v" === $"e2.u")
