@@ -101,6 +101,48 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass returns to `seeds` ("id")
+    * instead of spreading uniformly — rank becomes proximity to the seed
+    * set (topic-sensitive centrality, the recommendation / related-docs
+    * primitive). Same integer fixed-point contract as [[pageRank]]; the
+    * per-seed base is (15·scale·|nodes|) div (100·|seeds|), both counts
+    * joined in as broadcast 1-row aggregates (never collected; the
+    * product bounds |nodes| ≲ 6e8 at the default scale before Long
+    * overflow — raise by lowering `scale` for larger graphs). Nodes
+    * unreachable from the seed set decay to EXACTLY 0 (no uniform base),
+    * which the spec pins.
+    */
+  def personalizedPageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val ed = withDeg(edges)
+    val counts = nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(seeds.agg(count(lit(1)).as("n_seeds")))
+    val seedBase = seeds.select(col("id").as("bid"))
+      .crossJoin(broadcast(counts))
+      .select(col("bid"),
+        expr(s"(${15L * scale} * n_nodes) div (100 * n_seeds)").as("b"))
+    var ranks = nodes.select(col("id"), lit(scale).as("r"))
+    var i = 1
+    while (i <= iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("nid"), expr("r div deg").as("c"))
+        .groupBy(col("nid")).agg(sum(col("c")).as("agg"))
+      ranks = nodes.select(col("id"))
+        .join(contrib, col("id") === col("nid"), "left")
+        .join(seedBase, col("id") === col("bid"), "left")
+        .select(col("id"),
+          (coalesce(col("b"), lit(0L)) +
+            expr("(85 * coalesce(agg, 0L)) div 100")).as("r"))
+      i += 1
+    }
+    ranks
+  }
+
   /** Convergence-driven PageRank: iterate until the total L1 rank change
     * per iteration drops to `tolPerNode` mass units per node (or
     * `maxIters`). Returns (ranks, iterations actually run).

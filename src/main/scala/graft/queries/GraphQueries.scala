@@ -44,17 +44,31 @@ object GraphQueries {
   }
 
   /** The 5-iteration recurrence, unrolled for DuckDB. Kept in one place so
-    * the SQL can't drift from [[graft.ext.Graphs.pageRank]]'s definition:
-    * r0 = scale; rK = base + (85 * inbound_sum(r{K-1})) // 100. */
-  private def pagerankOracle: String = {
+    * the SQL can't drift from [[graft.ext.Graphs.pageRank]] /
+    * [[graft.ext.Graphs.personalizedPageRank]]: r0 = scale; rK =
+    * base_v + (85 * inbound_sum(r{K-1})) // 100, where base_v is the
+    * uniform 0.15·scale (uniform variant) or the seed-only teleport share
+    * COALESCE(sb.b, 0) (personalized variant). */
+  private def pagerankOracle(personalized: Boolean, outCol: String): String = {
     val base = 15L * Scale / 100
+    val baseExpr = if (personalized) "COALESCE(sb.b, 0)" else base.toString
+    val sbJoin = if (personalized) "\n  LEFT JOIN sb ON d.doc_id = sb.id" else ""
+    val pprCtes = if (personalized)
+      s"""s AS (SELECT doc_id AS id FROM documents WHERE doc_id < 5),
+         |c AS (SELECT n.n_docs AS n_nodes,
+         |  (SELECT COUNT(*) FROM s) AS n_seeds FROM n),
+         |sb AS (SELECT s.id,
+         |  (${15L * Scale} * c.n_nodes) // (100 * c.n_seeds) AS b
+         |  FROM s, c),
+         |""".stripMargin
+    else ""
     val iterCtes = (1 to Iters).map { k =>
       s"""r$k AS (SELECT d.doc_id AS id,
-         |    CAST($base + (85 * COALESCE(a.agg, 0)) // 100 AS BIGINT) AS r
+         |    CAST($baseExpr + (85 * COALESCE(a.agg, 0)) // 100 AS BIGINT) AS r
          |  FROM documents d LEFT JOIN (
          |    SELECT ed.dst AS id, CAST(SUM(r.r // ed.deg) AS BIGINT) AS agg
          |    FROM ed JOIN r${k - 1} r ON ed.src = r.id
-         |    GROUP BY ed.dst) a ON d.doc_id = a.id)""".stripMargin
+         |    GROUP BY ed.dst) a ON d.doc_id = a.id$sbJoin)""".stripMargin
     }.mkString(",\n")
     s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |j AS (SELECT unnest([1,2,3]) AS j),
@@ -64,10 +78,10 @@ object GraphQueries {
        |  FROM documents d, j, n),
        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
        |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
-       |r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS r
+       |${pprCtes}r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS r
        |  FROM documents),
        |$iterCtes
-       |SELECT id AS doc_id, r AS pagerank_e9 FROM r$Iters
+       |SELECT id AS doc_id, r AS $outCol FROM r$Iters
        |ORDER BY r DESC, id LIMIT 20""".stripMargin
   }
 
@@ -86,7 +100,28 @@ object GraphQueries {
           .limit(20)
           .select($"id".as("doc_id"), $"r".as("pagerank_e9"))
       },
-      Some(pagerankOracle)),
+      Some(pagerankOracle(personalized = false, "pagerank_e9"))),
+
+    // ---- Personalized PageRank: proximity to a seed set -------------------
+    // Teleport mass returns to the 5 lowest-id documents instead of
+    // spreading uniformly — rank is now "how reachable from the seeds",
+    // the related-docs / topic-centrality primitive. Unreachable nodes
+    // decay to exactly 0 (spec-pinned); same integer fixed point, same
+    // unrolled oracle with the seed-share base term.
+    QueryDef(
+      "x_pagerank_ppr",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val edges = md5Edges(docs)
+        val nodes = docs.select($"doc_id".as("id"))
+        val seeds = nodes.filter($"id" < 5)
+        graft.ext.Graphs.personalizedPageRank(nodes, edges, seeds, Iters, Scale)
+          .orderBy($"r".desc, $"id")
+          .limit(20)
+          .select($"id".as("doc_id"), $"r".as("ppr_e9"))
+      },
+      Some(pagerankOracle(personalized = true, "ppr_e9"))),
 
     // ---- Triangle count over the undirected simple doc graph --------------
     // The join-based graph metric: symmetrize + simplify the md5 link graph

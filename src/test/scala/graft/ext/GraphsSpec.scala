@@ -107,6 +107,30 @@ class GraphsSpec extends AnyFunSuite {
     assert(dupIds.forall(id => ranks(id) > 150000000L))
   }
 
+  test("personalized PageRank: unreachable nodes decay to exactly zero") {
+    // two disjoint rings of 10; seeds live only in ring A. Ring B gets no
+    // teleport mass and no inbound from A, so after >= enough iterations
+    // its ranks shrink geometrically: r_{k+1} = 85 * r_k div 100. Ring A
+    // holds all teleport mass: each seed's base is 15*scale*20/(100*5).
+    val nodes = (0L until 20L).toDF("id")
+    val ringA = (0L until 10L).map(i => (i, (i + 1) % 10))
+    val ringB = (10L until 20L).map(i => (i, 10 + (i + 1) % 10))
+    val edges = (ringA ++ ringB).toDF("src", "dst")
+    val seeds = (0L until 5L).toDF("id")
+    val ranks = Graphs.personalizedPageRank(nodes, edges, seeds, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ring B: scale * 0.85^6 under integer truncation, identical for all
+    val expB = (1 to 6).foldLeft(Scale)((r, _) => 85L * r / 100L)
+    assert((10L until 20L).forall(ranks(_) == expB))
+    // ring A carries strictly more than the decayed remnant everywhere
+    assert((0L until 10L).forall(ranks(_) > expB))
+    // teleport mass conservation on the seed side: each seed gets base
+    // 15*scale*n_nodes/(100*n_seeds) = 0.6*scale every iteration
+    val base = 15L * Scale * 20 / (100 * 5)
+    assert(base == 600000000L)
+    assert((0L until 5L).forall(ranks(_) >= base))
+  }
+
   test("sink-heavy node accumulates rank") {
     val n = 50L
     val nodes = (0L until n).toDF("id")
