@@ -143,6 +143,51 @@ object Graphs {
     ranks
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each iteration it adopts the most
+    * frequent label among its in-neighbors AND ITSELF, ties broken by
+    * SMALLEST label. Both choices are load-bearing: min-tie-break makes
+    * the sweep fully deterministic (classic async LPA is order-dependent;
+    * this variant is a pure function of the graph, so a shuffled run
+    * bit-matches a SQL oracle), and the self-vote breaks the synchronous
+    * bipartite oscillation (without it a connected pair swaps labels
+    * every sweep forever — caught by this spec's first draft). Nodes
+    * with no in-edges keep their label. Pass a symmetrized edge list for
+    * undirected semantics.
+    *
+    * Scale shape: per iteration one equi-join (edges ⋈ labels on src),
+    * one (dst, label) count, and one per-dst argmax window — all keyed
+    * shuffles, state is (id, label) = 16 bytes a node. Unlike connected
+    * components (DedupClusters), LPA keeps DENSE regions together but
+    * splits weakly-connected ones — the community structure CC flattens.
+    */
+  def labelPropagation(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    // self-vote edge per node (see scaladoc: breaks the 2-cycle)
+    val voteEdges = edges.select(col("src"), col("dst"))
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var i = 1
+    while (i <= iters) {
+      val freq = voteEdges.join(labels, voteEdges("src") === labels("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label").asc)
+      val winner = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("nid"), col("label").as("new_label"))
+      labels = labels.join(winner, col("id") === col("nid"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      i += 1
+    }
+    labels
+  }
+
   /** Convergence-driven PageRank: iterate until the total L1 rank change
     * per iteration drops to `tolPerNode` mass units per node (or
     * `maxIters`). Returns (ranks, iterations actually run).

@@ -123,6 +123,54 @@ object GraphQueries {
       },
       Some(pagerankOracle(personalized = true, "ppr_e9"))),
 
+    // ---- Label propagation communities over the doc graph -----------------
+    // Synchronous LPA with min-label tie-breaks (Graphs.labelPropagation
+    // scaladoc) over the SYMMETRIZED simple md5 graph: 3 iterations, full
+    // (doc_id, label) assignment out. Deterministic by construction, so
+    // the oracle unrolls the same three sweeps.
+    QueryDef(
+      "x_label_prop",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val und = md5Edges(docs).filter($"src" =!= $"dst")
+          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+        val es = und.select($"u".as("src"), $"v".as("dst"))
+          .unionByName(und.select($"v".as("src"), $"u".as("dst")))
+        val nodes = docs.select($"doc_id".as("id"))
+        graft.ext.Graphs.labelPropagation(nodes, es, iters = 3)
+          .select($"id".as("doc_id"), $"label")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""l$k AS (SELECT l.id, COALESCE(w.new_label, l.label) AS label
+             |  FROM l${k - 1} l LEFT JOIN (
+             |    SELECT dst, label AS new_label FROM (
+             |      SELECT e.dst, l2.label, COUNT(*) AS c,
+             |        ROW_NUMBER() OVER (PARTITION BY e.dst
+             |          ORDER BY COUNT(*) DESC, l2.label ASC) AS rn
+             |      FROM es e JOIN l${k - 1} l2 ON e.src = l2.id
+             |      GROUP BY e.dst, l2.label)
+             |    WHERE rn = 1) w ON l.id = w.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |j AS (SELECT unnest([1,2,3]) AS j),
+           |e0 AS (SELECT d.doc_id AS src,
+           |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+           |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+           |  FROM documents d, j, n),
+           |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           |  FROM e0 WHERE src <> dst),
+           |es AS (SELECT u AS src, v AS dst FROM und
+           |  UNION ALL SELECT v AS src, u AS dst FROM und
+           |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents),
+           |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+           |$iterCtes
+           |SELECT id AS doc_id, label FROM l3 ORDER BY id""".stripMargin
+      }),
+
     // ---- Triangle count over the undirected simple doc graph --------------
     // The join-based graph metric: symmetrize + simplify the md5 link graph
     // (distinct (least, greatest) pairs, self-loops dropped), keep each

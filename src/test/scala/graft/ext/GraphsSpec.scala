@@ -131,6 +131,30 @@ class GraphsSpec extends AnyFunSuite {
     assert((0L until 5L).forall(ranks(_) >= base))
   }
 
+  test("label propagation: disjoint cliques converge to their min id") {
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val labels = Graphs.labelPropagation(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(labels(_) == 0L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+  }
+
+  test("label propagation: pairs converge (self-vote kills oscillation) and isolated nodes keep their label") {
+    val nodes = (0L until 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val labels = Graphs.labelPropagation(nodes, edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(2L) == 2L && labels(3L) == 3L && labels(4L) == 4L)
+    // without the self-vote the pair swaps labels every synchronous sweep
+    // (period-2 oscillation); with it, node 1's tie {0, 1} breaks to 0 at
+    // sweep 1 and the pair is stable thereafter
+    assert(labels(0L) == 0L && labels(1L) == 0L)
+  }
+
   test("sink-heavy node accumulates rank") {
     val n = 50L
     val nodes = (0L until n).toDF("id")
