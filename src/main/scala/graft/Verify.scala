@@ -63,11 +63,12 @@ object Verify {
     val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val ran = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
     if (failures.nonEmpty) {
-      println(s"[verify] FAILED ${failures.size}/${SparkEntry.queries.size} queries: " +
+      println(s"[verify] FAILED ${failures.size}/$ran queries: " +
         failures.keys.mkString(", "))
     } else {
-      println(s"[verify] all ${SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }} queries dumped OK")
+      println(s"[verify] all $ran queries dumped OK")
     }
     spark.stop()
   }

@@ -48,17 +48,6 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Damped PageRank over `edges` ("src", "dst") restricted to `nodes`
-    * ("id"). Returns (id LONG, r LONG) with r in fixed-point `scale` units.
-    *
-    * @param iters           number of power iterations (plan depth per
-    *                        iteration is constant once checkpointed)
-    * @param scale           mass units per node at r_0 (1e9 keeps the
-    *                        damped sum far from Long overflow up to ~1e8
-    *                        nodes: 85 * total_mass < 2^63)
-    * @param checkpointEvery 0 = never (fine for small iteration counts);
-    *                        k > 0 = cut lineage every k iterations
-    */
   /** Static per-iteration operand (src, dst, deg). At cluster scale this
     * is the table to bucket/pre-partition by src — it never changes, so
     * the per-iteration shuffle of it amortizes to zero. */
@@ -82,6 +71,17 @@ object Graphs {
         (base + expr("(85 * coalesce(agg, 0L)) div 100")).as("r"))
   }
 
+  /** Damped PageRank over `edges` ("src", "dst") restricted to `nodes`
+    * ("id"). Returns (id LONG, r LONG) with r in fixed-point `scale` units.
+    *
+    * @param iters           number of power iterations (plan depth per
+    *                        iteration is constant once checkpointed)
+    * @param scale           mass units per node at r_0 (1e9 keeps the
+    *                        damped sum far from Long overflow up to ~1e8
+    *                        nodes: 85 * total_mass < 2^63)
+    * @param checkpointEvery 0 = never (fine for small iteration counts);
+    *                        k > 0 = cut lineage every k iterations
+    */
   def pageRank(
       nodes: DataFrame,
       edges: DataFrame,
@@ -111,13 +111,17 @@ object Graphs {
     * overflow — raise by lowering `scale` for larger graphs). Nodes
     * unreachable from the seed set decay to EXACTLY 0 (no uniform base),
     * which the spec pins.
+    *
+    * `checkpointEvery` mirrors [[pageRank]]: 0 = never, k > 0 = cut
+    * lineage every k iterations (bounds plan depth for large `iters`).
     */
   def personalizedPageRank(
       nodes: DataFrame,
       edges: DataFrame,
       seeds: DataFrame,
       iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val ed = withDeg(edges)
     val counts = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -138,6 +142,8 @@ object Graphs {
         .select(col("id"),
           (coalesce(col("b"), lit(0L)) +
             expr("(85 * coalesce(agg, 0L)) div 100")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
       i += 1
     }
     ranks
@@ -161,31 +167,131 @@ object Graphs {
     * components (DedupClusters), LPA keeps DENSE regions together but
     * splits weakly-connected ones — the community structure CC flattens.
     */
+  /** One synchronous LPA sweep: labels (id, label) -> labels (id, label).
+    * Shared by the fixed-count and convergence-driven entry points so the
+    * recurrence cannot drift between them (the oracle unrolls exactly
+    * this). `voteEdges` must already contain the per-node self-vote. */
+  private def lpaStep(voteEdges: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = voteEdges.join(labels, voteEdges("src") === labels("id"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("c").desc, col("label").asc)
+    val winner = freq.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dst").as("nid"), col("label").as("new_label"))
+    labels.join(winner, col("id") === col("nid"), "left")
+      .select(col("id"),
+        coalesce(col("new_label"), col("label")).as("label"))
+  }
+
+  /** Self-vote edge per node (see [[labelPropagation]] scaladoc: breaks
+    * the synchronous 2-cycle). */
+  private def withSelfVotes(nodes: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+
   def labelPropagation(
       nodes: DataFrame,
       edges: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    import org.apache.spark.sql.expressions.Window
-    // self-vote edge per node (see scaladoc: breaks the 2-cycle)
-    val voteEdges = edges.select(col("src"), col("dst"))
-      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+    val voteEdges = withSelfVotes(nodes, edges)
     var labels = nodes.select(col("id"), col("id").as("label"))
     var i = 1
     while (i <= iters) {
-      val freq = voteEdges.join(labels, voteEdges("src") === labels("id"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("c").desc, col("label").asc)
-      val winner = freq.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("nid"), col("label").as("new_label"))
-      labels = labels.join(winner, col("id") === col("nid"), "left")
-        .select(col("id"),
-          coalesce(col("new_label"), col("label")).as("label"))
+      labels = lpaStep(voteEdges, labels)
       i += 1
     }
     labels
+  }
+
+  /** Convergence-driven label propagation: sweep until NO node changes
+    * its label (a true fixed point of [[lpaStep]] — deterministic, since
+    * min-tie-break LPA is a pure function of the graph), or `maxIters`.
+    * Returns (labels, sweeps actually run), where "sweeps run" counts the
+    * sweep that verified stability (so a graph already stable after k
+    * changes reports k+1).
+    *
+    * Same lineage discipline as [[pageRankConverged]]: every iterate is
+    * eagerly `localCheckpoint`ed, which both bounds plan depth for the
+    * unknowable iteration count and materializes the iterate that the
+    * per-sweep changed-count action and the next sweep both need. The
+    * changed count is ONE driver-bounded row (a join-count action per
+    * sweep), never a collect of labels.
+    */
+  def labelPropagationConverged(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val voteEdges = withSelfVotes(nodes, edges).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var i = 0
+    var changed = Long.MaxValue
+    while (i < maxIters && changed > 0) {
+      val next = lpaStep(voteEdges, labels).localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      labels = next
+      i += 1
+    }
+    (labels, i)
+  }
+
+  /** Orient an undirected simple edge list ("u", "v"; u < v, no
+    * self-loops, no multi-edges) by the (degree, id) total order: each
+    * edge points from its lower-ordered endpoint to the higher. Returns
+    * (src, dst, sdeg, ddeg).
+    *
+    * This is THE scale lever for wedge-based triangle counting: with
+    * degree orientation every vertex's out-degree is bounded by
+    * O(sqrt(m)) (more precisely by the graph's degeneracy/arboricity), so
+    * the wedge join fans out at most sum(outdeg^2) = O(m^1.5) TOTAL even
+    * on power-law graphs — whereas id-orientation gives a low-id hot
+    * vertex of degree d a d^2 wedge blowup (d = 1e6 -> 1e12 wedges from
+    * ONE vertex). Ties in degree break by id, so the order stays total,
+    * deterministic, and expressible as a SQL join against the degree CTE
+    * — the oracle can (and does) recompute it exactly.
+    *
+    * Scale shape: one degree aggregation over 2m endpoint rows + two
+    * broadcast-or-shuffle equi-joins to attach endpoint degrees. Nothing
+    * is collected; the output carries both degrees so downstream wedge
+    * ordering needs no further join.
+    */
+  def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("x"))
+      .unionByName(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // u < v by construction, so on equal degrees id order keeps u -> v.
+    val lowFirst = col("du") < col("dv") || (col("du") === col("dv"))
+    und
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(lowFirst, col("du")).otherwise(col("dv")).as("sdeg"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+  }
+
+  /** Wedges of a (degree, id)-oriented edge list (the [[orientByDegree]]
+    * output): pairs of out-edges (a->b, a->c) from a common apex with
+    * b strictly before c in the (degree, id) order. Every triangle has
+    * exactly one wedge whose closing edge (b->c) exists in the oriented
+    * list, so `wedges ⋈ oriented` counts each triangle once. */
+  def orientedWedges(oriented: DataFrame): DataFrame = {
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    e1.join(e2, col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
   }
 
   /** Convergence-driven PageRank: iterate until the total L1 rank change

@@ -177,10 +177,13 @@ object GraphQueries {
     // edge ORIENTED low-id -> high-id, then close wedges with a 3-way
     // self-join: (a,b) ⋈ (b,c) ⋈ (a,c), a < b < c, so every triangle is
     // counted exactly once with no permutation blowup. Orientation is the
-    // scale lever: on skewed graphs orient low-DEGREE -> high-DEGREE so
-    // per-vertex join fan-out is bounded by arboricity (id order suffices
-    // here — the md5 graph is near-regular, in-degree ≈ Poisson(3)).
-    // Wedge counts ride along as the work metric the orientation bounds.
+    // scale lever: id order suffices HERE (the md5 graph is near-regular,
+    // in-degree ≈ Poisson(3)) and keeps this row the simplest gate
+    // anchor; the at-scale form is x_triangle_count_deg below, which
+    // orients by DEGREE so fan-out is degeneracy-bounded on skewed
+    // graphs. Wedge counts ride along as the work metric orientation
+    // bounds; TriangleOrientationSpec pins that both forms agree on
+    // n_triangles.
     QueryDef(
       "x_triangle_count",
       (s, d) => {
@@ -209,6 +212,62 @@ object GraphQueries {
           FROM und e1 JOIN und e2 ON e1.v = e2.u),
         t AS (SELECT COUNT(*) AS n_triangles FROM w
           JOIN und e3 ON w.a = e3.u AND w.c = e3.v)
+        SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+          (SELECT COUNT(*) FROM w) AS n_wedges,
+          t.n_triangles FROM t""")),
+
+    // ---- Triangle count, degree-oriented (the at-scale form) --------------
+    // Same triangle total as x_triangle_count, but edges are oriented by
+    // the (degree, id) total order (Graphs.orientByDegree) before the
+    // wedge join — per-apex fan-out is then bounded by the graph's
+    // degeneracy instead of by raw degree, which is what survives a hot
+    // vertex on a power-law graph (id-orientation gives a low-id 1M-degree
+    // node 10^12 wedges; degree orientation gives it ZERO out-edges).
+    // n_wedges here is the ORIENTED wedge count — the work metric the
+    // orientation bounds — so it differs from x_triangle_count's by
+    // design; n_triangles must agree exactly (spec-pinned). The oracle
+    // recomputes the same order via the degree CTE. Probe:
+    // BenchTune `triskew` (planted hot vertex, BENCH_SCALE.json).
+    QueryDef(
+      "x_triangle_count_deg",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val und = md5Edges(docs).filter($"src" =!= $"dst")
+          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+        val oriented = graft.ext.Graphs.orientByDegree(und)
+        val wedges = graft.ext.Graphs.orientedWedges(oriented)
+        val triangles = wedges.join(oriented.as("e3"),
+          $"b" === $"e3.src" && $"c" === $"e3.dst")
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+          .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        j AS (SELECT unnest([1,2,3]) AS j),
+        e0 AS (SELECT d.doc_id AS src,
+            CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+              CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+          FROM documents d, j, n),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e0 WHERE src <> dst),
+        deg AS (SELECT x, COUNT(*) AS deg FROM (
+            SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+          GROUP BY x),
+        o AS (SELECT
+            CASE WHEN du <= dv THEN u ELSE v END AS src,
+            CASE WHEN du <= dv THEN v ELSE u END AS dst,
+            CASE WHEN du <= dv THEN dv ELSE du END AS ddeg
+          FROM (SELECT und.u, und.v, d1.deg AS du, d2.deg AS dv
+            FROM und JOIN deg d1 ON und.u = d1.x
+            JOIN deg d2 ON und.v = d2.x)),
+        w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM o e1 JOIN o e2 ON e1.src = e2.src
+            AND (e1.ddeg < e2.ddeg
+              OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))),
+        t AS (SELECT COUNT(*) AS n_triangles FROM w
+          JOIN o e3 ON w.b = e3.src AND w.c = e3.dst)
         SELECT (SELECT COUNT(*) FROM und) AS n_edges,
           (SELECT COUNT(*) FROM w) AS n_wedges,
           t.n_triangles FROM t"""))

@@ -1353,11 +1353,106 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Triangle-counting orientation under PLANTED SKEW: a sparse random
+    * background graph plus one hot vertex at id n/2 incident to ~1% of
+    * all edges — the power-law shape that kills id-orientation. The
+    * id-oriented wedge join pays in(h)*out(h) ≈ (d/2)^2 wedges through
+    * the hot vertex alone (d = 1e6 → 2.5e11 from ONE node); degree
+    * orientation ranks the hot vertex last, so its out-degree is 0 and
+    * the total wedge count stays degeneracy-bounded. Both legs count the
+    * SAME triangles (asserted) — only the work differs. */
+  def triSkewProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("tri-skew-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = 1000000L
+    val hot = n / 2
+    val hotDeg = 30000L // ~1% of the ~3M background edges
+    // background: 3 md5-ish out-edges per node (same family as
+    // graphScaleProbe), symmetrized+simplified below
+    val back = spark.range(n)
+      .select($"id".as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select($"src", pmod(xxhash64($"src", $"j"), lit(n)).as("dst"))
+    // hot vertex: edges to hotDeg distinct spread-out neighbors
+    val hotEdges = spark.range(hotDeg)
+      .select(lit(hot).as("src"),
+        pmod($"id" * lit(31) + lit(7), lit(n)).as("dst"))
+    val und = back.unionByName(hotEdges)
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nEdges = und.count()
+    val hDeg = und.filter($"u" === hot || $"v" === hot).count()
+    println(s"[triskew] n=$n edges=$nEdges hot_vertex_degree=$hDeg")
+    // leg 1: degree orientation (the at-scale form)
+    System.gc()
+    var t0 = System.nanoTime()
+    val oriented = graft.ext.Graphs.orientByDegree(und).localCheckpoint(true)
+    val wDeg = graft.ext.Graphs.orientedWedges(oriented)
+    val triDeg = wDeg.join(oriented.as("e3"),
+      $"b" === $"e3.src" && $"c" === $"e3.dst").count()
+    val wedgesDeg = wDeg.count()
+    val wallDeg = (System.nanoTime() - t0) / 1e9
+    println(f"[triskew] deg_oriented wedges=$wedgesDeg triangles=$triDeg " +
+      f"wall=$wallDeg%.3f s")
+    // leg 2: id orientation (the gate-anchor form) — pays the blowup
+    System.gc()
+    t0 = System.nanoTime()
+    val wId = und.as("e1").join(und.as("e2"), $"e1.v" === $"e2.u")
+      .select($"e1.u".as("a"), $"e2.v".as("c"))
+    val triId = wId.join(und.as("e3"),
+      $"a" === $"e3.u" && $"c" === $"e3.v").count()
+    val wedgesId = wId.count()
+    val wallId = (System.nanoTime() - t0) / 1e9
+    println(f"[triskew] id_oriented  wedges=$wedgesId triangles=$triId " +
+      f"wall=$wallId%.3f s")
+    require(triDeg == triId,
+      s"orientation changed the triangle count: $triDeg vs $triId")
+    println(f"[triskew] wedge_ratio=${wedgesId.toDouble / wedgesDeg}%.1f " +
+      f"wall_ratio=${wallId / wallDeg}%.2f")
+    spark.stop()
+  }
+
+  /** Convergence-driven label propagation at 2M nodes / ~6M undirected
+    * edges: sweeps to stability and wall per sweep under eager
+    * checkpointing (ADVICE r12 #5). */
+  def lpaConvProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("lpa-conv-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = 2000000L
+    val nodes = spark.range(n).select($"id").localCheckpoint(true)
+    val und = spark.range(n)
+      .select($"id".as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select($"src", pmod(xxhash64($"src", $"j"), lit(n)).as("dst"))
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    val edges = und.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(und.select($"v".as("src"), $"u".as("dst")))
+      .localCheckpoint(true)
+    val nEdges = edges.count()
+    System.gc()
+    val t0 = System.nanoTime()
+    val (labels, sweeps) = graft.ext.Graphs.labelPropagationConverged(
+      nodes, edges, maxIters = 30)
+    val nComms = labels.select($"label").distinct().count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[lpaconv] n=$n directed_edges=$nEdges sweeps=$sweeps " +
+      f"wall=$wall%.3f s s_per_sweep=${wall / sweeps}%.3f communities=$nComms")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(sfDir); return }
     if (args.headOption.contains("graphscale")) { graphScaleProbe(sfDir); return }
+    if (args.headOption.contains("triskew")) { triSkewProbe(sfDir); return }
+    if (args.headOption.contains("lpaconv")) { lpaConvProbe(sfDir); return }
     if (args.headOption.contains("skew")) {
       skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
     }

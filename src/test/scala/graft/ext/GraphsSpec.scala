@@ -155,6 +155,95 @@ class GraphsSpec extends AnyFunSuite {
     assert(labels(0L) == 0L && labels(1L) == 0L)
   }
 
+  test("orientByDegree: hot vertex gets zero out-edges; triangle count matches id orientation") {
+    // planted skew: vertex h = n/2 touches every other vertex (star) PLUS
+    // sparse background paths so triangles exist. In the id-oriented
+    // wedge join (e1.v = e2.u) the hot MID-id vertex is the middle of
+    // in(h) x out(h) ~ d^2/4 wedges; degree orientation ranks it LAST so
+    // its out-degree is exactly 0 — the degeneracy bound this operator
+    // exists for.
+    val n = 40L
+    val h = n / 2 // 20
+    val star = (0L until n).filter(_ != h)
+      .map(v => (math.min(v, h), math.max(v, h)))
+    // paths among the leaves, away from h so no duplicate edges
+    val back = ((1L until h - 1) ++ ((h + 1) until (n - 1)))
+      .map(v => (v, v + 1))
+    val und = (star ++ back).toDF("u", "v") // already u < v, simple
+    val oriented = Graphs.orientByDegree(und)
+    assert(oriented.filter($"src" === h).count() == 0L)
+    assert(oriented.filter($"dst" === h).count() == n - 1)
+    // each undirected edge appears exactly once, in exactly one direction
+    assert(oriented.count() == und.count())
+    // triangle totals agree between the two orientations: each path edge
+    // (v, v+1) closes a triangle with h -> |back| triangles
+    val wedges = Graphs.orientedWedges(oriented)
+    val triDeg = wedges.join(oriented.as("e3"),
+      $"b" === $"e3.src" && $"c" === $"e3.dst").count()
+    val wId = und.as("e1").join(und.as("e2"), $"e1.v" === $"e2.u")
+      .select($"e1.u".as("a"), $"e2.v".as("c"))
+    val triId = wId.join(und.as("e3"),
+      $"a" === $"e3.u" && $"c" === $"e3.v").count()
+    assert(triDeg == back.size)
+    assert(triDeg == triId)
+    // the work bound: id orientation pays in(h)*out(h) = 20*19 = 380
+    // wedges through the hot vertex alone; degree orientation's TOTAL
+    // wedge count stays linear (out-degree <= 3 per leaf)
+    val wedgeDeg = wedges.count()
+    val wedgeId = wId.count()
+    assert(wedgeId > 300)
+    assert(wedgeDeg < 5 * n)
+  }
+
+  test("orientByDegree ties break by id (total order, deterministic)") {
+    // 3-cycle: all degrees equal, so orientation must fall back to id
+    // order — each edge points low id -> high id, one wedge, one triangle
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("u", "v")
+    val o = Graphs.orientByDegree(und)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(o.toSet == Set((0L, 1L), (1L, 2L), (0L, 2L)))
+    val wedges = Graphs.orientedWedges(Graphs.orientByDegree(und))
+    assert(wedges.count() == 1L)
+  }
+
+  test("converged label propagation reaches the fixed-count fixed point") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    // two communities joined by one weak bridge + an isolated node
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((3L, 10L), (10L, 3L))).toDF("src", "dst")
+    val (conv, sweeps) = Graphs.labelPropagationConverged(nodes, edges,
+      maxIters = 20)
+    assert(sweeps >= 2 && sweeps < 20) // iterated, stopped on its own
+    val convMap = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // equality with the shared-step fixed-count form at the same depth
+    val fixed = Graphs.labelPropagation(nodes, edges, iters = sweeps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(convMap == fixed)
+    // and it IS a fixed point: one more sweep changes nothing
+    val more = Graphs.labelPropagation(nodes, edges, iters = sweeps + 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(convMap == more)
+    assert(convMap(20L) == 20L) // isolated node keeps its label
+    assert(Seq(0L, 1L, 2L, 3L).forall(convMap(_) == 0L))
+    assert(Seq(10L, 11L, 12L).forall(convMap(_) == 10L))
+  }
+
+  test("personalized PageRank checkpointing is bit-identical") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L)
+      .flatMap(i => Seq((i, (i * 7 + 1) % 60), (i, (i * 13 + 5) % 60)))
+      .toDF("src", "dst")
+    val seeds = (0L until 4L).toDF("id")
+    val plain = Graphs.personalizedPageRank(nodes, edges, seeds, iters = 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ckpt = Graphs.personalizedPageRank(nodes, edges, seeds, iters = 6,
+      checkpointEvery = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.sameElements(ckpt))
+  }
+
   test("sink-heavy node accumulates rank") {
     val n = 50L
     val nodes = (0L until n).toDF("id")
