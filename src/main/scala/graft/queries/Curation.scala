@@ -406,7 +406,11 @@ object Curation {
     // rates; this computes the rates themselves from the corpus. pow() is
     // the one transcendental: its result rounds into 1e-6 fixed point
     // (BIGINT) on both engines before any further arithmetic — the bm25
-    // ln() trick — so cross-engine ulp drift cannot reach the output.
+    // ln() trick. That SHRINKS but does not eliminate cross-engine risk:
+    // JVM Math.pow and DuckDB's libm pow may differ by ulps, and if a
+    // value lands within an ulp of a .5*1e-6 rounding boundary the fixed
+    // point flips by 1 (data-dependent residual tie-boundary risk, same
+    // class as bm25's ln; unobserved across sf0.001-sf0.1 and 10x).
     // One groupBy(source) + a broadcast 1-row total: two shuffles of
     // |sources| rows regardless of corpus size.
     QueryDef(

@@ -171,6 +171,64 @@ object BenchTune {
     spark.stop()
   }
 
+  /** EXACT replica of Bench.scala's ETL leg (first-400-med5): fresh-JVM
+    * caller, 400 logs, 2 warmups, median-of-5 — for band re-measurement
+    * when a round's etl_logs_per_sec drifts (r12 verdict item 2). Run it
+    * 2-3 times (separate JVMs) and compare against BENCH_SCALE.json
+    * r10_etl_band.
+    */
+  def etlBand(): Unit = {
+    val nLogs = 400
+    val glob = genEtlLogs(nLogs)
+    val spark = graft.Sessions.local("etl-band", 32)
+    timedLoad(spark, glob); timedLoad(spark, glob)
+    val secs = (1 to 5).map(_ => timedLoad(spark, glob)._2).sorted
+    val med = secs(secs.size / 2)
+    println(f"[etlband] med5=${nLogs / med}%.1f logs/s  " +
+      secs.map(x => f"${nLogs / x}%.0f").mkString("runs=[", ",", "]"))
+    spark.stop()
+  }
+
+  /** Per-load degradation diagnostic for the ETL leg: N identical loads in
+    * one JVM, printing wall, GC-time delta, live thread count, and block
+    * manager storage entries after each — to localize the r13-observed
+    * intra-JVM slowdown (488 logs/s at load 3 falling to ~50 by load 7).
+    */
+  def etlDiag(nLoads: Int = 10): Unit = {
+    val nLogs = 400
+    val glob = genEtlLogs(nLogs)
+    val spark = graft.Sessions.local("etl-diag", 32)
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = { var t = 0L; gcBeans.forEach(b => t += b.getCollectionTime); t }
+    var lastGc = gcMs
+    (1 to nLoads).foreach { i =>
+      def ph[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val t0 = System.nanoTime()
+      val (t, tLoad) = ph(graft.parse.LogPipeline.load(spark, glob))
+      val (_, tExp) = ph(t.experiments.count())
+      val (_, tPar) = ph(t.experiment.count())
+      val (_, tGen) = ph(t.generations.count())
+      val (_, tSum) = ph(t.summary.count())
+      val (_, tRel) = ph(t.release())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val g = gcMs; val dGc = g - lastGc; lastGc = g
+      println(f"[etldiag] load$i%2d $sec%6.2f s (${nLogs / sec}%5.0f logs/s) " +
+        f"plan=$tLoad%.2f exp=$tExp%.2f par=$tPar%.2f gen=$tGen%.2f " +
+        f"sum=$tSum%.2f rel=$tRel%.2f gc+${dGc}ms")
+    }
+    // name the leak: live threads grouped by name prefix (digits stripped)
+    val byPrefix = Thread.getAllStackTraces.keySet.toArray(Array.empty[Thread])
+      .map(_.getName.replaceAll("[0-9]+", "#"))
+      .groupBy(identity).view.mapValues(_.length).toSeq.sortBy(-_._2)
+    byPrefix.take(15).foreach { case (n, c) =>
+      println(f"[etldiag] thread $c%4d x $n")
+    }
+    spark.stop()
+  }
+
   /** A/B the a6_revenue_by_nation join order: current (join all, aggregate
     * once at the end) vs partial-aggregating lineitem revenue by l_orderkey
     * BELOW the orders join (decimal sums are exact, so two-level summing is
@@ -1489,6 +1547,10 @@ object BenchTune {
       etlThroughput(args.drop(1).headOption.map(_.toInt).getOrElse(500)); return
     }
     if (args.headOption.contains("etlsweep")) { etlShuffleSweep(); return }
+    if (args.headOption.contains("etlband")) { etlBand(); return }
+    if (args.headOption.contains("etldiag")) {
+      etlDiag(args.drop(1).headOption.map(_.toInt).getOrElse(10)); return
+    }
     if (args.headOption.contains("etlprofile")) { etlProfile(); return }
     if (args.headOption.contains("loadmicro")) {
       // driver-side cost breakdown of LogPipeline.load's pre-job phase
