@@ -219,6 +219,82 @@ object Analytics {
         WHERE o_totalprice > (SELECT
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
           FROM orders) * 1.5
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- A11: equi-width histogram with cumulative distribution -----------
+    // The profiling staple: fixed-width buckets (width 25 over value's
+    // [0, 500) domain), per-bucket count, running cumulative count and
+    // overall fraction. bucket = floor(value / 25.0) is a single per-row
+    // double op (bit-deterministic, QueryDef header rule); counts are
+    // integral; the only cross-bucket state is a ~20-row window — so the
+    // heavy part is ONE map-side-combinable groupBy however large the
+    // event table, and the window runs on the bucket summary, not the
+    // data. frac divides two longs cast to double — identical on both
+    // engines.
+    QueryDef(
+      "a11_histogram",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.events(s, d)
+          .select(floor($"value" / 25.0).cast("int").as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        val tot = h.agg(sum($"n").as("tot"))
+        h.crossJoin(broadcast(tot))
+          .withColumn("cum_n", sum($"n").over(Window.orderBy($"bucket")))
+          .select($"bucket",
+            ($"bucket" * 25.0).as("lo"),
+            (($"bucket" + 1) * 25.0).as("hi"),
+            $"n", $"cum_n",
+            ($"n".cast("double") / $"tot").as("frac"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH h AS (SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+            COUNT(*) AS n
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM h)
+        SELECT bucket, bucket * 25.0 AS lo, (bucket + 1) * 25.0 AS hi, n,
+          CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+          CAST(n AS DOUBLE) / t.tot AS frac
+        FROM h, t ORDER BY bucket""")),
+
+    // ---- Outlier detection: per-group z-scores, top-k most extreme --------
+    // Data-quality screening as a two-pass shape: per-group moments from
+    // DECIMAL-EXACT sums (order-free, so map-side partials can't drift
+    // from the single-threaded oracle), broadcast back onto the stream,
+    // z = (value − s/n) / sqrt((sq − s·s/n)/(n−1)) as pure per-row double
+    // arithmetic — both engines evaluate the IDENTICAL expression tree on
+    // identical inputs, so z is bit-exact with no rounding detour. Top-20
+    // by |z| plans as TakeOrderedAndProject (per-partition heap, k-row
+    // driver merge), with event_id as the total-order tie-break. The
+    // group-stats broadcast is |event_types| rows — scale-free.
+    QueryDef(
+      "x_outlier_zscore",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val dec = $"value".cast("decimal(18,2)")
+        val st = ev.groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s"),
+          sum(dec * dec).cast("double").as("sq"))
+        ev.join(broadcast(st), "event_type")
+          .withColumn("z",
+            ($"value" - $"s" / $"n") /
+              sqrt(($"sq" - $"s" * $"s" / $"n") / ($"n" - 1)))
+          .orderBy(abs($"z").desc, $"event_id")
+          .limit(20)
+          .select($"event_id", $"event_type", $"value", $"z")
+      },
+      Some("""WITH st AS (SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+            CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+              CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+          FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type, e.value,
+          (e.value - st.s / st.n) /
+            sqrt((st.sq - st.s * st.s / st.n) / (st.n - 1)) AS z
+        FROM events e JOIN st USING (event_type)
+        ORDER BY abs(z) DESC, event_id LIMIT 20"""))
   )
 }

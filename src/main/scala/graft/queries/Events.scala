@@ -353,6 +353,93 @@ object Events {
             AS INTEGER) AS k,
           COUNT(*) AS n_users
         FROM a JOIN f USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort, k"""))
+        GROUP BY 1, 2 ORDER BY cohort, k""")),
+
+    // ---- CDC merge: last-writer-wins snapshot with delete markers ---------
+    // The change-data-capture compaction shape: events are a keyed change
+    // stream (key = user_id; 'error' rows act as DELETE tombstones, the
+    // rest as upserts), and the snapshot is each key's latest surviving
+    // state. Implementation is MAX_BY via a struct max over the unique
+    // (ts, event_id) order — a plain aggregate, so it PARTIAL-AGGREGATES
+    // map-side (each input partition pre-reduces to one candidate row per
+    // key before the shuffle), unlike the textbook row_number()-over-
+    // window form which must shuffle every change to sort it. At 100 TB
+    // that difference is the whole game: shuffle bytes ∝ |keys|, not
+    // |changes|. Tombstoned keys drop AFTER the merge (the tombstone must
+    // win first — filtering 'error' rows before the aggregate would
+    // resurrect the previous state).
+    QueryDef(
+      "t_cdc_snapshot",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            max(struct($"ts", $"event_id", $"event_type", $"value"))
+              .as("last"),
+            count(lit(1)).as("n_changes"))
+          .filter($"last.event_type" =!= "error")
+          .select($"user_id",
+            date_format($"last.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"),
+            $"last.event_type".as("last_type"),
+            $"last.value".as("last_value"),
+            $"n_changes")
+          .orderBy($"user_id")
+      },
+      Some("""WITH ranked AS (SELECT user_id,
+            CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM events)
+        SELECT user_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+          event_type AS last_type, value AS last_value, n_changes
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id""")),
+
+    // ---- SCD Type-2: validity intervals from a change stream --------------
+    // The dimension-history reconstruction: every change opens an
+    // interval [valid_from, valid_to) closed by the key's next change
+    // (lead over the unique (ts, event_id) order); the open interval is
+    // the current row. ONE shuffle on the key + a per-key sort — at
+    // scale, per-key history lengths bound the window buffers (user
+    // histories are short and near-uniform; a hot key with millions of
+    // changes would need the same salt-and-restitch as any skewed
+    // window). Unlike t_cdc_snapshot this keeps EVERY version — snapshot
+    // and history are the two halves of a merge-on-read story.
+    QueryDef(
+      "t_scd2_intervals",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+          .withColumn("valid_to_ts", lead($"ts", 1).over(w))
+          .withColumn("version", row_number().over(w))
+          .select($"user_id", $"version",
+            date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_from"),
+            date_format($"valid_to_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_to"),
+            $"valid_to_ts".isNull.as("is_current"),
+            $"event_type".as("state_type"),
+            $"value".as("state_value"))
+          .orderBy($"user_id", $"version")
+      },
+      Some("""SELECT user_id,
+          ROW_NUMBER() OVER w AS version,
+          strftime(CAST(ts AS TIMESTAMP),
+            '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+          strftime(LEAD(CAST(ts AS TIMESTAMP)) OVER w,
+            '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+          LEAD(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current,
+          event_type AS state_type, value AS state_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ORDER BY user_id, version"""))
   )
 }

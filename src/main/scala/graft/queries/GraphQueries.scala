@@ -270,6 +270,77 @@ object GraphQueries {
           JOIN o e3 ON w.b = e3.src AND w.c = e3.dst)
         SELECT (SELECT COUNT(*) FROM und) AS n_edges,
           (SELECT COUNT(*) FROM w) AS n_wedges,
-          t.n_triangles FROM t"""))
+          t.n_triangles FROM t""")),
+
+    // ---- HITS hubs & authorities over the directed doc graph --------------
+    // The second classic eigenvector ranking (Graphs.hits scaladoc): 3
+    // iterations of a(v) = Σ_{u→v} h(u), h(v) = Σ_{v→w} a(w), each side
+    // sum-normalized back to total mass n·scale in integer arithmetic —
+    // deterministic, so the oracle unrolls raw-sum → total → renormalize
+    // per half-iteration. scale is AUTO (floor(3.03e9 / n), the finest
+    // resolution whose normalization multiply fits a Long — Graphs.hits
+    // scaladoc), so the same gate is hash-exact at |docs| = 500 (sf0.001
+    // and sf0.01) AND 5,000 (sf0.1) with no fixed-scale cliff; the oracle
+    // derives the identical value in its `m` CTE.
+    QueryDef(
+      "x_hits",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val edges = md5Edges(docs)
+        val nodes = docs.select($"doc_id".as("id"))
+        graft.ext.Graphs.hits(nodes, edges, iters = 3)
+          .orderBy($"auth".desc, $"id")
+          .limit(20)
+          .select($"id".as("doc_id"), $"hub".as("hub_fp"), $"auth".as("auth_fp"))
+      },
+      Some(hitsOracle(iters = 3)))
   )
+
+  /** The unrolled HITS recurrence for DuckDB — kept adjacent to the
+    * pagerank oracle builder for the same no-drift reason. Per iteration
+    * k: raw authority sums from h{k-1} over in-links, a total, a
+    * renormalize to mass; then the same for hubs from a{k}. DuckDB SUMs
+    * BIGINT into HUGEINT, so every sum is cast back before the
+    * normalization multiply (raw ≤ mass, raw·mass < 2^63 by the scale
+    * bound). The `m` CTE derives scale = 3037000499 // n and
+    * mass = scale·n — the exact integers Graphs.hits auto-derives. */
+  private def hitsOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""a${k}r AS (SELECT e.dst AS id, CAST(SUM(h.s) AS BIGINT) AS raw
+         |  FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
+         |a${k}u AS (SELECT d.doc_id AS id, COALESCE(r.raw, 0) AS raw
+         |  FROM documents d LEFT JOIN a${k}r r ON d.doc_id = r.id),
+         |a${k}t AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM a${k}u),
+         |a$k AS (SELECT u.id,
+         |    CASE WHEN t.tot > 0 THEN (u.raw * m.mass) // t.tot
+         |         ELSE 0 END AS s
+         |  FROM a${k}u u, a${k}t t, m),
+         |h${k}r AS (SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS raw
+         |  FROM e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+         |h${k}u AS (SELECT d.doc_id AS id, COALESCE(r.raw, 0) AS raw
+         |  FROM documents d LEFT JOIN h${k}r r ON d.doc_id = r.id),
+         |h${k}t AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM h${k}u),
+         |h$k AS (SELECT u.id,
+         |    CASE WHEN t.tot > 0 THEN (u.raw * m.mass) // t.tot
+         |         ELSE 0 END AS s
+         |  FROM h${k}u u, h${k}t t, m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |m AS (SELECT CAST(3037000499 // n_docs AS BIGINT) AS sc,
+       |  CAST((3037000499 // n_docs) * n_docs AS BIGINT) AS mass FROM n),
+       |j AS (SELECT unnest([1,2,3]) AS j),
+       |e AS (SELECT d.doc_id AS src,
+       |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+       |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+       |  FROM documents d, j, n),
+       |h0 AS (SELECT doc_id AS id, m.sc AS s FROM documents, m),
+       |$iterCtes
+       |SELECT d.doc_id, CAST(h.s AS BIGINT) AS hub_fp,
+       |  CAST(a.s AS BIGINT) AS auth_fp
+       |FROM documents d
+       |JOIN h$iters h ON d.doc_id = h.id
+       |JOIN a$iters a ON d.doc_id = a.id
+       |ORDER BY auth_fp DESC, d.doc_id LIMIT 20""".stripMargin
+  }
 }

@@ -76,4 +76,54 @@ class QueriesSpec extends AnyFunSuite {
     assert(overlaps.count(_ == 0.0) > overlaps.length / 2,
       "most unrelated pairs should share zero fingerprints")
   }
+
+  test("cdc snapshot: tombstones win, snapshot+history halves agree") {
+    import org.apache.spark.sql.functions._
+    val snap = SparkEntry.queries("t_cdc_snapshot")(spark, sf).collect()
+    val hist = SparkEntry.queries("t_scd2_intervals")(spark, sf)
+    val current = hist.filter(col("is_current")).collect()
+    // every user has exactly one current SCD2 row
+    val nUsers = hist.select("user_id").distinct().count()
+    assert(current.length == nUsers)
+    // snapshot = the current SCD2 rows MINUS tombstoned keys ('error' last)
+    val curById = current
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("state_type"))
+      .toMap
+    val snapIds = snap.map(_.getAs[Long]("user_id")).toSet
+    assert(snapIds == curById.collect {
+      case (id, t) if t != "error" => id
+    }.toSet)
+    snap.foreach { r =>
+      assert(curById(r.getAs[Long]("user_id")) == r.getAs[String]("last_type"))
+      assert(r.getAs[String]("last_type") != "error")
+    }
+  }
+
+  test("scd2 intervals: versions dense, valid_to chains to next valid_from") {
+    val rows = SparkEntry.queries("t_scd2_intervals")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to rs.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"),
+            "interval chain must be gapless")
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ =>
+      }
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      assert(sorted.last.getAs[String]("valid_to") == null)
+    }
+  }
+
+  test("fuzzy join: finds planted exact-prefix dup pair, blocks all-pairs") {
+    val rows = SparkEntry.queries("j8_fuzzy_join")(spark, sf).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0, 82) is the planted near-dup pair (same one winnowing pins)
+    assert(pairs.contains((0L, 82L)))
+    assert(rows.forall(_.getAs[Int]("ed") <= 2))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    // blocking must keep the match list far below all-pairs (124,750)
+    assert(rows.length < 1000)
+  }
 }

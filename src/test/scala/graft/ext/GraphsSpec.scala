@@ -255,4 +255,63 @@ class GraphsSpec extends AnyFunSuite {
     assert(ranks.head.getLong(0) == 0L)
     assert(ranks.head.getLong(1) > 5 * Scale) // ~half of all mass each round
   }
+
+  test("HITS on a bipartite fan: pure hubs hold zero authority and vice versa") {
+    // hubs 0,1,2 each point at authorities 10,11; nothing points back.
+    // Pure hubs must end with auth = 0, pure authorities with hub = 0,
+    // and symmetry within each side must be exact (identical in/out sets).
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L).toDF("id")
+    val edges = (for (h <- 0L to 2L; a <- Seq(10L, 11L)) yield (h, a))
+      .toDF("src", "dst")
+    val out = Graphs.hits(nodes, edges, iters = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(Seq(0L, 1L, 2L).map(byId).distinct.size == 1) // hubs identical
+    assert(Seq(10L, 11L).map(byId).distinct.size == 1)   // auths identical
+    assert(Seq(0L, 1L, 2L).forall(byId(_)._2 == 0L))     // pure hub: auth 0
+    assert(Seq(10L, 11L).forall(byId(_)._1 == 0L))       // pure auth: hub 0
+    assert(byId(0L)._1 > 0L && byId(10L)._2 > 0L)
+  }
+
+  test("HITS sum-normalization conserves total mass up to div truncation") {
+    val n = 40L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n)
+      .flatMap(i => Seq((i, (i * 7 + 3) % n), (i, (i * 11 + 1) % n)))
+      .toDF("src", "dst")
+    val sc = Graphs.MaxMass / n
+    val agg = Graphs.hits(nodes, edges, iters = 3, scale = sc)
+      .agg(sum($"hub"), sum($"auth")).collect().head
+    val mass = n * sc
+    // renormalize truncates < 1 unit per node per half-iteration
+    for (tot <- Seq(agg.getLong(0), agg.getLong(1))) {
+      assert(tot <= mass && tot > mass - 3 * n, s"total $tot vs mass $mass")
+    }
+  }
+
+  test("HITS checkpointing is bit-identical; auto-scale matches explicit") {
+    val n = 30L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n)
+      .flatMap(i => Seq((i, (i * 13 + 5) % n), (i, (i * 3 + 2) % n)))
+      .toDF("src", "dst")
+    def run(scale: Long, ckpt: Int) =
+      Graphs.hits(nodes, edges, iters = 4, scale = scale,
+        checkpointEvery = ckpt)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val auto = run(0L, 0)
+    assert(auto.sameElements(run(Graphs.MaxMass / n, 0))) // auto == explicit
+    assert(auto.sameElements(run(0L, 2)))                 // ckpt == plain
+  }
+
+  test("HITS overflow guard fires loudly instead of wrapping") {
+    val nodes = (0L until 4L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.hits(nodes, edges, iters = 1, scale = Graphs.MaxMass)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
 }
