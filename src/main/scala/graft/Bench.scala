@@ -36,6 +36,12 @@ import org.apache.spark.sql.SparkSession
   * ETL leg runs FIRST (fresh JVM — `etl_protocol: "first-400-med5"`);
   * compare etl numbers only within the same etl_protocol. (3) q1 runs
   * 7 timed passes (`iters_q1`).
+  *
+  * ROUND-13 addition: a second full query leg under the 'orderkey'
+  * bucketed at-rest layout (`queries_bucketed`/`total_bucketed` — r12
+  * verdict item 4: the bucketed layout is the intended 100 TB at-rest
+  * configuration, so its regressions must be visible round-over-round,
+  * not measured once). Tables are rewritten fresh (untimed) each run.
   */
 object Bench {
   private val Iters = 5
@@ -106,7 +112,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
 
-    val results = names.map { name =>
+    def timeLeg(): Seq[(String, (Double, Double))] = names.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // localCheckpoint blocks (lshCandidatePairs, x_contamination) are
       // NOT in the CacheManager — they free via ContextCleaner when their
@@ -129,13 +135,43 @@ object Bench {
       if (times.isEmpty || times.exists(_.isNaN)) name -> (-1.0, -1.0)
       else name -> (median(times), times.min)
     }
+    val results = timeLeg()
     spark.sharedState.cacheManager.clearCache()
 
-    def fmt(sel: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + f"""\":${sel(v)}%.4f""" }
+    // ---- bucketed leg (r12 verdict item 4) --------------------------------
+    // At 100 TB the bucketed layout IS the intended at-rest configuration
+    // for the star workload, so its trend must be committed per round, not
+    // measured once: the SAME query list re-timed under the 'orderkey'
+    // layout (orders/lineitem bucketed by orderkey, customer by custkey —
+    // Tables scaladoc), tables freshly rewritten each run (untimed; a
+    // stale copy of a regenerated corpus would silently serve old rows).
+    // Queries not touching the three star tables resolve identically in
+    // both legs, which keeps total_bucketed directly comparable to total.
+    // Skipped only when the driver already pinned a layout via env (then
+    // this run IS that layout's leg).
+    val BucketedLayout = "orderkey"
+    val bucketedResults: Option[Seq[(String, (Double, Double))]] =
+      if (Tables.activeLayout.isDefined) None
+      else {
+        try {
+          tools.BenchTune.writeBucketedTables(spark, sfDir, BucketedLayout)
+          System.setProperty("graft.bucketed", BucketedLayout)
+          try Some(timeLeg())
+          finally System.clearProperty("graft.bucketed")
+        } catch { case e: Throwable =>
+          System.clearProperty("graft.bucketed")
+          System.err.println(s"[bench] bucketed leg failed: ${e.getMessage}")
+          None
+        }
+      }
+    spark.sharedState.cacheManager.clearCache()
+
+    def fmt(rs: Seq[(String, (Double, Double))],
+        sel: ((Double, Double)) => Double): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":${sel(v)}%.4f""" }
         .mkString("{", ",", "}")
-    val qJson = fmt(_._1)
-    val qMinJson = fmt(_._2)
+    val qJson = fmt(results, _._1)
+    val qMinJson = fmt(results, _._2)
     val nFailed = results.count(_._2._1 < 0)
     // A failed query silently SHRINKS the summed workload, making the
     // headline total read as an improvement over prior rounds (r11: t4
@@ -144,7 +180,18 @@ object Bench {
     // machine-visible comparability flag.
     val total =
       if (nFailed > 0) -1.0 else results.map(_._2._1).sum
+    // the bucketed leg carries the same failure discipline: a missing leg
+    // (env-pinned layout or write failure) publishes sentinel fields so
+    // the round-over-round trend shows a GAP, never a silent improvement
+    val nFailedBk = bucketedResults.map(_.count(_._2._1 < 0)).getOrElse(-1)
+    val totalBk = bucketedResults match {
+      case Some(rs) if nFailedBk == 0 => rs.map(_._2._1).sum
+      case _ => -1.0
+    }
+    val qBkJson = bucketedResults.map(fmt(_, _._1)).getOrElse("{}")
+    val qBkMinJson = bucketedResults.map(fmt(_, _._2)).getOrElse("{}")
     val comparable = nFailed == 0
+    val comparableBk = nFailedBk == 0
 
     // etl_protocol tag: r9 changed the ETL leg (isolated, 2 warmups,
     // 400 logs, median-of-5) — absolute logs/s moved up ~1.7x vs the old
@@ -154,7 +201,7 @@ object Bench {
     // active (Tables scaladoc) — bucketed totals are a different storage
     // contract, never compared against plain ones silently
     val layout = Tables.activeLayout.getOrElse("plain")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"comparable_with_prior_bucketed":$comparableBk,"queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

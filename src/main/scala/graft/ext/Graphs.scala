@@ -294,6 +294,90 @@ object Graphs {
         col("e2.dst").as("c"))
   }
 
+  /** Multi-source BFS hop distance: for every node the minimum number of
+    * edge hops from any seed, computed as `maxHops` rounds of synchronous
+    * relaxation — dist_0 = 0 at seeds / `inf` elsewhere;
+    * dist_{k+1}(v) = min(dist_k(v), 1 + min_{u→v, dist_k(u) < inf}
+    * dist_k(u)). Pure integer arithmetic over a bounded unroll, so a
+    * shuffled run bit-matches a SQL oracle (same discipline as
+    * [[pageRank]]); nodes unreached within `maxHops` hold exactly `inf`.
+    * This is the reachability / contamination-radius primitive: "every
+    * doc within h near-dup hops of a benchmark doc" is one bfsHops call
+    * over the near-dup graph.
+    *
+    * Scale shape: per round ONE equi-join (edges ⋈ dist on src, the same
+    * bucketable pattern as [[pageRank]]'s step) + a groupBy(dst) min with
+    * map-side partial min; state is (id, long). The `dist < inf` filter
+    * keeps unreached nodes out of the join — early rounds move only the
+    * frontier's neighborhoods.
+    *
+    * @param inf sentinel for "not reached" — must exceed any real
+    *            distance (`maxHops`); kept a parameter so callers with
+    *            deeper unrolls can raise it
+    */
+  def bfsHops(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      inf: Long = 999L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(inf > maxHops, s"inf = $inf must exceed maxHops = $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = nodes.select(col("id"))
+      .join(seeds.select(col("id").as("sid")), col("id") === col("sid"), "left")
+      .select(col("id"), when(col("sid").isNotNull, 0L).otherwise(inf).as("d"))
+    var i = 1
+    while (i <= maxHops) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .filter(col("d") < inf)
+        .select(col("dst").as("nid"), (col("d") + lit(1L)).as("nd"))
+        .groupBy(col("nid")).agg(min(col("nd")).as("md"))
+      dist = dist.join(relaxed, dist("id") === relaxed("nid"), "left")
+        .select(col("id"),
+          least(col("d"), coalesce(col("md"), lit(inf))).as("d"))
+      i += 1
+    }
+    dist
+  }
+
+  /** k-core peeling over an UNDIRECTED simple edge list ("u", "v"):
+    * `rounds` synchronous rounds of "drop every node with degree < k and
+    * the edges incident to it", then return the surviving nodes whose
+    * degree in the peeled subgraph is still ≥ k (i.e. the nodes that
+    * would also survive the next round's degree check — at a fixed
+    * point this IS the k-core). A bounded unroll rather than
+    * converge-to-empty keeps the oracle a finite CTE chain; callers
+    * wanting the exact core run rounds until the survivor count stops
+    * changing (each round is cheap: one degree count + two semi-joins).
+    * Dense-region extraction for curation: the k-core of the near-dup
+    * graph is the heavily-duplicated neighborhood worth auditing first.
+    *
+    * Scale shape: per round one groupBy degree count (map-side partial)
+    * and two equi-joins restricting edges to survivors — all keyed on
+    * node ids; no all-pairs anywhere. Degrees count BOTH endpoints of
+    * each undirected edge (u and v), so a simple-graph edge contributes
+    * 1 to each side, matching the usual k-core definition.
+    */
+  def kCorePeel(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    def degrees(es: DataFrame): DataFrame =
+      es.select(col("u").as("x")).unionByName(es.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    var edges = und.select(col("u"), col("v"))
+    var i = 0
+    while (i < rounds) {
+      val keep = degrees(edges).filter(col("deg") >= k).select(col("x"))
+      edges = edges
+        .join(keep.select(col("x").as("ku")), col("u") === col("ku")).drop("ku")
+        .join(keep.select(col("x").as("kv")), col("v") === col("kv")).drop("kv")
+      i += 1
+    }
+    degrees(edges).filter(col("deg") >= k)
+      .select(col("x").as("id"), col("deg"))
+  }
+
   /** Convergence-driven PageRank: iterate until the total L1 rank change
     * per iteration drops to `tolPerNode` mass units per node (or
     * `maxIters`). Returns (ranks, iterations actually run).
@@ -307,17 +391,39 @@ object Graphs {
     * re-execute the step the next iteration also needs. Damping
     * contracts the iteration by 0.85 per step, so the distance to the
     * fixed point at stop is ≤ delta · 0.85/(1−0.85) ≈ 5.7 · delta.
+    *
+    * ==Warm start (`init`)==
+    * `init = Some(prevRanks)` seeds the iteration from a previous
+    * converged result instead of the uniform `scale` vector — the
+    * incremental-update shape: when a micro-batch lands a few new edges,
+    * re-converging from yesterday's ranks costs the few iterations the
+    * PERTURBATION needs, not the full cold count (measured: BENCH_SCALE
+    * `r13_pagerank_warm`). The damped iteration is a contraction, so the
+    * fixed point is unique and start-independent — warm start changes
+    * ONLY the iteration count, never the answer; the spec pins
+    * bit-identical fixed points at tolPerNode = 0. New nodes absent from
+    * `init` enter at the uniform `scale` mass (the cold prior — their
+    * true rank is unknown, and a 0 start would under-weight their
+    * outgoing mass during re-convergence); ids in `init` that left the
+    * graph are dropped by the inner join on `nodes`.
     */
   def pageRankConverged(
       nodes: DataFrame,
       edges: DataFrame,
       maxIters: Int = 50,
       tolPerNode: Long = 1000L,
-      scale: Long = 1000000000L): (DataFrame, Int) = {
+      scale: Long = 1000000000L,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val ed = withDeg(edges)
     val nNodes = nodes.count()
-    var ranks = nodes.select(col("id"), lit(scale).as("r")).localCheckpoint()
+    var ranks = (init match {
+      case Some(prev) =>
+        nodes.select(col("id"))
+          .join(prev.select(col("id"), col("r").as("r0")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("r0"), lit(scale)).as("r"))
+      case None => nodes.select(col("id"), lit(scale).as("r"))
+    }).localCheckpoint()
     var i = 0
     var delta = Long.MaxValue
     while (i < maxIters && delta > tolPerNode * nNodes) {

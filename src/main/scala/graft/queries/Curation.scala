@@ -445,5 +445,39 @@ object Curation {
           round(CAST(w.w_fp AS DOUBLE) / t.tot_w, 6) AS p,
           CAST(round(round(CAST(w.w_fp AS DOUBLE) / t.tot_w, 6) * t.tot_docs)
             AS BIGINT) AS expected_docs
-        FROM w, t ORDER BY w.source""")))
+        FROM w, t ORDER BY w.source""")),
+
+    // ---- Weighted sample without replacement (Efraimidis–Spirakis A-Res) --
+    // Deterministic importance sampling: each doc gets priority u^(1/w)
+    // (u = md5-uniform in (0,1], w = n_chars), and the k largest
+    // priorities are the sample — longer docs proportionally likelier,
+    // yet the whole draw is reproducible with no RNG state (the md5
+    // bridge is the "randomness"). Selecting top-k by u^(1/w) is
+    // equivalent to top-k by ln(u)/w, computed here as one fixed-point
+    // long per row: round(ln(u)·1e12 / w). One narrow projection + a
+    // TakeOrderedAndProject — no shuffle beyond the top-k; at 100 TB
+    // this is a single scan with a k-row driver result. ln() is the one
+    // cross-engine double op (JVM vs libm); the 1e12 fixed-point round
+    // collapses ulp drift except within half an ulp of a .5 rounding
+    // boundary — the same residual tie-boundary risk class as the
+    // surprisal and bm25 rows, accepted for the gate.
+    QueryDef(
+      "x_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Md5Hash64.md5_le64
+        val h = shiftrightunsigned(md5_le64($"doc_id".cast("string")), 4)
+        val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            round(log(u) * lit(1e12) / $"n_chars", 0).cast("long").as("key_fp"))
+          .orderBy($"key_fp".desc, $"doc_id")
+          .limit(50)
+      },
+      Some("""SELECT doc_id, n_chars,
+          CAST(round(ln((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 4
+              AS BIGINT)::DOUBLE + 1.0) / 1152921504606846976.0)
+            * 1000000000000.0 / n_chars) AS BIGINT) AS key_fp
+        FROM documents
+        ORDER BY key_fp DESC, doc_id LIMIT 50""")))
 }

@@ -62,14 +62,7 @@ object GraphQueries {
          |  FROM s, c),
          |""".stripMargin
     else ""
-    val iterCtes = (1 to Iters).map { k =>
-      s"""r$k AS (SELECT d.doc_id AS id,
-         |    CAST($baseExpr + (85 * COALESCE(a.agg, 0)) // 100 AS BIGINT) AS r
-         |  FROM documents d LEFT JOIN (
-         |    SELECT ed.dst AS id, CAST(SUM(r.r // ed.deg) AS BIGINT) AS agg
-         |    FROM ed JOIN r${k - 1} r ON ed.src = r.id
-         |    GROUP BY ed.dst) a ON d.doc_id = a.id$sbJoin)""".stripMargin
-    }.mkString(",\n")
+    val iterCtes = prIterCtes(baseExpr, sbJoin)
     s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |j AS (SELECT unnest([1,2,3]) AS j),
        |e AS (SELECT d.doc_id AS src,
@@ -82,6 +75,91 @@ object GraphQueries {
        |  FROM documents),
        |$iterCtes
        |SELECT id AS doc_id, r AS $outCol FROM r$Iters
+       |ORDER BY r DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** The PageRank iteration CTE text, shared by every oracle in this
+    * module (uniform, personalized, and the near-dup-graph composition)
+    * so the unrolled recurrence cannot drift from
+    * [[graft.ext.Graphs.pageRank]]: rK = baseExpr +
+    * (85 * inbound_sum(r{K-1})) // 100 over the `ed` (src, dst, deg) CTE,
+    * LEFT-joined from `documents` so contribution-less nodes keep their
+    * base. */
+  private def prIterCtes(baseExpr: String, sbJoin: String): String =
+    (1 to Iters).map { k =>
+      s"""r$k AS (SELECT d.doc_id AS id,
+         |    CAST($baseExpr + (85 * COALESCE(a.agg, 0)) // 100 AS BIGINT) AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT ed.dst AS id, CAST(SUM(r.r // ed.deg) AS BIGINT) AS agg
+         |    FROM ed JOIN r${k - 1} r ON ed.src = r.id
+         |    GROUP BY ed.dst) a ON d.doc_id = a.id$sbJoin)""".stripMargin
+    }.mkString(",\n")
+
+  /** Personalized PageRank over the REAL derived graph — the "related
+    * docs" recipe end-to-end: MinHash-LSH near-dup candidate pairs at
+    * est_jaccard ≥ 0.5 (= ≥ 16 of 32 signature positions agreeing — an
+    * exact integer predicate on both engines, no float boundary),
+    * symmetrized into an undirected edge list, then seed-teleport PPR
+    * from the `source = 'src0'` facet. Rank is "how reachable from src0's
+    * documents through near-duplicate chains" — exactly the
+    * contamination-neighborhood / related-docs question a curation
+    * pipeline asks. The oracle recomputes the ENTIRE composition: the
+    * d_minhash_pairs CTE chain (DedupQueries) feeding the shared
+    * [[prIterCtes]] recurrence.
+    */
+  private def neardupPprOracle: String = {
+    val sbJoin = "\n  LEFT JOIN sb ON d.doc_id = sb.id"
+    val iterCtes = prIterCtes("COALESCE(sb.b, 0)", sbJoin)
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 0)),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+       |  FROM toks),
+       |ab AS (
+       |  SELECT doc_id,
+       |    CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+       |    CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+       |  FROM sh),
+       |hv AS (
+       |  SELECT doc_id, i.i AS i,
+       |    MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+       |      % 1152921504606846976 AS BIGINT)) AS h
+       |  FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+       |  GROUP BY doc_id, i.i),
+       |sig AS (
+       |  SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, k.k AS band_idx,
+       |    array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |  WHERE x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sc ON sc.doc_id = c.b
+       |  WHERE len(list_filter(generate_series(1, 32),
+       |    i -> sa.sig[i] = sc.sig[i])) >= 16),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |s AS (SELECT doc_id AS id FROM documents WHERE source = 'src0'),
+       |c AS (SELECT (SELECT COUNT(*) FROM documents) AS n_nodes,
+       |  (SELECT COUNT(*) FROM s) AS n_seeds),
+       |sb AS (SELECT s.id,
+       |  (${15L * Scale} * c.n_nodes) // (100 * c.n_seeds) AS b
+       |  FROM s, c),
+       |r0 AS (SELECT doc_id AS id, CAST($Scale AS BIGINT) AS r
+       |  FROM documents),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS ppr_nd_e9 FROM r$Iters
        |ORDER BY r DESC, id LIMIT 20""".stripMargin
   }
 
@@ -122,6 +200,33 @@ object GraphQueries {
           .select($"id".as("doc_id"), $"r".as("ppr_e9"))
       },
       Some(pagerankOracle(personalized = true, "ppr_e9"))),
+
+    // ---- Personalized PageRank over the MinHash near-dup graph ------------
+    // The composition gate (r12 verdict item 6): PPR over a graph DERIVED
+    // by another operator family rather than the synthetic md5 links —
+    // near-dup pairs at est_jaccard ≥ 0.5, symmetrized, seeded by the
+    // source = 'src0' facet (neardupPprOracle scaladoc). Nodes outside
+    // every near-dup chain from src0 decay to exactly 0 and rank below
+    // any seed, so the top-20 is the src0 contamination neighborhood.
+    QueryDef(
+      "x_ppr_neardup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = graft.ext.MinHashDedup
+          .candidatePairs(docs, numHashes = 32, bands = 8)
+          .filter($"est_jaccard" >= 0.5)
+          .select($"a", $"b")
+        val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+        val nodes = docs.select($"doc_id".as("id"))
+        val seeds = docs.filter($"source" === "src0").select($"doc_id".as("id"))
+        graft.ext.Graphs.personalizedPageRank(nodes, edges, seeds, Iters, Scale)
+          .orderBy($"r".desc, $"id")
+          .limit(20)
+          .select($"id".as("doc_id"), $"r".as("ppr_nd_e9"))
+      },
+      Some(neardupPprOracle)),
 
     // ---- Label propagation communities over the doc graph -----------------
     // Synchronous LPA with min-label tie-breaks (Graphs.labelPropagation
@@ -282,6 +387,92 @@ object GraphQueries {
     // scaladoc), so the same gate is hash-exact at |docs| = 500 (sf0.001
     // and sf0.01) AND 5,000 (sf0.1) with no fixed-scale cliff; the oracle
     // derives the identical value in its `m` CTE.
+    // ---- Multi-source BFS hop distance -------------------------------------
+    // Reachability radius from the source = 'src0' facet over the directed
+    // md5 link graph: 4 synchronous relaxation rounds (Graphs.bfsHops),
+    // unreached nodes hold exactly the 999 sentinel. Pure integer min/+1
+    // recurrence — hash-exact against the unrolled oracle. The
+    // contamination-radius primitive: "docs within h hops of a benchmark
+    // doc" is this over the near-dup graph instead.
+    QueryDef(
+      "x_bfs_hops",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val edges = md5Edges(docs.select($"doc_id"))
+        val nodes = docs.select($"doc_id".as("id"))
+        val seeds = docs.filter($"source" === "src0").select($"doc_id".as("id"))
+        graft.ext.Graphs.bfsHops(nodes, edges, seeds, maxHops = 4)
+          .select($"id".as("doc_id"), $"d".as("hops"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val iterCtes = (1 to 4).map { k =>
+          s"""d$k AS (SELECT p.id, LEAST(p.d, COALESCE(m.md, 999)) AS d
+             |  FROM d${k - 1} p LEFT JOIN (
+             |    SELECT e.dst AS id, MIN(p2.d + 1) AS md
+             |    FROM e JOIN d${k - 1} p2 ON e.src = p2.id
+             |    WHERE p2.d < 999
+             |    GROUP BY e.dst) m ON p.id = m.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |j AS (SELECT unnest([1,2,3]) AS j),
+           |e AS (SELECT d.doc_id AS src,
+           |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+           |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+           |  FROM documents d, j, n),
+           |s AS (SELECT doc_id AS id FROM documents WHERE source = 'src0'),
+           |d0 AS (SELECT d.doc_id AS id,
+           |    CAST(CASE WHEN s.id IS NOT NULL THEN 0 ELSE 999 END AS BIGINT) AS d
+           |  FROM documents d LEFT JOIN s ON d.doc_id = s.id),
+           |$iterCtes
+           |SELECT id AS doc_id, d AS hops FROM d4 ORDER BY id""".stripMargin
+      }),
+
+    // ---- k-core (dense-subgraph extraction) --------------------------------
+    // 3 peeling rounds of the 4-core over the symmetrized simple md5 graph
+    // (Graphs.kCorePeel scaladoc): drop nodes with degree < 4, restrict
+    // edges to survivors, repeat; emit survivors with their peeled-subgraph
+    // degree. Integer joins/counts only — hash-exact. Dense-region triage:
+    // over the near-dup graph this surfaces the heavily-cloned
+    // neighborhoods a curation pass audits first.
+    QueryDef(
+      "x_kcore",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val und = md5Edges(docs).filter($"src" =!= $"dst")
+          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+        graft.ext.Graphs.kCorePeel(und, k = 4, rounds = 3)
+          .select($"id".as("doc_id"), $"deg")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val peelCtes = (1 to 3).map { k =>
+          s"""deg$k AS (SELECT x, COUNT(*) AS deg FROM (
+             |    SELECT u AS x FROM e${k - 1} UNION ALL SELECT v AS x FROM e${k - 1})
+             |  GROUP BY x),
+             |keep$k AS (SELECT x FROM deg$k WHERE deg >= 4),
+             |e$k AS (SELECT e.u, e.v FROM e${k - 1} e
+             |  JOIN keep$k a ON e.u = a.x
+             |  JOIN keep$k b ON e.v = b.x)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |j AS (SELECT unnest([1,2,3]) AS j),
+           |le AS (SELECT d.doc_id AS src,
+           |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+           |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+           |  FROM documents d, j, n),
+           |e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           |  FROM le WHERE src <> dst),
+           |$peelCtes,
+           |degF AS (SELECT x, COUNT(*) AS deg FROM (
+           |    SELECT u AS x FROM e3 UNION ALL SELECT v AS x FROM e3)
+           |  GROUP BY x)
+           |SELECT x AS doc_id, deg FROM degF WHERE deg >= 4 ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef(
       "x_hits",
       (s, d) => {

@@ -80,6 +80,77 @@ class GraphsSpec extends AnyFunSuite {
     assert(totalDiff <= 10 * tol * 80)
   }
 
+  test("warm start converges to the bit-identical fixed point") {
+    val nodes = (0L until 80L).toDF("id")
+    val edges = (0L until 80L)
+      .flatMap(i => Seq((i, (i * 7 + 1) % 80), (i, (i * 13 + 5) % 80), (i, 0L)))
+      .toDF("src", "dst")
+    // converge on the base graph, then land a "micro-batch" of new edges
+    // and re-converge cold vs warm. tolPerNode = 0 drives both loops to a
+    // TRUE integer fixed point (delta == 0), where the contraction's
+    // unique-fixed-point argument becomes a bit-equality obligation —
+    // warm start may change the iteration count, never the answer.
+    val (ranks0, _) = Graphs.pageRankConverged(nodes, edges,
+      maxIters = 200, tolPerNode = 0L)
+    val updated = edges.unionByName(
+      (0L until 80L by 8L).map(i => (i, (i * 3 + 11) % 80)).toDF("src", "dst"))
+    val (cold, coldIters) = Graphs.pageRankConverged(nodes, updated,
+      maxIters = 200, tolPerNode = 0L)
+    val (warm, warmIters) = Graphs.pageRankConverged(nodes, updated,
+      maxIters = 200, tolPerNode = 0L, init = Some(ranks0))
+    assert(coldIters < 200 && warmIters < 200) // both genuinely converged
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(cold) == rows(warm))
+    // warm start from the neighboring fixed point must not be SLOWER
+    assert(warmIters <= coldIters)
+  }
+
+  test("warm start: ids missing from init enter at uniform scale (cold prior)") {
+    val n = 20
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    // ring fixed point is r = scale everywhere; an init covering only half
+    // the ids must backfill the rest at `scale` — so iteration 1 sees the
+    // exact fixed point and stops (any other backfill would perturb it)
+    val half = (0L until n.toLong by 2L).map(i => (i, Scale)).toDF("id", "r")
+    val (ranks, iters) = Graphs.pageRankConverged(nodes, edges,
+      maxIters = 30, init = Some(half))
+    assert(iters == 1)
+    assert(ranks.collect().forall(_.getLong(1) == Scale))
+  }
+
+  test("bfsHops: path distances, multi-seed min, unreachable sentinel") {
+    val nodes = (0L until 10L).toDF("id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d1 = Graphs.bfsHops(nodes, edges, Seq(0L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 4).forall(i => d1(i.toLong) == i.toLong))
+    assert((5 to 9).forall(i => d1(i.toLong) == 999L)) // beyond the unroll
+    // a second seed at 7 closes the tail; 5 and 6 stay unreachable from
+    // BOTH seeds within 4 hops (directed chain, seed 0 is 5+ hops away)
+    val d2 = Graphs.bfsHops(nodes, edges, Seq(0L, 7L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(7L) == 0L && d2(8L) == 1L && d2(9L) == 2L)
+    assert(d2(4L) == 4L && d2(5L) == 999L && d2(6L) == 999L)
+  }
+
+  test("kCorePeel: clique survives the 4-core, pendant chain peels away") {
+    // 5-clique on 0..4 (degrees 4,4,4,4,5 with the chain) + chain 4-5-6
+    val cl = for { i <- 0 until 5; j <- i + 1 until 5 } yield (i.toLong, j.toLong)
+    val und = (cl ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val core = Graphs.kCorePeel(und, k = 4, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops 5 (deg 2) and 6 (deg 1); the clique's degrees are then
+    // uniformly 4 and stable — the true 4-core, with chain edges gone
+    assert(core.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 4L))
+    // rounds = 0 short-circuits to "degree >= k over the raw graph"
+    val r0 = Graphs.kCorePeel(und, k = 4, rounds = 0).collect()
+      .map(_.getLong(0)).toSet
+    assert(r0 == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("composes with the near-dup graph: duplicated docs outrank isolated ones") {
     // the production composition: rank documents by centrality in the
     // MinHash duplicate graph (hub docs = heavily-cloned boilerplate).
