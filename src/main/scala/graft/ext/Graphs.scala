@@ -365,13 +365,21 @@ object Graphs {
     def degrees(es: DataFrame): DataFrame =
       es.select(col("u").as("x")).unionByName(es.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    var edges = und.select(col("u"), col("v"))
+    // each round's edge set is CACHED: the degree count reads it twice
+    // (u branch + v branch) and the next round builds on it — uncached,
+    // round r's lineage re-executes every prior round per branch, turning
+    // 3 rounds into O(2^rounds) recomputation of the input derivation.
+    // Memory is O(surviving edges) per round; deep-rounds callers should
+    // swap cache for per-round checkpointing (the pageRankConverged
+    // pattern).
+    var edges = und.select(col("u"), col("v")).cache()
     var i = 0
     while (i < rounds) {
       val keep = degrees(edges).filter(col("deg") >= k).select(col("x"))
       edges = edges
         .join(keep.select(col("x").as("ku")), col("u") === col("ku")).drop("ku")
         .join(keep.select(col("x").as("kv")), col("v") === col("kv")).drop("kv")
+        .cache()
       i += 1
     }
     degrees(edges).filter(col("deg") >= k)

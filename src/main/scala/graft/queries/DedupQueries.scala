@@ -749,6 +749,163 @@ object DedupQueries {
           LEFT JOIN nrep r USING (doc_id) LEFT JOIN masked m USING (doc_id))
         SELECT rm.doc_id, st.n_tokens, st.n_rep_spans, st.n_masked, st.keep_ratio
         FROM rm JOIN st ON st.doc_id = rm.rep_id
-        ORDER BY rm.doc_id"""))
+        ORDER BY rm.doc_id""")),
+
+    // ---- Exact set-similarity join with prefix filtering (PPJoin-lite) -----
+    // The EXACT complement to MinHash: pairs with token-set Jaccard ≥ 0.9,
+    // no probabilistic recall loss. The naive form is all-pairs; the
+    // prefix filter (Chaudhuri et al. 2006 / PPJoin) makes it a keyed
+    // equi-join: order every doc's tokens by GLOBAL (df, token) — rarest
+    // first — and keep only each doc's first |d| − ceil(0.9·|d|) + 1
+    // tokens as its "prefix"; two sets with Jaccard ≥ t MUST share a
+    // prefix token, so candidates = the prefix-token equi-join, and the
+    // rarest-first order makes those join keys the LOW-df tokens
+    // (bounded fan-out — the hot common tokens never become keys).
+    // Everything is integer: prefix length via ceil(9·sz/10) =
+    // (9·sz+9)//10, the verify via 10·inter ≥ 9·union, and the ranking
+    // by the fixed-point ratio (inter·1e6) div union — no float anywhere,
+    // hash-exact. The GATE pins the top-100 pairs by that ratio (this
+    // synthetic corpus is template-heavy: the full τ = 0.9 pair set is
+    // ~9k at sf0.01 / ~1M at sf0.1, output-bound like raw d_minhash_pairs
+    // by contract — callers wanting the full set drop the limit; the
+    // collapse-first composition applies unchanged). Scale shape: one df
+    // count, one per-doc rank window, a low-df-token equi-join, an
+    // ids+sets verify join, then TakeOrderedAndProject.
+    QueryDef(
+      "d_jaccard_join",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ts = Tables.documents(s, d)
+          .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+        val tok = ts.select($"doc_id", explode($"toks").as("tok"))
+        val dfc = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+        val ranked = tok.join(dfc, "tok")
+          .withColumn("rn", row_number().over(w))
+        val sizes = ts.select($"doc_id", size($"toks").cast("long").as("sz"))
+        val prefix = ranked.join(sizes, "doc_id")
+          .filter($"rn" <= $"sz" - expr("(sz * 9 + 9) div 10") + 1)
+          .select($"doc_id", $"tok")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
+          .distinct()
+        cand.join(ts.select($"doc_id".as("a"), $"toks".as("ta")), "a")
+          .join(ts.select($"doc_id".as("b"), $"toks".as("tb")), "b")
+          .select($"a", $"b",
+            size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+            (size($"ta") + size($"tb") -
+              size(array_intersect($"ta", $"tb"))).cast("long").as("uni"))
+          .filter($"inter" * 10 >= $"uni" * 9)
+          .withColumn("jacc_fp", expr("(inter * 1000000) div uni"))
+          .orderBy($"jacc_fp".desc, $"a", $"b")
+          .limit(100)
+      },
+      Some("""WITH ts AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM ts),
+        dfc AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+        sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS sz FROM ts),
+        rk AS (
+          SELECT t.doc_id, t.tok,
+            ROW_NUMBER() OVER (PARTITION BY t.doc_id
+              ORDER BY d.df, t.tok) AS rn
+          FROM tok t JOIN dfc d USING (tok)),
+        pre AS (
+          SELECT r.doc_id, r.tok FROM rk r JOIN sz s USING (doc_id)
+          WHERE r.rn <= s.sz - ((s.sz * 9 + 9) // 10) + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        ver AS (
+          SELECT c.a, c.b,
+            CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+            CAST(len(ta.toks) + len(tb.toks)
+              - len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS uni
+          FROM cand c
+          JOIN ts ta ON ta.doc_id = c.a
+          JOIN ts tb ON tb.doc_id = c.b)
+        SELECT a, b, inter, uni, (inter * 1000000) // uni AS jacc_fp
+        FROM ver WHERE inter * 10 >= uni * 9
+        ORDER BY jacc_fp DESC, a, b LIMIT 100""")),
+
+    // ---- Exact shingle containment over LSH candidates ---------------------
+    // The ASYMMETRIC near-dup verdict Jaccard misses: containment(A in B)
+    // = |sh(A) ∩ sh(B)| / |sh(A)| flags a short doc wholly embedded in a
+    // long one even when their symmetric Jaccard is tiny (quote
+    // extraction, template-plus-payload — the cases span dedup handles at
+    // token level, here at candidate-pair level). Candidates come from
+    // the SAME banded LSH join as d_minhash_pairs; the exact 3-shingle
+    // set intersect then replaces the signature estimate. Both
+    // containments emit as (inter·1e6) div |side| fixed-point longs —
+    // integer arithmetic, hash-exact. Scale shape: candidate-bounded
+    // (never all-pairs) + one shingle-set rejoin per side.
+    QueryDef(
+      "d_containment",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val sh = docs.filter(size(split($"text", " ")) >= 3)
+          .select($"doc_id",
+            graft.ext.MinHashDedup.shingles($"text").as("sh"))
+          .cache()
+        val cand = graft.ext.MinHashDedup
+          .candidatePairs(docs, numHashes = 32, bands = 8)
+          .select($"a", $"b")
+        cand.join(sh.select($"doc_id".as("a"), $"sh".as("sa")), "a")
+          .join(sh.select($"doc_id".as("b"), $"sh".as("sb")), "b")
+          .select($"a", $"b",
+            size(array_intersect($"sa", $"sb")).cast("long").as("inter"),
+            size($"sa").cast("long").as("sz_a"),
+            size($"sb").cast("long").as("sz_b"))
+          .withColumn("cont_a_fp", expr("(inter * 1000000) div sz_a"))
+          .withColumn("cont_b_fp", expr("(inter * 1000000) div sz_b"))
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        shs AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+          FROM toks),
+        sh AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig, (SELECT unnest(generate_series(0, 7)) AS k) k),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id)
+        SELECT c.a, c.b,
+          CAST(len(list_intersect(pa.sh, pb.sh)) AS BIGINT) AS inter,
+          CAST(len(pa.sh) AS BIGINT) AS sz_a,
+          CAST(len(pb.sh) AS BIGINT) AS sz_b,
+          (CAST(len(list_intersect(pa.sh, pb.sh)) AS BIGINT) * 1000000)
+            // CAST(len(pa.sh) AS BIGINT) AS cont_a_fp,
+          (CAST(len(list_intersect(pa.sh, pb.sh)) AS BIGINT) * 1000000)
+            // CAST(len(pb.sh) AS BIGINT) AS cont_b_fp
+        FROM cand c
+        JOIN shs pa ON pa.doc_id = c.a
+        JOIN shs pb ON pb.doc_id = c.b
+        ORDER BY c.a, c.b"""))
   )
 }

