@@ -764,19 +764,23 @@ object DedupQueries {
     // Everything is integer: prefix length via ceil(9·sz/10) =
     // (9·sz+9)//10, the verify via 10·inter ≥ 9·union, and the ranking
     // by the fixed-point ratio (inter·1e6) div union — no float anywhere,
-    // hash-exact. The GATE pins the top-100 pairs by that ratio (this
-    // synthetic corpus is template-heavy: the full τ = 0.9 pair set is
-    // ~9k at sf0.01 / ~1M at sf0.1, output-bound like raw d_minhash_pairs
-    // by contract — callers wanting the full set drop the limit; the
-    // collapse-first composition applies unchanged). Scale shape: one df
-    // count, one per-doc rank window, a low-df-token equi-join, an
-    // ids+sets verify join, then TakeOrderedAndProject.
+    // hash-exact. COLLAPSE-FIRST like d_minhash_pipeline: exact clones
+    // are collapsed to their min-id representative BEFORE the join —
+    // clone groups share identical token sets, so every clone pair is a
+    // trivial jaccard-1 pair AND multiplies each prefix token's join
+    // fan-out by the group size (the first 10× sweep measured the raw
+    // form candidate-exploding on the 10-clone ScaleGen corpus; reps-only
+    // killed it, same as the minhash lesson). The GATE pins the top-100
+    // rep pairs by the fixed-point ratio. Scale shape: one text-keyed
+    // collapse, one df count, one per-doc rank window, a low-df-token
+    // equi-join, an ids+sets verify join, then TakeOrderedAndProject.
     QueryDef(
       "d_jaccard_join",
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val ts = Tables.documents(s, d)
+          .groupBy($"text").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
         val tok = ts.select($"doc_id", explode($"toks").as("tok"))
         val dfc = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -802,9 +806,11 @@ object DedupQueries {
           .orderBy($"jacc_fp".desc, $"a", $"b")
           .limit(100)
       },
-      Some("""WITH ts AS (
+      Some("""WITH reps AS (
+          SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        ts AS (
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-          FROM documents),
+          FROM reps),
         tok AS (SELECT doc_id, unnest(toks) AS tok FROM ts),
         dfc AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
         sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS sz FROM ts),

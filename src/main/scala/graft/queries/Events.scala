@@ -440,6 +440,64 @@ object Events {
         FROM events
         WINDOW w AS (PARTITION BY user_id
           ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        ORDER BY user_id, version"""))
+        ORDER BY user_id, version""")),
+
+    // ---- Top session paths (behavioral sequence mining) --------------------
+    // The path-frequency composition: gap-sessionize (30-minute
+    // inactivity, the t4_session semantics spelled as lag + cumulative
+    // sum so BOTH engines share the exact recurrence, gap compared in
+    // integer microseconds), take each session's first 3 event types in
+    // (ts, event_id) order, and rank the resulting paths by session
+    // count — "how do sessions start", the entry-funnel view t_funnel's
+    // fixed ordering can't give. Deterministic: tie-breaks by event_id
+    // everywhere, path strings assembled in rn order. Scale shape: two
+    // user-keyed windows + a path-keyed count + TakeOrdered — no
+    // corpus-wide state beyond the top-k.
+    QueryDef(
+      "t_session_paths",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val f = Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(wo))
+          .withColumn("ns",
+            when($"prev_us".isNull ||
+              unix_micros($"ts") - $"prev_us" >= 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum($"ns").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy($"user_id", $"sid")
+          .orderBy($"ts", $"event_id")
+        val paths = f.withColumn("rn", row_number().over(ws))
+          .filter($"rn" <= 3)
+          .groupBy($"user_id", $"sid")
+          .agg(concat_ws("->",
+            transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+              x => x.getField("event_type"))).as("path"))
+        paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy($"n_sessions".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        f AS (SELECT user_id, us, event_id, event_type,
+          CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s AS (SELECT user_id, us, event_id, event_type,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+        r AS (SELECT user_id, sid, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id, sid
+            ORDER BY us, event_id) AS rn
+          FROM s),
+        p AS (SELECT user_id, sid,
+          string_agg(event_type, '->' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+        SELECT path, COUNT(*) AS n_sessions FROM p
+        GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""))
   )
 }

@@ -101,6 +101,38 @@ object GraphQueries {
          |    GROUP BY ed.dst) a ON d.doc_id = a.id$sbJoin)""".stripMargin
     }.mkString(",\n")
 
+  /** The LPA oracle CTE chain (graph derivation + `iters` unrolled
+    * sweeps), shared by x_label_prop and x_modularity so the community
+    * recurrence cannot drift between the assignment gate and the quality
+    * gate. Emits CTEs n, j, e0, und, es (symmetrized + self-votes),
+    * l0..l`iters` — caller supplies the WITH prefix and final SELECT. */
+  private def lpaCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""l$k AS (SELECT l.id, COALESCE(w.new_label, l.label) AS label
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT dst, label AS new_label FROM (
+         |      SELECT e.dst, l2.label, COUNT(*) AS c,
+         |        ROW_NUMBER() OVER (PARTITION BY e.dst
+         |          ORDER BY COUNT(*) DESC, l2.label ASC) AS rn
+         |      FROM es e JOIN l${k - 1} l2 ON e.src = l2.id
+         |      GROUP BY e.dst, l2.label)
+         |    WHERE rn = 1) w ON l.id = w.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |j AS (SELECT unnest([1,2,3]) AS j),
+       |e0 AS (SELECT d.doc_id AS src,
+       |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+       |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
+       |  FROM documents d, j, n),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |  FROM e0 WHERE src <> dst),
+       |es AS (SELECT u AS src, v AS dst FROM und
+       |  UNION ALL SELECT v AS src, u AS dst FROM und
+       |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents),
+       |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+       |$iterCtes""".stripMargin
+  }
+
   /** Personalized PageRank over the REAL derived graph — the "related
     * docs" recipe end-to-end: MinHash-LSH near-dup candidate pairs at
     * est_jaccard ≥ 0.5 (= ≥ 16 of 32 signature positions agreeing — an
@@ -258,33 +290,81 @@ object GraphQueries {
           .select($"id".as("doc_id"), $"label")
           .orderBy($"doc_id")
       },
-      Some {
-        val iterCtes = (1 to 3).map { k =>
-          s"""l$k AS (SELECT l.id, COALESCE(w.new_label, l.label) AS label
-             |  FROM l${k - 1} l LEFT JOIN (
-             |    SELECT dst, label AS new_label FROM (
-             |      SELECT e.dst, l2.label, COUNT(*) AS c,
-             |        ROW_NUMBER() OVER (PARTITION BY e.dst
-             |          ORDER BY COUNT(*) DESC, l2.label ASC) AS rn
-             |      FROM es e JOIN l${k - 1} l2 ON e.src = l2.id
-             |      GROUP BY e.dst, l2.label)
-             |    WHERE rn = 1) w ON l.id = w.dst)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
-           |j AS (SELECT unnest([1,2,3]) AS j),
-           |e0 AS (SELECT d.doc_id AS src,
-           |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
-           |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst
-           |  FROM documents d, j, n),
-           |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-           |  FROM e0 WHERE src <> dst),
-           |es AS (SELECT u AS src, v AS dst FROM und
-           |  UNION ALL SELECT v AS src, u AS dst FROM und
-           |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents),
-           |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
-           |$iterCtes
-           |SELECT id AS doc_id, label FROM l3 ORDER BY id""".stripMargin
-      }),
+      Some(s"""WITH ${lpaCtes(3)}
+         |SELECT id AS doc_id, label FROM l3 ORDER BY id""".stripMargin)),
+
+    // ---- Modularity of the LPA communities ---------------------------------
+    // The community-QUALITY composition gate: Newman modularity
+    // Q = Σ_c [ L_c/m − (d_c/2m)² ] of the x_label_prop partition over
+    // the same symmetrized simple graph — the metric that says whether a
+    // partition actually captures dense regions. Per-community rows
+    // (members, intra-edges L_c, total degree d_c, the Q term) so the
+    // gate pins every community's contribution, not just the sum. All
+    // counts are integers; each Q term rounds to a 1e9 fixed-point long
+    // from one deterministic double expression (the order-independent
+    // fixed-point contract). Scale shape: the LPA sweeps plus two
+    // label-keyed counts — no new join family.
+    QueryDef(
+      "x_modularity",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val und = md5Edges(docs).filter($"src" =!= $"dst")
+          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+          .cache()
+        val es = und.select($"u".as("src"), $"v".as("dst"))
+          .unionByName(und.select($"v".as("src"), $"u".as("dst")))
+        val nodes = docs.select($"doc_id".as("id"))
+        val lab = graft.ext.Graphs.labelPropagation(nodes, es, iters = 3)
+          .cache()
+        val m = und.agg(count(lit(1)).as("m"))
+        val inc = und
+          .join(lab.select($"id".as("u"), $"label".as("la")), "u")
+          .join(lab.select($"id".as("v"), $"label".as("lb")), "v")
+          .filter($"la" === $"lb")
+          .groupBy($"la".as("label")).agg(count(lit(1)).as("l_in"))
+        val degc = und.select($"u".as("x")).unionByName(und.select($"v".as("x")))
+          .join(lab.select($"id".as("x"), $"label"), "x")
+          .groupBy($"label").agg(count(lit(1)).as("d_tot"))
+        val members = lab.groupBy($"label").agg(count(lit(1)).as("n_members"))
+        members
+          .join(inc, Seq("label"), "left")
+          .join(degc, Seq("label"), "left")
+          .crossJoin(broadcast(m))
+          .select($"label", $"n_members",
+            coalesce($"l_in", lit(0L)).as("l_in"),
+            coalesce($"d_tot", lit(0L)).as("d_tot"), $"m")
+          .select($"label", $"n_members", $"l_in", $"d_tot",
+            round(($"l_in".cast("double") / $"m"
+              - ($"d_tot".cast("double") / (lit(2L) * $"m"))
+                * ($"d_tot".cast("double") / (lit(2L) * $"m"))) * lit(1e9), 0)
+              .cast("long").as("term_fp"))
+          .orderBy($"label")
+      },
+      Some(s"""WITH ${lpaCtes(3)},
+         |lab AS (SELECT id, label FROM l3),
+         |m AS (SELECT COUNT(*) AS m FROM und),
+         |inc AS (SELECT la.label, COUNT(*) AS l_in
+         |  FROM und u JOIN lab la ON u.u = la.id
+         |  JOIN lab lb ON u.v = lb.id
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |degc AS (SELECT la.label, COUNT(*) AS d_tot
+         |  FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) t
+         |  JOIN lab la ON t.x = la.id GROUP BY la.label),
+         |members AS (SELECT label, COUNT(*) AS n_members FROM lab
+         |  GROUP BY label)
+         |SELECT mb.label, mb.n_members,
+         |  COALESCE(i.l_in, 0) AS l_in,
+         |  COALESCE(dg.d_tot, 0) AS d_tot,
+         |  CAST(round((COALESCE(i.l_in, 0)::DOUBLE / m.m
+         |    - (COALESCE(dg.d_tot, 0)::DOUBLE / (2 * m.m))
+         |      * (COALESCE(dg.d_tot, 0)::DOUBLE / (2 * m.m))) * 1000000000.0)
+         |    AS BIGINT) AS term_fp
+         |FROM members mb
+         |LEFT JOIN inc i ON mb.label = i.label
+         |LEFT JOIN degc dg ON mb.label = dg.label, m
+         |ORDER BY mb.label""".stripMargin)),
 
     // ---- Triangle count over the undirected simple doc graph --------------
     // The join-based graph metric: symmetrize + simplify the md5 link graph

@@ -1559,6 +1559,51 @@ object Text {
           FROM cnt c JOIN tot t USING (doc_id))
         SELECT doc_id, COUNT(*) AS n_types,
           CAST(SUM(fp) AS BIGINT) AS entropy_fp
-        FROM term GROUP BY doc_id ORDER BY doc_id"""))
+        FROM term GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Shingle novelty (ingestion-order redundancy curve) ----------------
+    // For each doc, the fraction of its distinct 3-shingles it is the
+    // FIRST (lowest doc_id) to contribute — the marginal-novelty signal a
+    // curation pass uses to see where a corpus stops adding content
+    // (clones score 0 unless they are the group's first; boilerplate
+    // drags every later doc down). Pure integers: shingle → min(doc_id)
+    // owner, one equi-join back, fixed-point ratio. Scale shape: one
+    // shingle-keyed min-aggregation (map-side partial min) + one
+    // doc-keyed count — linear in corpus shingles, same key family as
+    // span dedup.
+    QueryDef(
+      "x_novelty",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .filter(size(split($"text", " ")) >= 3)
+          .select($"doc_id",
+            explode(graft.ext.MinHashDedup.shingles($"text")).as("s"))
+        val first = sh.groupBy($"s").agg(min($"doc_id").as("first_doc"))
+        sh.join(first, "s")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .select($"doc_id", $"n_shingles", $"n_novel",
+            expr("(n_novel * 1000000) div n_shingles").as("novelty_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          (CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000) // COUNT(*) AS novelty_fp
+        FROM sh JOIN first f USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id"""))
   )
 }

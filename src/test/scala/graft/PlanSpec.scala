@@ -203,6 +203,29 @@ class PlanSpec extends AnyFunSuite {
       s"x_rrf_fusion degenerated to a cross join:\n$rrf")
   }
 
+  test("round-13 queries keep scale-correct plan shapes") {
+    // jaccard join: the prefix filter must make candidates an EQUI-join
+    // on the prefix token, and the final ranking a distributed top-k —
+    // a cartesian or global sort means the filter degenerated
+    val jj = plan("d_jaccard_join")
+    assert(!jj.contains("CartesianProduct"),
+      s"d_jaccard_join degenerated to a cross join:\n$jj")
+    assert(jj.contains("TakeOrderedAndProject"),
+      s"d_jaccard_join lost its top-k reduction:\n$jj")
+    // near-dup PPR: LSH banding + iteration joins are all equi-joins;
+    // the only nested-loop is the 1-row count broadcast idiom
+    val ppr = plan("x_ppr_neardup")
+    assert(!ppr.contains("CartesianProduct"),
+      s"x_ppr_neardup degenerated to a cross join:\n$ppr")
+    // k-core peeling + BFS: keyed joins only
+    assert(!plan("x_kcore").contains("CartesianProduct"))
+    assert(!plan("x_bfs_hops").contains("CartesianProduct"))
+    // weighted sample: one scan + TakeOrdered — no shuffle beyond top-k
+    val ws = plan("x_weighted_sample")
+    assert(ws.contains("TakeOrderedAndProject"),
+      s"x_weighted_sample lost its top-k reduction:\n$ws")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)

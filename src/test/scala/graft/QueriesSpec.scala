@@ -126,4 +126,46 @@ class QueriesSpec extends AnyFunSuite {
     // blocking must keep the match list far below all-pairs (124,750)
     assert(rows.length < 1000)
   }
+
+  test("jaccard join: prefix filter loses no pair vs brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the prefix filter is the correctness-critical piece: if it pruned a
+    // true pair the output would silently shrink, which no oracle row can
+    // catch (the oracle mirrors the same filter). Brute-force all-pairs
+    // at sf0.001 (125k pairs) is cheap and makes the completeness claim a
+    // test obligation, exactly like the minhash recall pins.
+    def row5(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val res = SparkEntry.queries("d_jaccard_join")(spark, sf)
+      .collect().map(row5).toSeq
+    val ts = Tables.documents(spark, sf)
+      .groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+    val brute = ts.select($"doc_id".as("a"), $"toks".as("ta"))
+      .crossJoin(ts.select($"doc_id".as("b"), $"toks".as("tb")))
+      .filter($"a" < $"b")
+      .select($"a", $"b",
+        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+        (size($"ta") + size($"tb") -
+          size(array_intersect($"ta", $"tb"))).cast("long").as("uni"))
+      .filter($"inter" * 10 >= $"uni" * 9)
+      .withColumn("jacc_fp", expr("(inter * 1000000) div uni"))
+      .orderBy($"jacc_fp".desc, $"a", $"b").limit(100)
+      .collect().map(row5).toSeq
+    assert(res == brute)
+  }
+
+  test("containment: clone pairs hit 1e6 on both sides, subset pairs only one") {
+    val rows = SparkEntry.queries("d_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // every containment is a valid fixed-point fraction
+    assert(rows.forall { case (_, _, ca, cb) =>
+      ca >= 0 && ca <= 1000000 && cb >= 0 && cb <= 1000000 })
+    // asymmetry exists in the corpus: some pair is (near-)fully contained
+    // on exactly one side — the signal symmetric jaccard cannot express
+    assert(rows.exists { case (_, _, ca, cb) =>
+      (ca == 1000000) != (cb == 1000000) })
+  }
 }
