@@ -341,6 +341,50 @@ object Graphs {
     dist
   }
 
+  /** Bounded Bellman–Ford: weighted single/multi-source shortest paths
+    * over a directed edge list ("src", "dst", "w" — non-negative LONG
+    * weights), `rounds` synchronous relaxation rounds from the `seeds`
+    * ("id") frontier. dist_{k+1}(v) = min(dist_k(v),
+    * min_{u→v, dist_k(u) < inf} dist_k(u) + w(u,v)). Identical loop shape
+    * to [[bfsHops]] (which is this with w ≡ 1) — pure integer min/+
+    * recurrence over a bounded unroll, so a shuffled run bit-matches an
+    * unrolled SQL oracle. After `rounds` rounds the result is exact for
+    * every path of ≤ `rounds` edges; nodes with no such path hold `inf`.
+    *
+    * Scale shape: per round ONE equi-join (edges ⋈ dist on src) + a
+    * groupBy(dst) min with map-side partial min — state is (id, long),
+    * the edge table is the static side to cache/bucket. The `d < inf`
+    * filter keeps unreached nodes out of the join, so early rounds only
+    * move the frontier's out-neighborhoods.
+    *
+    * @param inf sentinel for "not reached"; must exceed any reachable
+    *            distance (`rounds` × max weight)
+    */
+  def ssspWeighted(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      inf: Long = 999999L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = nodes.select(col("id"))
+      .join(seeds.select(col("id").as("sid")), col("id") === col("sid"), "left")
+      .select(col("id"), when(col("sid").isNotNull, 0L).otherwise(inf).as("d"))
+    var i = 1
+    while (i <= rounds) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .filter(col("d") < inf)
+        .select(col("dst").as("nid"), (col("d") + col("w")).as("nd"))
+        .groupBy(col("nid")).agg(min(col("nd")).as("md"))
+      dist = dist.join(relaxed, dist("id") === relaxed("nid"), "left")
+        .select(col("id"),
+          least(col("d"), coalesce(col("md"), lit(inf))).as("d"))
+      i += 1
+    }
+    dist
+  }
+
   /** k-core peeling over an UNDIRECTED simple edge list ("u", "v"):
     * `rounds` synchronous rounds of "drop every node with degree < k and
     * the edges incident to it", then return the surviving nodes whose

@@ -912,6 +912,66 @@ object DedupQueries {
         FROM cand c
         JOIN shs pa ON pa.doc_id = c.a
         JOIN shs pb ON pb.doc_id = c.b
-        ORDER BY c.a, c.b"""))
+        ORDER BY c.a, c.b""")),
+
+    // ---- Sentence-level cross-document dedup (CCNet line dedup) ------------
+    // The CCNet/RefinedWeb line-dedup analog on the single-line synthetic
+    // corpus: each doc splits into consecutive 10-token "sentences"
+    // (non-overlapping x_chunk_windows chunks), each sentence md5-hashed,
+    // and a sentence instance SURVIVES only if it is the globally first
+    // occurrence of its hash in (doc_id, chunk_idx) order — the winner is
+    // MIN(doc_id·1e6 + chunk_idx) per hash, pure integer, identical on
+    // both engines. Per-doc output: sentence count, surviving count, and
+    // the surviving fraction in ppm — the redundancy profile line-dedup
+    // would apply before training. Scale shape: map-only chunking, ONE
+    // 16-byte-hash-keyed groupBy (map-side partial min) + one hash
+    // equi-join back; no doc-vs-doc pairs anywhere, the same shape as
+    // d_exact_dedup one level below doc granularity.
+    QueryDef(
+      "d_sentence_dedup",
+      (s, d) => {
+        import s.implicits._
+        val W = 10
+        val chunks = Tables.documents(s, d)
+          .filter($"text".isNotNull)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n"))
+          .select($"doc_id",
+            posexplode(sequence(lit(0), $"n" - 1, lit(W)))
+              .as(Seq("chunk_idx", "start_tok")),
+            $"toks")
+          .select($"doc_id", $"chunk_idx",
+            md5(array_join(slice($"toks", $"start_tok" + 1, lit(W)), " "))
+              .as("h"),
+            ($"doc_id" * 1000000L + $"chunk_idx").as("k"))
+        val winners = chunks.groupBy($"h").agg(min($"k").as("wk"))
+        chunks.join(winners, Seq("h"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_sentences"),
+            sum(when($"k" === $"wk", 1L).otherwise(0L)).as("n_kept"))
+          .select($"doc_id", $"n_sentences", $"n_kept",
+            expr("(n_kept * 1000000) div n_sentences").as("kept_ppm"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            len(string_split(text, ' ')) AS n
+          FROM documents WHERE text IS NOT NULL),
+        ch AS (
+          SELECT doc_id,
+            CAST(start_tok // 10 AS INTEGER) AS chunk_idx,
+            md5(array_to_string(toks[start_tok + 1 : start_tok + 10], ' ')) AS h,
+            doc_id * 1000000 + (start_tok // 10) AS k
+          FROM (SELECT doc_id, toks, n,
+                  unnest(generate_series(0, n - 1, 10)) AS start_tok
+                FROM t)),
+        w AS (SELECT h, MIN(k) AS wk FROM ch GROUP BY h)
+        SELECT ch.doc_id, COUNT(*) AS n_sentences,
+          CAST(SUM(CASE WHEN ch.k = w.wk THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          (CAST(SUM(CASE WHEN ch.k = w.wk THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000) // COUNT(*) AS kept_ppm
+        FROM ch JOIN w USING (h)
+        GROUP BY ch.doc_id ORDER BY ch.doc_id"""))
   )
 }

@@ -527,6 +527,62 @@ object GraphQueries {
            |SELECT id AS doc_id, d AS hops FROM d4 ORDER BY id""".stripMargin
       }),
 
+    // ---- Weighted shortest paths (bounded Bellman–Ford) --------------------
+    // Graphs.ssspWeighted over the md5 link graph with the out-link index
+    // j (1..3) as the integer edge weight — the same deterministic edge
+    // derivation as every other graph gate, so the 4-round min/+ recurrence
+    // unrolls into the oracle exactly like x_bfs_hops (which is this with
+    // w ≡ 1). Pure integer arithmetic: hash-exact. At scale this is the
+    // weighted-radius primitive (cost-bounded neighborhoods over a
+    // similarity graph whose weights are 1/similarity).
+    QueryDef(
+      "x_sssp_weighted",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id")
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val edges = docs.crossJoin(broadcast(n))
+          .select($"doc_id".as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("j"), $"n_docs")
+          .select($"src",
+            pmod(
+              shiftrightunsigned(Md5Hash64.md5_le64(
+                concat($"src".cast("string"), lit(":"),
+                  $"j".cast("string"))), 4),
+              $"n_docs").as("dst"),
+            $"j".as("w"))
+          .cache()
+        val nodes = docs.select($"doc_id".as("id"))
+        val seeds = Tables.documents(s, d)
+          .filter($"source" === "src0").select($"doc_id".as("id"))
+        graft.ext.Graphs.ssspWeighted(nodes, edges, seeds, rounds = 4)
+          .select($"id".as("doc_id"), $"d".as("dist"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val iterCtes = (1 to 4).map { k =>
+          s"""d$k AS (SELECT p.id, LEAST(p.d, COALESCE(m.md, 999999)) AS d
+             |  FROM d${k - 1} p LEFT JOIN (
+             |    SELECT e.dst AS id, MIN(p2.d + e.w) AS md
+             |    FROM e JOIN d${k - 1} p2 ON e.src = p2.id
+             |    WHERE p2.d < 999999
+             |    GROUP BY e.dst) m ON p.id = m.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |j AS (SELECT unnest([1,2,3]) AS j),
+           |e AS (SELECT d.doc_id AS src,
+           |    CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':' ||
+           |      CAST(j.j AS VARCHAR)) >> 4 AS BIGINT) % n.n_docs AS dst,
+           |    CAST(j.j AS BIGINT) AS w
+           |  FROM documents d, j, n),
+           |s AS (SELECT doc_id AS id FROM documents WHERE source = 'src0'),
+           |d0 AS (SELECT d.doc_id AS id,
+           |    CAST(CASE WHEN s.id IS NOT NULL THEN 0 ELSE 999999 END AS BIGINT) AS d
+           |  FROM documents d LEFT JOIN s ON d.doc_id = s.id),
+           |$iterCtes
+           |SELECT id AS doc_id, d AS dist FROM d4 ORDER BY id""".stripMargin
+      }),
+
     // ---- k-core (dense-subgraph extraction) --------------------------------
     // 3 peeling rounds of the 4-core over the symmetrized simple md5 graph
     // (Graphs.kCorePeel scaladoc): drop nodes with degree < 4, restrict

@@ -850,6 +850,47 @@ object Relational {
         abs(o_totalprice * -1) AS abs_price,
         CAST(floor(o_totalprice) AS DOUBLE) AS floor_price,
         CAST(ceil(o_totalprice) AS DOUBLE) AS ceil_price
-        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ---- Unpivot (wide measures → long rows; the r6_pivot inverse) ---------
+    // One row per (returnflag, measure): the 3 per-flag aggregates unpivot
+    // through Spark's stack() generator — codegen-friendly, map-only over
+    // the tiny aggregate — while the oracle uses the portable UNION ALL
+    // form (ANSI; DuckDB's UNPIVOT would work too but the union is
+    // engine-agnostic). Sums go through DECIMAL(38,2) per the module
+    // contract (order-independent exact addition) and the final value
+    // casts back to DOUBLE. Scale shape: the wide input is |flags| rows —
+    // unpivot is always a map-side reshape, never a shuffle.
+    QueryDef(
+      "r7_unpivot",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).groupBy($"l_returnflag")
+          .agg(
+            sum($"l_quantity".cast("decimal(38,2)")).as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(38,2)")).as("sum_price"),
+            count(lit(1)).cast("decimal(38,2)").as("n_items"))
+          .selectExpr("l_returnflag",
+            """stack(3,
+              |  'n_items',  n_items,
+              |  'sum_price', sum_price,
+              |  'sum_qty',  sum_qty) AS (measure, value)""".stripMargin)
+          .select($"l_returnflag", $"measure",
+            $"value".cast("double").as("value"))
+          .orderBy($"l_returnflag", $"measure")
+      },
+      Some("""WITH agg AS (
+          SELECT l_returnflag,
+            SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty,
+            SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_price,
+            CAST(COUNT(*) AS DECIMAL(38,2)) AS n_items
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, measure, CAST(value AS DOUBLE) AS value FROM (
+          SELECT l_returnflag, 'n_items' AS measure, n_items AS value FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'sum_price', sum_price FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'sum_qty', sum_qty FROM agg)
+        ORDER BY l_returnflag, measure"""))
   )
 }

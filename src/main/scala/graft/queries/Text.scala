@@ -1604,6 +1604,74 @@ object Text {
           (CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
             AS BIGINT) * 1000000) // COUNT(*) AS novelty_fp
         FROM sh JOIN first f USING (s)
-        GROUP BY sh.doc_id ORDER BY sh.doc_id"""))
+        GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
+    // ---- PMI collocations (adjacent-bigram association mining) -------------
+    // Pointwise mutual information for adjacent token pairs:
+    // pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) from the bigram
+    // count over all Nb adjacent pairs and p(·) from unigram counts over
+    // all Nu tokens. The ratio is assembled as ONE double expression with
+    // identical association on both engines and passed through a single
+    // ln rounded into 1e-6 fixed point (the x_unigram_surprisal contract,
+    // same Math.log-vs-libm residual tie-boundary caveat); min-support
+    // c_ab ≥ 5, top-20 by (pmi, a, b) — the fixed-point long orders, so
+    // ties are exact. Scale shape: two token-keyed groupBy counts
+    // (map-side partial), two vocabulary equi-joins, 1-row totals joined
+    // broadcast, TakeOrdered top-k — the collocation-extraction pass of a
+    // phrase-mining pipeline, no all-pairs anywhere.
+    QueryDef(
+      "x_pmi_bigrams",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("toks"))
+        val uni = toks.select(explode($"toks").as("t"))
+        val uniCnt = uni.groupBy($"t").agg(count(lit(1)).as("c"))
+        val uniTot = uni.agg(count(lit(1)).as("nu"))
+        val bi = toks
+          .select(explode(expr(
+            """transform(slice(toks, 1, size(toks) - 1),
+              |  (t, i) -> struct(t AS a, toks[i + 1] AS b))""".stripMargin))
+            .as("p"))
+          .select($"p.a", $"p.b")
+        val biCnt = bi.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+        val biTot = bi.agg(count(lit(1)).as("nb"))
+        biCnt.filter($"cab" >= 5)
+          .join(uniCnt.select($"t".as("a"), $"c".as("ca")), Seq("a"))
+          .join(uniCnt.select($"t".as("b"), $"c".as("cb")), Seq("b"))
+          .crossJoin(broadcast(uniTot))
+          .crossJoin(broadcast(biTot))
+          .select($"a", $"b", $"cab",
+            round(log($"cab".cast("double") * $"nu" * $"nu" /
+              ($"nb".cast("double") * $"ca" * $"cb")) * 1e6, 0)
+              .cast("long").as("pmi_fp"))
+          .orderBy($"pmi_fp".desc, $"a", $"b")
+          .limit(20)
+          .select($"a", $"b", $"cab",
+            round($"pmi_fp".cast("double") / 1e6, 6).as("pmi"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        uni AS (SELECT unnest(toks) AS t FROM toks),
+        uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+        ut AS (SELECT COUNT(*) AS nu FROM uni),
+        bi AS (SELECT unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 0)),
+            i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p
+          FROM toks),
+        bp AS (SELECT p.a AS a, p.b AS b FROM bi),
+        bc AS (SELECT a, b, COUNT(*) AS cab FROM bp GROUP BY a, b),
+        bt AS (SELECT COUNT(*) AS nb FROM bp),
+        scored AS (
+          SELECT bc.a, bc.b, bc.cab,
+            CAST(round(ln(CAST(bc.cab AS DOUBLE) * ut.nu * ut.nu /
+              (CAST(bt.nb AS DOUBLE) * ua.c * ub.c)) * 1000000)
+              AS BIGINT) AS pmi_fp
+          FROM bc
+          JOIN uc ua ON bc.a = ua.t
+          JOIN uc ub ON bc.b = ub.t, ut, bt
+          WHERE bc.cab >= 5)
+        SELECT a, b, cab, round(CAST(pmi_fp AS DOUBLE) / 1000000, 6) AS pmi
+        FROM scored ORDER BY pmi_fp DESC, a, b LIMIT 20"""))
   )
 }

@@ -168,4 +168,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists { case (_, _, ca, cb) =>
       (ca == 1000000) != (cb == 1000000) })
   }
+
+  test("sentence dedup: exactly one surviving instance per distinct sentence") {
+    val rows = SparkEntry.queries("d_sentence_dedup")(spark, sf).collect()
+    assert(rows.length == 500)
+    // kept_ppm is a valid fixed-point fraction and kept <= total
+    assert(rows.forall { r =>
+      val (n, kept, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      kept >= 0 && kept <= n && ppm == kept * 1000000L / n
+    })
+    // global invariant: sum of kept == number of DISTINCT sentence hashes
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val totalKept = rows.map(_.getLong(2)).sum
+    val distinctSentences = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(posexplode(sequence(lit(0), size($"toks") - 1, lit(10)))
+        .as(Seq("ci", "st")), $"toks")
+      .select(md5(array_join(slice($"toks", $"st" + 1, lit(10)), " ")).as("h"))
+      .distinct().count()
+    assert(totalKept == distinctSentences)
+    // the corpus HAS cross-doc duplication, so somebody lost a sentence
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
+  test("unpivot: 3 measures per flag, values match the wide aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val long = SparkEntry.queries("r7_unpivot")(spark, sf).collect()
+    val flags = Tables.lineitem(spark, sf)
+      .select($"l_returnflag").distinct().count()
+    assert(long.length == 3 * flags)
+    // n_items rows must agree with a direct count
+    val counts = Tables.lineitem(spark, sf).groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val nItems = long.filter(_.getString(1) == "n_items")
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(nItems == counts)
+  }
+
+  test("pmi bigrams: ordered by pmi desc, min support respected") {
+    val rows = SparkEntry.queries("x_pmi_bigrams")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(2) >= 5))
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y })
+  }
 }

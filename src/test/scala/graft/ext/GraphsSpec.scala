@@ -135,6 +135,41 @@ class GraphsSpec extends AnyFunSuite {
     assert(d2(4L) == 4L && d2(5L) == 999L && d2(6L) == 999L)
   }
 
+  test("ssspWeighted: takes the cheaper multi-edge path, honors the unroll bound") {
+    val nodes = (0L until 6L).toDF("id")
+    // 0→1 (w=10) and 0→2→1 (w=1+1=2): the 2-hop path must win; 1→3 (w=5)
+    // extends it; 4 unreachable; 5 reachable only by a 5-edge path —
+    // beyond rounds=4, so it must hold the sentinel
+    val edges = Seq(
+      (0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 5L),
+      (3L, 5L, 1L)).toDF("src", "dst", "w")
+    val d = Graphs.ssspWeighted(nodes, edges, Seq(0L).toDF("id"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(0L) == 0L && d(2L) == 1L && d(1L) == 2L && d(3L) == 7L)
+    assert(d(5L) == 8L) // 0→2→1→3→5 is 4 edges: inside the unroll
+    assert(d(4L) == 999999L)
+    // with a chain forcing 5 edges, the tail stays at the sentinel
+    val chain = (0L until 5L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val dc = Graphs.ssspWeighted(nodes, chain, Seq(0L).toDF("id"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dc(4L) == 4L && dc(5L) == 999999L)
+  }
+
+  test("ssspWeighted with unit weights equals bfsHops") {
+    val nodes = (0L until 40L).toDF("id")
+    val edges = (0L until 40L)
+      .flatMap(i => Seq((i, (i * 7 + 1) % 40), (i, (i * 13 + 5) % 40)))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 17L).toDF("id")
+    val bfs = Graphs.bfsHops(nodes, edges, seeds, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sssp = Graphs.ssspWeighted(nodes,
+      edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      seeds, rounds = 4, inf = 999L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs == sssp)
+  }
+
   test("kCorePeel: clique survives the 4-core, pendant chain peels away") {
     // 5-clique on 0..4 (degrees 4,4,4,4,5 with the chain) + chain 4-5-6
     val cl = for { i <- 0 until 5; j <- i + 1 until 5 } yield (i.toLong, j.toLong)
