@@ -295,6 +295,54 @@ object Analytics {
           (e.value - st.s / st.n) /
             sqrt((st.sq - st.s * st.s / st.n) / (st.n - 1)) AS z
         FROM events e JOIN st USING (event_type)
-        ORDER BY abs(z) DESC, event_id LIMIT 20"""))
+        ORDER BY abs(z) DESC, event_id LIMIT 20""")),
+
+    // ---- Robust MAD outlier gate (the z-score's heavy-tail-safe twin) ------
+    // Median absolute deviation per event_type: med = median(value),
+    // mad = median(|value − med|), outlier ⇔ |value − med| > 3·mad.
+    // Unlike x_outlier_zscore, a single extreme value cannot drag the
+    // center or inflate the spread — the robust gate a curation pass
+    // trusts on heavy-tailed quality scores. med/mad round to 4dp on
+    // BOTH engines (the a9_percentiles interpolation contract:
+    // percentile ≡ quantile_cont to 4dp), so the threshold compare runs
+    // on identical doubles and the counts are hash-exact. Scale shape:
+    // two grouped exact percentiles (sort-based within |groups| ≈ small
+    // partitions) + two broadcast joins of the per-group stats; at 100 TB
+    // swap `percentile` for approx_percentile and keep the frame.
+    QueryDef(
+      "x_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.events(s, d)
+          .select($"event_type".as("g"), $"value".as("x"))
+        val med = base.groupBy($"g")
+          .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
+        val dev = base.join(broadcast(med), Seq("g"))
+          .select($"g", $"med", abs($"x" - $"med").as("dev"))
+        val mad = dev.groupBy($"g")
+          .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+        dev.join(broadcast(mad), Seq("g"))
+          .groupBy($"g", $"med", $"mad")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"dev" > $"mad" * 3, 1L).otherwise(0L))
+              .as("n_outliers"),
+            round(max($"dev"), 4).as("max_dev"))
+          .select($"g".as("event_type"), $"n", $"med", $"mad",
+            $"n_outliers", $"max_dev")
+          .orderBy($"event_type")
+      },
+      Some("""WITH b AS (SELECT event_type AS g, value AS x FROM events),
+        med AS (SELECT g, round(quantile_cont(x, 0.5), 4) AS med
+          FROM b GROUP BY g),
+        dev AS (SELECT b.g, med.med, abs(b.x - med.med) AS dev
+          FROM b JOIN med USING (g)),
+        mad AS (SELECT g, round(quantile_cont(dev, 0.5), 4) AS mad
+          FROM dev GROUP BY g)
+        SELECT d.g AS event_type, COUNT(*) AS n, d.med, m.mad,
+          CAST(SUM(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+          round(MAX(d.dev), 4) AS max_dev
+        FROM dev d JOIN mad m USING (g)
+        GROUP BY d.g, d.med, m.mad ORDER BY event_type"""))
   )
 }

@@ -224,6 +224,19 @@ class PlanSpec extends AnyFunSuite {
     val ws = plan("x_weighted_sample")
     assert(ws.contains("TakeOrderedAndProject"),
       s"x_weighted_sample lost its top-k reduction:\n$ws")
+    // weighted SSSP: per-round relaxation must stay keyed equi-joins
+    assert(!plan("x_sssp_weighted").contains("CartesianProduct"))
+    // PMI: vocabulary joins are equi (the 1-row totals broadcast as
+    // BroadcastNestedLoopJoin, which is fine), ranking is a distributed
+    // top-k — a CartesianProduct would mean a totals broadcast regressed
+    val pmi = plan("x_pmi_bigrams")
+    assert(!pmi.contains("CartesianProduct"),
+      s"x_pmi_bigrams grew a non-broadcast cartesian:\n$pmi")
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"x_pmi_bigrams lost its top-k reduction:\n$pmi")
+    // sentence dedup: ONE hash-keyed aggregation + one equi-join back;
+    // a cartesian would mean the winner join degenerated
+    assert(!plan("d_sentence_dedup").contains("CartesianProduct"))
   }
 
   test("approx_count_distinct lands within its error bound of exact") {
