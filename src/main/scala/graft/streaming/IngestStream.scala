@@ -198,6 +198,25 @@ object IngestStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Event-time SESSION windows (T4, gap-based): watermarked
+    * session_window count per user — the streaming twin of the
+    * oracle-checked `t4_session` batch gate (same expression, same gap).
+    * Sessions are merge-able state: an event landing within `gap` of an
+    * open session extends it, and the session only emits once the
+    * watermark passes its end — so cross-micro-batch session stitching is
+    * the engine's session-state merge, not caller logic. State per key is
+    * one open session row, evicted at watermark — bounded by active
+    * users × gap, never stream history.
+    */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"), col("n_events"))
+
   /** Stream-stream interval join: attribute each view to every click by the
     * same user within `gap` AFTER it — the streaming twin of the
     * oracle-checked `t_attribution` batch query (which additionally keeps

@@ -258,6 +258,53 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(streamed == batchSet)
   }
 
+  test("session streaming agg matches the batch oracle query (T4 sessions)") {
+    val sf = "/root/testdata/sf0.001"
+    val batchSet = graft.SparkEntry.queries("t4_session")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val events = graft.Tables.events(spark, sf)
+    val streamed = IngestStream.sessionCounts(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(streamed == batchSet && batchSet.nonEmpty)
+  }
+
+  test("session windows stitch across micro-batches; emit only past watermark") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = Files.createTempDirectory(Paths.get("target"), "sess")
+    val dir = Files.createDirectory(root.resolve("ev")).toString
+    def write(name: String, rows: Seq[String]): Unit =
+      Files.writeString(Paths.get(dir, name), rows.mkString("\n"))
+
+    // batch 1: two events 10 min apart — ONE open session (gap 30 min)
+    write("e1.csv", Seq("1,2026-01-01 10:00:00", "1,2026-01-01 10:10:00"))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").csv(dir + "/*.csv")
+    val q = IngestStream.sessionCounts(stream, watermark = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // open session cannot emit: watermark has not passed its end
+    assert(spark.table("sess_out").count() == 0)
+
+    // batch 2: an in-gap event EXTENDS the session (stitching), then a
+    // far-future event advances the watermark past the merged end
+    write("e2.csv", Seq("1,2026-01-01 10:25:00", "1,2026-01-02 09:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    // one merged session: 10:00 → 10:25 + 30 min gap, 3 events
+    assert(rows.toSeq == Seq(
+      (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:55:00.0", 3L)), rows.toSeq)
+  }
+
   test("stream-stream attribution join fires across micro-batches, respects gap") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = Files.createTempDirectory(Paths.get("target"), "attrib")
