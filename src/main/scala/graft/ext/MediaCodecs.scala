@@ -397,6 +397,25 @@ object MediaCodecs {
       })
     }
 
+  /** Random pixel access into a validated 24bpp BMP: (width, height,
+    * (x, y) → (r, g, b)) with (0,0) the TOP-LEFT pixel (the accessor
+    * undoes BMP's bottom-up row order). None for anything parseBmp
+    * rejects. The closure captures only offsets — safe to call per pixel
+    * in a tight loop (perceptual hashing, feature grids). */
+  def bmpPixels(
+      bytes: Array[Byte]): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] =
+    parseBmp(bytes).map { info =>
+      val dataOff = le32(bytes, 10)
+      val rowSize = bmpRowSize(info.width)
+      (info.width, info.height, (x: Int, y: Int) => {
+        val row = dataOff + (info.height - 1 - y) * rowSize
+        val b = bytes(row + x * 3) & 0xff
+        val g = bytes(row + x * 3 + 1) & 0xff
+        val r = bytes(row + x * 3 + 2) & 0xff
+        (r, g, b)
+      })
+    }
+
   // ---- JPEG (JFIF marker scan — metadata only) ----------------------------
 
   /** JPEG frame metadata recovered from the SOF marker. Full entropy decode

@@ -136,6 +136,49 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "bpp", "mean_luminance")
   }
 
+  /** Perceptual difference-hash (dHash) over 24bpp BMP payloads: decode,
+    * nearest-resample the luminance plane to an 8×8 grid, and set bit
+    * k = y·7 + x (x ∈ 0..6, y ∈ 0..7 — 56 bits, always a non-negative
+    * Long) iff lum(x+1, y) > lum(x, y). Luminance is the INTEGER BT.601
+    * numerator 299·r + 587·g + 114·b (no division — ordering is all
+    * dHash reads), and the resample is the same floor arithmetic as
+    * [[MediaCodecs.resizeBmpNearest]] (sx = x·w/8), so the whole hash is
+    * integer-exact and closed-form recomputable for synthetic images.
+    * dHash is invariant to uniform brightness shifts (neighbor
+    * DIFFERENCES are unchanged) — byte-wise different re-encodes of the
+    * same scene collapse to one hash, which is what image near-dup
+    * detection needs and byte-hash dedup cannot do. Rows that do not
+    * parse as 24bpp BMP are dropped. Narrow map-only shape; the
+    * downstream near-dup groupBy shuffles 8-byte hashes, never pixels.
+    */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.bmpPixels(r.bytes).map { case (w, h, px) =>
+          def lum(gx: Int, gy: Int): Long = {
+            val sx = (gx.toLong * w / 8).toInt
+            val sy = (gy.toLong * h / 8).toInt
+            val (pr, pg, pb) = px(sx, sy)
+            299L * pr + 587L * pg + 114L * pb
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              if (lum(x + 1, y) > lum(x, y))
+                hash |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (r.media_id, hash)
+        }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
   /** Video frame features for mp4 payloads — the SAMPLE decode, not just
     * container metadata (r10; retires the last media stub for one real
     * codec): stsd fourcc dispatch ([[MediaCodecs.parseMp4Codec]]) →

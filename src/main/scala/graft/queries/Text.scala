@@ -1672,6 +1672,75 @@ object Text {
           JOIN uc ub ON bc.b = ub.t, ut, bt
           WHERE bc.cab >= 5)
         SELECT a, b, cab, round(CAST(pmi_fp AS DOUBLE) / 1000000, 6) AS pmi
-        FROM scored ORDER BY pmi_fp DESC, a, b LIMIT 20"""))
+        FROM scored ORDER BY pmi_fp DESC, a, b LIMIT 20""")),
+
+    // ---- Perceptual image dedup: dHash clusters over REAL decoded BMPs -----
+    // The image-granularity near-dup primitive: synthesize 24bpp BMPs from
+    // id-derived pixel formulas (6 scene patterns × 2 brightness variants,
+    // the m_media_meta_real fixture discipline), push them through the
+    // REAL decode → 8×8 nearest-resample → 56-bit difference-hash kernel
+    // (Multimodal.imageDHash), and cluster by hash. dHash is invariant to
+    // uniform brightness shifts (neighbor differences cancel them), so the
+    // +10-brightness re-encodes — byte-wise DIFFERENT files — land in
+    // their scene's cluster: each of the 6 clusters holds 10 images that
+    // byte-hash dedup would treat as 60 distinct. The oracle recomputes
+    // every hash closed-form from event_id (integer luminance numerators,
+    // identical floor resample), so a hash match proves the full
+    // encode → decode → resample → hash pipeline bit-exact. Scale shape:
+    // map-only decode+hash (bytes never shuffle), then an 8-byte-hash
+    // groupBy — d_exact_dedup's shape at image granularity.
+    QueryDef(
+      "m_image_dhash",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.events(s, d).filter($"event_id" < 60)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val p = (id % 6).toInt
+            val v = ((id / 6) % 2).toInt
+            val w = 8 + p % 5
+            val h = 6 + p % 3
+            // multipliers chosen to WRAP mod 200 inside the grid so
+            // neighbor-luminance differences change sign (a non-wrapping
+            // ramp makes every dHash bit 1 and all scenes collide)
+            graft.ext.Multimodal.MediaRow(id, "bmp",
+              graft.ext.MediaCodecs.writeBmp24(w, h, (x, y) => (
+                (x * 53 + y * 31 + p * 41) % 200 + v * 10,
+                (x * 47 + y * 59 + p * 23) % 200 + v * 10,
+                (x * 61 + y * 43 + p * 37) % 200 + v * 10)))
+          }
+        graft.ext.Multimodal.imageDHash(media)
+          .groupBy($"dhash")
+          .agg(count(lit(1)).as("n_images"),
+            min($"media_id").as("min_id"),
+            max($"media_id").as("max_id"))
+          .orderBy($"dhash")
+      },
+      Some("""WITH ids AS (SELECT event_id AS id,
+          CAST(event_id % 6 AS BIGINT) AS p,
+          CAST((event_id // 6) % 2 AS BIGINT) AS v
+        FROM events WHERE event_id < 60),
+        gx AS (SELECT unnest(generate_series(0, 7)) AS gx),
+        gy AS (SELECT unnest(generate_series(0, 7)) AS gy),
+        cell AS (SELECT id, p, v, gx.gx, gy.gy,
+            8 + p % 5 AS w, 6 + p % 3 AS h
+          FROM ids, gx, gy),
+        lum AS (SELECT id, gx, gy,
+            299*((sx*53 + sy*31 + p*41) % 200 + v*10)
+          + 587*((sx*47 + sy*59 + p*23) % 200 + v*10)
+          + 114*((sx*61 + sy*43 + p*37) % 200 + v*10) AS l
+          FROM (SELECT *, (gx * w) // 8 AS sx, (gy * h) // 8 AS sy
+                FROM cell)),
+        bits AS (SELECT a.id, a.gy * 7 + a.gx AS k
+          FROM lum a JOIN lum b
+            ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 7 AND b.l > a.l),
+        dh AS (SELECT i.id,
+            CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(k AS INTEGER)), 0)
+              AS BIGINT) AS dhash
+          FROM ids i LEFT JOIN bits ON i.id = bits.id GROUP BY i.id)
+        SELECT dhash, COUNT(*) AS n_images, MIN(id) AS min_id,
+          MAX(id) AS max_id
+        FROM dh GROUP BY dhash ORDER BY dhash"""))
   )
 }

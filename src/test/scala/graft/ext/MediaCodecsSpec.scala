@@ -80,6 +80,39 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.resizeBmpNearest(Array.fill[Byte](10)(1), 2, 2).isEmpty)
   }
 
+  test("bmpPixels: top-left origin, exact channels, junk rejected") {
+    def pix(x: Int, y: Int) = (x * 10 + 1, y * 20 + 2, x + y)
+    val bmp = MediaCodecs.writeBmp24(3, 2, pix)
+    val (w, h, px) = MediaCodecs.bmpPixels(bmp).get
+    assert(w == 3 && h == 2)
+    for { y <- 0 until 2; x <- 0 until 3 }
+      assert(px(x, y) == pix(x, y), s"pixel ($x,$y)")
+    assert(MediaCodecs.bmpPixels(Array.fill[Byte](20)(7)).isEmpty)
+  }
+
+  test("imageDHash: brightness-invariant, scene-separating, junk dropped") {
+    import SparkTestSession.spark.implicits._
+    def scene(p: Int, shift: Int)(x: Int, y: Int) = (
+      (x * 53 + y * 31 + p * 41) % 200 + shift,
+      (x * 47 + y * 59 + p * 23) % 200 + shift,
+      (x * 61 + y * 43 + p * 37) % 200 + shift)
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "bmp", MediaCodecs.writeBmp24(10, 8, scene(0, 0))),
+      // same scene, +25 uniform brightness: byte-wise different file
+      Multimodal.MediaRow(1L, "bmp", MediaCodecs.writeBmp24(10, 8, scene(0, 25))),
+      // different scene
+      Multimodal.MediaRow(2L, "bmp", MediaCodecs.writeBmp24(10, 8, scene(3, 0))),
+      // junk: must be dropped, not crash
+      Multimodal.MediaRow(3L, "bmp", Array.fill[Byte](30)(1)))
+    val out = Multimodal.imageDHash(SparkTestSession.spark
+      .createDataset(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == out(1L), "brightness shift must not change dHash")
+    assert(out(0L) != out(2L), "different scenes must separate")
+    assert(out.values.forall(_ >= 0L), "56-bit hash stays non-negative")
+  }
+
   test("PNG RGB round-trip recovers dims and exact pixels under ALL filters") {
     // one row per filter type (0..4): a decode mismatch pins the exact
     // unfilter path that broke
