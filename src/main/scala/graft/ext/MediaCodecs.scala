@@ -85,6 +85,37 @@ object MediaCodecs {
       nSamples.toDouble / sampleRate, rms, zc))
   }
 
+  /** Channel-0 RAW signed samples of a RIFF/WAVE PCM16 payload (the
+    * integer values, not [[parseWav]]'s normalized aggregates) — the
+    * access path for integer-exact signal hashing (audio fingerprints).
+    * None for anything parseWav rejects. */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (parseWav(bytes).isEmpty) return None
+    var off = 12
+    var channels = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val size = le32(bytes, off + 4)
+      if (size < 0) return None
+      if (tag(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length)
+        channels = le16(bytes, off + 10)
+      else if (tag(bytes, off, "data")) {
+        dataOff = off + 8; dataLen = math.min(size, bytes.length - dataOff)
+      }
+      off += 8 + size + (size & 1)
+    }
+    val frameBytes = channels * 2
+    val n = dataLen / frameBytes
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val raw = le16(bytes, dataOff + i * frameBytes)
+      out(i) = if (raw >= 0x8000) raw - 0x10000 else raw
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Write a mono PCM16 RIFF/WAVE payload — the synthesis side of the
     * decode round-trip (m_wav_roundtrip and specs). */
   def writeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {

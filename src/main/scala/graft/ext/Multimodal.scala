@@ -179,6 +179,47 @@ object Multimodal {
     }.toDF("media_id", "dhash")
   }
 
+  /** Gain-invariant audio fingerprint over PCM16 WAV payloads: decode
+    * channel-0 samples, sum squared-sample ENERGY per `frame`-sample
+    * frame (exact Long integers), and set bit k iff energy(k+1) >
+    * energy(k), up to `bits` bits (needs `bits`+1 complete frames;
+    * shorter clips hash their available frames, partial tail dropped).
+    * A uniform gain g scales every frame energy by g² — the comparisons,
+    * and therefore the fingerprint, are unchanged: differently-mastered
+    * copies of the same recording collapse to one hash, the audio
+    * analogue of [[imageDHash]]'s brightness invariance. Pure integer
+    * arithmetic end to end, so synthetic-fixture hashes are closed-form
+    * recomputable in SQL. Rows that do not parse as PCM16 WAV drop.
+    * Map-only; the near-dup groupBy downstream shuffles 8-byte hashes.
+    */
+  def audioFingerprint(
+      media: Dataset[MediaRow], frame: Int = 25, bits: Int = 32): DataFrame = {
+    import media.sparkSession.implicits._
+    require(frame > 0 && bits > 0 && bits <= 56,
+      s"need 0 < bits <= 56 and frame > 0, got bits=$bits frame=$frame")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.wavSamples(r.bytes).map { s =>
+          val nFrames = s.length / frame
+          val en = Array.tabulate(nFrames) { f =>
+            var e = 0L
+            var i = f * frame
+            val end = i + frame
+            while (i < end) { e += s(i).toLong * s(i); i += 1 }
+            e
+          }
+          var hash = 0L
+          var k = 0
+          while (k < bits && k + 1 < nFrames) {
+            if (en(k + 1) > en(k)) hash |= 1L << k
+            k += 1
+          }
+          (r.media_id, hash)
+        }
+      }
+    }.toDF("media_id", "fingerprint")
+  }
+
   /** Video frame features for mp4 payloads — the SAMPLE decode, not just
     * container metadata (r10; retires the last media stub for one real
     * codec): stsd fourcc dispatch ([[MediaCodecs.parseMp4Codec]]) →

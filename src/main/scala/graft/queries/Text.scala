@@ -1741,6 +1741,62 @@ object Text {
           FROM ids i LEFT JOIN bits ON i.id = bits.id GROUP BY i.id)
         SELECT dhash, COUNT(*) AS n_images, MIN(id) AS min_id,
           MAX(id) AS max_id
-        FROM dh GROUP BY dhash ORDER BY dhash"""))
+        FROM dh GROUP BY dhash ORDER BY dhash""")),
+
+    // ---- Perceptual audio dedup: gain-invariant fingerprint clusters -------
+    // The audio analogue of m_image_dhash: synthesize PCM16 WAVs from
+    // id-derived closed-form samples (6 signal patterns × 2 gain
+    // variants g ∈ {1, 2}), decode through the REAL RIFF parser, hash
+    // frame-energy deltas (Multimodal.audioFingerprint — 33 frames of 25
+    // samples → 32 bits), cluster by fingerprint. Energy scales by g²
+    // under gain, comparisons don't: the ×2-gain re-masters — byte-wise
+    // different files — land in their signal's cluster (6 clusters of
+    // 10). Everything is integer (samples, squared-energy Longs), so the
+    // oracle recomputes every fingerprint closed-form from event_id and
+    // the match proves encode → decode → frame-energy → hash bit-exact.
+    QueryDef(
+      "m_audio_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.events(s, d).filter($"event_id" < 60)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val p = (id % 6).toInt
+            val g = 1 + ((id / 6) % 2).toInt
+            // wraps mod 16001 keep frame energies non-monotonic; scene
+            // multiplier 307 separates all 6 patterns (tested)
+            val samples = Array.tabulate(825) { i =>
+              ((((i.toLong * i * 7 + i * 13 + p * 307) % 16001L) - 8000L)
+                * g).toShort
+            }
+            graft.ext.Multimodal.MediaRow(id, "wav",
+              graft.ext.MediaCodecs.writeWavPcm16(8000, samples))
+          }
+        graft.ext.Multimodal.audioFingerprint(media)
+          .groupBy($"fingerprint")
+          .agg(count(lit(1)).as("n_clips"),
+            min($"media_id").as("min_id"),
+            max($"media_id").as("max_id"))
+          .orderBy($"fingerprint")
+      },
+      Some("""WITH ids AS (SELECT event_id AS id,
+          CAST(event_id % 6 AS BIGINT) AS p,
+          1 + (event_id // 6) % 2 AS g
+        FROM events WHERE event_id < 60),
+        smp AS (SELECT id, i,
+            ((i*i*7 + i*13 + p*307) % 16001 - 8000) * g AS s
+          FROM ids, (SELECT unnest(generate_series(0, 824)) AS i)),
+        e AS (SELECT id, i // 25 AS f, SUM(s * s) AS en
+          FROM smp GROUP BY id, i // 25),
+        bits AS (SELECT a.id, a.f AS k
+          FROM e a JOIN e b ON a.id = b.id AND b.f = a.f + 1
+          WHERE a.f < 32 AND b.en > a.en),
+        fp AS (SELECT i.id,
+            CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(k AS INTEGER)), 0)
+              AS BIGINT) AS fingerprint
+          FROM ids i LEFT JOIN bits ON i.id = bits.id GROUP BY i.id)
+        SELECT fingerprint, COUNT(*) AS n_clips, MIN(id) AS min_id,
+          MAX(id) AS max_id
+        FROM fp GROUP BY fingerprint ORDER BY fingerprint"""))
   )
 }

@@ -113,6 +113,38 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(out.values.forall(_ >= 0L), "56-bit hash stays non-negative")
   }
 
+  test("wavSamples: raw channel-0 integers round-trip; junk rejected") {
+    val samples = Array.tabulate(50)(i => ((i * 991) % 30000 - 15000).toShort)
+    val wav = MediaCodecs.writeWavPcm16(8000, samples)
+    assert(MediaCodecs.wavSamples(wav).get.toSeq == samples.map(_.toInt).toSeq)
+    assert(MediaCodecs.wavSamples(Array.fill[Byte](50)(3)).isEmpty)
+  }
+
+  test("audioFingerprint: gain-invariant, signal-separating, junk dropped") {
+    import SparkTestSession.spark.implicits._
+    def clip(p: Int, g: Int): Array[Byte] =
+      MediaCodecs.writeWavPcm16(8000, Array.tabulate(825) { i =>
+        ((((i.toLong * i * 7 + i * 13 + p * 307) % 16001L) - 8000L) * g).toShort
+      })
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "wav", clip(0, 1)),
+      Multimodal.MediaRow(1L, "wav", clip(0, 2)), // ×2 gain re-master
+      Multimodal.MediaRow(2L, "wav", clip(3, 1)), // different signal
+      Multimodal.MediaRow(3L, "wav", Array.fill[Byte](40)(9)))
+    val out = Multimodal.audioFingerprint(
+      SparkTestSession.spark.createDataset(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == out(1L), "uniform gain must not change the fingerprint")
+    assert(out(0L) != out(2L), "different signals must separate")
+    // short clip: hashes only its available frames, never throws
+    val short = Multimodal.audioFingerprint(SparkTestSession.spark
+      .createDataset(Seq(Multimodal.MediaRow(9L, "wav",
+        MediaCodecs.writeWavPcm16(8000, Array.fill[Short](30)(100))))))
+      .collect()
+    assert(short.length == 1)
+  }
+
   test("PNG RGB round-trip recovers dims and exact pixels under ALL filters") {
     // one row per filter type (0..4): a decode mismatch pins the exact
     // unfilter path that broke
