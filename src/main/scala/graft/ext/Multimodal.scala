@@ -156,27 +156,58 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         MediaCodecs.bmpPixels(r.bytes).map { case (w, h, px) =>
-          def lum(gx: Int, gy: Int): Long = {
-            val sx = (gx.toLong * w / 8).toInt
-            val sy = (gy.toLong * h / 8).toInt
-            val (pr, pg, pb) = px(sx, sy)
+          (r.media_id, dHash56(w, h, (x, y) => {
+            val (pr, pg, pb) = px(x, y)
             299L * pr + 587L * pg + 114L * pb
-          }
-          var hash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 7) {
-              if (lum(x + 1, y) > lum(x, y))
-                hash |= 1L << (y * 7 + x)
-              x += 1
-            }
-            y += 1
-          }
-          (r.media_id, hash)
+          }))
         }
       }
     }.toDF("media_id", "dhash")
+  }
+
+  /** The shared dHash kernel: nearest-resample `lum` (full-resolution
+    * integer luminance) to 8×8 (sx = gx·w/8 floor, the
+    * [[MediaCodecs.resizeBmpNearest]] arithmetic) and set bit
+    * k = y·7 + x iff lum(x+1, y) > lum(x, y) — 56 bits, non-negative. */
+  def dHash56(w: Int, h: Int, lum: (Int, Int) => Long): Long = {
+    def l(gx: Int, gy: Int): Long =
+      lum((gx.toLong * w / 8).toInt, (gy.toLong * h / 8).toInt)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (l(x + 1, y) > l(x, y)) hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-frame perceptual hashes over animated-GIF payloads: the VIDEO
+    * arm of the dHash family. GIF's LZW is lossless and its palette is
+    * explicit, so unlike MJPEG (quantization noise → bounded-accuracy
+    * booleans only) every decoded frame's [[dHash56]] is closed-form
+    * recomputable from a synthetic fixture's id — the video near-dup
+    * gate can be hash-exact. One output row per (video, frame);
+    * callers build a whole-video signature by hashing the ordered
+    * frame-hash sequence (see the m_video_dhash gate) — two videos
+    * match iff every frame matches in order, which uniform palette
+    * brightness shifts do not disturb. Map-only; pixels never shuffle.
+    */
+  def videoDHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        GifCodec.decodeGifFrames(r.bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex.map { case (img, f) =>
+            (r.media_id, f, dHash56(img.width, img.height, (x, y) =>
+              299L * img.r(x, y) + 587L * img.g(x, y) + 114L * img.b(x, y)))
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash")
   }
 
   /** Gain-invariant audio fingerprint over PCM16 WAV payloads: decode

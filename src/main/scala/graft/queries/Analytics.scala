@@ -343,6 +343,152 @@ object Analytics {
             AS BIGINT) AS n_outliers,
           round(MAX(d.dev), 4) AS max_dev
         FROM dev d JOIN mad m USING (g)
-        GROUP BY d.g, d.med, m.mad ORDER BY event_type"""))
+        GROUP BY d.g, d.med, m.mad ORDER BY event_type""")),
+
+    // ---- Pearson correlation matrix (feature-relationship audit) -----------
+    // Pairwise r over the four lineitem measures in ONE pass: every
+    // Σx/Σx²/Σxy accumulates in DECIMAL (exact, order-independent — the
+    // module contract), then r assembles in DOUBLE with the identical
+    // expression tree on both engines: r = (n·Σxy − Σx·Σy) /
+    // sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)), rounded to 6dp. The
+    // quality-pipeline use: spotting redundant/derived features before
+    // training a filter model. Scale shape: one map-side-combined
+    // aggregate over the fact table (15 running sums), then a 6-row
+    // stack — no second pass, no shuffle beyond the single global agg.
+    QueryDef(
+      "x_corr_matrix",
+      (s, d) => {
+        import s.implicits._
+        // precision 19 (not 18): DuckDB multiplies two int64-backed
+        // DECIMAL(18)s in int64 and raises overflow on wide values;
+        // width ≥ 19 forces int128 on its side, and Spark's (19,6)² →
+        // (38,11) keeps every ≤4-decimal product exact
+        val dec = (c: String) => col(c).cast("decimal(19,6)")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+          "l_discount" -> "di", "l_tax" -> "t")
+        val sums =
+          Seq(count(lit(1)).cast("double").as("n")) ++
+          cols.map(c => sum(dec(c)).cast("double").as(s"s_${short(c)}")) ++
+          cols.map(c => sum(dec(c) * dec(c)).cast("double")
+            .as(s"ss_${short(c)}")) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            sum(dec(a) * dec(b)).cast("double")
+              .as(s"sp_${short(a)}_${short(b)}")
+          }.toSeq
+        val agg = Tables.lineitem(s, d).agg(sums.head, sums.tail: _*)
+        val pairs = cols.combinations(2).map { case Seq(a, b) =>
+          val (x, y) = (short(a), short(b))
+          s"""'$a', '$b', round(
+             |  (n * sp_${x}_$y - s_$x * s_$y) /
+             |  sqrt((n * ss_$x - s_$x * s_$x) * (n * ss_$y - s_$y * s_$y)),
+             |6)""".stripMargin
+        }.mkString(", ")
+        agg.selectExpr(
+          s"stack(6, $pairs) AS (col_x, col_y, r)")
+          .orderBy($"col_x", $"col_y")
+      },
+      Some("""WITH a AS (SELECT
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS s_q,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS s_e,
+          CAST(SUM(CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS s_di,
+          CAST(SUM(CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS s_t,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS ss_q,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS ss_e,
+          CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS ss_di,
+          CAST(SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS ss_t,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sp_q_e,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS sp_q_di,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS sp_q_t,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DOUBLE) AS sp_e_di,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS sp_e_t,
+          CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DOUBLE) AS sp_di_t
+        FROM lineitem)
+        SELECT col_x, col_y, r FROM (
+          SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+            round((n * sp_q_e - s_q * s_e) /
+              sqrt((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 6) AS r
+          FROM a
+          UNION ALL SELECT 'l_quantity', 'l_discount',
+            round((n * sp_q_di - s_q * s_di) /
+              sqrt((n * ss_q - s_q * s_q) * (n * ss_di - s_di * s_di)), 6)
+          FROM a
+          UNION ALL SELECT 'l_quantity', 'l_tax',
+            round((n * sp_q_t - s_q * s_t) /
+              sqrt((n * ss_q - s_q * s_q) * (n * ss_t - s_t * s_t)), 6)
+          FROM a
+          UNION ALL SELECT 'l_extendedprice', 'l_discount',
+            round((n * sp_e_di - s_e * s_di) /
+              sqrt((n * ss_e - s_e * s_e) * (n * ss_di - s_di * s_di)), 6)
+          FROM a
+          UNION ALL SELECT 'l_extendedprice', 'l_tax',
+            round((n * sp_e_t - s_e * s_t) /
+              sqrt((n * ss_e - s_e * s_e) * (n * ss_t - s_t * s_t)), 6)
+          FROM a
+          UNION ALL SELECT 'l_discount', 'l_tax',
+            round((n * sp_di_t - s_di * s_t) /
+              sqrt((n * ss_di - s_di * s_di) * (n * ss_t - s_t * s_t)), 6)
+          FROM a)
+        ORDER BY col_x, col_y""")),
+
+    // ---- Chi-square independence (categorical association audit) -----------
+    // Contingency table returnflag × linestatus with per-cell χ² terms:
+    // contrib = (O·n − rt·ct)² / (n·rt·ct) — the (O−E)²/E identity in
+    // integer numerators. Terms assemble in DOUBLE with one shared
+    // expression tree (the squared numerator exceeds 2⁵³ so the double
+    // rounds, but identically on both engines — deterministic IEEE on
+    // identical inputs), round into 1e-6 fixed point per CELL, and the
+    // χ² total is the integer sum of those fixed-point longs windowed
+    // over all cells — order-independent, hash-exact. The curation use:
+    // quantifying label/source dependence before stratifying a split.
+    // Scale shape: one grouped count + two tiny re-aggregations + a
+    // |cells|-row window — everything after the first groupBy is
+    // dimension-table sized.
+    QueryDef(
+      "x_chi2_independence",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("o"))
+        val rt = cells.groupBy($"l_returnflag").agg(sum($"o").as("rt"))
+        val ct = cells.groupBy($"l_linestatus").agg(sum($"o").as("ct"))
+        val n = cells.agg(sum($"o").as("n"))
+        val contrib = cells
+          .join(broadcast(rt), Seq("l_returnflag"))
+          .join(broadcast(ct), Seq("l_linestatus"))
+          .crossJoin(broadcast(n))
+          .withColumn("contrib_fp", round(
+            ($"o".cast("double") * $"n" - $"rt".cast("double") * $"ct") *
+              ($"o".cast("double") * $"n" - $"rt".cast("double") * $"ct") /
+              ($"n".cast("double") * $"rt" * $"ct") * 1e6, 0).cast("long"))
+        contrib
+          .select($"l_returnflag", $"l_linestatus", $"o",
+            round($"contrib_fp".cast("double") / 1e6, 6).as("contrib"),
+            round(sum($"contrib_fp").over(Window.partitionBy())
+              .cast("double") / 1e6, 6).as("chi2"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""WITH cells AS (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS o
+          FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        rt AS (SELECT l_returnflag, SUM(o) AS rt FROM cells GROUP BY 1),
+        ct AS (SELECT l_linestatus, SUM(o) AS ct FROM cells GROUP BY 1),
+        n AS (SELECT SUM(o) AS n FROM cells),
+        c2 AS (SELECT c.l_returnflag, c.l_linestatus, c.o,
+            CAST(round(
+              (CAST(c.o AS DOUBLE) * n.n - CAST(rt.rt AS DOUBLE) * ct.ct) *
+              (CAST(c.o AS DOUBLE) * n.n - CAST(rt.rt AS DOUBLE) * ct.ct) /
+              (CAST(n.n AS DOUBLE) * rt.rt * ct.ct) * 1000000)
+              AS BIGINT) AS contrib_fp
+          FROM cells c
+          JOIN rt USING (l_returnflag)
+          JOIN ct USING (l_linestatus), n)
+        SELECT l_returnflag, l_linestatus, o,
+          round(CAST(contrib_fp AS DOUBLE) / 1000000, 6) AS contrib,
+          round(CAST(SUM(contrib_fp) OVER () AS DOUBLE) / 1000000, 6) AS chi2
+        FROM c2 ORDER BY l_returnflag, l_linestatus"""))
   )
 }

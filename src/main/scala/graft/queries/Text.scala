@@ -1797,6 +1797,86 @@ object Text {
           FROM ids i LEFT JOIN bits ON i.id = bits.id GROUP BY i.id)
         SELECT fingerprint, COUNT(*) AS n_clips, MIN(id) AS min_id,
           MAX(id) AS max_id
-        FROM fp GROUP BY fingerprint ORDER BY fingerprint"""))
+        FROM fp GROUP BY fingerprint ORDER BY fingerprint""")),
+
+    // ---- Perceptual video dedup: per-frame dHash over animated GIF ---------
+    // The video arm of the perceptual-dedup triad (image dHash / audio
+    // fingerprint / this): synthesize animated GIFs (4 scene patterns ×
+    // 2 palette-brightness variants, 2-3 frames each), decode every frame
+    // through the REAL LZW decoder (lossless — unlike MJPEG, frame pixels
+    // are exact, so the gate can be hash-exact rather than a bounded
+    // boolean), dHash each frame (Multimodal.videoDHash), and identify
+    // each video by the md5 of its ORDERED frame-hash sequence. A uniform
+    // +10 palette shift changes every byte of the file but no dHash, so
+    // the 2 brightness variants collapse: 4 clusters of 12. The oracle
+    // rebuilds every frame hash closed-form from event_id (palette and
+    // index formulas are integer) and aggregates the same ordered string.
+    QueryDef(
+      "m_video_dhash",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.events(s, d).filter($"event_id" < 48)
+          .select($"event_id").as[Long]
+          .map { id =>
+            val p = (id % 4).toInt
+            val v = ((id / 4) % 2).toInt
+            val nF = 2 + p % 2
+            val palette = Array.tabulate(16) { c =>
+              val r = (c * 37 + p * 11) % 200 + v * 10
+              val g = (c * 53 + p * 7) % 200 + v * 10
+              val b = (c * 29 + p * 3) % 200 + v * 10
+              (r << 16) | (g << 8) | b
+            }
+            val frames = (0 until nF).map(f => Array.tabulate(16 * 12) { i =>
+              val x = i % 16
+              val y = i / 16
+              ((x * 5 + y * 3 + f * 7 + p * 2) % 16).toByte
+            })
+            graft.ext.Multimodal.MediaRow(id, "gif",
+              graft.ext.GifCodec.writeGifAnimated(16, 12, palette, frames, 4))
+          }
+        graft.ext.Multimodal.videoDHash(media)
+          .groupBy($"media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            expr("""md5(concat_ws(',',
+              transform(array_sort(collect_list(struct(frame_idx, dhash))),
+                x -> CAST(x.dhash AS STRING))))""").as("sig"))
+          .groupBy($"sig")
+          .agg(count(lit(1)).as("n_videos"), min($"n_frames").as("n_frames"),
+            min($"media_id").as("min_id"), max($"media_id").as("max_id"))
+          .orderBy($"sig")
+      },
+      Some("""WITH ids AS (SELECT event_id AS id,
+          CAST(event_id % 4 AS BIGINT) AS p,
+          CAST((event_id // 4) % 2 AS BIGINT) AS v,
+          2 + CAST(event_id % 4 AS BIGINT) % 2 AS nf
+        FROM events WHERE event_id < 48),
+        fr AS (SELECT id, p, v, f FROM ids,
+          (SELECT unnest(generate_series(0, 2)) AS f) WHERE f < nf),
+        gx AS (SELECT unnest(generate_series(0, 7)) AS gx),
+        gy AS (SELECT unnest(generate_series(0, 7)) AS gy),
+        lum AS (SELECT id, f, gx, gy,
+            299*((idx*37 + p*11) % 200 + v*10)
+          + 587*((idx*53 + p*7) % 200 + v*10)
+          + 114*((idx*29 + p*3) % 200 + v*10) AS l
+          FROM (SELECT fr.id, fr.p, fr.v, fr.f, gx.gx, gy.gy,
+              ((gx * 2) * 5 + ((gy * 12) // 8) * 3 + fr.f * 7 + fr.p * 2)
+                % 16 AS idx
+            FROM fr, gx, gy)),
+        bits AS (SELECT a.id, a.f, a.gy * 7 + a.gx AS k
+          FROM lum a JOIN lum b
+            ON a.id = b.id AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 7 AND b.l > a.l),
+        dh AS (SELECT fr.id, fr.f,
+            CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(k AS INTEGER)), 0)
+              AS BIGINT) AS dhash
+          FROM fr LEFT JOIN bits ON fr.id = bits.id AND fr.f = bits.f
+          GROUP BY fr.id, fr.f),
+        sig AS (SELECT id, COUNT(*) AS n_frames,
+            md5(string_agg(CAST(dhash AS VARCHAR), ',' ORDER BY f)) AS sig
+          FROM dh GROUP BY id)
+        SELECT sig, COUNT(*) AS n_videos, MIN(n_frames) AS n_frames,
+          MIN(id) AS min_id, MAX(id) AS max_id
+        FROM sig GROUP BY sig ORDER BY sig"""))
   )
 }

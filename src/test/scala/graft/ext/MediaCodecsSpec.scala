@@ -145,6 +145,37 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(short.length == 1)
   }
 
+  test("videoDHash: per-frame hashes, palette-shift invariant, junk dropped") {
+    import SparkTestSession.spark.implicits._
+    def gif(p: Int, shift: Int): Array[Byte] = {
+      val palette = Array.tabulate(16) { c =>
+        val r = (c * 37 + p * 11) % 200 + shift
+        val g = (c * 53 + p * 7) % 200 + shift
+        val b = (c * 29 + p * 3) % 200 + shift
+        (r << 16) | (g << 8) | b
+      }
+      val frames = (0 until 2).map(f => Array.tabulate(16 * 12) { i =>
+        ((i % 16 * 5 + i / 16 * 3 + f * 7 + p * 2) % 16).toByte
+      })
+      GifCodec.writeGifAnimated(16, 12, palette, frames, 4)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "gif", gif(0, 0)),
+      Multimodal.MediaRow(1L, "gif", gif(0, 10)), // +10 palette brightness
+      Multimodal.MediaRow(2L, "gif", gif(3, 0)),  // different scene
+      Multimodal.MediaRow(3L, "gif", Array.fill[Byte](25)(4)))
+    val out = Multimodal.videoDHash(
+      SparkTestSession.spark.createDataset(rows))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).length == 2, "one hash per frame")
+    assert(out(0L) == out(1L), "palette brightness shift must not change hashes")
+    assert(out(0L) != out(2L), "different scenes must separate")
+  }
+
   test("PNG RGB round-trip recovers dims and exact pixels under ALL filters") {
     // one row per filter type (0..4): a decode mismatch pins the exact
     // unfilter path that broke
