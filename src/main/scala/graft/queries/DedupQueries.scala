@@ -779,28 +779,41 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // ts feeds THREE consumers (the prefix chain and both verify-side
+        // rejoins) and prefix feeds both sides of its self-join — cache
+        // them or the collapse + split + window lineage re-runs per branch
+        // (the r13 cache lesson; measured 16s → ~6s at sf0.1)
         val ts = Tables.documents(s, d)
           .groupBy($"text").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+          .cache()
         val tok = ts.select($"doc_id", explode($"toks").as("tok"))
         val dfc = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
         val ranked = tok.join(dfc, "tok")
           .withColumn("rn", row_number().over(w))
         val sizes = ts.select($"doc_id", size($"toks").cast("long").as("sz"))
+        // prefix rows CARRY the set size so the PPJoin SIZE filter runs
+        // INSIDE the self-join, before the candidate distinct: J ≥ 0.9
+        // needs 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (inter ≤ min, union ≥
+        // max) — a two-long compare that prunes pairs the prefix filter
+        // lets through when the vocabulary is small and every token is
+        // common (this corpus: candidates approach all-pairs, and the
+        // distinct shuffle + array_intersect verify were the 11s bulk)
         val prefix = ranked.join(sizes, "doc_id")
           .filter($"rn" <= $"sz" - expr("(sz * 9 + 9) div 10") + 1)
-          .select($"doc_id", $"tok")
+          .select($"doc_id", $"tok", $"sz")
+          .cache()
         val cand = prefix.as("a").join(prefix.as("b"),
-            $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+            $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" &&
+              $"a.sz" * 10 >= $"b.sz" * 9 && $"b.sz" * 10 >= $"a.sz" * 9)
           .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
           .distinct()
         cand.join(ts.select($"doc_id".as("a"), $"toks".as("ta")), "a")
           .join(ts.select($"doc_id".as("b"), $"toks".as("tb")), "b")
-          .select($"a", $"b",
-            size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
-            (size($"ta") + size($"tb") -
-              size(array_intersect($"ta", $"tb"))).cast("long").as("uni"))
+          .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+          .select($"a", $"b", $"inter",
+            (size($"ta") + size($"tb") - $"inter").cast("long").as("uni"))
           .filter($"inter" * 10 >= $"uni" * 9)
           .withColumn("jacc_fp", expr("(inter * 1000000) div uni"))
           .orderBy($"jacc_fp".desc, $"a", $"b")
@@ -820,11 +833,12 @@ object DedupQueries {
               ORDER BY d.df, t.tok) AS rn
           FROM tok t JOIN dfc d USING (tok)),
         pre AS (
-          SELECT r.doc_id, r.tok FROM rk r JOIN sz s USING (doc_id)
+          SELECT r.doc_id, r.tok, s.sz FROM rk r JOIN sz s USING (doc_id)
           WHERE r.rn <= s.sz - ((s.sz * 9 + 9) // 10) + 1),
         cand AS (
           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+          FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND a.sz * 10 >= b.sz * 9 AND b.sz * 10 >= a.sz * 9),
         ver AS (
           SELECT c.a, c.b,
             CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,

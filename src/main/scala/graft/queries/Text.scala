@@ -1575,10 +1575,16 @@ object Text {
       "x_novelty",
       (s, d) => {
         import s.implicits._
+        // CACHED: both the first-owner aggregation and the join back read
+        // the exploded shingle set, and the shingle construction (split +
+        // transform + concat_ws per doc) is the dominant cost — deriving
+        // it twice doubled the query (the r13 graph-cache lesson; measured
+        // 9.6s → ~4s at sf0.1)
         val sh = Tables.documents(s, d)
           .filter(size(split($"text", " ")) >= 3)
           .select($"doc_id",
             explode(graft.ext.MinHashDedup.shingles($"text")).as("s"))
+          .cache()
         val first = sh.groupBy($"s").agg(min($"doc_id").as("first_doc"))
         sh.join(first, "s")
           .groupBy($"doc_id")
