@@ -292,11 +292,14 @@ object Curation {
       "x_decontamination",
       (s, d) => {
         import s.implicits._
-        // ONE definition of "gram" with the streaming form (DeconStream)
+        // ONE definition of "gram" with the streaming form (DeconStream).
+        // CACHED: the benchmark branch and the raw branch both read it,
+        // and the 5-gram construction dominates (r13 cache lesson)
         val sh = Tables.documents(s, d)
           .select($"doc_id",
             graft.ext.SpanDedup.distinctGrams($"text", 5).as("sh"))
           .filter(size($"sh") > 0)
+          .cache()
         val bench = sh.filter($"doc_id" % 17 === 0)
           .select(explode($"sh").as("g")).distinct()
         sh.filter($"doc_id" % 17 =!= 0)
