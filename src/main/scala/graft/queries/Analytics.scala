@@ -489,6 +489,76 @@ object Analytics {
         SELECT l_returnflag, l_linestatus, o,
           round(CAST(contrib_fp AS DOUBLE) / 1000000, 6) AS contrib,
           round(CAST(SUM(contrib_fp) OVER () AS DOUBLE) / 1000000, 6) AS chi2
-        FROM c2 ORDER BY l_returnflag, l_linestatus"""))
+        FROM c2 ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- Spearman rank correlation (monotonic-association audit) -----------
+    // Spearman ρ = Pearson over average ranks, tie-aware. Ranks come from
+    // the VALUE-FREQUENCY table, not a row-level global sort: per distinct
+    // value, avg rank = cum_count_before + (cnt+1)/2 — the rank window
+    // runs over |distinct values| rows (tiny), and rows get their rank by
+    // an equi-join on the value. DOUBLED ranks (2·cum + cnt + 1) keep
+    // everything integer until the decimal-exact sum stage; the ρ
+    // assembly reuses the x_corr_matrix contract (decimal sums → one
+    // shared double expression). Doubling scales both variables by 2,
+    // which cancels in ρ exactly. The audit Pearson misses: monotonic but
+    // non-linear dependence (quality score vs log length). Scale shape:
+    // two value-keyed groupBy counts + windows over distinct values +
+    // two value equi-joins + one map-side-combined sum aggregate — no
+    // global row sort anywhere.
+    QueryDef(
+      "x_spearman",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def ranks(c: String, out: String) = {
+          val vf = Tables.lineitem(s, d).groupBy(col(c))
+            .agg(count(lit(1)).as("cnt"))
+          vf.withColumn("cumb",
+              coalesce(sum($"cnt").over(Window.orderBy(col(c))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col(c),
+              ($"cumb" * 2 + $"cnt" + 1).cast("decimal(19,6)").as(out))
+        }
+        val withRanks = Tables.lineitem(s, d)
+          .select($"l_quantity", $"l_extendedprice")
+          .join(ranks("l_quantity", "rx"), Seq("l_quantity"))
+          .join(ranks("l_extendedprice", "ry"), Seq("l_extendedprice"))
+        withRanks.agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"rx").cast("double").as("sx"),
+            sum($"ry").cast("double").as("sy"),
+            sum($"rx" * $"rx").cast("double").as("sxx"),
+            sum($"ry" * $"ry").cast("double").as("syy"),
+            sum($"rx" * $"ry").cast("double").as("sxy"))
+          .select(lit("l_quantity").as("col_x"),
+            lit("l_extendedprice").as("col_y"),
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
+              sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+                ($"n" * $"syy" - $"sy" * $"sy")), 6).as("rho"))
+      },
+      Some("""WITH rx AS (
+          SELECT l_quantity,
+            CAST((COALESCE(SUM(cnt) OVER (ORDER BY l_quantity
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) * 2
+              + cnt + 1 AS DECIMAL(19,6)) AS rx
+          FROM (SELECT l_quantity, COUNT(*) AS cnt FROM lineitem GROUP BY 1)),
+        ry AS (
+          SELECT l_extendedprice,
+            CAST((COALESCE(SUM(cnt) OVER (ORDER BY l_extendedprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) * 2
+              + cnt + 1 AS DECIMAL(19,6)) AS ry
+          FROM (SELECT l_extendedprice, COUNT(*) AS cnt FROM lineitem GROUP BY 1)),
+        j AS (SELECT rx.rx, ry.ry FROM lineitem l
+          JOIN rx USING (l_quantity) JOIN ry USING (l_extendedprice)),
+        a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+            CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+            CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+            CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+          FROM j)
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+        FROM a"""))
   )
 }

@@ -76,6 +76,34 @@ object Events {
         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
       bench = true),
 
+    // ---- T4d: windowed distinct users (exact + sketch within bound) --------
+    // Per tumbling hour: exact distinct users (the partial-aggregated
+    // two-phase count-distinct) plus the HLL estimate and an
+    // a8_approx_distinct-style hash-stable within-5×rsd flag — the
+    // windowed-cardinality audit every engagement dashboard runs. At
+    // 100 TB the exact arm becomes the expensive one (distinct shuffle
+    // per window); the sketch column is the scale path and the flag is
+    // the gate that keeps it honest.
+    QueryDef(
+      "t4_window_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "1 hour"))
+          .agg(countDistinct($"user_id").as("n_users"),
+            approx_count_distinct($"user_id", 0.05).as("n_users_approx"),
+            count(lit(1)).as("n_events"))
+          .select($"window.start".as("w_start"), $"n_events", $"n_users",
+            (abs($"n_users_approx" - $"n_users").cast("double") <=
+              $"n_users" * 0.25).as("approx_in_bound"))
+          .orderBy($"w_start")
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        TRUE AS approx_in_bound
+        FROM events GROUP BY 1 ORDER BY w_start""")),
+
     // ---- T4: tumbling window (1 day) ---------------------------------------
     QueryDef(
       "t4_tumbling_day",

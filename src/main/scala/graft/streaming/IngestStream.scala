@@ -247,4 +247,26 @@ object IngestStream {
       .select(col("v.view_id"), col("v.user_id"), col("v.view_ts"),
         col("c.click_id"), col("c.click_ts"))
   }
+
+  /** LEFT-OUTER stream-stream attribution: every view emits — joined to
+    * its in-gap clicks when they exist, or once with NULL click columns
+    * when none arrive. The unmatched row cannot emit eagerly (a matching
+    * click may still be in flight), so the engine holds the view in
+    * state and emits the NULL form only when the click watermark passes
+    * view_ts + gap — conversion-FAILURE detection ("views that never
+    * clicked") with the same bounded state as the inner form. Same
+    * keyed-shuffle shape; the only addition is the watermark-gated NULL
+    * emission.
+    */
+  def attributionJoinLeft(views: DataFrame, clicks: DataFrame,
+      watermark: String = "1 hour", gap: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark).alias("v")
+    val c = clicks.withWatermark("click_ts", watermark).alias("c")
+    v.join(c, expr(
+      s"""v.user_id = c.user_id
+          AND c.click_ts > v.view_ts
+          AND c.click_ts <= v.view_ts + interval $gap"""), "left_outer")
+      .select(col("v.view_id"), col("v.user_id"), col("v.view_ts"),
+        col("c.click_id"), col("c.click_ts"))
+  }
 }

@@ -272,6 +272,50 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(streamed == batchSet && batchSet.nonEmpty)
   }
 
+  test("left-outer attribution emits NULL row only after the click watermark passes") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = Files.createTempDirectory(Paths.get("target"), "attribL")
+    val vDir = Files.createDirectory(root.resolve("views")).toString
+    val cDir = Files.createDirectory(root.resolve("clicks")).toString
+    def write(dir: String, name: String, rows: Seq[String]): Unit =
+      Files.writeString(Paths.get(dir, name), rows.mkString("\n"))
+
+    // view for user 1 (will click in-gap) and user 2 (never clicks)
+    write(vDir, "v1.csv", Seq(
+      "10,1,2026-01-01 10:00:00", "20,2,2026-01-01 10:00:00"))
+    write(cDir, "c1.csv", Seq("30,1,2026-01-01 10:10:00"))
+    val views = spark.readStream
+      .schema("view_id LONG, user_id LONG, view_ts TIMESTAMP").csv(vDir + "/*.csv")
+    val clicks = spark.readStream
+      .schema("click_id LONG, user_id LONG, click_ts TIMESTAMP").csv(cDir + "/*.csv")
+    val q = IngestStream.attributionJoinLeft(views, clicks,
+      watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attribl_out")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // the matched pair may emit, but user 2's NULL row must NOT — its
+    // in-gap click could still arrive (watermark 09:55..10:00-ish)
+    val early = spark.table("attribl_out")
+      .collect().map(r => (r.getLong(0), r.isNullAt(3)))
+    assert(!early.exists(_._2), s"premature NULL emission: ${early.toSeq}")
+
+    // advance BOTH watermarks far past view_ts + gap (the global
+    // watermark is the MIN across streams, so a click alone cannot
+    // expire view-side state) → the unmatched view flushes with NULL
+    // click columns; the fresh user-9 view stays held (still joinable)
+    write(cDir, "c2.csv", Seq("40,9,2026-01-01 13:00:00"))
+    write(vDir, "v2.csv", Seq("90,9,2026-01-01 13:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attribl_out")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows.contains((10L, 30L)), s"matched pair missing: $rows")
+    assert(rows.contains((20L, -1L)), s"unmatched view never flushed: $rows")
+  }
+
   test("session windows stitch across micro-batches; emit only past watermark") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = Files.createTempDirectory(Paths.get("target"), "sess")
