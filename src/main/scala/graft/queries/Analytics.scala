@@ -559,6 +559,134 @@ object Analytics {
         SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
           round((n * sxy - sx * sy) /
             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
-        FROM a"""))
+        FROM a""")),
+
+    // ---- Data-quality check suite (the dbt-test / expectations analog) -----
+    // One row per declared constraint with its violation count: primary-key
+    // uniqueness (o_orderkey), referential integrity (orders.o_custkey ⊆
+    // customer, lineitem.l_orderkey ⊆ orders), NOT-NULL (o_orderdate),
+    // domain membership (o_orderstatus ∈ {O,F,P}), and value range
+    // (l_discount ∈ [0,1], l_quantity > 0). The gate contract a pipeline
+    // promotes to a circuit breaker before training data ships. Scale
+    // shape: uniqueness is one groupBy HAVING>1 count; each FK is a
+    // LEFT-ANTI join on the key (broadcast when the parent is
+    // dimension-sized, shuffle otherwise); null/domain/range checks are
+    // map-only conditional counts — every check is one pass, and all
+    // checks over the same table share their scan.
+    QueryDef(
+      "x_dq_checks",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val cust = Tables.customer(s, d)
+        val dupPk = ord.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1).agg(count(lit(1)).as("violations"))
+          .select(lit("orders_pk_unique").as("check_name"), $"violations")
+        val fkCust = ord.join(cust,
+            $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orders_custkey_fk").as("check_name"), $"violations")
+        val fkOrd = li.join(ord,
+            $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("lineitem_orderkey_fk").as("check_name"), $"violations")
+        val scans = ord.agg(
+            sum(when($"o_orderdate".isNull, 1L).otherwise(0L))
+              .as("date_null"),
+            sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L)
+              .otherwise(0L)).as("status_domain"))
+        val liScans = li.agg(
+            sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L)
+              .otherwise(0L)).as("discount_range"),
+            sum(when($"l_quantity" <= 0, 1L).otherwise(0L))
+              .as("quantity_positive"))
+        val scanRows = scans.selectExpr(
+          """stack(2,
+            |  'orders_orderdate_not_null', date_null,
+            |  'orders_status_domain', status_domain) AS (check_name, violations)"""
+            .stripMargin)
+        val liRows = liScans.selectExpr(
+          """stack(2,
+            |  'lineitem_discount_range', discount_range,
+            |  'lineitem_quantity_positive', quantity_positive)
+            |  AS (check_name, violations)""".stripMargin)
+        dupPk.unionByName(fkCust).unionByName(fkOrd)
+          .unionByName(scanRows).unionByName(liRows)
+          .withColumn("passed", $"violations" === 0L)
+          .orderBy($"check_name")
+      },
+      Some("""SELECT check_name, violations, violations = 0 AS passed FROM (
+          SELECT 'orders_pk_unique' AS check_name, COUNT(*) AS violations FROM (
+            SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+          UNION ALL
+          SELECT 'orders_custkey_fk', COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey)
+          UNION ALL
+          SELECT 'lineitem_orderkey_fk', COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'orders_orderdate_not_null',
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) FROM orders
+          UNION ALL
+          SELECT 'orders_status_domain',
+            CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+              THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          UNION ALL
+          SELECT 'lineitem_discount_range',
+            CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_quantity_positive',
+            CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM lineitem)
+        ORDER BY check_name""")),
+
+    // ---- Event-gap detection (freshness / completeness monitoring) ---------
+    // Hours in the corpus's [min, max] event-time span where an
+    // event_type produced ZERO events: a generated calendar spine
+    // cross-joined with the type dimension, LEFT-ANTI against the
+    // observed (type, hour) pairs. The monitoring query behind every
+    // "did ingestion stall?" alert. Scale shape: the spine is
+    // |hours|×|types| rows (tiny — generated, not scanned), the observed
+    // set is one map-side-combined distinct over the fact table, and the
+    // anti-join broadcasts the observed AGGREGATE per type-hour — never
+    // the events.
+    QueryDef(
+      "x_gap_detection",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_type", date_trunc("hour", $"ts").as("h"))
+        val span = ev.agg(min($"h").as("h_min"), max($"h").as("h_max"))
+        val types = ev.select($"event_type").distinct()
+        val spine = types.crossJoin(broadcast(span))
+          .select($"event_type",
+            explode(sequence($"h_min", $"h_max",
+              expr("interval 1 hour"))).as("h"))
+        val observed = ev.distinct()
+        spine.join(observed, Seq("event_type", "h"), "left_anti")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_gap_hours"),
+            date_format(min($"h"), "yyyy-MM-dd HH:mm").as("first_gap"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        span AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM ev),
+        spine AS (SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM ev) t,
+            (SELECT unnest(generate_series(h_min, h_max,
+              INTERVAL 1 HOUR)) AS h FROM span) g),
+        obs AS (SELECT DISTINCT event_type, h FROM ev)
+        SELECT s.event_type, COUNT(*) AS n_gap_hours,
+          strftime(MIN(s.h), '%Y-%m-%d %H:%M') AS first_gap
+        FROM spine s LEFT JOIN obs o
+          ON s.event_type = o.event_type AND s.h = o.h
+        WHERE o.event_type IS NULL
+        GROUP BY s.event_type ORDER BY s.event_type"""))
   )
 }
