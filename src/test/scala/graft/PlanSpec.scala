@@ -237,6 +237,14 @@ class PlanSpec extends AnyFunSuite {
     // sentence dedup: ONE hash-keyed aggregation + one equi-join back;
     // a cartesian would mean the winner join degenerated
     assert(!plan("d_sentence_dedup").contains("CartesianProduct"))
+    // round-13 tail: rank/constraint/monitoring gates stay keyed
+    assert(!plan("x_spearman").contains("CartesianProduct"))
+    assert(!plan("x_dq_checks").contains("CartesianProduct"))
+    assert(!plan("x_gap_detection").contains("CartesianProduct"))
+    // correlation matrix: ONE aggregate over the fact scan — no joins,
+    // no exchange beyond the global agg's singleton
+    val cm = plan("x_corr_matrix")
+    assert(!cm.contains("Join"), s"x_corr_matrix grew a join:\n$cm")
   }
 
   test("approx_count_distinct lands within its error bound of exact") {
