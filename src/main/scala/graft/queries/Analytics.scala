@@ -687,6 +687,55 @@ object Analytics {
         FROM spine s LEFT JOIN obs o
           ON s.event_type = o.event_type AND s.h = o.h
         WHERE o.event_type IS NULL
-        GROUP BY s.event_type ORDER BY s.event_type"""))
+        GROUP BY s.event_type ORDER BY s.event_type""")),
+
+    // ---- Join-key skew profiler (the salting decision's input) -------------
+    // Per join-key family, the numbers the SkewJoin decision table needs
+    // BEFORE the join runs: distinct keys, rows, the hottest key's count,
+    // and the skew ratio hot/mean in 1e-6 fixed point (hot·distinct·1e6
+    // div rows — integer, hash-exact). A ratio near 1e6 means uniform
+    // (hash-partition and go); orders of magnitude above means salt the
+    // hot keys or broadcast the other side. One groupBy count + a 1-row
+    // max per family — the profile costs one map-side-combined pass per
+    // key column, which is what makes it runnable as a pre-flight check
+    // at 100 TB.
+    QueryDef(
+      "x_skew_profile",
+      (s, d) => {
+        import s.implicits._
+        def profile(df: org.apache.spark.sql.DataFrame, key: String,
+            fam: String) = {
+          val kc = df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("c"))
+          kc.agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"),
+              max($"c").as("hot"))
+            .select(lit(fam).as("key_family"), $"n_keys", $"n_rows",
+              $"hot",
+              expr("(hot * n_keys * 1000000) div n_rows").as("skew_fp"))
+        }
+        profile(Tables.lineitem(s, d), "l_orderkey", "lineitem.orderkey")
+          .unionByName(
+            profile(Tables.orders(s, d), "o_custkey", "orders.custkey"))
+          .unionByName(
+            profile(Tables.events(s, d), "user_id", "events.user_id"))
+          .unionByName(
+            profile(Tables.events(s, d), "event_type", "events.event_type"))
+          .orderBy($"key_family")
+      },
+      Some("""SELECT key_family, n_keys, n_rows, hot,
+          (hot * n_keys * 1000000) // n_rows AS skew_fp FROM (
+          SELECT 'lineitem.orderkey' AS key_family, COUNT(*) AS n_keys,
+            CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS hot FROM (
+            SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'orders.custkey', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c) FROM (
+            SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1)
+          UNION ALL
+          SELECT 'events.user_id', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c) FROM (
+            SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+          UNION ALL
+          SELECT 'events.event_type', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c) FROM (
+            SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1))
+        ORDER BY key_family"""))
   )
 }
