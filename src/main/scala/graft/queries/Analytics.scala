@@ -509,13 +509,15 @@ object Analytics {
       "x_spearman",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         def ranks(c: String, out: String) = {
           val vf = Tables.lineitem(s, d).groupBy(col(c))
             .agg(count(lit(1)).as("cnt"))
-          vf.withColumn("cumb",
-              coalesce(sum($"cnt").over(Window.orderBy(col(c))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          // exclusive prefix count via the DISTRIBUTED two-phase scan
+          // (operators/PrefixSum) — a bare Window.orderBy here would
+          // collapse the whole value-frequency table into one partition,
+          // exactly the bottleneck this query's scaladoc promises to avoid
+          graft.operators.PrefixSum
+            .exclusivePrefixSum(vf, c, "cnt", "cumb")
             .select(col(c),
               ($"cumb" * 2 + $"cnt" + 1).cast("decimal(19,6)").as(out))
         }
