@@ -258,6 +258,56 @@ object Analytics {
           CAST(n AS DOUBLE) / t.tot AS frac
         FROM h, t ORDER BY bucket""")),
 
+    // ---- A12: equi-DEPTH histogram (quantile-bounded buckets) --------------
+    // The partner to a11's equi-width form: decile boundaries from ONE
+    // exact-percentile aggregate (both engines round to 4dp — the
+    // a9_percentiles interpolation contract — so the boundary compare
+    // runs on identical doubles), then per-row bucket assignment as a
+    // SHARED CASE expression counting boundaries at or below the value.
+    // No ntile, therefore no single-partition global window: boundaries
+    // broadcast as a 1-row aggregate and assignment is map-only. Buckets
+    // carry ~10% of rows each except where boundary ties mass
+    // (deterministic on both engines). The equi-depth view is what a
+    // range-partitioner or stratifier actually consumes.
+    QueryDef(
+      "a12_equidepth_histogram",
+      (s, d) => {
+        import s.implicits._
+        val qs = (1 to 9).map(i =>
+          round(expr(s"percentile(value, 0.$i)"), 4).as(s"q$i"))
+        val bounds = Tables.events(s, d).agg(qs.head, qs.tail: _*)
+        val bucket = (1 to 9).map(i =>
+          when($"value" >= col(s"q$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        Tables.events(s, d).crossJoin(broadcast(bounds))
+          .select(bucket.as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (SELECT
+          round(quantile_cont(value, 0.1), 4) AS q1,
+          round(quantile_cont(value, 0.2), 4) AS q2,
+          round(quantile_cont(value, 0.3), 4) AS q3,
+          round(quantile_cont(value, 0.4), 4) AS q4,
+          round(quantile_cont(value, 0.5), 4) AS q5,
+          round(quantile_cont(value, 0.6), 4) AS q6,
+          round(quantile_cont(value, 0.7), 4) AS q7,
+          round(quantile_cont(value, 0.8), 4) AS q8,
+          round(quantile_cont(value, 0.9), 4) AS q9
+          FROM events)
+        SELECT
+          (CASE WHEN value >= q1 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q2 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q3 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q4 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q5 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q6 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q7 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q8 THEN 1 ELSE 0 END) +
+          (CASE WHEN value >= q9 THEN 1 ELSE 0 END) AS bucket,
+          COUNT(*) AS n
+        FROM events, b GROUP BY 1 ORDER BY bucket""")),
+
     // ---- Outlier detection: per-group z-scores, top-k most extreme --------
     // Data-quality screening as a two-pass shape: per-group moments from
     // DECIMAL-EXACT sums (order-free, so map-side partials can't drift
