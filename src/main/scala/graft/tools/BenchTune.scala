@@ -1295,6 +1295,45 @@ object BenchTune {
     * QueryDefs (warmup + median-of-3, noop force) at SPARK_GRAFT_SF_DIR.
     * The reusable form of the per-family probes — point it at any
     * suspect rows from an `all` sweep. */
+  /** 100× documents-table probe for the round-13 text/dedup gates: write
+    * a documents-only corpus replicated 100× with ScaleGen's key-shift
+    * discipline (replica i shifts doc_id by i·stride — every replica is
+    * an EXACT textual clone family, the worst case for anything
+    * candidate-joined), then time the REAL declared queries against both
+    * corpora. The jaccard leg is the interesting one: 100× exact clones
+    * collapse to the original rep set before the prefix join, so the
+    * collapse-first claim is exercised at its design point. */
+  def sentScaleProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("sent-scale", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val out = "/tmp/graft_docs100"
+    docs.crossJoin(spark.range(0, 100).select(col("id").as("__rep")))
+      .select((col("doc_id") + col("__rep") * stride).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val n1 = docs.count(); val n100 = spark.read
+      .parquet(s"$out/documents.parquet").count()
+    println(s"[sentscale] docs $n1 -> $n100")
+    for (q <- Seq("d_sentence_dedup", "x_pmi_bigrams", "x_novelty",
+        "d_jaccard_join")) {
+      def t(dir: String): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = t(sfDir)
+      val big = t(out)
+      println(f"[sentscale] $q%-20s 1x=$base%.2fs 100x=$big%.2fs " +
+        f"factor=${big / base}%.1f")
+    }
+    spark.stop()
+  }
+
   def queryProbe(sfDir: String, names: Seq[String]): Unit = {
     val spark = graft.Sessions.local("query-probe", 32)
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -1632,6 +1671,7 @@ object BenchTune {
     if (args.headOption.contains("skew")) {
       skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
     }
+    if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
       queryProbe(sfDir,
         args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty))
