@@ -1334,6 +1334,63 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Perceptual-hash kernel throughput: synthesize n BMPs / WAV clips /
+    * animated GIFs distributed (the m_*_dhash fixture formulas scaled
+    * out), run the real decode→hash kernels, report rows/s. The gates
+    * pin 60-row correctness; this is the map-only scale arm — bytes
+    * never shuffle, so throughput ∝ cores with no cliff to find. */
+  def mediaHashProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("media-hash", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = sys.env.getOrElse("SPARK_GRAFT_MEDIA_N", "100000").toLong
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val c = df.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[mediahash] $tag%-8s n=$c%d wall=$s%.2fs ${c / s}%.0f rows/s")
+    }
+    val ids = spark.range(0, n).select($"id".as[Long])
+    time("image") {
+      graft.ext.Multimodal.imageDHash(ids.map { id =>
+        val p = (id % 6).toInt; val v = ((id / 6) % 2).toInt
+        graft.ext.Multimodal.MediaRow(id, "bmp",
+          graft.ext.MediaCodecs.writeBmp24(8 + p % 5, 6 + p % 3, (x, y) => (
+            (x * 53 + y * 31 + p * 41) % 200 + v * 10,
+            (x * 47 + y * 59 + p * 23) % 200 + v * 10,
+            (x * 61 + y * 43 + p * 37) % 200 + v * 10)))
+      })
+    }
+    time("audio") {
+      graft.ext.Multimodal.audioFingerprint(ids.map { id =>
+        val p = (id % 6).toInt; val g = 1 + ((id / 6) % 2).toInt
+        graft.ext.Multimodal.MediaRow(id, "wav",
+          graft.ext.MediaCodecs.writeWavPcm16(8000, Array.tabulate(825) { i =>
+            ((((i.toLong * i * 7 + i * 13 + p * 307) % 16001L) - 8000L) * g)
+              .toShort
+          }))
+      })
+    }
+    time("video") {
+      graft.ext.Multimodal.videoDHash(ids.map { id =>
+        val p = (id % 4).toInt; val v = ((id / 4) % 2).toInt
+        val palette = Array.tabulate(16) { c =>
+          (((c * 37 + p * 11) % 200 + v * 10) << 16) |
+            (((c * 53 + p * 7) % 200 + v * 10) << 8) |
+            ((c * 29 + p * 3) % 200 + v * 10)
+        }
+        val frames = (0 until 2 + p % 2).map(f =>
+          Array.tabulate(16 * 12) { i =>
+            ((i % 16 * 5 + i / 16 * 3 + f * 7 + p * 2) % 16).toByte
+          })
+        graft.ext.Multimodal.MediaRow(id, "gif",
+          graft.ext.GifCodec.writeGifAnimated(16, 12, palette, frames, 4))
+      })
+    }
+    spark.stop()
+  }
+
   def queryProbe(sfDir: String, names: Seq[String]): Unit = {
     val spark = graft.Sessions.local("query-probe", 32)
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -1672,6 +1729,7 @@ object BenchTune {
       skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
+    if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
       queryProbe(sfDir,
         args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty))
