@@ -1391,6 +1391,39 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Global-prefix-sum shootout: the bare Window.orderBy form (ONE
+    * partition holds every row) vs operators/PrefixSum's two-phase scan,
+    * on n unique keys. Quantifies the cliff the x_spearman rank
+    * derivation avoids. */
+  def prefixSumProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = graft.Sessions.local("prefix-sum", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = sys.env.getOrElse("SPARK_GRAFT_PREFIX_N", "10000000").toLong
+    // unique scrambled keys, lumpy values
+    val df = spark.range(0, n)
+      .select(((col("id") * 2654435761L) % (n * 4)).as("k"),
+        (col("id") % 13 + 1).as("v"))
+      .groupBy("k").agg(max("v").as("v")) // enforce uniqueness
+      .cache()
+    val rows = df.count()
+    def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val s = f.agg(sum(col("c"))).head().getLong(0)
+      println(f"[prefixsum] $tag%-12s rows=$rows wall=${(System.nanoTime() - t0) / 1e9}%.2fs checksum=$s")
+    }
+    time("two-phase") {
+      graft.operators.PrefixSum.exclusivePrefixSum(df, "k", "v", "c", 64)
+    }
+    time("one-window") {
+      df.withColumn("c", coalesce(sum(col("v")).over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    }
+    spark.stop()
+  }
+
   def queryProbe(sfDir: String, names: Seq[String]): Unit = {
     val spark = graft.Sessions.local("query-probe", 32)
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -1730,6 +1763,7 @@ object BenchTune {
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
+    if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
       queryProbe(sfDir,
         args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty))
