@@ -135,7 +135,17 @@ object Bench {
       if (times.isEmpty || times.exists(_.isNaN)) name -> (-1.0, -1.0)
       else name -> (median(times), times.min)
     }
+    // r13 verdict item 1: the ETL leg can self-attribute host-CPU-steal
+    // drift (etl_steal_s) but the query legs could not — the committed r13
+    // plain total (+15% vs r12, broadly uniform per query) was diagnosed
+    // environmental only via UNCOMMITTED in-round probes
+    // (r13_bench_contention). Sample /proc/stat steal around each query leg
+    // too, so any future drift self-attributes in the committed artifact:
+    // steal_plain_s / steal_bucketed_s ≈ 0 means the medians are
+    // trustworthy; a large value explains a uniformly-slow leg.
+    val stealPlainBefore = stealJiffies
     val results = timeLeg()
+    val stealPlainS = (stealJiffies - stealPlainBefore) / 100.0
     spark.sharedState.cacheManager.clearCache()
 
     // ---- bucketed leg (r12 verdict item 4) --------------------------------
@@ -150,6 +160,7 @@ object Bench {
     // Skipped only when the driver already pinned a layout via env (then
     // this run IS that layout's leg).
     val BucketedLayout = "orderkey"
+    val stealBkBefore = stealJiffies
     val bucketedResults: Option[Seq[(String, (Double, Double))]] =
       if (Tables.activeLayout.isDefined) None
       else {
@@ -164,6 +175,7 @@ object Bench {
           None
         }
       }
+    val stealBkS = (stealJiffies - stealBkBefore) / 100.0
     spark.sharedState.cacheManager.clearCache()
 
     def fmt(rs: Seq[(String, (Double, Double))],
@@ -201,7 +213,7 @@ object Bench {
     // active (Tables scaladoc) — bucketed totals are a different storage
     // contract, never compared against plain ones silently
     val layout = Tables.activeLayout.getOrElse("plain")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"comparable_with_prior_bucketed":$comparableBk,"queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"comparable_with_prior_bucketed":$comparableBk,"queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,8 +29,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // caches declared inside QueryDef closures are per-invocation
+        // lineages — drop them so a 178-query dump doesn't accumulate
+        // storage blocks (r13 ADVICE; no cross-query cache sharing exists)
+        spark.sharedState.cacheManager.clearCache()
+      }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failures(name) = msg

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Boundary-guarded fixed-point rounding for transcendental-derived
+  * columns (r13 verdict item 8).
+  *
+  * The hash-exact gate family rounds pow()/ln() results into integer
+  * fixed point so both engines agree bit-for-bit. That collapses
+  * cross-engine libm ulp drift EXCEPT when a value lands within an ulp
+  * or two of a `.5` rounding boundary — there, JVM `Math.pow`/`log` and
+  * DuckDB's libm can round the long to different integers, a
+  * data-dependent flake that would surface as an inscrutable hash
+  * mismatch. This helper makes that failure mode SELF-DIAGNOSING: before
+  * rounding, it measures the distance from the pre-round value to the
+  * nearest `.5` boundary and raises a named error if the distance is
+  * inside the 2-ulp danger band, so a future corpus that trips the risk
+  * fails loudly with the cause in the message instead of reddening a
+  * gate with a bare hash diff.
+  *
+  * False-trip budget: the band is |raw|·2^-51 wide, so the chance a
+  * benign value lands inside it is ~|raw|·2^-51 per row — ~1e-9 at the
+  * 1e6-scale fixed points this guards (x_temperature_mix w_fp,
+  * x_dsir_weights model fx). Guard only transcendental-derived rounds;
+  * rounds of exact-integer-derived doubles (ratios of longs) are
+  * bit-identical across engines and need no guard.
+  */
+object FixedPoint {
+
+  /** `round(raw).cast(long)`, failing loudly if `raw` sits within 2 ulps
+    * of a `k + 0.5` rounding boundary (the only place cross-engine libm
+    * ulp drift can flip the fixed point). `label` names the query/column
+    * in the error so a gate failure self-diagnoses. */
+  def guardedRound(raw: Column, label: String): Column = {
+    val frac = raw - floor(raw)
+    val dist = abs(frac - lit(0.5))
+    // 2 ulps of raw, computed relatively: ulp(x) ≈ |x|·2^-52
+    val tol = abs(raw) * lit(math.pow(2.0, -51))
+    when(dist < tol, raise_error(
+      lit(s"$label: fixed-point pre-round value within 2 ulp of a .5 " +
+        "rounding boundary — cross-engine pow/ln ulp drift could flip " +
+        "this long on one engine only; widen the fixed-point quantum " +
+        "or gate this row rows-only for this corpus")))
+      .otherwise(round(raw, 0).cast("long"))
+  }
+}

@@ -33,6 +33,12 @@ object PrefixSum {
       valueCol: String,
       out: String,
       numPartitions: Int = 32): DataFrame = {
+    // internal scratch columns would silently clobber caller data of the
+    // same name (withColumn overwrites) and then be dropped — refuse loudly
+    val internal = Set("__pid", "__cum_in", "__offset")
+    require(!df.columns.exists(internal),
+      s"exclusivePrefixSum: input must not contain ${internal.mkString("/")} " +
+        "(internal scratch columns)")
     val parted = df.repartitionByRange(numPartitions, col(orderCol))
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -424,8 +424,14 @@ object Curation {
           .select($"source", size(split($"text", " ")).as("ntok"))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+        // guardedRound (r13 verdict item 8): the residual ulp tie-boundary
+        // risk documented above is now PINNED — a corpus whose pow() result
+        // lands within 2 ulp of a .5e-6 boundary fails loudly with a named
+        // error instead of a bare cross-engine hash mismatch
         val w = per.withColumn("w_fp",
-          round(pow($"n_tokens".cast("double"), lit(0.7)) * 1e6, 0).cast("long"))
+          graft.functions.FixedPoint.guardedRound(
+            pow($"n_tokens".cast("double"), lit(0.7)) * 1e6,
+            "x_temperature_mix.w_fp"))
         w.crossJoin(broadcast(w.agg(
             sum($"w_fp").as("tot_w"), sum($"n_docs").as("tot_docs"))))
           .withColumn("p", round($"w_fp".cast("double") / $"tot_w", 6))

@@ -957,7 +957,20 @@ object DedupQueries {
           .select($"doc_id", $"chunk_idx",
             md5(array_join(slice($"toks", $"start_tok" + 1, lit(W)), " "))
               .as("h"),
-            ($"doc_id" * 1000000L + $"chunk_idx").as("k"))
+            // winner key: doc_id·1e6 + chunk_idx encodes (doc_id, chunk_idx)
+            // lexicographic order as one BIGINT — VALID ONLY while every doc
+            // has < 1e6 sentences (< 10M whitespace tokens). Beyond that the
+            // encoding collides across documents and, because both engines
+            // share it, oracle parity would HIDE the wrong winner. Docs at
+            // that size should be span-chunked upstream (x_chunk_windows)
+            // before sentence dedup; a struct-min winner would lift the
+            // bound but DuckDB/Spark struct-ordering parity is not pinned.
+            // The bound is ENFORCED, not just documented: a doc crossing it
+            // fails the job loudly instead of silently mis-winning.
+            when($"chunk_idx" >= 1000000L,
+              raise_error(lit("d_sentence_dedup: doc with >=1e6 sentences " +
+                "breaks the winner-key encoding")))
+              .otherwise($"doc_id" * 1000000L + $"chunk_idx").as("k"))
         val winners = chunks.groupBy($"h").agg(min($"k").as("wk"))
         chunks.join(winners, Seq("h"))
           .groupBy($"doc_id")

@@ -1267,11 +1267,15 @@ object Text {
           .join(cntT, Seq("term"), "left")
           .join(cntR, Seq("term"), "left")
           .crossJoin(broadcast(stats))
-          .select($"term", round((
+          // guardedRound (r13 verdict item 8): the Math.log-vs-libm ulp
+          // tie-boundary risk is pinned — a term whose log-ratio lands
+          // within 2 ulp of a .5e-6 boundary fails loudly and self-names
+          .select($"term", graft.functions.FixedPoint.guardedRound((
             log((coalesce($"ct", lit(0L)) + 1).cast("double")
               / ($"nt" + $"v").cast("double"))
             - log((coalesce($"cr", lit(0L)) + 1).cast("double")
-              / ($"nr" + $"v").cast("double"))) * 1e6, 0).cast("long").as("fx"))
+              / ($"nr" + $"v").cast("double"))) * 1e6,
+            "x_dsir_weights.fx").as("fx"))
         // emit the TOTAL log-ratio (the paper's log importance weight):
         // dividing the fixed-point sum by n_tokens manufactures .5e-6
         // round boundaries (one flipped at sf0.001) — /1e6 alone keeps

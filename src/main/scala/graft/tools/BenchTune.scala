@@ -41,6 +41,16 @@ object BenchTune {
     val spark = graft.Sessions.local("bench-all", 32)
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(',').filter(_.nonEmpty).toSet
+    // per-run host-CPU-steal accounting (r13 verdict item 1): a sweep whose
+    // total drifts vs a prior round must be able to self-attribute guest-VM
+    // contention the same way the ETL leg does (BENCH_SCALE r13_etl_steal)
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    val sweepStart = System.nanoTime()
+    val stealStart = stealJiffies
     // absorb first-job session warmup (codegen compiler, broadcast infra,
     // scheduler) so it doesn't land on the alphabetically-first query —
     // a10_min_max_by read as "5.2s" when its true cost was ~0.3s
@@ -69,8 +79,16 @@ object BenchTune {
             case e: Throwable => s"  FAILED ${e.getMessage.take(60)}"
           }
         println(f"[all] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s$res")
+        // r13 ADVICE: QueryDef closures declare .cache() on frames that feed
+        // self-joins/iteration; each invocation builds a FRESH lineage, so a
+        // 178-query sweep accumulates storage blocks (LRU keeps results
+        // correct but adds memory pressure + timing noise). Drop them here —
+        // no query shares cached state with another by construction.
+        spark.sharedState.cacheManager.clearCache()
       }
     }
+    println(f"[all] sweep_total=${(System.nanoTime() - sweepStart) / 1e9}%.1f s " +
+      f"steal_s=${(stealJiffies - stealStart) / 100.0}%.1f")
     spark.stop()
   }
 

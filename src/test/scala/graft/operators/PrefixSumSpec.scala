@@ -31,6 +31,16 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("refuses input that already carries an internal scratch column") {
+    // r13 ADVICE: withColumn would silently overwrite a caller's __pid /
+    // __cum_in / __offset and then drop it — must fail loudly instead
+    val df = Seq((1, 1L, 9L)).toDF("k", "v", "__pid")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.exclusivePrefixSum(df, "k", "v", "c", 4)
+    }
+    assert(e.getMessage.contains("__pid"))
+  }
+
   test("first row gets 0; total order is honored across partition bounds") {
     val df = (1 to 100).map(i => (i, 1L)).toDF("k", "v")
     val out = PrefixSum.exclusivePrefixSum(df, "k", "v", "c", 8)
