@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding (r13 verdict item 2): real subword tokenization for
+  * the token-budget operator family, replacing whitespace proxies with the
+  * unit LLM pipelines actually budget in.
+  *
+  * Two encoder forms, spec-pinned equivalent on trained tables:
+  *
+  * 1. RANK-ORDER REPLACE CHAIN (the gate + oracle form): apply each merge
+  *    rule in rank order, each exhaustively left-to-right, as a chain of
+  *    codegen'd `replace` calls over a boundary-delimited segmentation
+  *    string. The segmentation "··a··b··" uses a DOUBLED boundary ("||"
+  *    here) so each inter-token boundary donates one delimiter char to the
+  *    pattern on its left and one to the pattern on its right — that makes
+  *    plain leftmost-nonoverlapping string replace EXACTLY implement
+  *    exhaustive left-to-right pair merging (single-char boundaries fail
+  *    on shared delimiters: "·a·a·a·" replacing "·a·a·" consumes the
+  *    middle delimiter and misses the next pair). Both engines run the
+  *    same chain (Spark `replace` / DuckDB `replace` are both leftmost
+  *    non-overlapping), so the gate is hash-exact BY CONSTRUCTION, with
+  *    the merge table inlined into the oracle SQL as literals.
+  *
+  * 2. ITERATIVE LOWEST-RANK-FIRST (`encodeWord`, the classic encoder):
+  *    repeatedly find the lowest-rank adjacent pair and merge all its
+  *    occurrences. For well-formed tables — each rule's sides are
+  *    constructible by strictly earlier rules, which greedy training
+  *    guarantees — the two forms agree (spec-pinned over the corpus
+  *    vocabulary); for adversarial tables they can differ, which is why
+  *    the gate pins form 1's semantics explicitly.
+  *
+  * Training is the standard two-stage shape at scale: word-frequency
+  * counting is distributed (one groupBy over corpus tokens — the same
+  * shuffle x3_term_freq does), then greedy merge learning runs over the
+  * collected vocab-bounded frequency table (vocab ≪ corpus; SentencePiece
+  * and subword-nmt train the same way). Encoding is embarrassingly
+  * parallel: per-row narrow, merge table broadcast by closure capture.
+  *
+  * Scale: the replace chain costs |merges| linear passes per document —
+  * codegen'd, zero allocation beyond the string builder per pass. The
+  * iterative kernel (functions.BpeTokenCount) does one word-local merge
+  * loop instead and is the cheaper form for long merge tables; both are
+  * measured in the 100x probe (BenchTune "bpe").
+  */
+object Bpe {
+
+  /** One merge rule: adjacent tokens (l, r) fuse into l+r. Rank = position
+    * in the table (lower = earlier = higher priority). */
+  final case class Merge(l: String, r: String) { def merged: String = l + r }
+
+  /** The boundary character for the segmentation string. The corpus
+    * alphabet is [a-z ]; apply-sites guard against '|' in input loudly. */
+  val Boundary = "|"
+  private val BB = Boundary + Boundary
+
+  /** Fixed merge table for the hash-exact gate: the first 24 merges
+    * greedily trained on the sf0.01 corpus word frequencies (trainMerges
+    * over wordCounts — provenance spec-pinned in BpeSpec, which retrains
+    * and asserts equality). Ties break (count desc, l asc, r asc). */
+  val FixedMerges: Seq[Merge] = Seq(
+    Merge("e", "r"), Merge("i", "n"), Merge("o", "w"), Merge("o", "r"),
+    Merge("s", "t"), Merge("m", "er"), Merge("a", "t"), Merge("l", "u"),
+    Merge("a", "r"), Merge("p", "ar"), Merge("j", "o"), Merge("jo", "in"),
+    Merge("a", "s"), Merge("as", "h"), Merge("h", "ash"), Merge("r", "ow"),
+    Merge("at", "c"), Merge("atc", "h"), Merge("b", "atch"), Merge("a", "n"),
+    Merge("c", "an"), Merge("s", "can"), Merge("c", "o"), Merge("c", "u"))
+
+  // ---- form 1: the replace chain (Column + oracle SQL, same algorithm) ----
+
+  /** Initial segmentation: every char becomes a token, boundaries doubled:
+    * "ab c" → "||a||b|| ||c||". Space is an ordinary 1-char token that no
+    * merge rule references, so words can never merge across spaces — the
+    * whole document encodes in one pass with no per-word explode. */
+  def initSegmented(text: Column): Column =
+    concat(lit(BB), regexp_replace(text, "(.)", "$1" + BB))
+
+  /** The rank-order chain: one codegen'd `replace` per rule. */
+  def applyMerges(seg: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(seg)((c, m) =>
+      replace(c, lit(Boundary + m.l + BB + m.r + Boundary),
+        lit(Boundary + m.merged + Boundary)))
+
+  /** Guard: the boundary char must not occur in the input (corpus contract
+    * [a-z ]); a violating row fails loudly instead of mis-tokenizing. */
+  private def guarded(text: Column): Column =
+    when(instr(text, Boundary) > 0,
+      raise_error(lit("Bpe: input contains the boundary char '" + Boundary +
+        "' — choose a boundary outside the corpus alphabet")))
+      .otherwise(text)
+
+  /** Segmented form of `text` under `merges` (gate form). */
+  def segment(text: Column, merges: Seq[Merge] = FixedMerges): Column =
+    applyMerges(initSegmented(guarded(text)), merges)
+
+  /** BPE token count of `text` under `merges`, excluding space tokens.
+    * Counting is pure length arithmetic on the segmented string: token
+    * boundaries = count("||") = (len - len(without "||")) / 2; tokens =
+    * boundaries - 1; minus one space token per space char in the input. */
+  def tokenCount(text: Column, merges: Seq[Merge] = FixedMerges): Column = {
+    val s = segment(text, merges)
+    val boundaries =
+      ((length(s) - length(replace(s, lit(BB), lit("")))) / lit(2))
+        .cast("long")
+    val spaces =
+      (length(text) - length(replace(text, lit(" "), lit("")))).cast("long")
+    boundaries - lit(1L) - spaces
+  }
+
+  /** DuckDB mirror of [[segment]]: the same chain with the merge table
+    * inlined as string literals (regexp_replace 'g', replace = leftmost
+    * non-overlapping on both engines). */
+  def segmentSql(textExpr: String, merges: Seq[Merge] = FixedMerges): String =
+    merges.foldLeft(
+      s"('$BB' || regexp_replace($textExpr, '(.)', '\\1$BB', 'g'))")(
+      (acc, m) =>
+        s"replace($acc, '$Boundary${m.l}$BB${m.r}$Boundary', " +
+          s"'$Boundary${m.merged}$Boundary')")
+
+  /** DuckDB mirror of [[tokenCount]]. */
+  def tokenCountSql(textExpr: String,
+      merges: Seq[Merge] = FixedMerges): String = {
+    val s = segmentSql(textExpr, merges)
+    s"((length($s) - length(replace($s, '$BB', ''))) // 2 - 1" +
+      s" - (length($textExpr) - length(replace($textExpr, ' ', ''))))"
+  }
+
+  // ---- form 2: the iterative lowest-rank-first encoder (plain Scala) -----
+
+  /** Merge every left-to-right occurrence of (l, r) in one pass — the
+    * exhaustive-application primitive both encoder forms share. */
+  def mergeAll(toks: List[String], l: String, r: String): List[String] =
+    toks match {
+      case a :: b :: rest if a == l && b == r =>
+        (a + b) :: mergeAll(rest, l, r)
+      case a :: rest => a :: mergeAll(rest, l, r)
+      case Nil => Nil
+    }
+
+  /** Rank-order chain applied locally (the exact algorithm the Column /
+    * SQL chain runs) — the reference the SQL form is spec-checked against. */
+  def encodeChain(word: String, merges: Seq[Merge]): List[String] =
+    merges.foldLeft(word.map(_.toString).toList)((t, m) =>
+      mergeAll(t, m.l, m.r))
+
+  /** Classic iterative encoder: repeatedly merge the lowest-rank adjacent
+    * pair until none applies. */
+  @annotation.tailrec
+  def encodeWord(toks: List[String],
+      ranks: Map[(String, String), Int]): List[String] = {
+    val best = toks.zip(toks.drop(1)).filter(ranks.contains)
+      .sortBy(ranks).headOption
+    best match {
+      case None => toks
+      case Some((l, r)) => encodeWord(mergeAll(toks, l, r), ranks)
+    }
+  }
+
+  def ranksOf(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (m, i) => (m.l, m.r) -> i }.toMap
+
+  // ---- training -----------------------------------------------------------
+
+  /** Distributed stage: corpus word frequencies (one token groupBy). */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Greedy merge learning over the vocab-bounded frequency table
+    * (driver-side by design — vocab ≪ corpus; the distributed part is
+    * wordCounts). Deterministic: max pair count, ties to lexicographically
+    * smallest (l, r). Adjacent pairs count once per position (overlapping
+    * occurrences in "aaa" contribute two (a,a)s — the subword-nmt
+    * convention). */
+  def trainMerges(counts: Seq[(String, Long)], n: Int): Seq[Merge] = {
+    var vocab = counts.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val out = scala.collection.mutable.ListBuffer[Merge]()
+    var continue = true
+    while (continue && out.size < n) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((toks, f) <- vocab; (a, b) <- toks.zip(toks.drop(1)))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      if (pc.isEmpty) continue = false
+      else {
+        val ((l, r), _) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += Merge(l, r)
+        vocab = vocab.map { case (toks, f) => (mergeAll(toks, l, r), f) }
+      }
+    }
+    out.toList
+  }
+}

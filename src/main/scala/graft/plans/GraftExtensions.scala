@@ -72,6 +72,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "md5_le64(s) takes one string")
         Md5Le64(args.head)
       }))
+    // BPE token count under the engine's fixed trained merge table — SQL
+    // callers budget in the same subword unit the Column API uses
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokenCount].getName,
+        "bpe_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_token_count(text) takes one string")
+        graft.functions.BpeTokenCount(args.head,
+          graft.ext.Bpe.FixedMerges.map(m => (m.l, m.r)))
+      }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

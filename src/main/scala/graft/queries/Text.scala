@@ -722,6 +722,94 @@ object Text {
           CAST(cum_before % 1024 AS INTEGER) AS bin_offset
         FROM packed ORDER BY doc_id""")),
 
+    // ---- Real BPE subword token counting (r13 verdict item 2) --------------
+    // Byte-pair encoding under the engine's fixed trained merge table
+    // (graft.ext.Bpe.FixedMerges — 24 merges greedily trained on the
+    // corpus, provenance spec-pinned) replaces the whitespace/regex token
+    // proxies: LLM-pipeline budgets are BPE tokens. The encoder is the
+    // rank-order replace chain — 24 codegen'd `replace` passes over a
+    // double-boundary segmentation string (Bpe scaladoc: the doubled
+    // boundary is what makes leftmost-nonoverlapping replace EXACTLY
+    // exhaustive LTR pair merging) — and the oracle replays the SAME chain
+    // with the merge table inlined as literals, so the gate is hash-exact
+    // by construction, no transcendental anywhere. The iterative
+    // lowest-rank-first kernel (functions.BpeTokenCount, SQL
+    // `bpe_token_count`) is the long-merge-table scale path, spec-pinned
+    // equal on trained tables. Per-row narrow; the only shuffle is the
+    // final ORDER BY.
+    QueryDef(
+      "x_bpe_tokens",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter($"text".isNotNull)
+          .select($"doc_id",
+            size(split($"text", " ")).as("n_ws_tokens"),
+            graft.ext.Bpe.tokenCount($"text").as("n_bpe_tokens"),
+            length(regexp_replace($"text", " ", "")).cast("long")
+              .as("n_chars_nospace"))
+          .withColumn("bpe_per_ws_ppm",
+            expr("(n_bpe_tokens * 1000000) div n_ws_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH seg AS (
+          SELECT doc_id, text,
+            ${graft.ext.Bpe.segmentSql("text")} AS s
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+          CAST((length(s) - length(replace(s, '||', ''))) // 2 - 1
+            - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+            AS n_bpe_tokens,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+          (CAST((length(s) - length(replace(s, '||', ''))) // 2 - 1
+            - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+            * 1000000) // len(string_split(text, ' ')) AS bpe_per_ws_ppm
+        FROM seg ORDER BY doc_id""")),
+
+    // ---- Sequence packing under a BPE token budget -------------------------
+    // x_pack_sequences' shard-local packing with the budget measured in
+    // REAL subword tokens (the unit a pretraining run actually packs to)
+    // instead of whitespace tokens. Same scale shape: per-shard window,
+    // no corpus-wide single-partition stage; the BPE count is the narrow
+    // per-row replace chain above.
+    QueryDef(
+      "x_pack_sequences_bpe",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val budget = 1024
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .filter($"text".isNotNull)
+          .select($"doc_id", ($"doc_id" % 8).as("shard"),
+            graft.ext.Bpe.tokenCount($"text").as("n_bpe_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum($"n_bpe_tokens").over(w), lit(0L)))
+          .select($"doc_id", $"shard", $"n_bpe_tokens",
+            ($"cum_before" / budget).cast("long").as("bin"),
+            ($"cum_before" % budget).cast("int").as("bin_offset"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH seg AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            CAST((length(s) - length(replace(s, '||', ''))) // 2 - 1
+              - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+              AS n_bpe_tokens
+          FROM (SELECT doc_id, text,
+              ${graft.ext.Bpe.segmentSql("text")} AS s
+            FROM documents WHERE text IS NOT NULL)),
+        packed AS (
+          SELECT *, COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY shard
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS cum_before
+          FROM seg)
+        SELECT doc_id, shard, n_bpe_tokens,
+          CAST(cum_before // 1024 AS BIGINT) AS bin,
+          CAST(cum_before % 1024 AS INTEGER) AS bin_offset
+        FROM packed ORDER BY doc_id""")),
+
     // ---- Weighted source mixing (deterministic hash sampling) --------------
     // Data-mixture construction: per-language keep rates applied by
     // comparing an id-derived md5 prefix against a rate threshold — no RNG

@@ -1352,6 +1352,61 @@ object BenchTune {
     spark.stop()
   }
 
+  /** BPE probe (r13 verdict item 2): the two encoder forms — the 24-pass
+    * replace CHAIN (gate form, |merges| linear passes per doc) and the
+    * ITERATIVE lowest-rank-first kernel (one word-local merge loop) — timed
+    * on the sf corpus and its 100x clone replica, plus the distributed
+    * trainer's wall. Both forms are per-row narrow (zero shuffle before the
+    * final agg), so the honest scale claim is tokens/s flat at 100x; the
+    * chain-vs-kernel ratio says which form a longer merge table should use.
+    */
+  def bpeProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("bpe-probe", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val out = "/tmp/graft_docs100_bpe"
+    docs.crossJoin(spark.range(0, 100).select(col("id").as("__rep")))
+      .select((col("doc_id") + col("__rep") * stride).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    def time(tag: String, dir: String)(mk: => org.apache.spark.sql.DataFrame)
+        : Double = {
+      mk.agg(sum(col("n"))).head() // warmup (codegen + footers)
+      val t0 = System.nanoTime()
+      val tot = mk.agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
+        .head()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[bpe] $tag%-14s docs=${tot.getLong(1)}%-7d " +
+        f"bpe_tokens=${tot.getLong(0)}%-10d wall=$s%.2fs " +
+        f"${tot.getLong(0) / s / 1e6}%.1fM tok/s")
+      s
+    }
+    for (dir <- Seq(sfDir, out)) {
+      val tag = if (dir == sfDir) "1x" else "100x"
+      val d = graft.Tables.documents(spark, dir).filter(col("text").isNotNull)
+      val chain = time(s"chain-$tag", dir) {
+        d.select(graft.ext.Bpe.tokenCount(col("text")).as("n")) }
+      val kern = time(s"kernel-$tag", dir) {
+        d.select(expr("bpe_token_count(text)").as("n")) }
+      println(f"[bpe] chain/kernel ratio at $tag: ${chain / kern}%.2f")
+    }
+    // trainer wall on the 100x corpus: the distributed stage is one token
+    // groupBy; the greedy loop runs over the collected vocab (31 words here)
+    val t0 = System.nanoTime()
+    val counts = graft.ext.Bpe.wordCounts(
+        graft.Tables.documents(spark, out))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.ext.Bpe.trainMerges(counts, 24)
+    println(f"[bpe] train-100x vocab=${counts.size} merges=${merges.size} " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs " +
+      s"first=${merges.take(3).map(m => m.l + "+" + m.r).mkString(",")}")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    spark.stop()
+  }
+
   /** Perceptual-hash kernel throughput: synthesize n BMPs / WAV clips /
     * animated GIFs distributed (the m_*_dhash fixture formulas scaled
     * out), run the real decode→hash kernels, report rows/s. The gates
@@ -1780,6 +1835,7 @@ object BenchTune {
       skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
+    if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {

@@ -1,0 +1,115 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE encoder contracts (r13 verdict item 2):
+  *  - the doubled-boundary replace chain (the gate/oracle form) implements
+  *    EXACTLY exhaustive LTR pair merging, including the shared-delimiter
+  *    cases ("aaa", "abab") where a single-boundary scheme breaks;
+  *  - the iterative lowest-rank-first encoder agrees with the chain on
+  *    trained (well-formed) tables — the equivalence that lets the
+  *    BpeTokenCount kernel serve as the scale path for the gate's counts;
+  *  - FixedMerges' provenance: retraining on the sf0.01 corpus reproduces
+  *    the constant table exactly;
+  *  - the boundary-char guard fails loudly.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val toyMerges = Seq(Bpe.Merge("a", "a"), Bpe.Merge("a", "b"),
+    Bpe.Merge("aa", "b"))
+
+  private def sparkSegment(text: String, merges: Seq[Bpe.Merge]): String =
+    Seq(text).toDF("t")
+      .select(Bpe.segment($"t", merges).as("s"))
+      .collect().head.getString(0)
+
+  private def fromSeg(s: String): List[String] =
+    s.split("\\|\\|").toList.filter(_.nonEmpty)
+
+  test("replace chain == local exhaustive-LTR reference on adversarial words") {
+    // the shared-delimiter cases: single-boundary replace schemes merge
+    // "a a a" to [aa, a] only if the scan restarts correctly — the doubled
+    // boundary guarantees it; "abab" needs back-to-back occurrences
+    for (w <- Seq("aaa", "aaaa", "abab", "aabab", "ababa", "baaab", "b")) {
+      val viaSpark = fromSeg(sparkSegment(w, toyMerges))
+      val viaLocal = Bpe.encodeChain(w, toyMerges)
+      assert(viaSpark == viaLocal, s"word=$w chain=$viaSpark local=$viaLocal")
+    }
+  }
+
+  test("chain and iterative lowest-rank-first agree on every corpus word") {
+    val words = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(words.nonEmpty)
+    val ranks = Bpe.ranksOf(Bpe.FixedMerges)
+    for (w <- words) {
+      val chain = Bpe.encodeChain(w, Bpe.FixedMerges)
+      val iter = Bpe.encodeWord(w.map(_.toString).toList, ranks)
+      assert(chain == iter, s"word=$w chain=$chain iter=$iter")
+    }
+  }
+
+  test("FixedMerges reproduces from the sf0.01 corpus (provenance)") {
+    val counts = Bpe.wordCounts(
+        graft.Tables.documents(spark, "/root/testdata/sf0.01"))
+      .orderBy($"w")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val trained = Bpe.trainMerges(counts, Bpe.FixedMerges.size)
+    assert(trained == Bpe.FixedMerges)
+  }
+
+  test("BpeTokenCount kernel == replace-chain count on corpus documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"text".isNotNull)
+    val mismatch = docs.select($"doc_id",
+        Bpe.tokenCount($"text").as("chain"),
+        expr("bpe_token_count(text)").as("iter"))
+      .filter($"chain" =!= $"iter")
+    assert(mismatch.count() == 0)
+  }
+
+  test("SQL-registered bpe_token_count matches the Column kernel") {
+    val viaSql = spark.sql(
+      "SELECT bpe_token_count('the fast spark batch') AS n")
+      .collect().head.getLong(0)
+    val ranks = Bpe.ranksOf(Bpe.FixedMerges)
+    val expected = "the fast spark batch".split(" ")
+      .map(w => Bpe.encodeWord(w.map(_.toString).toList, ranks).size).sum
+    assert(viaSql == expected)
+  }
+
+  test("boundary char in input fails loudly") {
+    val e = intercept[Exception] {
+      Seq("bad|input").toDF("t")
+        .select(Bpe.tokenCount($"t").as("n")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("boundary char")))
+  }
+
+  test("token counts: empty word runs, trained-table compression sanity") {
+    val got = Seq(("", 0L), ("  ", 0L), ("join", 1L), ("join join", 2L),
+      ("the fast", 2L + 2L)) // the→[th? no: t h e with er/at merges absent] — computed below
+    // recompute expectations from the local reference rather than guessing
+    val ranks = Bpe.ranksOf(Bpe.FixedMerges)
+    def expect(t: String): Long =
+      t.split(" ").filter(_.nonEmpty)
+        .map(w => Bpe.encodeWord(w.map(_.toString).toList, ranks).size.toLong)
+        .sum
+    val df = got.map(_._1).toDF("t")
+      .select($"t", Bpe.tokenCount($"t").as("n")).collect()
+    for (r <- df)
+      assert(r.getLong(1) == expect(r.getString(0)),
+        s"text='${r.getString(0)}'")
+    // "join" is a single trained token (merge 12); compression is real
+    assert(expect("join") == 1L)
+  }
+}
