@@ -308,6 +308,103 @@ object Analytics {
           COUNT(*) AS n
         FROM events, b GROUP BY 1 ORDER BY bucket""")),
 
+    // ---- Approximate-quantile SKETCH as relational algebra (r13 item 6) ----
+    // The CMS/Bloom family's missing member: a mergeable fixed-footprint
+    // quantile sketch with a driver-visible error column — the at-rest /
+    // per-window story a9_approx_percentile's built-in cannot give (its
+    // sketch state has no cross-engine-derivable form). Scheme is the
+    // HdrHistogram bucketing, INTEGER-EXACT on both engines (no log(), so
+    // none of the transcendental tie-boundary risk class): value v (exact
+    // decimal cents) lands in the power-of-two bucket
+    //   lb(v) = (v div P)·P,  P = 2^max(e-5, 0),  e = floor(log2 v)
+    // computed as length(bin(v))-1 — string length of the binary form,
+    // pure integer both engines. Buckets per group ≤ 64·32, whatever the
+    // corpus size; counts are commutative sums, so the sketch is
+    // partition-order-free AND mergeable (window sketches merge by adding
+    // counts — the CMS property). Quantile estimate = smallest lb whose
+    // cumulative count reaches ceil(q·n); the true percentile_disc value
+    // lies inside that bucket, so est ≤ exact ALWAYS (one-sided, the CMS
+    // overcount analog) with relative error < 2^-5 — a THEOREM, so
+    // in_bound is deterministically true and the row is hash-exact, not
+    // probabilistic. The exact arm (value-frequency cumsum) exists only
+    // because the gate audits the sketch; production ships the ≤2048-row
+    // sketch. Scale shape: one map-side-combined groupBy builds the
+    // sketch; every window after it runs on sketch-sized frames.
+    QueryDef(
+      "x_quantile_sketch",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val vals = Tables.lineitem(s, d)
+          .select($"l_returnflag".as("grp"),
+            ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+              .as("v"))
+        val withLb = vals
+          .withColumn("p", expr(
+            "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
+          .withColumn("lb", expr("(v div p) * p"))
+        val sk = withLb.groupBy($"grp", $"lb").agg(count(lit(1)).as("c"))
+          .withColumn("cum",
+            sum($"c").over(Window.partitionBy($"grp").orderBy($"lb")))
+        val tgt = vals.groupBy($"grp").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(Seq(25, 50, 75, 95, 99).toDF("qpct")))
+          .withColumn("target", expr("(n * qpct + 99) div 100"))
+        val est = tgt.join(sk, Seq("grp")).filter($"cum" >= $"target")
+          .groupBy($"grp", $"qpct", $"n", $"target")
+          .agg(min($"lb").as("est_cents"))
+        val vdc = vals.groupBy($"grp", $"v").agg(count(lit(1)).as("c"))
+          .withColumn("cum",
+            sum($"c").over(Window.partitionBy($"grp").orderBy($"v")))
+        val ex = tgt.join(vdc, Seq("grp")).filter($"cum" >= $"target")
+          .groupBy($"grp", $"qpct").agg(min($"v").as("exact_cents"))
+        est.join(ex, Seq("grp", "qpct"))
+          .select($"grp", $"qpct", $"n", $"target", $"est_cents",
+            $"exact_cents",
+            ($"exact_cents" - $"est_cents").as("err_cents"),
+            expr("((exact_cents - est_cents) * 1000000) div exact_cents")
+              .as("rel_err_ppm"))
+          .withColumn("in_bound", $"rel_err_ppm" < 31250)
+          .orderBy($"grp", $"qpct")
+      },
+      Some("""WITH vals AS (
+          SELECT l_returnflag AS grp,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM lineitem),
+        b AS (
+          SELECT grp, v,
+            (v // (1::BIGINT << greatest(length(bin(v)) - 6, 0)))
+              * (1::BIGINT << greatest(length(bin(v)) - 6, 0)) AS lb
+          FROM vals),
+        sk AS (
+          SELECT grp, lb, COUNT(*) AS c FROM b GROUP BY grp, lb),
+        skc AS (
+          SELECT grp, lb,
+            SUM(c) OVER (PARTITION BY grp ORDER BY lb) AS cum
+          FROM sk),
+        tgt AS (
+          SELECT n.grp, n.n, q.qpct, (n.n * q.qpct + 99) // 100 AS target
+          FROM (SELECT grp, COUNT(*) AS n FROM vals GROUP BY grp) n,
+            (SELECT unnest([25, 50, 75, 95, 99]) AS qpct) q),
+        est AS (
+          SELECT t.grp, t.qpct, t.n, t.target, MIN(s.lb) AS est_cents
+          FROM tgt t JOIN skc s ON s.grp = t.grp AND s.cum >= t.target
+          GROUP BY t.grp, t.qpct, t.n, t.target),
+        vdc AS (
+          SELECT grp, v, SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum
+          FROM (SELECT grp, v, COUNT(*) AS c FROM vals GROUP BY grp, v)),
+        ex AS (
+          SELECT t.grp, t.qpct, MIN(d.v) AS exact_cents
+          FROM tgt t JOIN vdc d ON d.grp = t.grp AND d.cum >= t.target
+          GROUP BY t.grp, t.qpct)
+        SELECT e.grp, e.qpct, e.n, e.target, e.est_cents, x.exact_cents,
+          x.exact_cents - e.est_cents AS err_cents,
+          ((x.exact_cents - e.est_cents) * 1000000) // x.exact_cents
+            AS rel_err_ppm,
+          (((x.exact_cents - e.est_cents) * 1000000) // x.exact_cents
+            < 31250) AS in_bound
+        FROM est e JOIN ex x ON e.grp = x.grp AND e.qpct = x.qpct
+        ORDER BY e.grp, e.qpct""")),
+
     // ---- Outlier detection: per-group z-scores, top-k most extreme --------
     // Data-quality screening as a two-pass shape: per-group moments from
     // DECIMAL-EXACT sums (order-free, so map-side partials can't drift

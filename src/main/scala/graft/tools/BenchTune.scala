@@ -1407,6 +1407,54 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Quantile-sketch scale probe (r13 verdict item 6): build the
+    * HdrHistogram-style sketch over lineitem price cents at 1x and over a
+    * 100x replica, reporting build wall, realized sketch cells (must stay
+    * FLAT — that is the whole point of a sketch), and quantile-extraction
+    * wall (runs on sketch-sized frames, so it must be scale-free). */
+  def qsketchProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("qsketch", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val base = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("v"))
+    for ((tag, reps) <- Seq(("1x", 1), ("100x", 100))) {
+      val vals =
+        if (reps == 1) base
+        else base.crossJoin(spark.range(0, reps).select(col("id").as("__r")))
+          .select(col("grp"), col("v"))
+      val nrows = vals.count() // warms footers/codegen; the timed build
+      // below still pays the full scan (the scan IS part of building)
+      val t0 = System.nanoTime()
+      val sk = vals
+        .withColumn("p", expr(
+          "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
+        .select(col("grp"), expr("(v div p) * p").as("lb"))
+        .groupBy(col("grp"), col("lb")).agg(count(lit(1)).as("c"))
+        .cache()
+      val cells = sk.count()
+      val build = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      import org.apache.spark.sql.expressions.Window
+      val skc = sk.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("lb"))))
+      val n = sk.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      val qs = n.crossJoin(broadcast(Seq(25, 50, 75, 95, 99).toDF("qpct")))
+        .withColumn("target", expr("(n * qpct + 99) div 100"))
+        .join(skc, Seq("grp")).filter(col("cum") >= col("target"))
+        .groupBy(col("grp"), col("qpct")).agg(min(col("lb")).as("est"))
+        .collect()
+      val extract = (System.nanoTime() - t1) / 1e9
+      println(f"[qsketch] $tag%-5s rows=$nrows%-9d cells=$cells%-5d " +
+        f"build=$build%.2fs extract=$extract%.2fs quantile_rows=${qs.length}")
+      sk.unpersist()
+    }
+    spark.stop()
+  }
+
   /** Perceptual-hash kernel throughput: synthesize n BMPs / WAV clips /
     * animated GIFs distributed (the m_*_dhash fixture formulas scaled
     * out), run the real decode→hash kernels, report rows/s. The gates
@@ -1836,6 +1884,7 @@ object BenchTune {
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
     if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
+    if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
