@@ -87,9 +87,30 @@ object Graphs {
       edges: DataFrame,
       iters: Int,
       scale: Long = 1000000000L,
+      checkpointEvery: Int = 0): DataFrame =
+    pageRankPrepared(nodes, withDeg(edges), iters, scale, checkpointEvery)
+
+  /** The static per-iteration operand in materialized form: (src, dst,
+    * deg) with deg = out-degree of src. This is the frame to persist as
+    * an AT-REST layout (graft.sources.EdgeStore: bucketed + sorted by
+    * src) — it never changes across iterations OR runs, so bucketing it
+    * eliminates both the per-iteration edge exchange AND the per-run
+    * degree recompute. */
+  def prepareEdges(edges: DataFrame): DataFrame = withDeg(edges)
+
+  /** [[pageRank]] over an already-prepared (src, dst, deg) edge frame —
+    * the entry point for edges served from an at-rest EdgeStore layout
+    * (spec-pinned bit-identical to the derived path in EdgeStoreSpec).
+    * When `ed` scans a table bucketed by src, each iteration's join plans
+    * with ZERO exchange on the edge side; only the 16-byte-a-row rank
+    * table moves (BenchTune `edgeab` measures the elimination). */
+  def pageRankPrepared(
+      nodes: DataFrame,
+      ed: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000L,
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val ed = withDeg(edges)
     var ranks = nodes.select(col("id"), lit(scale).as("r"))
     var i = 1
     while (i <= iters) {

@@ -1603,6 +1603,73 @@ object BenchTune {
     * lost executor would recompute the whole chain. checkpointEvery=k caps
     * plan depth at k iterations, making wall time genuinely linear in
     * iteration count. */
+  /** Derived-edges vs at-rest-bucketed-edges A/B (r13 verdict item 4):
+    * the SAME 2M-node/6M-edge PageRank run with (A) edges derived per run
+    * and cached — the gate-query shape — vs (B) edges served from the
+    * EdgeStore bucketed layout (src-bucketed, deg materialized at write).
+    * Reports wall at 5 and 10 iters (slope = s/iter), plus a static plan
+    * audit of each arm's full 10-iter job: ShuffleExchangeExec /
+    * ReusedExchangeExec counts — the per-iteration edge exchange must be
+    * ABSENT in arm B (only the rank table moves). Equivalence of results
+    * is pinned by EdgeStoreSpec; here both arms' total mass is printed as
+    * a checksum. */
+  def edgeAbProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("edge-ab", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = 2000000L
+    val nodes = spark.range(n).select($"id").localCheckpoint(true)
+    val edges = spark.range(n)
+      .select($"id".as("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select($"src", pmod(xxhash64($"src", $"j"), lit(n)).as("dst"))
+    val t0w = System.nanoTime()
+    graft.sources.EdgeStore.write(graft.ext.Graphs.prepareEdges(edges),
+      "probe_md5")
+    val writeWall = (System.nanoTime() - t0w) / 1e9
+    val atRest = graft.sources.EdgeStore.read(spark, "probe_md5")
+    val derivedCached = edges.cache()
+    // arm A pays this DERIVE+CACHE materialization every fresh run (the
+    // gate shape re-derives per session); arm B's equivalent is a parquet
+    // scan of the already-written table — time both per-run fixed costs
+    val t0d = System.nanoTime()
+    derivedCached.count()
+    val deriveWall = (System.nanoTime() - t0d) / 1e9
+    val t0s = System.nanoTime()
+    atRest.count()
+    val atRestScanWall = (System.nanoTime() - t0s) / 1e9
+    println(f"[edgeab] per-run fixed: derive+cache=$deriveWall%.2fs " +
+      f"vs atrest first scan=$atRestScanWall%.2fs")
+    def exch(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan
+      (p.collect { case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }.size,
+        p.collect { case e: org.apache.spark.sql.execution.exchange
+          .ReusedExchangeExec => e }.size)
+    }
+    def run(tag: String, mk: Int => org.apache.spark.sql.DataFrame): Unit = {
+      mk(2).agg(sum($"r")).head() // warm codegen
+      val walls = Seq(5, 10).map { it =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val mass = mk(it).agg(sum($"r")).head().getLong(0)
+        (it, (System.nanoTime() - t0) / 1e9, mass)
+      }
+      val (w5, w10) = (walls(0)._2, walls(1)._2)
+      val plan10 = mk(10)
+      graft.BenchProtocol.force(plan10)
+      val (ex, reused) = exch(plan10)
+      println(f"[edgeab] $tag%-9s w5=$w5%.2fs w10=$w10%.2fs " +
+        f"s_per_iter=${(w10 - w5) / 5}%.3f exchanges=$ex reused=$reused " +
+        f"mass10=${walls(1)._3}")
+    }
+    run("derived", it => graft.ext.Graphs.pageRank(nodes, derivedCached, it))
+    run("atrest", it => graft.ext.Graphs.pageRankPrepared(nodes, atRest, it))
+    println(f"[edgeab] edgestore_write_wall=$writeWall%.2fs (paid once, " +
+      "amortized over every run and iteration)")
+    spark.stop()
+  }
+
   def pagerankProbe(sfDir: String): Unit = {
     val spark = graft.Sessions.local("pagerank-probe", 32)
     import spark.implicits._
@@ -1885,6 +1952,7 @@ object BenchTune {
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
     if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
     if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
+    if (args.headOption.contains("edgeab")) { edgeAbProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
