@@ -42,6 +42,13 @@ import org.apache.spark.sql.SparkSession
   * verdict item 4: the bucketed layout is the intended 100 TB at-rest
   * configuration, so its regressions must be visible round-over-round,
   * not measured once). Tables are rewritten fresh (untimed) each run.
+  *
+  * ROUND-14 leg changes: (1) `t4_session` joins the bench set (10 queries
+  * now) — the user_id-keyed event query the new events-by-user_id
+  * bucketing serves (r13 verdict item 5); compare `total` to r13 only
+  * after subtracting it, or per-query. (2) `steal_plain_s` /
+  * `steal_bucketed_s` publish per-leg host-CPU steal (r13 item 1) so
+  * uniform drift self-attributes in the committed artifact.
   */
 object Bench {
   private val Iters = 5

@@ -41,12 +41,20 @@ object Tables {
     * scans line up with shuffle output). */
   val BucketCount = 32
 
-  /** layout -> (table -> bucket key). */
+  /** layout -> (table -> bucket key). Both layouts also bucket `events`
+    * by `user_id` (r13 verdict item 5): the event-analytics family
+    * (t4_session, t_funnel, t_retention_cohorts, t_session_paths,
+    * x_gap_detection) shuffles events by user_id every run — the
+    * r9_bucketed_window lesson (windows+joins over one key want that
+    * key's bucketing) applied to the second fact table. The events
+    * bucketed table is written from the ADAPTED frame (ts normalized to
+    * TimestampType at write time), so bucketed reads skip the per-scan
+    * ts-type dispatch too. */
   val BucketedLayouts: Map[String, Map[String, String]] = Map(
     "orderkey" -> Map("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-      "customer" -> "c_custkey"),
+      "customer" -> "c_custkey", "events" -> "user_id"),
     "custkey" -> Map("lineitem" -> "l_orderkey", "orders" -> "o_custkey",
-      "customer" -> "c_custkey"))
+      "customer" -> "c_custkey", "events" -> "user_id"))
 
   /** Catalog-safe tag for a corpus dir: bucketed tables are per-corpus.
     * The readable leaf alone is NOT unique (any two corpora named sf0.1
@@ -136,9 +144,32 @@ object Tables {
     * regression this guards against).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    val viaLayout = activeLayout
+      .exists(l => BucketedLayouts.get(l).exists(_.contains("events")))
+    if (viaLayout) resolve(s, d, "events") // ts adapted at WRITE time
+    else {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      adaptEventsTs(apply(s, d, "events"), d)
+    }
+  }
+
+  /** The frame a bucketed-layout writer must persist for `table` — ONE
+    * definition shared by BenchTune.writeBucketedTables and the specs so
+    * the events adaptation cannot drift: events persists ADAPTED (ts
+    * normalized to TimestampType), everything else raw. */
+  def bucketedSource(s: SparkSession, sfDir: String, table: String): DataFrame =
+    if (table == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      adaptEventsTs(apply(s, sfDir, "events"), sfDir)
+    } else apply(s, sfDir, table)
+
+  /** The ts-type dispatch shared by the raw accessor and the bucketed
+    * writer (which persists the adapted frame so bucketed reads are
+    * dispatch-free). Callers must set `spark.sql.legacy.parquet
+    * .nanosAsLong` BEFORE the scan that produced `df` (the accessor
+    * above does). */
+  def adaptEventsTs(df: DataFrame, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))

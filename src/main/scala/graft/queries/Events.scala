@@ -168,7 +168,12 @@ object Events {
           FROM f)
         SELECT user_id, MIN(ts) AS w_start,
           MAX(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
-        FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""")),
+        FROM s GROUP BY user_id, sid ORDER BY user_id, w_start"""),
+      // benched since ROUND 14 (verdict item 5): the user_id-keyed event
+      // query that the events-by-user_id bucketed layout serves — its
+      // session aggregation requires ClusteredDistribution(user_id), so
+      // the bucketed leg runs it exchange-free (BenchTune eventab A/B)
+      bench = true),
 
     // ---- J7 as-of join: latest preceding click per purchase ----------------
     QueryDef(

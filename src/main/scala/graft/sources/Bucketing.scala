@@ -19,9 +19,18 @@ object Bucketing {
 
   /** Persist `df` as a parquet catalog table bucketed + sorted by `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedSorted(df, table, key, Seq(key), buckets)
+
+  /** As [[writeBucketed]] with an explicit sort order (e.g. events
+    * bucketed by user_id, sorted by (user_id, ts): window/session scans
+    * over (user_id, ts) then read rows already in event order per user —
+    * with one file per bucket Spark also claims the ordering and drops
+    * the in-memory sort). */
+  def writeBucketedSorted(df: DataFrame, table: String, key: String,
+      sortCols: Seq[String], buckets: Int): Unit =
     df.write
       .bucketBy(buckets, key)
-      .sortBy(key)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)

@@ -550,8 +550,13 @@ object BenchTune {
           .foreach(java.nio.file.Files.delete)
       }
       val t0 = System.nanoTime()
-      graft.sources.Bucketing.writeBucketed(
-        graft.Tables(spark, sfDir, table), t, key, 32)
+      // events persists ADAPTED and sorted by (user_id, ts) — bucketed
+      // event reads skip the ts dispatch and arrive in per-user event
+      // order (Tables.BucketedLayouts scaladoc); the source frame is the
+      // shared Tables.bucketedSource definition
+      val sortCols = if (table == "events") Seq(key, "ts") else Seq(key)
+      graft.sources.Bucketing.writeBucketedSorted(
+        graft.Tables.bucketedSource(spark, sfDir, table), t, key, sortCols, 32)
       println(f"[bucketwrite] $t by $key " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s (32 buckets)")
     }
@@ -1603,6 +1608,49 @@ object BenchTune {
     * lost executor would recompute the whole chain. checkpointEvery=k caps
     * plan depth at k iterations, making wall time genuinely linear in
     * iteration count. */
+  /** Events-by-user_id bucketing A/B (r13 verdict item 5): the REAL
+    * user-keyed event-analytics queries timed plain vs under the
+    * 'orderkey' layout (which now also buckets events by user_id, adapted
+    * + sorted (user_id, ts) at write). Warm + median-of-3 per arm via the
+    * noop force; per-query Exchange count from the executed plan. Queries
+    * keyed on something other than user_id (t4_tumbling_hour) are
+    * included as the no-benefit control — bucketing must not hurt them. */
+  def eventAbProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("event-ab", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    writeBucketedTables(spark, sfDir, "orderkey")
+    val queries = Seq("t4_session", "t_funnel", "t_retention_cohorts",
+      "t_session_paths", "x_gap_detection", "t4_tumbling_hour")
+    def exch(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    for (q <- queries) {
+      def arm(layout: Option[String]): (Double, Int) = {
+        layout match {
+          case Some(v) => System.setProperty("graft.bucketed", v)
+          case None => System.clearProperty("graft.bucketed")
+        }
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          def mk() = graft.SparkEntry.queries(q)(spark, sfDir)
+          graft.BenchProtocol.force(mk()) // warm
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            graft.BenchProtocol.force(mk())
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          val forPlan = mk(); graft.BenchProtocol.force(forPlan)
+          (times(1), exch(forPlan))
+        } finally System.clearProperty("graft.bucketed")
+      }
+      val (tp, ep) = arm(None)
+      val (tb, eb) = arm(Some("orderkey"))
+      println(f"[eventab] $q%-22s plain=$tp%.3fs/${ep}ex " +
+        f"bucketed=$tb%.3fs/${eb}ex speedup=${tp / tb}%.2fx")
+    }
+    spark.stop()
+  }
+
   /** Derived-edges vs at-rest-bucketed-edges A/B (r13 verdict item 4):
     * the SAME 2M-node/6M-edge PageRank run with (A) edges derived per run
     * and cached — the gate-query shape — vs (B) edges served from the
@@ -1953,6 +2001,7 @@ object BenchTune {
     if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
     if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
     if (args.headOption.contains("edgeab")) { edgeAbProbe(sfDir); return }
+    if (args.headOption.contains("eventab")) { eventAbProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {

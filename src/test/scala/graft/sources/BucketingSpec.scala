@@ -96,7 +96,8 @@ class BucketingSpec extends AnyFunSuite {
       // with content identical to the plain parquet read
       Tables.BucketedLayouts(layout).foreach { case (table, key) =>
         Bucketing.writeBucketed(
-          Tables(spark, sf, table), Tables.bucketedName(layout, table, sf),
+          Tables.bucketedSource(spark, sf, table),
+          Tables.bucketedName(layout, table, sf),
           key, Tables.BucketCount)
       }
       def ordersRows() = Tables.orders(spark, sf)
@@ -144,6 +145,36 @@ class BucketingSpec extends AnyFunSuite {
     } finally {
       System.clearProperty("graft.bucketed")
       catTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("events-by-user_id layout: identical results, exchange-free sessions") {
+    // r13 verdict item 5: the event-analytics family shuffles events by
+    // user_id every run; the bucketed layout must (a) change NOTHING about
+    // results — t4_session rows identical plain vs bucketed — and (b)
+    // satisfy the session aggregation's ClusteredDistribution(user_id)
+    // straight off the scan: no Exchange hashpartitioning(user_id…)
+    val layout = "orderkey"
+    val t = Tables.bucketedName(layout, "events", sf)
+    graft.SparkTestSession.dropManagedTable(t)
+    Bucketing.writeBucketedSorted(
+      Tables.bucketedSource(spark, sf, "events"), t, "user_id",
+      Seq("user_id", "ts"), Tables.BucketCount)
+    def session() = graft.SparkEntry.queries("t4_session")(spark, sf)
+    val plain = session().collect().toSeq
+    System.setProperty("graft.bucketed", layout)
+    try {
+      // only the events table of the layout is written here: resolve must
+      // serve events bucketed while this query touches no other table
+      val bucketed = session()
+      assert(bucketed.collect().toSeq == plain)
+      val txt = bucketed.queryExecution.executedPlan.toString
+      assert(txt.contains("Bucketed: true"), txt)
+      assert(!txt.contains("Exchange hashpartitioning(user_id#"),
+        s"session aggregation still shuffles events by user_id:\n$txt")
+    } finally {
+      System.clearProperty("graft.bucketed")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 }
