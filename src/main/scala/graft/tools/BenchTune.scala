@@ -1608,6 +1608,44 @@ object BenchTune {
     * lost executor would recompute the whole chain. checkpointEvery=k caps
     * plan depth at k iterations, making wall time genuinely linear in
     * iteration count. */
+  /** Streaming graph maintenance probe (r13 verdict item 3): a 2M-node
+    * hub-shaped graph (exact-fixed-point family) lands as epoch 0, then
+    * three ~1% edge-arrival epochs; each epoch is the REAL
+    * GraphStream.processBatch (exactly-once edge-store write + warm
+    * re-convergence from the previous epoch + rank persist), driven
+    * directly so the numbers are compute, not trigger latency. Reports
+    * s/batch and warm iteration counts vs the cold epoch-0 count. */
+  def graphStreamProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("graphstream-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = 2000000L
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "gs_probe")
+      .toString
+    val base = spark.range(n).select($"id".as("src"),
+      explode(array(($"id" * 7 + 1) % n, ($"id" * 13 + 5) % n, lit(0L)))
+        .as("dst"))
+    def arrival(seed: Int) = spark.range(n / 100)
+      .select((pmod(xxhash64($"id", lit(seed)), lit(n))).as("src"),
+        (pmod(xxhash64($"id", lit(seed + 100)), lit(n))).as("dst"))
+    var batchId = 0L
+    for (batch <- Seq(base, arrival(1), arrival(2), arrival(3))) {
+      System.gc()
+      val t0 = System.nanoTime()
+      val iters = graft.streaming.GraphStream.processBatch(
+        spark, batch, batchId, store, maxIters = 200)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val tag = if (batchId == 0) "cold" else "warm"
+      println(f"[graphstream] epoch=$batchId $tag%-4s n=$n " +
+        f"iters=$iters wall=$wall%.1fs s_per_iter=${wall / iters}%.2f")
+      batchId += 1
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(store))
+    spark.stop()
+  }
+
   /** Events-by-user_id bucketing A/B (r13 verdict item 5): the REAL
     * user-keyed event-analytics queries timed plain vs under the
     * 'orderkey' layout (which now also buckets events by user_id, adapted
@@ -2002,6 +2040,7 @@ object BenchTune {
     if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
     if (args.headOption.contains("edgeab")) { edgeAbProbe(sfDir); return }
     if (args.headOption.contains("eventab")) { eventAbProbe(sfDir); return }
+    if (args.headOption.contains("graphstream")) { graphStreamProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
