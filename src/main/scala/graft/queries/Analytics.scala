@@ -405,6 +405,85 @@ object Analytics {
         FROM est e JOIN ex x ON e.grp = x.grp AND e.qpct = x.qpct
         ORDER BY e.grp, e.qpct""")),
 
+    // ---- Windowed quantile sketch (the mergeability claim, demonstrated) ---
+    // The same HdrHistogram sketch keyed by event-time day window: per-day
+    // value quantiles from per-day sketches that are just (window, lb)
+    // count cells — each day's sketch merges across partitions by count
+    // addition (one map-side-combined groupBy), and a coarser window
+    // (week/month) would merge the SAME cells further without touching
+    // the data again. That windowed/at-rest story is exactly what
+    // a9_approx_percentile's opaque built-in sketch cannot give. Same
+    // one-sided < 2^-5 bound per window, deterministic (theorem), exact
+    // arm audit-only as in x_quantile_sketch.
+    QueryDef(
+      "x_quantile_sketch_windowed",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val vals = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("w_start"),
+            ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+        val withLb = vals
+          .withColumn("p", expr(
+            "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
+          .withColumn("lb", expr("(v div p) * p"))
+        val sk = withLb.groupBy($"w_start", $"lb").agg(count(lit(1)).as("c"))
+          .withColumn("cum",
+            sum($"c").over(Window.partitionBy($"w_start").orderBy($"lb")))
+        val tgt = vals.groupBy($"w_start").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(Seq(50, 95).toDF("qpct")))
+          .withColumn("target", expr("(n * qpct + 99) div 100"))
+        val est = tgt.join(sk, Seq("w_start")).filter($"cum" >= $"target")
+          .groupBy($"w_start", $"qpct", $"n")
+          .agg(min($"lb").as("est_cents"))
+        val vdc = vals.groupBy($"w_start", $"v").agg(count(lit(1)).as("c"))
+          .withColumn("cum",
+            sum($"c").over(Window.partitionBy($"w_start").orderBy($"v")))
+        val ex = tgt.join(vdc, Seq("w_start")).filter($"cum" >= $"target")
+          .groupBy($"w_start", $"qpct").agg(min($"v").as("exact_cents"))
+        est.join(ex, Seq("w_start", "qpct"))
+          .select($"w_start", $"qpct", $"n", $"est_cents", $"exact_cents",
+            ($"exact_cents" - $"est_cents").as("err_cents"),
+            (($"exact_cents" - $"est_cents") * 32 < $"exact_cents")
+              .as("in_bound"))
+          .orderBy($"w_start", $"qpct")
+      },
+      Some("""WITH vals AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events),
+        b AS (
+          SELECT w_start, v,
+            (v // (1::BIGINT << greatest(length(bin(v)) - 6, 0)))
+              * (1::BIGINT << greatest(length(bin(v)) - 6, 0)) AS lb
+          FROM vals),
+        skc AS (
+          SELECT w_start, lb,
+            SUM(c) OVER (PARTITION BY w_start ORDER BY lb) AS cum
+          FROM (SELECT w_start, lb, COUNT(*) AS c FROM b GROUP BY w_start, lb)),
+        tgt AS (
+          SELECT n.w_start, n.n, q.qpct, (n.n * q.qpct + 99) // 100 AS target
+          FROM (SELECT w_start, COUNT(*) AS n FROM vals GROUP BY w_start) n,
+            (SELECT unnest([50, 95]) AS qpct) q),
+        est AS (
+          SELECT t.w_start, t.qpct, t.n, MIN(s.lb) AS est_cents
+          FROM tgt t JOIN skc s ON s.w_start = t.w_start AND s.cum >= t.target
+          GROUP BY t.w_start, t.qpct, t.n),
+        vdc AS (
+          SELECT w_start, v,
+            SUM(c) OVER (PARTITION BY w_start ORDER BY v) AS cum
+          FROM (SELECT w_start, v, COUNT(*) AS c FROM vals GROUP BY w_start, v)),
+        ex AS (
+          SELECT t.w_start, t.qpct, MIN(d.v) AS exact_cents
+          FROM tgt t JOIN vdc d ON d.w_start = t.w_start AND d.cum >= t.target
+          GROUP BY t.w_start, t.qpct)
+        SELECT e.w_start, e.qpct, e.n, e.est_cents, x.exact_cents,
+          x.exact_cents - e.est_cents AS err_cents,
+          ((x.exact_cents - e.est_cents) * 32 < x.exact_cents) AS in_bound
+        FROM est e JOIN ex x
+          ON e.w_start = x.w_start AND e.qpct = x.qpct
+        ORDER BY e.w_start, e.qpct""")),
+
     // ---- Outlier detection: per-group z-scores, top-k most extreme --------
     // Data-quality screening as a two-pass shape: per-group moments from
     // DECIMAL-EXACT sums (order-free, so map-side partials can't drift

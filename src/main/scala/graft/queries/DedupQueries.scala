@@ -800,13 +800,26 @@ object DedupQueries {
         // lets through when the vocabulary is small and every token is
         // common (this corpus: candidates approach all-pairs, and the
         // distinct shuffle + array_intersect verify were the 11s bulk)
+        // r14 (r13 verdict item 7): prefix rows also CARRY the token's
+        // rank so the PPJoin+ POSITION filter runs inside the join — for
+        // a shared token at ranks (i, j), overlap ≤ 1 + min(szA−i, szB−j)
+        // (every common token sits at or after the first shared one in
+        // the global order), and J ≥ 0.9 needs overlap ≥
+        // ceil(9(szA+szB)/19); a shared-token row violating that bound
+        // cannot witness a qualifying pair. LOSSLESS by the PPJoin
+        // theorem (the first common token of any qualifying pair passes),
+        // re-pinned by the brute-force zero-pairs-lost spec; the win is
+        // at LARGE vocabularies where prefix selectivity alone leaves
+        // candidates position-incompatible (measured: BenchTune ppjoin).
         val prefix = ranked.join(sizes, "doc_id")
           .filter($"rn" <= $"sz" - expr("(sz * 9 + 9) div 10") + 1)
-          .select($"doc_id", $"tok", $"sz")
+          .select($"doc_id", $"tok", $"sz", $"rn")
           .cache()
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" &&
-              $"a.sz" * 10 >= $"b.sz" * 9 && $"b.sz" * 10 >= $"a.sz" * 9)
+              $"a.sz" * 10 >= $"b.sz" * 9 && $"b.sz" * 10 >= $"a.sz" * 9 &&
+              lit(1L) + least($"a.sz" - $"a.rn", $"b.sz" - $"b.rn") >=
+                expr("(9 * (a.sz + b.sz) + 18) div 19"))
           .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
           .distinct()
         cand.join(ts.select($"doc_id".as("a"), $"toks".as("ta")), "a")
@@ -833,12 +846,15 @@ object DedupQueries {
               ORDER BY d.df, t.tok) AS rn
           FROM tok t JOIN dfc d USING (tok)),
         pre AS (
-          SELECT r.doc_id, r.tok, s.sz FROM rk r JOIN sz s USING (doc_id)
+          SELECT r.doc_id, r.tok, s.sz, r.rn
+          FROM rk r JOIN sz s USING (doc_id)
           WHERE r.rn <= s.sz - ((s.sz * 9 + 9) // 10) + 1),
         cand AS (
           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
           FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-            AND a.sz * 10 >= b.sz * 9 AND b.sz * 10 >= a.sz * 9),
+            AND a.sz * 10 >= b.sz * 9 AND b.sz * 10 >= a.sz * 9
+            AND 1 + least(a.sz - a.rn, b.sz - b.rn)
+              >= (9 * (a.sz + b.sz) + 18) // 19),
         ver AS (
           SELECT c.a, c.b,
             CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,

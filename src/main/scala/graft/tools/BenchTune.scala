@@ -1608,6 +1608,98 @@ object BenchTune {
     * lost executor would recompute the whole chain. checkpointEvery=k caps
     * plan depth at k iterations, making wall time genuinely linear in
     * iteration count. */
+  /** PPJoin at a genuinely large vocabulary (r13 verdict item 7): the
+    * r13 100x probe used the clone-heavy corpus where collapse-first
+    * makes the join flat; the adversarial case for PREFIX FILTERING is
+    * many DISTINCT near-similar docs over a large vocabulary. Planted
+    * corpus: n distinct 20-token docs, position-stratified vocab (15
+    * "head" slots of 1000 tokens each + 5 "tail" slots of tailVocab/5
+    * each — tail tokens are rare, so rarest-first prefixes key on them),
+    * plus n/100 planted twins differing in exactly one token (J = 19/21
+    * ≥ 0.9). Sweeps tailVocab to trace the selectivity curve: candidates
+    * ∝ n²/vocab through the prefix join, against C(n,2) brute-force
+    * pairs. Measures the candidate count WITH and WITHOUT the PPJoin+
+    * position filter (the r14 refinement now in d_jaccard_join) and
+    * verifies every planted twin survives to the verified output. */
+  def ppjoinProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("ppjoin-probe", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = sys.env.getOrElse("SPARK_GRAFT_PPJOIN_N", "300000").toLong
+    for (tailVocab <- Seq(2000, 20000, 60000)) {
+      val perSlot = tailVocab / 5
+      def tokenAt(id: org.apache.spark.sql.Column,
+          j: org.apache.spark.sql.Column) =
+        when(j < 15, concat(lit("h"), j, lit("_"),
+          pmod(xxhash64(id, j, lit(1)), lit(1000))))
+          .otherwise(concat(lit("t"), j, lit("_"),
+            pmod(xxhash64(id, j, lit(2)), lit(perSlot))))
+      val base = spark.range(n).select($"id".as("doc_id"),
+        transform(sequence(lit(0), lit(19)),
+          j => tokenAt($"id", j)).as("toks"))
+      val twins = base.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + n).as("doc_id"),
+          transform($"toks", (t, i) =>
+            when(i === 7, concat(lit("x_"), $"doc_id")).otherwise(t))
+            .as("toks"))
+      val ts = base.union(twins).localCheckpoint(true)
+      // the d_jaccard_join stages over the planted corpus
+      val tok = ts.select($"doc_id", explode($"toks").as("tok"))
+      val dfc = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+      val prefix = tok.join(dfc, "tok")
+        .withColumn("rn", row_number().over(w))
+        .join(ts.select($"doc_id", size($"toks").cast("long").as("sz")),
+          "doc_id")
+        .filter($"rn" <= $"sz" - expr("(sz * 9 + 9) div 10") + 1)
+        .select($"doc_id", $"tok", $"sz", $"rn")
+        .localCheckpoint(true)
+      def candidates(posFilter: Boolean): (Long, Double) = {
+        val cond0 = $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.sz" * 10 >= $"b.sz" * 9 && $"b.sz" * 10 >= $"a.sz" * 9
+        val cond = if (!posFilter) cond0 else cond0 &&
+          lit(1L) + least($"a.sz" - $"a.rn", $"b.sz" - $"b.rn") >=
+            expr("(9 * (a.sz + b.sz) + 18) div 19")
+        val t0 = System.nanoTime()
+        val c = prefix.as("a").join(prefix.as("b"), cond)
+          .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
+          .distinct().count()
+        (c, (System.nanoTime() - t0) / 1e9)
+      }
+      val (cRaw, wRaw) = candidates(posFilter = false)
+      val (cPos, wPos) = candidates(posFilter = true)
+      // verify the position-filtered candidates; planted twins must all
+      // survive (losslessness at probe scale, not just gate scale)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.sz" * 10 >= $"b.sz" * 9 && $"b.sz" * 10 >= $"a.sz" * 9 &&
+            lit(1L) + least($"a.sz" - $"a.rn", $"b.sz" - $"b.rn") >=
+              expr("(9 * (a.sz + b.sz) + 18) div 19"))
+        .select($"a.doc_id".as("a"), $"b.doc_id".as("b")).distinct()
+      val t1 = System.nanoTime()
+      val verified = cand
+        .join(ts.select($"doc_id".as("a"), $"toks".as("ta")), "a")
+        .join(ts.select($"doc_id".as("b"), $"toks".as("tb")), "b")
+        .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+        .withColumn("uni",
+          (size($"ta") + size($"tb") - $"inter").cast("long"))
+        .filter($"inter" * 10 >= $"uni" * 9)
+        .select($"a", $"b").localCheckpoint(true)
+      val nVerified = verified.count()
+      val wVer = (System.nanoTime() - t1) / 1e9
+      val planted = verified.filter($"b" === $"a" + n).count()
+      val allPairs = BigDecimal(n + n / 100) * (n + n / 100 - 1) / 2
+      println(f"[ppjoin] n=$n vocab=${15000 + tailVocab}%-6d " +
+        f"cand_raw=$cRaw%-11d (${wRaw}%.1fs) cand_pos=$cPos%-11d " +
+        f"(${wPos}%.1fs) cut=${1.0 - cPos.toDouble / cRaw}%.2f " +
+        f"verified=$nVerified (${wVer}%.1fs) planted=$planted/${n / 100} " +
+        f"sel_vs_allpairs=${BigDecimal(cPos) / allPairs}%.2e")
+    }
+    spark.stop()
+  }
+
   /** Streaming graph maintenance probe (r13 verdict item 3): a 2M-node
     * hub-shaped graph (exact-fixed-point family) lands as epoch 0, then
     * three ~1% edge-arrival epochs; each epoch is the REAL
@@ -2041,6 +2133,7 @@ object BenchTune {
     if (args.headOption.contains("edgeab")) { edgeAbProbe(sfDir); return }
     if (args.headOption.contains("eventab")) { eventAbProbe(sfDir); return }
     if (args.headOption.contains("graphstream")) { graphStreamProbe(sfDir); return }
+    if (args.headOption.contains("ppjoin")) { ppjoinProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
