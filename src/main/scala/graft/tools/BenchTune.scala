@@ -1628,7 +1628,11 @@ object BenchTune {
     import org.apache.spark.sql.expressions.Window
     spark.range(1000000).selectExpr("sum(id)").collect()
     val n = sys.env.getOrElse("SPARK_GRAFT_PPJOIN_N", "300000").toLong
-    for (tailVocab <- Seq(2000, 20000, 60000)) {
+    // above ~500k docs only the large-vocab point is probed: candidate
+    // volume ∝ n²/vocab, and the small-vocab points exist to trace the
+    // curve, already measured at 300k
+    val vocabs = if (n > 500000) Seq(60000) else Seq(2000, 20000, 60000)
+    for (tailVocab <- vocabs) {
       val perSlot = tailVocab / 5
       def tokenAt(id: org.apache.spark.sql.Column,
           j: org.apache.spark.sql.Column) =
