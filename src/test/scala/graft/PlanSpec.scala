@@ -247,6 +247,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!cm.contains("Join"), s"x_corr_matrix grew a join:\n$cm")
   }
 
+  test("round-14 queries keep scale-correct plan shapes") {
+    // BPE token counting is per-row narrow: the replace chain must stay
+    // inside the scan-side projection (one exchange only, for the final
+    // sort), and the scan must prune to the two consumed columns
+    val bpe = plan("x_bpe_tokens")
+    assert("Exchange".r.findAllIn(bpe).size <= 1,
+      s"x_bpe_tokens shuffles more than the final sort:\n$bpe")
+    assert(bpe.contains("doc_id") && !bpe.contains("CartesianProduct"))
+    // quantile sketch: the qpct frame is a broadcast literal (fine as
+    // BroadcastNestedLoopJoin); no true cartesian, and the sketch/exact
+    // joins stay keyed
+    val qs = plan("x_quantile_sketch")
+    assert(!qs.contains("CartesianProduct"),
+      s"x_quantile_sketch grew a non-broadcast cartesian:\n$qs")
+    assert(!plan("x_quantile_sketch_windowed").contains("CartesianProduct"))
+    // BPE-budget packing: same per-shard window shape as x_pack_sequences
+    assert(!plan("x_pack_sequences_bpe").contains("CartesianProduct"))
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
