@@ -343,10 +343,14 @@ object Analytics {
           .withColumn("p", expr(
             "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
           .withColumn("lb", expr("(v div p) * p"))
-        val sk = withLb.groupBy($"grp", $"lb").agg(count(lit(1)).as("c"))
+        val cells = withLb.groupBy($"grp", $"lb").agg(count(lit(1)).as("c"))
+        val sk = cells
           .withColumn("cum",
             sum($"c").over(Window.partitionBy($"grp").orderBy($"lb")))
-        val tgt = vals.groupBy($"grp").agg(count(lit(1)).as("n"))
+        // n per group = Σ cells — the sketch already holds it; summing the
+        // ≤2048-cell frame beats re-scanning the fact table (same value,
+        // so the oracle's COUNT(*) form still hash-matches)
+        val tgt = cells.groupBy($"grp").agg(sum($"c").as("n"))
           .crossJoin(broadcast(Seq(25, 50, 75, 95, 99).toDF("qpct")))
           .withColumn("target", expr("(n * qpct + 99) div 100"))
         val est = tgt.join(sk, Seq("grp")).filter($"cum" >= $"target")
@@ -427,10 +431,13 @@ object Analytics {
           .withColumn("p", expr(
             "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
           .withColumn("lb", expr("(v div p) * p"))
-        val sk = withLb.groupBy($"w_start", $"lb").agg(count(lit(1)).as("c"))
+        val cells = withLb.groupBy($"w_start", $"lb")
+          .agg(count(lit(1)).as("c"))
+        val sk = cells
           .withColumn("cum",
             sum($"c").over(Window.partitionBy($"w_start").orderBy($"lb")))
-        val tgt = vals.groupBy($"w_start").agg(count(lit(1)).as("n"))
+        // n per window from the cells themselves (x_quantile_sketch note)
+        val tgt = cells.groupBy($"w_start").agg(sum($"c").as("n"))
           .crossJoin(broadcast(Seq(50, 95).toDF("qpct")))
           .withColumn("target", expr("(n * qpct + 99) div 100"))
         val est = tgt.join(sk, Seq("w_start")).filter($"cum" >= $"target")
