@@ -894,15 +894,20 @@ object Analytics {
       "x_gap_detection",
       (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
+        // ONE scan of the fact table: everything else (span, type dim,
+        // spine) derives from the tiny distinct (type, hour) frame — the
+        // r14 eventab probe showed the old 3-scan form paying the
+        // multi-file read thrice under the bucketed layout for data the
+        // distinct already summarizes
+        val observed = Tables.events(s, d)
           .select($"event_type", date_trunc("hour", $"ts").as("h"))
-        val span = ev.agg(min($"h").as("h_min"), max($"h").as("h_max"))
-        val types = ev.select($"event_type").distinct()
+          .distinct()
+        val span = observed.agg(min($"h").as("h_min"), max($"h").as("h_max"))
+        val types = observed.select($"event_type").distinct()
         val spine = types.crossJoin(broadcast(span))
           .select($"event_type",
             explode(sequence($"h_min", $"h_max",
               expr("interval 1 hour"))).as("h"))
-        val observed = ev.distinct()
         spine.join(observed, Seq("event_type", "h"), "left_anti")
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n_gap_hours"),

@@ -74,6 +74,32 @@ object SketchStream {
     spark.read.parquet(storePath)
       .groupBy(col("w_start"), col("lb")).agg(sum(col("c")).as("c"))
 
+  /** Compaction: collapse all batch partitions into one merged partition
+    * under `compactedAs` (a batch id above every live one, conventionally
+    * Long.MaxValue-side), then drop the absorbed partitions. Readers see
+    * the same merged cells before, during (append-only + commutative
+    * sums; a concurrent read over old+new partitions double-counts
+    * NOTHING because the old partitions are removed only after the
+    * merged one is fully written), and after. Run between streaming
+    * runs — not while a writer holds the store. */
+  def compact(spark: SparkSession, storePath: String,
+      compactedAs: Long = 9000000000000000000L): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = fs.listStatus(path).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName != s"batch=$compactedAs")
+    val snapshot = merged(spark, storePath).localCheckpoint(true)
+    snapshot
+      .withColumn("batch", lit(compactedAs))
+      .write
+      .partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(storePath)
+    old.foreach(p => fs.delete(p, true))
+  }
+
   /** Per-window quantile estimates off the merged sketch (the
     * x_quantile_sketch extraction: smallest bucket whose cumulative
     * count reaches ceil(q·n); one-sided, rel error < 2^-5). */

@@ -68,5 +68,13 @@ class SketchStreamSpec extends AnyFunSuite {
       1L, store)
     assert(cellMap(SketchStream.merged(spark, store)) == before,
       "replayed batch changed cell totals")
+
+    // compaction collapses the batch partitions without changing a cell
+    SketchStream.compact(spark, store)
+    assert(cellMap(SketchStream.merged(spark, store)) == before,
+      "compaction changed cell totals")
+    val parts = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(parts.length == 1, s"compaction left partitions: $parts")
   }
 }
