@@ -259,6 +259,55 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
   }
 
+  /** The x4_mmr_select oracle: MMR's greedy loop unrolled as k CTE
+    * steps, each an argmax via ORDER BY/LIMIT 1 — pool and pairwise
+    * sims in the same round(cos,4)·1e4 fixed point as the Spark side,
+    * so every comparison is integer and the selection is hash-exact. */
+  private def mmrOracle(k: Int, pool: Int): String = {
+    val steps = new StringBuilder
+    steps.append(
+      """s1 AS MATERIALIZED (
+        |  SELECT vec_id, rel_fp, CAST(0 AS BIGINT) AS maxsim_fp
+        |  FROM pool ORDER BY rel_fp DESC, vec_id LIMIT 1),
+        |sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin)
+    for (i <- 2 to k) steps.append(
+      s""",
+         |s$i AS MATERIALIZED (
+         |  SELECT vec_id, rel_fp, maxsim_fp FROM (
+         |    SELECT p.vec_id, p.rel_fp,
+         |      COALESCE((SELECT MAX(s.sim_fp) FROM sims s
+         |        JOIN sel${i - 1} t ON s.b = t.vec_id
+         |        WHERE s.a = p.vec_id), 0) AS maxsim_fp
+         |    FROM pool p
+         |    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}))
+         |  ORDER BY rel_fp - maxsim_fp DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}
+         |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin)
+    val unions = (1 to k).map(i =>
+      s"SELECT $i AS mmr_rank, vec_id, rel_fp, maxsim_fp, " +
+        s"rel_fp - maxsim_fp AS score_fp FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    CAST(round(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      q.qv), 4) * 10000) AS BIGINT) AS rel_fp
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel_fp DESC, e.vec_id LIMIT $pool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(round(round(list_cosine_similarity(ea.embedding::DOUBLE[],
+       |      eb.embedding::DOUBLE[]), 4) * 10000) AS BIGINT) AS sim_fp
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |$steps
+       |SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel_fp,
+       |  maxsim_fp, score_fp
+       |FROM ($unions) ORDER BY mmr_rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- X4: brute-force cosine top-k against one query vector -------------
@@ -307,6 +356,62 @@ object Similarity {
         FROM embeddings e, embeddings q
         WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
         WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    // ---- MMR diverse top-k selection (Carbonell & Goldstein 1998) ----------
+    // Maximal marginal relevance: greedily pick k items maximizing
+    // relevance-to-query MINUS similarity-to-already-selected — the
+    // diversity-selection primitive behind eval-set construction and
+    // dedup-aware retrieval (pure top-k returns near-duplicates of the
+    // best hit; MMR spends the budget on coverage). λ = 0.5, so the
+    // selection objective reduces to rel − maxsim with NO division —
+    // all comparisons run on fixed-point longs (round(cos,4)·1e4), so
+    // the greedy argmax is pure integer and engine-neutral. Ties break
+    // (score desc, vec_id asc), making the whole selection a function
+    // of the pool. Scale shape: the DISTRIBUTED work is the relevance
+    // top-|pool| (TakeOrderedAndProject over the corpus) and the
+    // |pool|² pairwise cosines (self-join of the 24-row pool); the
+    // greedy loop itself is k·|pool| integer compares over collected
+    // longs — driver-bounded by constants like the IVF codebook, NOT by
+    // data size. The oracle unrolls the k selection steps as CTEs
+    // (argmax via ORDER BY/LIMIT 1 per step), so the gate is hash-exact.
+    QueryDef(
+      "x4_mmr_select",
+      (s, d) => {
+        import s.implicits._
+        val K = 8; val Pool = 24
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" === 0).select($"ev".as("qv"))
+        def fp(c: org.apache.spark.sql.Column) =
+          round(round(c, 4) * 10000, 0).cast("long")
+        val pool = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+          .select($"vec_id", fp(cosine($"ev", $"qv")).as("rel_fp"), $"ev")
+          .orderBy($"rel_fp".desc, $"vec_id").limit(Pool)
+        val rel = pool.select($"vec_id", $"rel_fp")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val sims = pool.as("a").select($"vec_id".as("ia"), $"ev".as("ea"))
+          .join(pool.as("b").select($"vec_id".as("ib"), $"ev".as("eb")),
+            $"ia" =!= $"ib")
+          .select($"ia", $"ib", fp(cosine($"ea", $"eb")).as("sim_fp"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        var selected = Vector.empty[(Int, Long, Long, Long, Long)]
+        var remaining = rel
+        for (k <- 1 to K) {
+          val scored = remaining.map { case (id, r) =>
+            val ms =
+              if (selected.isEmpty) 0L
+              else selected.map(t => sims((id, t._2))).max
+            (id, r, ms, r - ms)
+          }
+          val (id, r, ms, sc) = scored.minBy(x => (-x._4, x._1))
+          selected :+= ((k, id, r, ms, sc))
+          remaining = remaining.filterNot(_._1 == id)
+        }
+        selected.toDF("mmr_rank", "vec_id", "rel_fp", "maxsim_fp",
+          "score_fp")
+          .orderBy($"mmr_rank")
+      },
+      Some(mmrOracle(8, 24))),
 
     // ---- Hard-negative mining: nearest neighbors with a DIFFERENT label ----
     // The contrastive-training staple: for each anchor, the most similar
