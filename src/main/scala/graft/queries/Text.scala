@@ -43,7 +43,11 @@ object Text {
         WHERE length(token) > 0
         GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
 
-    // ---- Token counting: whitespace tokens + BPE-ish regex token estimate --
+    // ---- Token counting: whitespace tokens + regex subword estimate --------
+    // n_regex_tokens was named n_bpe_tokens through round 13 — renamed
+    // when REAL BPE landed (x_bpe_tokens): this column is the cheap
+    // regex segmentation estimate ([a-z]+ runs, digits, punctuation),
+    // useful as a pre-pass heuristic, NOT a merge-table encoding.
     QueryDef(
       "x_token_count",
       (s, d) => {
@@ -53,7 +57,7 @@ object Text {
             $"doc_id",
             size(split($"text", " ")).as("n_ws_tokens"),
             expr("size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))")
-              .as("n_bpe_tokens"),
+              .as("n_regex_tokens"),
             length($"text").as("len"),
             (length(regexp_replace($"text", " ", "")).cast("double") /
               size(split($"text", " "))).as("avg_token_len"))
@@ -61,7 +65,7 @@ object Text {
       },
       Some("""SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
-        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_regex_tokens,
         CAST(length(text) AS INTEGER) AS len,
         CAST(length(replace(text, ' ', '')) AS DOUBLE)
           / len(string_split(text, ' ')) AS avg_token_len

@@ -214,4 +214,47 @@ class QueriesSpec extends AnyFunSuite {
     val pmis = rows.map(_.getDouble(3))
     assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y })
   }
+
+  test("MMR: monotone greedy scores, pure-relevance first pick, " +
+      "more diverse than top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x4_mmr_select")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 8))
+    // greedy objective is non-increasing FROM STEP 2 ON: per-item maxsim
+    // only grows as the selected set grows, and the feasible set shrinks.
+    // Step 1 is excluded — its maxsim is defined 0 (empty set), while
+    // NEGATIVE similarities give later steps a bonus step 1 never gets
+    // (observed at sf0.001: rank 2 scores above rank 1 via maxsim −698)
+    val scores = rows.map(_._5).drop(1)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the first pick is pure relevance (no selected set to penalize)
+    assert(rows.head._4 == 0L)
+    assert(rows.head._3 == rows.map(_._3).max)
+    // diversity: max pairwise similarity among MMR's picks must not
+    // exceed that of the pure relevance top-8 (the operator's point)
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("ev"))
+    def maxPairSim(ids: Set[Long]): Double = {
+      val sel = e.filter($"vec_id".isin(ids.toSeq: _*))
+      sel.as("a").select($"vec_id".as("ia"), $"ev".as("ea"))
+        .join(sel.as("b").select($"vec_id".as("ib"), $"ev".as("eb")),
+          $"ia" < $"ib")
+        .select(round(graft.queries.Similarity.cosine($"ea", $"eb"), 4)
+          .as("c"))
+        .agg(max($"c")).head().getDouble(0)
+    }
+    val q = e.filter($"vec_id" === 0).select($"ev".as("qv"))
+    val top8 = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(graft.queries.Similarity.cosine($"ev", $"qv"), 4).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(8)
+      .collect().map(_.getLong(0)).toSet
+    val mmrSet = rows.map(_._2).toSet
+    assert(mmrSet != top8, "MMR degenerated to pure top-k on this corpus")
+    assert(maxPairSim(mmrSet) <= maxPairSim(top8))
+  }
 }
