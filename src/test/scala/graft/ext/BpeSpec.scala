@@ -95,6 +95,29 @@ class BpeSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("boundary char")))
   }
 
+  test("fuzz: Spark replace chain == local exhaustive-LTR on random words") {
+    // the doubled-boundary claim under stress: random words over a tiny
+    // alphabet maximize shared-delimiter collisions ("aaab", "ababa"…),
+    // and adversarial merge tables include self-pairs and merged-token
+    // pairs. Seeded — failures reproduce.
+    val rnd = new scala.util.Random(1405)
+    val tables = Seq(
+      Seq(Bpe.Merge("a", "a"), Bpe.Merge("b", "b"), Bpe.Merge("a", "b")),
+      Seq(Bpe.Merge("a", "b"), Bpe.Merge("ab", "a"), Bpe.Merge("b", "a")),
+      Seq(Bpe.Merge("b", "a"), Bpe.Merge("a", "a"), Bpe.Merge("aa", "ba")))
+    val words = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ =>
+        if (rnd.nextBoolean()) "a" else "b").mkString)
+    for (t <- tables) {
+      val got = words.toDF("t")
+        .select($"t", Bpe.segment($"t", t).as("s"))
+        .collect().map(r => r.getString(0) -> fromSeg(r.getString(1))).toMap
+      for (w <- words)
+        assert(got(w) == Bpe.encodeChain(w, t),
+          s"word=$w table=$t spark=${got(w)} local=${Bpe.encodeChain(w, t)}")
+    }
+  }
+
   test("token counts: empty word runs, trained-table compression sanity") {
     val got = Seq(("", 0L), ("  ", 0L), ("join", 1L), ("join join", 2L),
       ("the fast", 2L + 2L)) // the→[th? no: t h e with er/at merges absent] — computed below
