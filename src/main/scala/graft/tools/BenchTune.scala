@@ -1608,6 +1608,50 @@ object BenchTune {
     * lost executor would recompute the whole chain. checkpointEvery=k caps
     * plan depth at k iterations, making wall time genuinely linear in
     * iteration count. */
+  /** Streaming quantile-sketch probe: 1M-row synthetic event batches
+    * through the REAL SketchStream.processBatch (bucket + cell-append),
+    * then merge-on-read + compaction. The claims measured: per-batch
+    * wall flat in batch count, store bytes ~KBs per batch regardless of
+    * batch rows (the sketch property), merge-on-read wall bounded by
+    * CELLS not rows. */
+  def sketchStreamProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("sketch-stream", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "skprobe")
+      .toString
+    val rows = 1000000L
+    for (b <- 0L until 5L) {
+      val batch = spark.range(rows).select(
+        expr(s"timestamp_micros(cast(1700000000000000 + (id % 30) * 86400000000 as long))")
+          .as("ts"),
+        (pmod(xxhash64($"id", lit(b)), lit(49000)).cast("double") / 100 + 0.01)
+          .as("value"))
+      val t0 = System.nanoTime()
+      graft.streaming.SketchStream.processBatch(batch, b, store)
+      println(f"[sketchstream] batch=$b rows=$rows " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def du(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().map(x => du(x.getPath)).sum
+      else f.length()
+    }
+    println(f"[sketchstream] store_bytes=${du(store)} (5M rows ingested)")
+    val t1 = System.nanoTime()
+    val cells = graft.streaming.SketchStream.merged(spark, store).count()
+    println(f"[sketchstream] merged cells=$cells " +
+      f"wall=${(System.nanoTime() - t1) / 1e9}%.2fs")
+    val t2 = System.nanoTime()
+    graft.streaming.SketchStream.compact(spark, store)
+    println(f"[sketchstream] compact wall=${(System.nanoTime() - t2) / 1e9}%.2fs " +
+      f"store_bytes_after=${du(store)}")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(store))
+    spark.stop()
+  }
+
   /** PPJoin at a genuinely large vocabulary (r13 verdict item 7): the
     * r13 100x probe used the clone-heavy corpus where collapse-first
     * makes the join flat; the adversarial case for PREFIX FILTERING is
@@ -2138,6 +2182,7 @@ object BenchTune {
     if (args.headOption.contains("eventab")) { eventAbProbe(sfDir); return }
     if (args.headOption.contains("graphstream")) { graphStreamProbe(sfDir); return }
     if (args.headOption.contains("ppjoin")) { ppjoinProbe(sfDir); return }
+    if (args.headOption.contains("sketchstream")) { sketchStreamProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
