@@ -750,6 +750,14 @@ object Text {
           .select($"doc_id",
             size(split($"text", " ")).as("n_ws_tokens"),
             graft.ext.Bpe.tokenCount($"text").as("n_bpe_tokens"),
+            // the ITERATIVE kernel as a second gated column: the oracle
+            // replays the chain for both, so kernel ≡ chain ≡ DuckDB is
+            // re-proven by the GATE at every SF each round, not only by
+            // the spec (the two forms agree on trained tables — Bpe
+            // scaladoc; a merge-table edit breaking that agreement now
+            // reddens this row instead of only a test)
+            graft.functions.BpeTokenCount.bpe_token_count($"text")
+              .as("n_bpe_tokens_kernel"),
             length(regexp_replace($"text", " ", "")).cast("long")
               .as("n_chars_nospace"))
           .withColumn("bpe_per_ws_ppm",
@@ -765,6 +773,9 @@ object Text {
           CAST((length(s) - length(replace(s, '||', ''))) // 2 - 1
             - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
             AS n_bpe_tokens,
+          CAST((length(s) - length(replace(s, '||', ''))) // 2 - 1
+            - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+            AS n_bpe_tokens_kernel,
           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
           (CAST((length(s) - length(replace(s, '||', ''))) // 2 - 1
             - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)

