@@ -113,6 +113,35 @@ object GraphStream {
     iters
   }
 
+  /** Edge-store compaction: collapse the per-batch partitions into one
+    * (absorbed under `compactedAs`, conventionally Long.MaxValue-side so
+    * live batch ids never collide with it) — the SketchStream.compact
+    * discipline: write the merged partition fully, then drop the
+    * absorbed ones; the edge MULTISET is unchanged (spec-pinned), so
+    * every later epoch re-converges identically. Run between streaming
+    * runs. At scale this is also the moment to hand the static
+    * accumulated edges to [[graft.sources.EdgeStore]] (src-bucketed at
+    * rest) — the per-iteration exchange elimination measured in
+    * BENCH_SCALE r14_edge_store. */
+  def compactEdges(spark: SparkSession, storePath: String,
+      compactedAs: Long = 9000000000000000000L): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$storePath/edges")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = fs.listStatus(path).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName != s"batch=$compactedAs")
+    val snapshot = spark.read.parquet(s"$storePath/edges")
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    snapshot
+      .withColumn("batch", lit(compactedAs))
+      .write
+      .partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$storePath/edges")
+    old.foreach(p => fs.delete(p, true))
+  }
+
   /** The serving surface: ranks of the highest persisted epoch. */
   def latestRanks(spark: SparkSession, storePath: String): DataFrame = {
     val all = spark.read.parquet(s"$storePath/ranks")

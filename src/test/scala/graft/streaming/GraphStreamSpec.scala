@@ -82,5 +82,21 @@ class GraphStreamSpec extends AnyFunSuite {
     GraphStream.processBatch(spark, edgeChunk(40, 2, n), 1L, store)
     assert(edgeCount == ec, "replayed batch duplicated edges")
     assert(ranks1 == r1, "replayed batch changed the epoch's ranks")
+
+    // compaction preserves the edge MULTISET and later epochs converge
+    // identically off the compacted store
+    def edgeBag = spark.read.parquet(s"$store/edges")
+      .groupBy($"src", $"dst").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val bagBefore = edgeBag
+    GraphStream.compactEdges(spark, store)
+    assert(edgeBag == bagBefore, "compaction changed the edge multiset")
+    val parts = new java.io.File(s"$store/edges").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(parts.length == 1, s"compaction left partitions: $parts")
+    val itersAfter = GraphStream.processBatch(
+      spark, edgeChunk(10, 3, n), 2L, store)
+    assert(itersAfter > 0)
   }
 }
