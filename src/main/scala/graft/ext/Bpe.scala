@@ -51,7 +51,12 @@ object Bpe {
   final case class Merge(l: String, r: String) { def merged: String = l + r }
 
   /** The boundary character for the segmentation string. The corpus
-    * alphabet is [a-z ]; apply-sites guard against '|' in input loudly. */
+    * alphabet is [a-z ]; apply-sites guard against '|' in input loudly.
+    * For corpora whose alphabet cannot exclude any printable boundary,
+    * the ITERATIVE kernel (functions.BpeTokenCount) is the charset-safe
+    * path — it tokenizes word arrays directly and has no boundary
+    * character at all; the chain form exists for the oracle-replayable
+    * gate and the codegen'd-builtin plan shape. */
   val Boundary = "|"
   private val BB = Boundary + Boundary
 
