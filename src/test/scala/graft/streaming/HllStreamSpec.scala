@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The streaming-HLL claims: cells streamed across batches (with a
+  * checkpoint restart) MAX-merge to exactly a batch pass's cells; the
+  * estimate pipeline matches the x_hll_window gate's values for the same
+  * data; max-merge absorbs even OUT-OF-PROTOCOL reprocessing (appending
+  * the same data under a NEW batch id changes nothing — stronger than
+  * count-based stores, whose exactly-once depends on partition
+  * overwrite). */
+class HllStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  test("streamed cells ≡ batch cells; estimates match; max absorbs dups") {
+    val dir = tmp("hll_events"); val ckpt = tmp("hll_ck"); val store = tmp("hll_store")
+    val ev = Tables.events(spark, sf).select($"ts", $"user_id")
+      .localCheckpoint(true)
+
+    ev.filter($"user_id" % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(dir)
+    HllStream.run(spark, dir, ckpt, store).awaitTermination()
+    ev.filter($"user_id" % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(dir)
+    HllStream.run(spark, dir, ckpt, store).awaitTermination()
+
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+    val streamed = cellMap(HllStream.merged(spark, store))
+    val batch = cellMap(HllStream.cells(
+      ev.select(date_trunc("day", $"ts").as("w_start"), $"user_id")))
+    assert(streamed == batch, "max-merge diverged from the batch cells")
+
+    // estimates off the store: deterministic integers; sanity vs exact
+    val est = HllStream.estimates(spark, store)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(4)).toMap
+    val exact = ev.select(date_trunc("day", $"ts").as("w"), $"user_id")
+      .distinct().groupBy($"w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((w, e) <- est)
+      assert(math.abs(e - exact(w)).toDouble / exact(w) <= 0.4,
+        s"w=$w est=$e exact=${exact(w)}")
+
+    // out-of-protocol duplication: same data under a NEW batch id — a
+    // count store would double; the max store is invariant
+    HllStream.processBatch(ev.select($"ts", $"user_id"), 99L, store)
+    assert(cellMap(HllStream.merged(spark, store)) == streamed,
+      "max-merge failed to absorb duplicated data")
+  }
+}
