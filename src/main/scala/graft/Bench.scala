@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times the headline queries (SparkEntry.benchQueries) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver
@@ -49,17 +49,66 @@ import org.apache.spark.sql.SparkSession
   * after subtracting it, or per-query. (2) `steal_plain_s` /
   * `steal_bucketed_s` publish per-leg host-CPU steal (r13 item 1) so
   * uniform drift self-attributes in the committed artifact.
+  *
+  * ROUND-15 protocol changes:
+  *  - STEAL-GATED LEG RETRY (r14 verdict item 1): the committed r14
+  *    artifact carried 50–118 s of host-CPU steal per leg, overstating
+  *    drift the in-round clean runs disproved. Each leg (ETL, plain,
+  *    bucketed) now re-runs — up to [[MaxLegAttempts]] attempts — until
+  *    its measured steal is ≤ [[StealCleanThresholdS]] seconds; the
+  *    CLEANEST attempt's numbers are committed and every attempt's steal
+  *    rides along in `*_attempts_s`, so the artifact is clean by
+  *    construction or shows an explicit exhausted-retries record.
+  *  - QUERY-SET IDENTITY (r14 ADVICE): `bench_n`/`bench_set` (and the
+  *    `_bucketed` twins) publish each leg's query count and an 8-hex md5
+  *    of its sorted query names; `comparable_with_prior*` now ALSO
+  *    requires the set hash to equal the prior round's committed hash
+  *    ([[PriorPlainSetHash]]/[[PriorBucketedSetHash]] — update when the
+  *    set changes), so a grown set can never silently claim comparability.
+  *  - GRAPH ENTRY IN THE BUCKETED LEG (r14 verdict item 2):
+  *    `g_pagerank_edgestore` — the x_pagerank computation served from the
+  *    src-bucketed at-rest EdgeStore layout (written untimed at leg prep,
+  *    same rewrite-fresh discipline as the star tables) — joins
+  *    `queries_bucketed` so the zero-edge-exchange iteration trends per
+  *    round. `total_bucketed` therefore covers 11 queries and is NOT
+  *    comparable with r14's 10-query total (`comparable_with_prior_bucketed`
+  *    is false this round by the set-hash rule); `total_bucketed_shared`
+  *    is the 10-query subtotal over the plain set, directly comparable
+  *    with r14's `total_bucketed` AND with this run's plain `total`.
   */
 object Bench {
   private val Iters = 5
   private val HeadlineQuery = "q1_pricing_summary"
   private val HeadlineIters = 7
 
+  /** A leg whose host-CPU steal exceeds this is re-run (guest VM; r13/r14
+    * showed steal this size fully explains uniform leg-level drift). */
+  private val StealCleanThresholdS = 2.0
+  private val MaxLegAttempts = 3
+
+  /** The bucketed-leg-only graph entry (not a SparkEntry gate query — its
+    * input is the at-rest EdgeStore layout, not the raw parquet dir). */
+  private val GraphBenchQuery = "g_pagerank_edgestore"
+
+  /** Query-set hashes of the PRIOR round's committed legs (r14: the same
+    * 10 names in both legs). UPDATE these literals whenever the bench set
+    * changes — comparable_with_prior* keys on them, which is exactly the
+    * point: a set change flips comparability to false for one round until
+    * the constant is advanced, leaving a machine-visible seam instead of
+    * a silently-shifted total. */
+  private val PriorPlainSetHash = "898264ba"
+  private val PriorBucketedSetHash = "898264ba"
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+
+  private def setHash(names: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(names.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,6 +121,35 @@ object Bench {
     // absorb first-job session warmup (codegen compiler, broadcast infra,
     // scheduler) so it doesn't land on the first query's warmup pass
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+
+    // Steal-gated retry (r15 protocol, scaladoc): run `leg` up to
+    // MaxLegAttempts times, stopping at the first steal-clean attempt;
+    // keep the attempt with the LOWEST steal. Returns (result, chosen
+    // attempt's steal, all attempts' steal). Warmups inside the leg
+    // repeat per attempt — by attempt 2 the JVM is hot, so a retry is
+    // strictly closer to steady state, never worse.
+    def stealGated[T](label: String)(leg: () => T): (T, Double, Seq[Double]) = {
+      var attempts = Vector.empty[(T, Double)]
+      while (attempts.size < MaxLegAttempts &&
+          !attempts.exists(_._2 <= StealCleanThresholdS)) {
+        val before = stealJiffies
+        val r = leg()
+        val s = (stealJiffies - before) / 100.0
+        attempts :+= ((r, s))
+        if (s > StealCleanThresholdS && attempts.size < MaxLegAttempts)
+          System.err.println(
+            f"[bench] $label leg saw $s%.1f s host-CPU steal — retrying " +
+              s"(attempt ${attempts.size}/$MaxLegAttempts)")
+      }
+      val (res, s) = attempts.minBy(_._2)
+      (res, s, attempts.map(_._2))
+    }
 
     // ETL throughput: the reference's own workload (parse logs → 4 tables).
     // Its loader forks one JVM per log file, sequentially; warm logs/s here
@@ -88,38 +166,33 @@ object Bench {
     // the isolation: the r9-era clearCache+GC preamble guarded against
     // prior-query storage state that a fresh JVM no longer has.
     // r13: the r12 "-9% etl drift" turned out to be bursty HOST CPU STEAL
-    // (guest VM; /proc/stat col 8), not code — zero parse-path diffs since
-    // r10, and phase-timed slow loads slow uniformly across plan+all four
-    // counts while the steal counter jumps (BENCH_SCALE.json
-    // r13_etl_steal). Two self-documenting fields: etl_logs_per_sec_best
-    // (best-of-5 — interference-immune ceiling; compare THIS across
-    // rounds when steal_s > ~1) and etl_steal_s (steal seconds during the
-    // leg; ~0 = median is trustworthy).
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
-    val stealBefore = stealJiffies
-    val (etlLogsPerSec, etlLogsPerSecBest) = try {
-      val nLogs = 400
-      val glob = tools.BenchTune.genEtlLogs(nLogs)
-      tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
-      tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
-      val secs = (1 to 5).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
-      (nLogs / median(secs), nLogs / secs.min)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] etl failed: ${e.getMessage}"); (-1.0, -1.0) }
-    val etlStealS = (stealJiffies - stealBefore) / 100.0
+    // (guest VM; /proc/stat col 8), not code. etl_logs_per_sec_best is the
+    // interference-immune ceiling; etl_steal_s the chosen attempt's steal.
+    val ((etlLogsPerSec, etlLogsPerSecBest), etlStealS, etlStealAttempts) =
+      stealGated("etl") { () =>
+        try {
+          val nLogs = 400
+          val glob = tools.BenchTune.genEtlLogs(nLogs)
+          tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
+          tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
+          val secs = (1 to 5).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
+          (nLogs / median(secs), nLogs / secs.min)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] etl failed: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
+      }
 
     // BenchProtocol.force: noop sink materializes every output row with all
     // columns — count() would let Catalyst prune the actual work (scaladoc)
-    def force(name: String): Boolean =
-      try { BenchProtocol.force(qs(name)(spark, sfDir)); true }
+    def force(q: (SparkSession, String) => DataFrame, name: String): Boolean =
+      try { BenchProtocol.force(q(spark, sfDir)); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
 
-    def timeLeg(): Seq[(String, (Double, Double))] = names.map { name =>
+    def timeLeg(legNames: Seq[String],
+        lookup: Map[String, (SparkSession, String) => DataFrame])
+        : Seq[(String, (Double, Double))] = legNames.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // localCheckpoint blocks (lshCandidatePairs, x_contamination) are
       // NOT in the CacheManager — they free via ContextCleaner when their
@@ -130,29 +203,24 @@ object Bench {
       // median-of-5 drifted 22% above a simultaneously-IMPROVED min —
       // session noise; a median over 7 tolerates three stalled passes)
       val iters = if (name == HeadlineQuery) HeadlineIters else Iters
-      val warmOk = force(name)
+      val q = lookup(name)
+      val warmOk = force(q, name)
       val times =
         if (!warmOk) Seq.empty[Double]
         else (1 to iters).map { _ =>
           val t0 = System.nanoTime()
-          val ok = force(name)
+          val ok = force(q, name)
           if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         }
       // a failed query must not masquerade as a (near-zero) fast timing
       if (times.isEmpty || times.exists(_.isNaN)) name -> (-1.0, -1.0)
       else name -> (median(times), times.min)
     }
-    // r13 verdict item 1: the ETL leg can self-attribute host-CPU-steal
-    // drift (etl_steal_s) but the query legs could not — the committed r13
-    // plain total (+15% vs r12, broadly uniform per query) was diagnosed
-    // environmental only via UNCOMMITTED in-round probes
-    // (r13_bench_contention). Sample /proc/stat steal around each query leg
-    // too, so any future drift self-attributes in the committed artifact:
-    // steal_plain_s / steal_bucketed_s ≈ 0 means the medians are
-    // trustworthy; a large value explains a uniformly-slow leg.
-    val stealPlainBefore = stealJiffies
-    val results = timeLeg()
-    val stealPlainS = (stealJiffies - stealPlainBefore) / 100.0
+
+    // plain leg — steal-gated (r15; r13 item 1 added the sampling, r14
+    // item 1 the retry: the committed artifact must carry a clean run)
+    val (results, stealPlainS, stealPlainAttempts) =
+      stealGated("plain") { () => timeLeg(names, qs) }
     spark.sharedState.cacheManager.clearCache()
 
     // ---- bucketed leg (r12 verdict item 4) --------------------------------
@@ -160,35 +228,48 @@ object Bench {
     // for the star workload, so its trend must be committed per round, not
     // measured once: the SAME query list re-timed under the 'orderkey'
     // layout (orders/lineitem bucketed by orderkey, customer by custkey —
-    // Tables scaladoc), tables freshly rewritten each run (untimed; a
-    // stale copy of a regenerated corpus would silently serve old rows).
-    // Queries not touching the three star tables resolve identically in
-    // both legs, which keeps total_bucketed directly comparable to total.
-    // Skipped only when the driver already pinned a layout via env (then
-    // this run IS that layout's leg).
+    // Tables scaladoc) PLUS g_pagerank_edgestore over the src-bucketed
+    // at-rest edge layout (r15, scaladoc), tables and edge store freshly
+    // rewritten each run (untimed; a stale copy of a regenerated corpus
+    // would silently serve old rows). Queries not touching the star tables
+    // resolve identically in both legs, which keeps total_bucketed_shared
+    // directly comparable to total. Skipped only when the driver already
+    // pinned a layout via env (then this run IS that layout's leg).
     val BucketedLayout = "orderkey"
-    val stealBkBefore = stealJiffies
-    val bucketedResults: Option[Seq[(String, (Double, Double))]] =
-      if (Tables.activeLayout.isDefined) None
+    val bucketedNames = names :+ GraphBenchQuery
+    val qsBk: Map[String, (SparkSession, String) => DataFrame] =
+      qs + (GraphBenchQuery ->
+        ((s: SparkSession, d: String) =>
+          queries.GraphQueries.pagerankEdgeStore(s, d)))
+    val (bucketedResults, stealBkS, stealBkAttempts):
+        (Option[Seq[(String, (Double, Double))]], Double, Seq[Double]) =
+      if (Tables.activeLayout.isDefined) (None, -1.0, Seq.empty)
       else {
         try {
+          // untimed prep, outside the retried window: steal during a
+          // rewrite does not contaminate the timings
           tools.BenchTune.writeBucketedTables(spark, sfDir, BucketedLayout)
+          queries.GraphQueries.writeBenchEdgeStore(spark, sfDir)
           System.setProperty("graft.bucketed", BucketedLayout)
-          try Some(timeLeg())
-          finally System.clearProperty("graft.bucketed")
+          try {
+            val (rs, s, as) =
+              stealGated("bucketed") { () => timeLeg(bucketedNames, qsBk) }
+            (Some(rs), s, as)
+          } finally System.clearProperty("graft.bucketed")
         } catch { case e: Throwable =>
           System.clearProperty("graft.bucketed")
           System.err.println(s"[bench] bucketed leg failed: ${e.getMessage}")
-          None
+          (None, -1.0, Seq.empty)
         }
       }
-    val stealBkS = (stealJiffies - stealBkBefore) / 100.0
     spark.sharedState.cacheManager.clearCache()
 
     def fmt(rs: Seq[(String, (Double, Double))],
         sel: ((Double, Double)) => Double): String =
       rs.map { case (k, v) => "\"" + k + f"""\":${sel(v)}%.4f""" }
         .mkString("{", ",", "}")
+    def fmtArr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val qJson = fmt(results, _._1)
     val qMinJson = fmt(results, _._2)
     val nFailed = results.count(_._2._1 < 0)
@@ -207,10 +288,23 @@ object Bench {
       case Some(rs) if nFailedBk == 0 => rs.map(_._2._1).sum
       case _ => -1.0
     }
+    // the plain-set subtotal of the bucketed leg: same 10 queries as
+    // `total` and as r14's total_bucketed — the cross-leg and (this
+    // round) cross-round comparable number (r15 scaladoc)
+    val sharedBk = bucketedResults.map(_.filter(p => names.contains(p._1)))
+    val nFailedShared = sharedBk.map(_.count(_._2._1 < 0)).getOrElse(-1)
+    val totalBkShared = sharedBk match {
+      case Some(rs) if nFailedShared == 0 => rs.map(_._2._1).sum
+      case _ => -1.0
+    }
     val qBkJson = bucketedResults.map(fmt(_, _._1)).getOrElse("{}")
     val qBkMinJson = bucketedResults.map(fmt(_, _._2)).getOrElse("{}")
-    val comparable = nFailed == 0
-    val comparableBk = nFailedBk == 0
+    val plainSetHash = setHash(names)
+    val bkSetHash = setHash(bucketedNames)
+    // comparability = clean run AND unchanged query set (r14 ADVICE: a
+    // grown set must not assert round-over-round comparability)
+    val comparable = nFailed == 0 && plainSetHash == PriorPlainSetHash
+    val comparableBk = nFailedBk == 0 && bkSetHash == PriorBucketedSetHash
 
     // etl_protocol tag: r9 changed the ETL leg (isolated, 2 warmups,
     // 400 logs, median-of-5) — absolute logs/s moved up ~1.7x vs the old
@@ -220,7 +314,7 @@ object Bench {
     // active (Tables scaladoc) — bucketed totals are a different storage
     // contract, never compared against plain ones silently
     val layout = Tables.activeLayout.getOrElse("plain")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"comparable_with_prior_bucketed":$comparableBk,"queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"total_bucketed_shared":$totalBkShared%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_s":$stealPlainS%.1f,"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_s":$stealBkS%.1f,"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_clean_threshold_s":$StealCleanThresholdS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

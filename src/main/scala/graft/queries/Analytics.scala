@@ -337,8 +337,9 @@ object Analytics {
         import org.apache.spark.sql.expressions.Window
         val vals = Tables.lineitem(s, d)
           .select($"l_returnflag".as("grp"),
-            ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
-              .as("v"))
+            graft.functions.FixedPoint.requirePositive(
+              ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"),
+              "x_quantile_sketch").as("v"))
         val withLb = vals
           .withColumn("p", expr(
             "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
@@ -426,7 +427,9 @@ object Analytics {
         import org.apache.spark.sql.expressions.Window
         val vals = Tables.events(s, d)
           .select(date_trunc("day", $"ts").as("w_start"),
-            ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+            graft.functions.FixedPoint.requirePositive(
+              ($"value".cast("decimal(18,2)") * 100).cast("long"),
+              "x_quantile_sketch_windowed").as("v"))
         val withLb = vals
           .withColumn("p", expr(
             "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))

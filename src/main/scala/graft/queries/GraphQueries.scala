@@ -34,7 +34,14 @@ object GraphQueries {
     * times) — materializing the 16-byte-a-row edge list once is the
     * at-scale shape too, where the static edge table is the thing to
     * bucket/pin while the small rank iterate mutates. */
-  private def md5Edges(docs: org.apache.spark.sql.DataFrame) = {
+  private def md5Edges(docs: org.apache.spark.sql.DataFrame) =
+    md5EdgesUncached(docs).cache()
+
+  /** The md5 link-graph derivation WITHOUT the cache — for callers that
+    * persist the edge list to an at-rest layout (Bench's EdgeStore leg)
+    * instead of iterating over it in-session. */
+  def md5EdgesUncached(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs.crossJoin(broadcast(n))
@@ -46,7 +53,39 @@ object GraphQueries {
             concat(col("src").cast("string"), lit(":"),
               col("j").cast("string"))), 4),
           col("n_docs")).as("dst"))
-      .cache()
+  }
+
+  /** Name of the at-rest edge layout the bench graph entry reads. */
+  val BenchEdgeStoreName = "bench_md5"
+
+  /** Untimed bench-leg prep: persist the md5 link graph (with out-degree)
+    * as the src-bucketed EdgeStore layout, same rewrite-fresh-each-run
+    * discipline as the star-table layouts. */
+  def writeBenchEdgeStore(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    graft.sources.EdgeStore.write(
+      graft.ext.Graphs.prepareEdges(md5EdgesUncached(docs)),
+      BenchEdgeStoreName)
+  }
+
+  /** The x_pagerank computation served from the at-rest EdgeStore layout
+    * (r14 verdict item 2 — the zero-edge-exchange iteration must TREND in
+    * the committed bench, not live only in the `edgeab` probe): same
+    * nodes, same iteration count and fixed point as the x_pagerank gate,
+    * edges + degree read from the src-bucketed table that
+    * [[writeBenchEdgeStore]] wrote at (untimed) leg prep. Result
+    * bit-identity between the prepared and derived paths is spec-pinned
+    * in EdgeStoreSpec. */
+  def pagerankEdgeStore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val ed = graft.sources.EdgeStore.read(s, BenchEdgeStoreName)
+    graft.ext.Graphs.pageRankPrepared(nodes, ed, Iters, Scale)
+      .orderBy(col("r").desc, col("id")).limit(20)
+      .select(col("id").as("doc_id"), col("r").as("pagerank_e9"))
   }
 
   /** The 5-iteration recurrence, unrolled for DuckDB. Kept in one place so

@@ -29,6 +29,8 @@ object SketchStream {
     * (any drift would break the spec's streamed ≡ batch pin). */
   def cells(frame: DataFrame): DataFrame =
     frame
+      .withColumn("v", graft.functions.FixedPoint.requirePositive(
+        col("v"), "SketchStream.cells"))
       .withColumn("p", expr(
         "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
       .select(col("w_start"), expr("(v div p) * p").as("lb"))

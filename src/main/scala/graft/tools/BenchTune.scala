@@ -1424,8 +1424,9 @@ object BenchTune {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val base = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("grp"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("v"))
+        graft.functions.FixedPoint.requirePositive(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+          "qsketchProbe").as("v"))
     for ((tag, reps) <- Seq(("1x", 1), ("100x", 100))) {
       val vals =
         if (reps == 1) base
