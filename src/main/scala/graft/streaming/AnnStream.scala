@@ -62,13 +62,13 @@ object AnnStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        IvfAnn.assign(batch.localCheckpoint(true), cents)
-          .withColumn("batch", lit(batchId))
-          .write
-          .partitionBy("cluster", "batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .parquet(indexPath)
+        // the shared exactly-once write discipline (EpochStore); `cluster`
+        // stays the OUTER partition key so probe-time pruning keeps
+        // reading only nProbe clusters' directories as the index grows
+        EpochStore.writeEpoch(
+          IvfAnn.assign(batch.localCheckpoint(true), cents),
+          batchId, indexPath,
+          leadingPartitionCols = Seq("cluster"))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer).start()

@@ -1,0 +1,192 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The exactly-once epoch store — ONE implementation of the
+  * dynamic-partition-overwrite `batch=B` discipline that [[AnnStream]],
+  * [[SketchStream]], [[HllStream]] and [[GraphStream]] each hand-rolled
+  * through round 14 (r14 verdict item 6: four copies of a subtle
+  * correctness contract is how drift starts).
+  *
+  * ==The contract==
+  *  - [[writeEpoch]]: a micro-batch writes its own rows under
+  *    `key=batchId` with DYNAMIC partition overwrite, so a crash-replayed
+  *    batch REPLACES its own partition instead of appending duplicates —
+  *    the store is exactly-once under any single-writer crash/replay
+  *    schedule within one checkpoint lineage. The `key` column is
+  *    writer-private; readers never see it.
+  *  - [[read]]: the live row multiset. COMPACTION-SAFE (see below) —
+  *    this closes the r14 ADVICE exposure where a reader listing the
+  *    store between "compacted partition committed" and "absorbed
+  *    partitions deleted" double-counted every absorbed row.
+  *  - [[compact]]: collapse all plain epoch partitions (and any older
+  *    compacted one) into a single partition holding `merge(liveRows)`,
+  *    then delete the absorbed partitions. For count-like stores pass
+  *    the cell re-aggregation as `merge`; for multiset stores identity.
+  *  - [[latest]] / [[latestBelow]]: serving / warm-start surfaces for
+  *    stores where each epoch is a full snapshot (GraphStream ranks),
+  *    not a delta.
+  *
+  * ==Compaction-safe reads==
+  * A compacted partition's id self-describes what it absorbed:
+  * `key = CompactedBase + maxAbsorbedPlainEpoch`. A reader (driver-side,
+  * one directory listing) finds the HIGHEST compacted id C and keeps
+  * exactly the partitions
+  *
+  *   { C } ∪ { plain b | b > C − CompactedBase }
+  *
+  * via a partition-pruning filter. Every interleaving with a concurrent
+  * compaction then reads one consistent multiset:
+  *  - listing BEFORE the compacted partition commits → only plain
+  *    partitions, all still present (deletes happen strictly after the
+  *    commit) → correct;
+  *  - listing AFTER the commit, before/during the deletes → the rule
+  *    excludes every absorbed partition whether or not its delete has
+  *    happened yet → correct, no double count;
+  *  - a SECOND compaction's id is strictly higher (it absorbs at least
+  *    one plain epoch above the previous high-water mark — [[compact]]
+  *    is a no-op otherwise), so "highest compacted id" always names the
+  *    newest snapshot and older compacted partitions are excluded by
+  *    not being C.
+  * Single COMPACTOR at a time (and no concurrent epoch writer) remains
+  * required — this makes concurrent READERS safe, which is the exposure
+  * the r14 ADVICE named.
+  *
+  * ==Scale shape==
+  * Per batch: one partitioned write of the batch's own (usually
+  * KB-scale, pre-aggregated) rows; nothing existing is read or
+  * rewritten. Reads prune to live partitions; compaction cost is one
+  * scan of cell rows, not data rows. Partition-listing is driver-side
+  * metadata only.
+  */
+object EpochStore {
+
+  /** Compacted-partition id space: `CompactedBase + maxAbsorbedEpoch`.
+    * Plain epoch ids must stay below this (structured-streaming batch
+    * ids are small integers; [[writeEpoch]] enforces it) and the sum
+    * stays below Long.MaxValue for any absorbed id < 2.2e17. */
+  val CompactedBase = 9000000000000000000L
+
+  /** Append `df` as epoch `batchId` at `path`. `leadingPartitionCols`
+    * become OUTER partition keys ahead of the epoch key (AnnStream's
+    * `cluster` — reader-meaningful pruning keys), the epoch key itself
+    * is always innermost and writer-private. */
+  def writeEpoch(df: DataFrame, batchId: Long, path: String,
+      key: String = "batch",
+      leadingPartitionCols: Seq[String] = Nil): Unit = {
+    require(batchId >= 0 && batchId < CompactedBase,
+      s"epoch id $batchId outside the plain-epoch id space")
+    // an epoch at or below the compaction high-water mark would be
+    // HIDDEN by the read rule (and means a fresh checkpoint lineage was
+    // pointed at an old store — its replay protocol no longer matches
+    // the store's history): fail loudly instead of losing data silently.
+    // Flat layouts only (nested stores never compact — listing skipped).
+    if (leadingPartitionCols.isEmpty) {
+      val spark = df.sparkSession
+      val highWater = epochIds(spark, path, key)
+        .filter(_ >= CompactedBase).map(_ - CompactedBase)
+        .reduceOption(_ max _).getOrElse(-1L)
+      require(batchId > highWater,
+        s"epoch id $batchId is at/below the compaction high-water mark " +
+          s"$highWater at $path — this store was compacted under a newer " +
+          "lineage; re-point the checkpoint or use a fresh store path")
+    }
+    df.withColumn(key, lit(batchId))
+      .write
+      .partitionBy(leadingPartitionCols :+ key: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Epoch-partition ids present at `path` (driver-side listing; empty
+    * if the store does not exist yet). Flat layouts only — the epoch
+    * dirs must sit directly under `path`. */
+  private def epochIds(spark: SparkSession, path: String,
+      key: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(s"$key="))
+      .map(_.stripPrefix(s"$key=").toLong)
+      .toSeq
+  }
+
+  /** The live row multiset (compaction-safe, scaladoc above), with the
+    * writer-private epoch key dropped. Flat layouts only. */
+  def read(spark: SparkSession, path: String,
+      key: String = "batch"): DataFrame = {
+    val ids = epochIds(spark, path, key)
+    val compacted = ids.filter(_ >= CompactedBase)
+    val all = spark.read.parquet(path)
+    val live =
+      if (compacted.isEmpty) all.filter(col(key).cast("long") < CompactedBase)
+      else {
+        val c = compacted.max
+        val absorbedUpTo = c - CompactedBase
+        all.filter(col(key).cast("long") === c ||
+          (col(key).cast("long") < CompactedBase &&
+            col(key).cast("long") > absorbedUpTo))
+      }
+    live.drop(key)
+  }
+
+  /** Collapse the live partitions into one: write `merge(read())` under
+    * `key = CompactedBase + maxAbsorbedPlainEpoch`, then delete every
+    * absorbed partition (older compacted ones included). No-op when no
+    * plain epoch exists above the previous compaction's high-water mark
+    * — which is also what keeps compacted ids strictly increasing.
+    * Single compactor, no concurrent writer; concurrent readers are
+    * safe (scaladoc). */
+  def compact(spark: SparkSession, path: String,
+      key: String = "batch",
+      merge: DataFrame => DataFrame = identity): Unit = {
+    val ids = epochIds(spark, path, key)
+    val prevHighWater =
+      ids.filter(_ >= CompactedBase).map(_ - CompactedBase)
+        .reduceOption(_ max _).getOrElse(-1L)
+    val plainToAbsorb = ids.filter(id =>
+      id < CompactedBase && id > prevHighWater)
+    if (plainToAbsorb.isEmpty) return
+    val newId = CompactedBase + plainToAbsorb.max
+    // snapshot the live multiset BEFORE writing (localCheckpoint: the
+    // merged frame must not lazily re-list the store mid-rewrite)
+    val snapshot = merge(read(spark, path, key)).localCheckpoint(true)
+    snapshot
+      .withColumn(key, lit(newId))
+      .write
+      .partitionBy(key)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+    // deletes strictly after the snapshot partition is fully committed;
+    // the read rule hides the absorbed partitions from this moment on
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ids.filter(_ != newId).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"$key=$id"), true)
+    }
+  }
+
+  /** Rows of the highest epoch ≤/below the given bound — for stores
+    * whose epochs are full snapshots, not deltas (GraphStream ranks).
+    * None if no qualifying epoch exists. */
+  def latestBelow(spark: SparkSession, path: String, key: String,
+      strictlyBelow: Long): Option[DataFrame] = {
+    val ids = epochIds(spark, path, key).filter(_ < strictlyBelow)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(path)
+      .filter(col(key).cast("long") === ids.max)
+      .drop(key))
+  }
+
+  /** Rows of the highest epoch present (serving surface for
+    * snapshot-per-epoch stores). Fails if the store is empty. */
+  def latest(spark: SparkSession, path: String,
+      key: String = "batch"): DataFrame =
+    latestBelow(spark, path, key, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no epochs at $path — nothing has been persisted yet"))
+}

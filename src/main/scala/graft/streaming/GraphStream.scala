@@ -90,83 +90,43 @@ object GraphStream {
       storePath: String,
       maxIters: Int = 100,
       scale: Long = 1000000000L): Int = {
-    batch.select(col("src"), col("dst"))
-      .withColumn("batch", lit(batchId))
-      .write
-      .partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(s"$storePath/edges")
-    val edges = spark.read.parquet(s"$storePath/edges")
+    EpochStore.writeEpoch(batch.select(col("src"), col("dst")),
+      batchId, s"$storePath/edges")
+    val edges = EpochStore.read(spark, s"$storePath/edges")
       .select(col("src"), col("dst"))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val init = latestEpochBefore(spark, storePath, batchId)
     val (ranks, iters) = Graphs.pageRankConverged(
       nodes, edges, maxIters, tolPerNode = 0L, scale, init)
-    ranks.withColumn("epoch", lit(batchId))
-      .write
-      .partitionBy("epoch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(s"$storePath/ranks")
+    EpochStore.writeEpoch(ranks, batchId, s"$storePath/ranks", key = "epoch")
     iters
   }
 
   /** Edge-store compaction: collapse the per-batch partitions into one
-    * (absorbed under `compactedAs`, conventionally Long.MaxValue-side so
-    * live batch ids never collide with it) — the SketchStream.compact
-    * discipline: write the merged partition fully, then drop the
-    * absorbed ones; the edge MULTISET is unchanged (spec-pinned), so
-    * every later epoch re-converges identically. Run between streaming
-    * runs. At scale this is also the moment to hand the static
-    * accumulated edges to [[graft.sources.EdgeStore]] (src-bucketed at
-    * rest) — the per-iteration exchange elimination measured in
-    * BENCH_SCALE r14_edge_store. */
-  def compactEdges(spark: SparkSession, storePath: String,
-      compactedAs: Long = 9000000000000000000L): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$storePath/edges")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val old = fs.listStatus(path).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filter(_.getName != s"batch=$compactedAs")
-    val snapshot = spark.read.parquet(s"$storePath/edges")
-      .select(col("src"), col("dst")).localCheckpoint(true)
-    snapshot
-      .withColumn("batch", lit(compactedAs))
-      .write
-      .partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(s"$storePath/edges")
-    old.foreach(p => fs.delete(p, true))
-  }
+    * ([[EpochStore.compact]] with the identity merge — the edge MULTISET
+    * is unchanged, spec-pinned, so every later epoch re-converges
+    * identically). Concurrent READERS are safe: the store's read rule
+    * excludes absorbed partitions the moment the compacted one commits
+    * (the r14 exposure is closed); still single-compactor, not while a
+    * writer holds the store. At scale this is also the moment to hand
+    * the static accumulated edges to [[graft.sources.EdgeStore]]
+    * (src-bucketed at rest) — the per-iteration exchange elimination
+    * measured in BENCH_SCALE r14_edge_store. */
+  def compactEdges(spark: SparkSession, storePath: String): Unit =
+    EpochStore.compact(spark, s"$storePath/edges")
 
-  /** The serving surface: ranks of the highest persisted epoch. */
-  def latestRanks(spark: SparkSession, storePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$storePath/ranks")
-    // partition-column type is INFERRED (int for small epoch ids) —
-    // normalize to long rather than assuming
-    val top = all.agg(max(col("epoch").cast("long"))).head().getLong(0)
-    all.filter(col("epoch").cast("long") === top)
+  /** The serving surface: ranks of the highest persisted epoch
+    * ([[EpochStore.latest]] — each rank epoch is a full snapshot). */
+  def latestRanks(spark: SparkSession, storePath: String): DataFrame =
+    EpochStore.latest(spark, s"$storePath/ranks", key = "epoch")
       .select(col("id"), col("r"))
-  }
 
   /** Warm-start seed for batch `batchId`: the latest epoch STRICTLY
     * below it (a replayed batch must never seed from its own — possibly
     * partially written — epoch). None on the first epoch (cold start). */
   private def latestEpochBefore(spark: SparkSession, storePath: String,
-      batchId: Long): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(s"$storePath/ranks")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) return None
-    val epochs = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("epoch="))
-      .map(_.stripPrefix("epoch=").toLong)
-      .filter(_ < batchId)
-    if (epochs.isEmpty) None
-    else Some(spark.read.parquet(s"$storePath/ranks")
-      .filter(col("epoch").cast("long") === epochs.max)
-      .select(col("id"), col("r")))
-  }
+      batchId: Long): Option[DataFrame] =
+    EpochStore.latestBelow(spark, s"$storePath/ranks", "epoch", batchId)
+      .map(_.select(col("id"), col("r")))
 }

@@ -56,19 +56,28 @@ object HllStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       storePath: String): Unit =
-    cells(batch.select(date_trunc("day", col("ts")).as("w_start"),
-        col("user_id")))
-      .withColumn("batch", lit(batchId))
-      .write
-      .partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(storePath)
+    EpochStore.writeEpoch(
+      cells(batch.select(date_trunc("day", col("ts")).as("w_start"),
+        col("user_id"))),
+      batchId, storePath)
 
-  /** Merge-on-read: per-bucket MAX across all batch partitions. */
+  /** The max-merge: per-bucket MAX — idempotent AND commutative, the
+    * property that makes this store safe even against out-of-protocol
+    * reprocessing. ONE definition serves merge-on-read and compaction. */
+  private def mergeCells(df: DataFrame): DataFrame =
+    df.groupBy(col("w_start"), col("bucket")).agg(max(col("rho")).as("rho"))
+
+  /** Merge-on-read: per-bucket MAX across the live epoch partitions
+    * ([[EpochStore.read]], compaction-safe — though max-merge is the one
+    * merge where even a non-safe read could not double-count). */
   def merged(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy(col("w_start"), col("bucket")).agg(max(col("rho")).as("rho"))
+    mergeCells(EpochStore.read(spark, storePath))
+
+  /** Compaction: collapse the live epoch partitions into one max-merged
+    * cell partition ([[EpochStore.compact]] — shared discipline, safe
+    * for concurrent readers). */
+  def compact(spark: SparkSession, storePath: String): Unit =
+    EpochStore.compact(spark, storePath, merge = mergeCells)
 
   /** Per-window cardinality estimates off the merged cells — the
     * x_hll_window integer pipeline (raw + linear-counting correction

@@ -57,50 +57,36 @@ object SketchStream {
      else writer).start()
   }
 
-  /** One batch: cents-quantize, bucket, append cells exactly-once.
+  /** One batch: cents-quantize, bucket, append cells exactly-once
+    * ([[EpochStore.writeEpoch]] — the shared replay discipline).
     * Public for the replay-idempotence spec and direct drivers. */
   def processBatch(batch: DataFrame, batchId: Long,
       storePath: String): Unit =
-    cells(batch.select(date_trunc("day", col("ts")).as("w_start"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v")))
-      .withColumn("batch", lit(batchId))
-      .write
-      .partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(storePath)
+    EpochStore.writeEpoch(
+      cells(batch.select(date_trunc("day", col("ts")).as("w_start"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))),
+      batchId, storePath)
 
-  /** Merge-on-read: the current sketch — cell-wise sum across all batch
-    * partitions. Identical to a batch sketch of all streamed rows. */
+  /** The count-merge: cell-wise sum — commutative, so any partitioning
+    * of the stream into epochs yields the same cells. ONE definition
+    * serves merge-on-read and compaction. */
+  private def mergeCells(df: DataFrame): DataFrame =
+    df.groupBy(col("w_start"), col("lb")).agg(sum(col("c")).as("c"))
+
+  /** Merge-on-read: the current sketch — cell-wise sum across the live
+    * epoch partitions ([[EpochStore.read]], compaction-safe). Identical
+    * to a batch sketch of all streamed rows. */
   def merged(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy(col("w_start"), col("lb")).agg(sum(col("c")).as("c"))
+    mergeCells(EpochStore.read(spark, storePath))
 
-  /** Compaction: collapse all batch partitions into one merged partition
-    * under `compactedAs` (a batch id above every live one, conventionally
-    * Long.MaxValue-side), then drop the absorbed partitions. Readers see
-    * the same merged cells before, during (append-only + commutative
-    * sums; a concurrent read over old+new partitions double-counts
-    * NOTHING because the old partitions are removed only after the
-    * merged one is fully written), and after. Run between streaming
-    * runs — not while a writer holds the store. */
-  def compact(spark: SparkSession, storePath: String,
-      compactedAs: Long = 9000000000000000000L): Unit = {
-    val path = new org.apache.hadoop.fs.Path(storePath)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val old = fs.listStatus(path).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filter(_.getName != s"batch=$compactedAs")
-    val snapshot = merged(spark, storePath).localCheckpoint(true)
-    snapshot
-      .withColumn("batch", lit(compactedAs))
-      .write
-      .partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(storePath)
-    old.foreach(p => fs.delete(p, true))
-  }
+  /** Compaction: collapse the live epoch partitions into one summed cell
+    * partition ([[EpochStore.compact]]). Concurrent READERS are safe —
+    * the store's read rule excludes absorbed partitions the moment the
+    * compacted one is committed, so the window where both copies of a
+    * cell exist on disk can no longer double-count (the r14 exposure).
+    * Still single-compactor, and not while a writer holds the store. */
+  def compact(spark: SparkSession, storePath: String): Unit =
+    EpochStore.compact(spark, storePath, merge = mergeCells)
 
   /** Per-window quantile estimates off the merged sketch (the
     * x_quantile_sketch extraction: smallest bucket whose cumulative
