@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog cardinality as relational algebra, parameterized by the
+  * register count `m` — ONE definition of the bucketing, the register
+  * update, and the integer estimate pipeline, consumed by the batch gate
+  * (`x_hll_window`), the streaming twin ([[graft.streaming.HllStream]]),
+  * and the mechanically generated DuckDB oracle, so the three can never
+  * drift (r14 verdict item 5: m = 64 gave rsd ≈ 13% and a 40% `in_bound`
+  * that certified little; the gate now runs m = 1024 → rsd ≈ 3.25% and a
+  * 5·rsd ≈ 16% bound that actually constrains the estimate).
+  *
+  * ==The integer discipline==
+  * Everything — INCLUDING the estimate — is exact integer arithmetic on
+  * both engines, so the gate is hash-exact and a sketch outlier cannot
+  * flake it (the a8 weakness this form retires):
+  *
+  *  - hash: md5 of the key, top 64 bits, shifted right 4 → a 60-bit
+  *    value `h` both engines derive identically (`md5_number_upper` /
+  *    the native Md5Hash64 expression);
+  *  - bucket = h mod m; rho = position of the leftmost 1-bit of the
+  *    remaining (60−p)-bit word w = h div m, computed WITHOUT any bit
+  *    intrinsic as (61−p) − length(bin(w)) — `bin` prints no leading
+  *    zeros on either engine (w = 0, probability 2^−(60−p), lands on
+  *    rho = 60−p: one unit below the true convention's cap, identically
+  *    on both engines — the determinism, not the unit, is the contract);
+  *  - register merge = per-bucket MAX (idempotent + commutative — the
+  *    property the streaming store leans on: even out-of-protocol
+  *    reprocessing cannot inflate a max);
+  *  - the raw estimate α·m²/Σ2^−rho is carried with Σ2^−rho in 1e−12
+  *    units: numerator round(α·1e6)·m²·1e6 stays Long-safe through
+  *    m = 2048 (α·m²·1e12 ≈ 3.0e18 there; m = 4096 would hit 1.2e19 >
+  *    2^63 — the require below caps m accordingly), and the division
+  *    is exact integer `div` on both engines;
+  *  - the small-range linear-counting branch needs ln(m/V), which has
+  *    only m possible values: they are inlined as SHARED LITERAL
+  *    CONSTANTS computed once here and embedded in BOTH plans — no
+  *    runtime transcendental anywhere, none of the tie-boundary risk
+  *    class.
+  *
+  * ==Scale shape==
+  * One map-side-combined groupBy to ≤ m cells per window; the estimate
+  * reads cell rows only. m = 1024 cells/window × 12 bytes is still KB-
+  * scale state per window at any corpus size — the whole point of HLL.
+  */
+object Hll {
+
+  /** round(1e6·α_m) with α_m = 0.7213/(1 + 1.079/m) — the standard bias
+    * correction (Flajolet et al. 2007), same formula at every m (the
+    * m = 64 gate historically used exactly this: 709341). */
+  def alphaE6(m: Int): Long = math.round(1e6 * 0.7213 / (1 + 1.079 / m))
+
+  /** All derived constants for one register count. */
+  final case class Params(m: Int) {
+    require(m >= 16 && m <= 2048 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 2048], got $m")
+    /** log2(m): bucket bits. */
+    val p: Int = Integer.numberOfTrailingZeros(m)
+    /** rho = rhoBase − length(bin(h div m)) for the 60-bit md5-derived h. */
+    val rhoBase: Int = 61 - p
+    /** est_raw = numerator div Σ(1e12 >> rho): α·m² with the Σ in 1e−12
+      * units folded in. Long-safe by the require above. */
+    val numerator: Long = alphaE6(m) * m.toLong * m.toLong * 1000000L
+    /** Linear counting applies when est_raw ≤ 5m/2 and empty buckets
+      * exist (the standard small-range correction). */
+    val lcThreshold: Long = m.toLong * 5L / 2L
+    /** lut(V−1) = round(m·ln(m/V)) for V = 1..m — the linear-counting
+      * estimate as a pure integer table shared by both engines. */
+    val lut: IndexedSeq[Long] =
+      (1 to m).map(v => math.round(m * math.log(m.toDouble / v)))
+    /** in_bound threshold: 5·rsd = 5·1.04/√m, in ppm. */
+    val boundPpm: Long = math.round(5.0 * 1.04 / math.sqrt(m) * 1e6)
+  }
+
+  val Default: Params = Params(1024)
+
+  // ---- Spark side ---------------------------------------------------------
+
+  /** (w_start, bucket, rho) register cells for a frame of
+    * (w_start, key STRING-castable) rows — max-merged per bucket. */
+  def cells(frame: DataFrame, key: Column, P: Params = Default): DataFrame = {
+    import graft.functions.Md5Hash64.md5_le64
+    frame
+      .withColumn("h", shiftrightunsigned(md5_le64(key.cast("string")), 4))
+      .select(col("w_start"), pmod(col("h"), lit(P.m.toLong)).as("bucket"),
+        (lit(P.rhoBase) - length(expr(s"bin(h div ${P.m})"))).as("rho"))
+      .groupBy(col("w_start"), col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-window integer estimate off max-merged cells:
+    * (w_start, n_present, v_zero, hll_raw, hll_est). */
+  def estimate(cells: DataFrame, P: Params = Default): DataFrame =
+    cells.groupBy(col("w_start")).agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftright(1000000000000L, rho)")).as("s_present"))
+      .withColumn("v_zero", lit(P.m.toLong) - col("n_present"))
+      .withColumn("s_total",
+        col("s_present") + col("v_zero") * 1000000000000L)
+      .withColumn("hll_raw",
+        expr(s"${P.numerator} div greatest(s_total, 1)"))
+      .withColumn("hll_est",
+        when(col("hll_raw") <= P.lcThreshold && col("v_zero") > 0,
+          element_at(array(P.lut.map(lit): _*), col("v_zero").cast("int")))
+          .otherwise(col("hll_raw")))
+      .select(col("w_start"), col("n_present"), col("v_zero"),
+        col("hll_raw"), col("hll_est"))
+
+  // ---- DuckDB side (mechanically generated from the same Params) ----------
+
+  /** Oracle CTE chain from a CTE `ev(w_start, key_str)` to
+    * `est3(w_start, n_present, v_zero, hll_raw, hll_est)` — the exact
+    * mirror of [[cells]] + [[estimate]] with every constant inlined from
+    * the same [[Params]] instance. */
+  def estimateSql(P: Params = Default): String = {
+    val m = P.m
+    val lut = P.lut.mkString("[", ", ", "]")
+    s"""hashed AS (
+      SELECT w_start,
+        CAST(md5_number_upper(key_str) >> 4 AS BIGINT) AS h
+      FROM ev),
+    cells AS (
+      SELECT w_start, h % $m AS bucket,
+        MAX(${P.rhoBase} - length(bin(h // $m))) AS rho
+      FROM hashed GROUP BY w_start, bucket),
+    est AS (
+      SELECT w_start, COUNT(*) AS n_present,
+        CAST(SUM(1000000000000 >> rho) AS BIGINT) AS s_present
+      FROM cells GROUP BY w_start),
+    est2 AS (
+      SELECT w_start, n_present, $m - n_present AS v_zero,
+        ${P.numerator} // greatest(
+          s_present + ($m - n_present) * 1000000000000, 1)
+          AS hll_raw
+      FROM est),
+    est3 AS (
+      SELECT w_start, n_present, v_zero, hll_raw,
+        CASE WHEN hll_raw <= ${P.lcThreshold} AND v_zero > 0
+          THEN ($lut)[v_zero] ELSE hll_raw END AS hll_est
+      FROM est2)"""
+  }
+}

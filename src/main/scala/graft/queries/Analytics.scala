@@ -500,52 +500,34 @@ object Analytics {
     // same gap for a8/t4_window_distinct's OPAQUE built-in that
     // x_quantile_sketch closed for approx_percentile: built-in HLL state
     // has no cross-engine-derivable form, so its gates can only assert
-    // bounded agreement. This one is md5-cell relational algebra —
-    // bucket = h mod 64, rho = 1 + leading zeros of the remaining 54
-    // bits via length(bin(w)) (pure integer, the quantile-sketch trick)
-    // — so every column INCLUDING the estimate is hash-exact, and the
+    // bounded agreement. This one is md5-cell relational algebra
+    // (graft.ext.Hll, ONE m-parameterized definition shared with the
+    // streaming twin and this oracle): bucket = h mod m, rho via
+    // length(bin(h div m)) (pure integer, the quantile-sketch trick) —
+    // so every column INCLUDING the estimate is hash-exact, and the
     // cells are mergeable by per-bucket MAX (windowed/streaming-able,
     // unlike the built-in). The small-range linear-counting branch needs
-    // ln(m/V), which has only 64 possible values: they are inlined as
+    // ln(m/V), which has only m possible values: they are inlined as
     // SHARED LITERAL CONSTANTS computed once at query-construction time
     // and embedded in both plans — no runtime transcendental anywhere,
     // so none of the tie-boundary risk class. Accuracy columns
     // (err/in_bound) are deterministic on both engines — a sketch
     // outlier cannot flake the gate (the a8 weakness this form retires).
-    // Scale shape: one map-side-combined groupBy to 64 cells per window;
-    // the estimate reads cell rows only.
+    // m = 1024 (r14 verdict item 5): rsd ≈ 1.04/√1024 ≈ 3.25%, and the
+    // in_bound bound is 5·rsd ≈ 16% — tight enough to certify accuracy,
+    // loose enough to be a theorem-backed margin, and still hash-exact
+    // because both engines compute the identical integer columns.
+    // Scale shape: one map-side-combined groupBy to ≤ m cells per
+    // window; the estimate reads cell rows only (m·12 bytes a window).
     QueryDef(
       "x_hll_window",
       (s, d) => {
         import s.implicits._
-        import graft.functions.Md5Hash64.md5_le64
-        val m = 64
-        // linear-counting lookup: est_lc(V) = round(m·ln(m/V)), V = 1..m
-        val lut = (1 to m).map(v =>
-          math.round(m * math.log(m.toDouble / v)))
+        val P = graft.ext.Hll.Default // m = 1024: rsd ≈ 3.25%, bound 5·rsd
         val ev = Tables.events(s, d)
           .select(date_trunc("day", $"ts").as("w_start"), $"user_id")
-        val cells = ev
-          .withColumn("h",
-            shiftrightunsigned(md5_le64($"user_id".cast("string")), 4))
-          .select($"w_start", pmod($"h", lit(m.toLong)).as("bucket"),
-            (lit(55) - length(expr(s"bin(h div $m)"))).as("rho"))
-          .groupBy($"w_start", $"bucket").agg(max($"rho").as("rho"))
-        val est = cells.groupBy($"w_start").agg(
-            count(lit(1)).as("n_present"),
-            sum(expr("shiftright(1000000000000L, rho)")).as("s_present"))
-          .withColumn("v_zero", lit(m.toLong) - $"n_present")
-          // est = α·m²/Σ2^-rho with Σ2^-rho carried as s_total·1e-12:
-          // numerator α_e6·m²·1e6 = 2905460736000000 stays Long-safe and
-          // the division is exact integer on both engines
-          .withColumn("s_total",
-            $"s_present" + $"v_zero" * 1000000000000L)
-          .withColumn("hll_raw",
-            expr("2905460736000000 div greatest(s_total, 1)"))
-          .withColumn("hll_est",
-            when($"hll_raw" <= m * 5 / 2 && $"v_zero" > 0,
-              element_at(array(lut.map(lit): _*), $"v_zero".cast("int")))
-              .otherwise($"hll_raw"))
+        val est = graft.ext.Hll.estimate(
+          graft.ext.Hll.cells(ev, $"user_id", P), P)
         val exact = ev.groupBy($"w_start")
           .agg(countDistinct($"user_id").as("n_exact"))
         est.join(exact, Seq("w_start"))
@@ -553,38 +535,16 @@ object Analytics {
             $"hll_raw", $"hll_est",
             ($"hll_est" - $"n_exact").as("err"),
             (abs($"hll_est" - $"n_exact") * 1000000 <=
-              $"n_exact" * 400000).as("in_bound"))
+              $"n_exact" * P.boundPpm).as("in_bound"))
           .orderBy($"w_start")
       },
       Some {
-        val m = 64
-        val lut = (1 to m).map(v =>
-          math.round(m * math.log(m.toDouble / v))).mkString("[", ", ", "]")
+        val P = graft.ext.Hll.Default
         s"""WITH ev AS (
           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
-            user_id,
-            CAST(md5_number_upper(CAST(user_id AS VARCHAR)) >> 4 AS BIGINT)
-              AS h
+            user_id, CAST(user_id AS VARCHAR) AS key_str
           FROM events),
-        cells AS (
-          SELECT w_start, h % $m AS bucket,
-            MAX(55 - length(bin(h // $m))) AS rho
-          FROM ev GROUP BY w_start, bucket),
-        est AS (
-          SELECT w_start, COUNT(*) AS n_present,
-            CAST(SUM(1000000000000 >> rho) AS BIGINT) AS s_present
-          FROM cells GROUP BY w_start),
-        est2 AS (
-          SELECT w_start, n_present, $m - n_present AS v_zero,
-            2905460736000000 // greatest(
-              s_present + ($m - n_present) * 1000000000000, 1)
-              AS hll_raw
-          FROM est),
-        est3 AS (
-          SELECT w_start, n_present, v_zero, hll_raw,
-            CASE WHEN hll_raw <= ${m * 5 / 2} AND v_zero > 0
-              THEN ($lut)[v_zero] ELSE hll_raw END AS hll_est
-          FROM est2),
+        ${graft.ext.Hll.estimateSql(P)},
         ex AS (
           SELECT w_start, COUNT(DISTINCT user_id) AS n_exact
           FROM ev GROUP BY w_start)
@@ -594,8 +554,8 @@ object Analytics {
           CAST(e.hll_raw AS BIGINT) AS hll_raw,
           CAST(e.hll_est AS BIGINT) AS hll_est,
           CAST(e.hll_est - x.n_exact AS BIGINT) AS err,
-          (abs(e.hll_est - x.n_exact) * 1000000 <= x.n_exact * 400000)
-            AS in_bound
+          (abs(e.hll_est - x.n_exact) * 1000000 <=
+            x.n_exact * ${P.boundPpm}) AS in_bound
         FROM est3 e JOIN ex x USING (w_start)
         ORDER BY e.w_start"""
       }),

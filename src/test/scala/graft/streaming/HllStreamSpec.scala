@@ -47,8 +47,11 @@ class HllStreamSpec extends AnyFunSuite {
       .distinct().groupBy($"w").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(est.keySet == exact.keySet)
+    // m = 1024 (Hll.Default): 5·rsd ≈ 16% relative, with an absolute
+    // floor of 2 for the tiny sf0.001 windows where the linear-counting
+    // LUT's integer rounding is the whole error
     for ((w, e) <- est)
-      assert(math.abs(e - exact(w)).toDouble / exact(w) <= 0.4,
+      assert(math.abs(e - exact(w)) <= math.max(2.0, 0.17 * exact(w)),
         s"w=$w est=$e exact=${exact(w)}")
 
     // out-of-protocol duplication: same data under a NEW batch id — a
