@@ -1775,12 +1775,13 @@ object BenchTune {
     for (batch <- Seq(base, arrival(1), arrival(2), arrival(3))) {
       System.gc()
       val t0 = System.nanoTime()
-      val iters = graft.streaming.GraphStream.processBatch(
+      val (iters, status) = graft.streaming.GraphStream.processBatch(
         spark, batch, batchId, store, maxIters = 200)
       val wall = (System.nanoTime() - t0) / 1e9
       val tag = if (batchId == 0) "cold" else "warm"
       println(f"[graphstream] epoch=$batchId $tag%-4s n=$n " +
-        f"iters=$iters wall=$wall%.1fs s_per_iter=${wall / iters}%.2f")
+        f"iters=$iters status=$status wall=$wall%.1fs " +
+        f"s_per_iter=${wall / iters}%.2f")
       batchId += 1
     }
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(store))

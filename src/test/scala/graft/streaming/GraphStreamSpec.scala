@@ -62,8 +62,9 @@ class GraphStreamSpec extends AnyFunSuite {
     assert(streamed == want, "streamed warm fixed point diverged from cold")
 
     // the warm epoch re-converged in fewer iterations than cold
-    val warmIters = GraphStream.processBatch(
+    val (warmIters, warmStatus) = GraphStream.processBatch(
       spark, edgeChunk(30, 4, n), 2L, store)
+    assert(warmStatus == graft.ext.Graphs.StatusFixedPoint)
     assert(warmIters < coldIters,
       s"warm=$warmIters cold=$coldIters — warm start bought nothing")
   }
@@ -95,7 +96,7 @@ class GraphStreamSpec extends AnyFunSuite {
     val parts = new java.io.File(s"$store/edges").listFiles()
       .map(_.getName).filter(_.startsWith("batch=")).toSeq
     assert(parts.length == 1, s"compaction left partitions: $parts")
-    val itersAfter = GraphStream.processBatch(
+    val (itersAfter, _) = GraphStream.processBatch(
       spark, edgeChunk(10, 3, n), 2L, store)
     assert(itersAfter > 0)
   }
