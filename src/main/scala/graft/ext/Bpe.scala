@@ -72,6 +72,55 @@ object Bpe {
     Merge("at", "c"), Merge("atc", "h"), Merge("b", "atch"), Merge("a", "n"),
     Merge("c", "an"), Merge("s", "can"), Merge("c", "o"), Merge("c", "u"))
 
+  /** The corpus's COMPLETE merge closure (r14 verdict item 3): greedy
+    * training run to exhaustion — 89 merges, at which point every
+    * vocabulary word is a single token and no adjacent pair remains.
+    * This IS the "long table" this corpus admits: merge count is bounded
+    * by vocabulary structure (31 distinct words over [a-z ], Σ(len−1) ≈
+    * 150 pair positions), so the verdict's 512+ target cannot come from
+    * THIS corpus no matter the trainer — the honest resolution is (a)
+    * gate the full closure hash-exact here (`x_bpe_tokens_long`, chain
+    * oracle mechanically generated for all 89), (b) pin chain ≡ kernel
+    * at a ≥512-merge table over a SYNTHETIC deterministic vocabulary in
+    * BpeSpec, and (c) measure kernel-vs-chain throughput against table
+    * length in the BenchTune `bpelong` probe (the kernel's per-word cost
+    * is table-length-independent via hash lookups; the chain's is
+    * |merges| linear passes — the asymptotics that make the kernel the
+    * long-table path). FixedMerges is exactly the first 24 entries
+    * (greedy training is prefix-stable); provenance spec-pinned by
+    * retraining in BpeSpec, regenerable via tools/BpeTrainGen. */
+  val FullMerges: Seq[Merge] = Seq(
+    Merge("e", "r"), Merge("i", "n"), Merge("o", "w"),
+    Merge("o", "r"), Merge("s", "t"), Merge("m", "er"),
+    Merge("a", "t"), Merge("l", "u"), Merge("a", "r"),
+    Merge("p", "ar"), Merge("j", "o"), Merge("jo", "in"),
+    Merge("a", "s"), Merge("as", "h"), Merge("h", "ash"),
+    Merge("r", "ow"), Merge("at", "c"), Merge("atc", "h"),
+    Merge("b", "atch"), Merge("a", "n"), Merge("c", "an"),
+    Merge("s", "can"), Merge("c", "o"), Merge("c", "u"),
+    Merge("co", "lu"), Merge("colu", "m"), Merge("colum", "n"),
+    Merge("cu", "st"), Merge("cust", "o"), Merge("custo", "mer"),
+    Merge("f", "i"), Merge("fi", "l"), Merge("fil", "t"),
+    Merge("filt", "er"), Merge("a", "l"), Merge("al", "l"),
+    Merge("m", "all"), Merge("s", "mall"), Merge("g", "e"),
+    Merge("l", "ow"), Merge("mer", "ge"), Merge("s", "low"),
+    Merge("c", "t"), Merge("ct", "or"), Merge("d", "er"),
+    Merge("e", "ctor"), Merge("or", "der"), Merge("v", "ector"),
+    Merge("in", "e"), Merge("l", "ine"), Merge("a", "b"),
+    Merge("ab", "l"), Merge("abl", "e"), Merge("at", "a"),
+    Merge("d", "ata"), Merge("t", "able"), Merge("u", "p"),
+    Merge("a", "g"), Merge("ag", "g"), Merge("a", "lu"),
+    Merge("alu", "e"), Merge("v", "alue"), Merge("e", "y"),
+    Merge("k", "ey"), Merge("a", "m"), Merge("e", "am"),
+    Merge("r", "eam"), Merge("st", "ream"), Merge("d", "ow"),
+    Merge("in", "dow"), Merge("w", "indow"), Merge("par", "k"),
+    Merge("s", "park"), Merge("g", "r"), Merge("gr", "o"),
+    Merge("gro", "up"), Merge("par", "t"), Merge("b", "i"),
+    Merge("bi", "g"), Merge("or", "t"), Merge("s", "ort"),
+    Merge("er", "y"), Merge("q", "u"), Merge("qu", "ery"),
+    Merge("a", "st"), Merge("f", "ast"), Merge("h", "e"),
+    Merge("t", "he"), Merge("d", "up"))
+
   // ---- form 1: the replace chain (Column + oracle SQL, same algorithm) ----
 
   /** Initial segmentation: every char becomes a token, boundaries doubled:
@@ -166,6 +215,25 @@ object Bpe {
     merges.zipWithIndex.map { case (m, i) => (m.l, m.r) -> i }.toMap
 
   // ---- training -----------------------------------------------------------
+
+  /** Deterministic synthetic vocabulary for table-length probes and the
+    * ≥512-merge equivalence spec (the real corpus's merge closure
+    * saturates at |FullMerges| = 89 — see its scaladoc): word i is 6–13
+    * chars drawn from 'a'..'p' via the hex digits of md5(i), frequency
+    * Zipf-ish 1e6/(i+1). Pure function of (nWords) — no RNG state, same
+    * table on every machine, so a trained-merge count or a chain≡kernel
+    * result over it is reproducible evidence, not a seed accident. */
+  def syntheticCounts(nWords: Int): Seq[(String, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nWords).map { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val len = 6 + (hex.charAt(0) - '0' + 16) % 8
+      val w = hex.take(len).map(c =>
+        ('a' + Integer.parseInt(c.toString, 16)).toChar).mkString
+      (w, 1000000L / (i + 1))
+    }.distinct
+  }
 
   /** Distributed stage: corpus word frequencies (one token groupBy). */
   def wordCounts(docs: DataFrame): DataFrame =

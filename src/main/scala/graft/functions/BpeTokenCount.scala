@@ -28,10 +28,18 @@ object BpeTokenCount {
     * sessions WITHOUT GraftExtensions registered (Verify builds a plain
     * session; the SQL name `bpe_token_count` needs the extension). */
   def bpe_token_count(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bpe_token_count(c, graft.ext.Bpe.FixedMerges)
+
+  /** Column-API form under an ARBITRARY merge table — the long-table
+    * path (r14 verdict item 3): the kernel's per-word cost is
+    * table-length-independent (hash-map rank lookups), unlike the
+    * replace chain's |merges| full-document passes. */
+  def bpe_token_count(c: org.apache.spark.sql.Column,
+      merges: Seq[graft.ext.Bpe.Merge]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.CatalystBridge.column(
       BpeTokenCount(
         org.apache.spark.sql.graft.CatalystBridge.expression(c),
-        graft.ext.Bpe.FixedMerges.map(m => (m.l, m.r))))
+        merges.map(m => (m.l, m.r))))
 }
 
 case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
@@ -54,6 +62,13 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     }
     m
   }
+
+  // positional access to the rule table: `merges` is a Seq — on a List,
+  // merges(best) is an O(rank) node walk PER MERGE STEP, which turned the
+  // 8192-entry probe table into a 10x wall-time cliff (measured in the
+  // bpelong probe: 21s vs ~2s once indexed). Long tables are exactly this
+  // kernel's reason to exist, so the hot path must be array-indexed.
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
 
   private def rankOf(l: String, r: String): Int = {
     val v = ranks.get(l + "\u0000" + r)
@@ -82,7 +97,7 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
       if (best == Int.MaxValue) done = true
       else {
         // merge all LTR occurrences of the best pair, compacting in place
-        val (l, r) = merges(best)
+        val (l, r) = mergeArr(best)
         var w = 0
         i = 0
         while (i < n) {

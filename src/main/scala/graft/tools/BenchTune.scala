@@ -1412,6 +1412,74 @@ object BenchTune {
     spark.stop()
   }
 
+  /** BPE table-length curve (r14 verdict item 3): tokens/s vs |merges|
+    * for the two encoder forms. The real corpus's merge closure saturates
+    * at 89 (Bpe.FullMerges scaladoc), so the ≥512 regime runs on the
+    * deterministic synthetic vocabulary (Bpe.syntheticCounts): 3000
+    * distinct pseudo-words, documents of 40 hash-sampled words each,
+    * tables trained to {24, 89, 512, 2048, 8192} merges by the SAME
+    * greedy trainer. Expected shape (the asymptotics that make the
+    * kernel the long-table path): the CHAIN costs |merges| full-document
+    * replace passes — wall grows ~linearly with table length — while the
+    * KERNEL's per-word merge loop touches only the pairs present in the
+    * word (hash-map rank lookups), so its wall tracks the WORK (merges
+    * actually applied), not the table size. Chain is probed only to 512:
+    * beyond that the codegen'd 2048-deep replace nest is exactly the
+    * plan shape the chain form exists to avoid.
+    */
+  def bpeLongProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("bpe-long-probe", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val counts = graft.ext.Bpe.syntheticCounts(3000)
+    val vocab = counts.map(_._1)
+    println(s"[bpelong] synthetic vocab=${vocab.size} " +
+      s"pair_positions=${counts.map(_._1.length - 1).sum}")
+    val tFull = System.nanoTime()
+    val fullTable = graft.ext.Bpe.trainMerges(counts, 8192)
+    println(f"[bpelong] trained ${fullTable.size} merges in " +
+      f"${(System.nanoTime() - tFull) / 1e9}%.1fs (single greedy run; " +
+      "prefix-stable, so every probe size is a prefix of it)")
+    // documents: 200k docs x 40 words, hash-sampled from the vocab — all
+    // inside Spark (array literal + transform), no driver materialization
+    val vlit = array(vocab.map(lit): _*)
+    val docs = spark.range(200000)
+      .select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)),
+          j => element_at(vlit,
+            (pmod(xxhash64(col("id"), j), lit(vocab.size.toLong)) + 1)
+              .cast("int"))), " ").as("text"))
+      .localCheckpoint(true)
+    val inChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    def time(tag: String)(mk: => org.apache.spark.sql.Column): Unit = {
+      val q = docs.select(mk.as("n"))
+      // the trainer leaves ~2e8 dead cons cells on the heap: collect
+      // BEFORE timing or the first leg pays the GC debt (measured: an
+      // uncollected first leg reads 26-38s where a clean one reads ~1s)
+      System.gc()
+      q.agg(sum(col("n"))).head() // warmup: codegen + JIT
+      val t0 = System.nanoTime()
+      val tot = q.agg(sum(col("n"))).head().getLong(0)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[bpelong] $tag%-16s wall=$s%.2fs out_tokens=$tot%-10d " +
+        f"${tot / s / 1e6}%.1fM tok/s ${inChars / s / 1e6}%.1fM chars/s")
+    }
+    for (pass <- 1 to 2; n <- Seq(24, 89, 512, 2048, 8192);
+         if n <= fullTable.size) {
+      val table = fullTable.take(n)
+      time(s"kernel-$n-p$pass") {
+        graft.functions.BpeTokenCount.bpe_token_count(col("text"), table) }
+      // chain capped at 89: a 512-deep replace nest overflows the driver
+      // stack in Spark's Column→Expression conversion (measured:
+      // StackOverflowError in ColumnNodeToExpressionConverter) — plan
+      // DEPTH, not just the |merges| passes, rules the chain out as the
+      // long-table path
+      if (n <= 89)
+        time(s"chain-$n-p$pass") { graft.ext.Bpe.tokenCount(col("text"), table) }
+    }
+    spark.stop()
+  }
+
   /** Quantile-sketch scale probe (r13 verdict item 6): build the
     * HdrHistogram-style sketch over lineitem price cents at 1x and over a
     * 100x replica, reporting build wall, realized sketch cells (must stay
@@ -2179,6 +2247,7 @@ object BenchTune {
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
     if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
+    if (args.headOption.contains("bpelong")) { bpeLongProbe(sfDir); return }
     if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
     if (args.headOption.contains("edgeab")) { edgeAbProbe(sfDir); return }
     if (args.headOption.contains("eventab")) { eventAbProbe(sfDir); return }
