@@ -136,6 +136,84 @@ object BenchTune {
     agree
   }
 
+  /** SemDedup auto-k stage decomposition (r14 verdict item 8): the 10×
+    * sweep's slowest factor was d_semdedup_auto at 6.09× — name the
+    * dominant stage instead of guessing. The auto path at the sweep's
+    * 10× corpus (n = 20k, derived k = 80 > CoarseDispatchK) is: count →
+    * seed k centroids → COARSE assignment (O(n·√k)) → cluster-bounded
+    * pair join + verdicts; the sweep line additionally runs the TWIN
+    * protocol (coarse AND flat-exact, then a full-outer agreement join),
+    * so the 6.09× includes a deliberate double computation that callers
+    * of the operator never pay. This probe times each stage separately
+    * at 1× and a locally-replicated 10× (ScaleGen-style vec_id shift —
+    * exact clones, same as the sweep corpus), for both assignment
+    * kernels, plus the end-to-end auto wall and the twin wall.
+    */
+  def semStagesProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("sem-stages", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val out = "/tmp/graft_emb10_semstages"
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val stride = base.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1L
+    (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * stride)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    def t[A](body: => A): (A, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    for ((tag, dir) <- Seq("1x" -> sfDir, "10x" -> out)) {
+      def emb = graft.Tables.embeddings(spark, dir)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      val (e, tCk) = t(emb.localCheckpoint(true))
+      val (n, tCount) = t(e.count())
+      val k = math.max(8L, (n + 249) / 250).toInt
+      val (cents, tSeed) = t(graft.ext.IvfAnn.seedCentroids(e, k))
+      val (_, tCoarse) = t(graft.ext.IvfAnn.assignCoarse(e, cents).count())
+      val (_, tFlat) = t(graft.ext.IvfAnn.assign(e, cents).count())
+      // the verdict tail over the coarse assignment (SemDedup.verdicts
+      // shape): cluster pair join + drop rule + verdict join
+      val assigned = graft.ext.IvfAnn.assignCoarse(e, cents).localCheckpoint(true)
+      val (_, tTail) = t {
+        val x = assigned.select($"cluster", $"vec_id", $"ev")
+        val y = assigned.select($"cluster", $"vec_id".as("y_id"), $"ev".as("y_ev"))
+        val dropped = x.join(y, Seq("cluster"))
+          .filter($"y_id" < $"vec_id" &&
+            round(graft.queries.Similarity.cosine($"ev", $"y_ev"), 4) >= 0.35)
+          .select($"vec_id").distinct()
+        assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+          .select($"vec_id", $"hit".isNull.as("kept")).count()
+      }
+      val (_, tAuto) = t(graft.ext.SemDedup.semanticDedup(emb, tau = 0.35).count())
+      val (_, tTwin) = t(semdedupScaleTwinAt(spark, dir))
+      println(f"[semstages] $tag%-4s n=$n k=$k ckpt=${tCk + tCount}%.2f " +
+        f"seed=$tSeed%.2f assign_coarse=$tCoarse%.2f assign_flat=$tFlat%.2f " +
+        f"pair_tail=$tTail%.2f auto_total=$tAuto%.2f twin_total=$tTwin%.2f")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    spark.stop()
+  }
+
+  private def semdedupScaleTwinAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    graft.ext.SemDedup.semanticDedup(e, tau = 0.35)
+      .join(graft.ext.SemDedup.semanticDedup(e, tau = 0.35,
+          targetClusterSize = graft.ext.SemDedup.DefaultTargetClusterSize,
+          exact = true).select($"vec_id", $"kept".as("kept_f")),
+        Seq("vec_id"), "full")
+      .count()
+    ()
+  }
+
   /** Profile the MinHash LSH stages: banded row count, raw candidate pairs. */
   def minhashProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -2246,6 +2324,7 @@ object BenchTune {
       skewProbe(sfDir, args.drop(1).headOption.map(_.toLong)); return
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
+    if (args.headOption.contains("semstages")) { semStagesProbe(sfDir); return }
     if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
     if (args.headOption.contains("bpelong")) { bpeLongProbe(sfDir); return }
     if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
