@@ -835,6 +835,68 @@ object Text {
           ((n_bpe_24 - n_bpe_full) * 1000000) // n_bpe_24 AS closure_gain_ppm
         FROM cnt ORDER BY doc_id""")),
 
+    // ---- Tokenizer fertility by language -----------------------------------
+    // The standard tokenizer-evaluation metric: subword tokens emitted
+    // per whitespace word (fertility ≈ 1 means the vocabulary covers the
+    // language; ≫ 1 means words shatter into pieces — the signal used to
+    // size multilingual vocabularies). BOTH table sizes ride as columns,
+    // because the contrast IS the vocabulary-sizing story: under the
+    // 24-merge prefix fertility reads ~3.10–3.14 with per-language
+    // spread (the undersized-vocabulary regime); under the FULL corpus
+    // closure it collapses to exactly 1.0 for every language (complete
+    // coverage — measured, and a meaningful structural assertion about
+    // the closure, not a bug). Integer fixed point end-to-end: per-doc
+    // counts are the hash-exact chain, sums are Long, fertility_ppm =
+    // Σbpe·1e6 div Σwords — one groupBy, map-side combined, |langs|
+    // output rows.
+    QueryDef(
+      "x_bpe_fertility",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter($"text".isNotNull)
+          .select($"lang",
+            graft.ext.Bpe.tokenCount($"text").as("n_bpe24"),
+            graft.ext.Bpe.tokenCount($"text", graft.ext.Bpe.FullMerges)
+              .as("n_bpe_full"),
+            size(split($"text", " ")).cast("long").as("n_words"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_bpe24").as("bpe24_tokens"),
+            sum($"n_bpe_full").as("bpe_full_tokens"),
+            sum($"n_words").as("ws_tokens"))
+          .withColumn("fertility24_ppm",
+            expr("(bpe24_tokens * 1000000) div ws_tokens"))
+          .withColumn("fertility_full_ppm",
+            expr("(bpe_full_tokens * 1000000) div ws_tokens"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH seg AS (
+          SELECT lang,
+            ${graft.ext.Bpe.segmentSql("text")} AS s24,
+            ${graft.ext.Bpe.segmentSql("text", graft.ext.Bpe.FullMerges)} AS sf,
+            text
+          FROM documents WHERE text IS NOT NULL),
+        cnt AS (
+          SELECT lang,
+            CAST((length(s24) - length(replace(s24, '||', ''))) // 2 - 1
+              - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+              AS n_bpe24,
+            CAST((length(sf) - length(replace(sf, '||', ''))) // 2 - 1
+              - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+              AS n_bpe_full,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM seg)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_bpe24) AS BIGINT) AS bpe24_tokens,
+          CAST(SUM(n_bpe_full) AS BIGINT) AS bpe_full_tokens,
+          CAST(SUM(n_words) AS BIGINT) AS ws_tokens,
+          (CAST(SUM(n_bpe24) AS BIGINT) * 1000000)
+            // CAST(SUM(n_words) AS BIGINT) AS fertility24_ppm,
+          (CAST(SUM(n_bpe_full) AS BIGINT) * 1000000)
+            // CAST(SUM(n_words) AS BIGINT) AS fertility_full_ppm
+        FROM cnt GROUP BY lang ORDER BY lang""")),
+
     // ---- Sequence packing under a BPE token budget -------------------------
     // x_pack_sequences' shard-local packing with the budget measured in
     // REAL subword tokens (the unit a pretraining run actually packs to)

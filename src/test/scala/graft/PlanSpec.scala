@@ -272,6 +272,25 @@ class PlanSpec extends AnyFunSuite {
     assert(mmr.count() == 8)
   }
 
+  test("round-15 queries keep scale-correct plan shapes") {
+    // full-closure BPE: still per-row narrow — the 89-pass chain and the
+    // kernel both live in the scan-side projection; one exchange for the
+    // final sort only
+    val bpe = plan("x_bpe_tokens_long")
+    assert("Exchange".r.findAllIn(bpe).size <= 1,
+      s"x_bpe_tokens_long shuffles more than the final sort:\n$bpe")
+    assert(!bpe.contains("CartesianProduct"))
+    // HLL at m=1024: cells + estimate + exact are keyed groupBys/joins —
+    // no cartesian anywhere, and the 1024-literal LUT must not explode
+    // the plan into a join
+    val hll = plan("x_hll_window")
+    assert(!hll.contains("CartesianProduct"),
+      s"x_hll_window grew a cartesian:\n$hll")
+    // MMR-from-IVF: pool via the probed-cluster equi-join, greedy on the
+    // driver — the returned frame is the k selected rows
+    assert(SparkEntry.queries("x4_mmr_ivf")(spark, sfDir).count() == 8)
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
