@@ -68,4 +68,20 @@ object FixedPoint {
         "(v=0 breaks the rel-err audit; v<0 makes Spark div and DuckDB " +
         "// disagree) — filter or shift the value domain first")))
       .otherwise(v)
+
+  /** The v ≥ 0 form, for sketch sites WITHOUT a division by the value
+    * (the windowed gate's in_bound is a multiply; the streaming store
+    * never divides): v = 0 is a perfectly well-defined bucket — bin(0)
+    * has length 1 on both engines, so p = 1 and lb = 0, identically —
+    * and real event corpora DO carry zero values (sf0.1: 1904 of 100k
+    * events; the r15 sweep caught requirePositive reddening exactly
+    * that). Only NEGATIVE v is undefined territory: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so the bucket
+    * assignment itself would disagree cross-engine — raise loudly. */
+  def requireNonNegative(v: Column, label: String): Column =
+    when(v < lit(0L), raise_error(
+      lit(s"$label: quantile-sketch bucketing requires v >= 0 " +
+        "(negative v makes Spark div and DuckDB // disagree on the " +
+        "bucket itself) — filter or shift the value domain first")))
+      .otherwise(v)
 }

@@ -425,9 +425,14 @@ object Analytics {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // v >= 0, not >= 1: event corpora legitimately carry zero values
+        // (sf0.1 has 1904 of them — the r15 sweep caught the stricter
+        // guard reddening the query) and this gate's audit divides by
+        // nothing (in_bound is a multiply), so lb = 0 is a well-defined
+        // bucket identical on both engines; only negatives raise.
         val vals = Tables.events(s, d)
           .select(date_trunc("day", $"ts").as("w_start"),
-            graft.functions.FixedPoint.requirePositive(
+            graft.functions.FixedPoint.requireNonNegative(
               ($"value".cast("decimal(18,2)") * 100).cast("long"),
               "x_quantile_sketch_windowed").as("v"))
         val withLb = vals

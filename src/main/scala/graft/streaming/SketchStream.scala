@@ -23,13 +23,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SketchStream {
 
-  /** Sketch cells for one frame of (w_start TIMESTAMP, v LONG ≥ 1):
+  /** Sketch cells for one frame of (w_start TIMESTAMP, v LONG ≥ 0):
     * the x_quantile_sketch bucketing — power-of-two buckets with 5
     * mantissa bits, pure integer. ONE definition with the batch gate
-    * (any drift would break the spec's streamed ≡ batch pin). */
+    * (any drift would break the spec's streamed ≡ batch pin). v = 0 is
+    * in-domain (lb = 0; nothing downstream divides by a value); only
+    * negatives raise — see FixedPoint.requireNonNegative. */
   def cells(frame: DataFrame): DataFrame =
     frame
-      .withColumn("v", graft.functions.FixedPoint.requirePositive(
+      .withColumn("v", graft.functions.FixedPoint.requireNonNegative(
         col("v"), "SketchStream.cells"))
       .withColumn("p", expr(
         "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
