@@ -109,25 +109,32 @@ object Hll {
 
   // ---- DuckDB side (mechanically generated from the same Params) ----------
 
-  /** Oracle CTE chain from a CTE `ev(w_start, key_str)` to
-    * `est3(w_start, n_present, v_zero, hll_raw, hll_est)` — the exact
-    * mirror of [[cells]] + [[estimate]] with every constant inlined from
-    * the same [[Params]] instance. */
-  def estimateSql(P: Params = Default): String = {
+  /** Oracle CTEs from a CTE `<ev>(w_start, key_str)` to
+    * `cells<p>(w_start, bucket, rho)` — the exact mirror of [[cells]],
+    * name-prefixable so two independent cell derivations can coexist in
+    * one query (the x_hll_merge gate). */
+  def cellsSql(P: Params, p: String = "", ev: String = "ev"): String = {
     val m = P.m
-    val lut = P.lut.mkString("[", ", ", "]")
-    s"""hashed AS (
+    s"""hashed$p AS (
       SELECT w_start,
         CAST(md5_number_upper(key_str) >> 4 AS BIGINT) AS h
-      FROM ev),
-    cells AS (
+      FROM $ev),
+    cells$p AS (
       SELECT w_start, h % $m AS bucket,
         MAX(${P.rhoBase} - length(bin(h // $m))) AS rho
-      FROM hashed GROUP BY w_start, bucket),
-    est AS (
+      FROM hashed$p GROUP BY w_start, bucket)"""
+  }
+
+  /** Oracle CTEs from a cell relation `<cells>(w_start, bucket, rho)` to
+    * `est3(w_start, n_present, v_zero, hll_raw, hll_est)` — the exact
+    * mirror of [[estimate]]. */
+  def estChainSql(P: Params, cells: String = "cells"): String = {
+    val m = P.m
+    val lut = P.lut.mkString("[", ", ", "]")
+    s"""est AS (
       SELECT w_start, COUNT(*) AS n_present,
         CAST(SUM(1000000000000 >> rho) AS BIGINT) AS s_present
-      FROM cells GROUP BY w_start),
+      FROM $cells GROUP BY w_start),
     est2 AS (
       SELECT w_start, n_present, $m - n_present AS v_zero,
         ${P.numerator} // greatest(
@@ -140,4 +147,10 @@ object Hll {
           THEN ($lut)[v_zero] ELSE hll_raw END AS hll_est
       FROM est2)"""
   }
+
+  /** The full chain `ev(w_start, key_str)` → `est3` — [[cellsSql]] +
+    * [[estChainSql]] composed (the x_hll_window oracle shape). */
+  def estimateSql(P: Params = Default): String =
+    s"""${cellsSql(P)},
+    ${estChainSql(P)}"""
 }

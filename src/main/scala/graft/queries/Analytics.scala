@@ -499,6 +499,102 @@ object Analytics {
           ON e.w_start = x.w_start AND e.qpct = x.qpct
         ORDER BY e.w_start, e.qpct""")),
 
+    // ---- Quantile-sketch merge law: weekly cells FROM daily ≡ direct -------
+    // The sum-merge twin of x_hll_merge: HdrHistogram cells merge by
+    // count ADDITION, so summing the persisted daily (window, lb, c)
+    // cells up to weeks must reproduce the direct weekly cells exactly
+    // (Σ over a partition of the data = count over the union). The full
+    // outer cell audit (n_mismatch must read 0) rides with the weekly
+    // p50/p95 extracted FROM THE MERGED CELLS — the at-rest
+    // re-aggregation path a production store would actually serve —
+    // every column integer and hash-exact.
+    QueryDef(
+      "x_quantile_sketch_merge",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val vals = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("w_day"),
+            graft.functions.FixedPoint.requireNonNegative(
+              ($"value".cast("decimal(18,2)") * 100).cast("long"),
+              "x_quantile_sketch_merge").as("v"))
+          .withColumn("p", expr(
+            "shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 6, 0))"))
+          .withColumn("lb", expr("(v div p) * p"))
+        val dayCells = vals.groupBy($"w_day", $"lb").agg(count(lit(1)).as("c"))
+        val merged = dayCells
+          .groupBy(date_trunc("week", $"w_day").as("w_start"), $"lb")
+          .agg(sum($"c").as("c"))
+        val direct = vals
+          .groupBy(date_trunc("week", $"w_day").as("w_start"), $"lb")
+          .agg(count(lit(1)).as("c"))
+        val audit = merged.select($"w_start", $"lb", $"c".as("c_m"))
+          .join(direct.select($"w_start", $"lb", $"c".as("c_d")),
+            Seq("w_start", "lb"), "full")
+          .groupBy($"w_start")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(!($"c_m" <=> $"c_d"), 1L).otherwise(0L))
+              .as("n_mismatch"))
+        val sk = merged.withColumn("cum",
+          sum($"c").over(Window.partitionBy($"w_start").orderBy($"lb")))
+        val tgt = merged.groupBy($"w_start").agg(sum($"c").as("n"))
+          .crossJoin(broadcast(Seq(50, 95).toDF("qpct")))
+          .withColumn("target", expr("(n * qpct + 99) div 100"))
+        val est = tgt.join(sk, Seq("w_start")).filter($"cum" >= $"target")
+          .groupBy($"w_start", $"qpct", $"n")
+          .agg(min($"lb").as("est_cents"))
+        est.join(audit, Seq("w_start"))
+          .select($"w_start", $"qpct", $"n", $"est_cents",
+            $"n_cells", $"n_mismatch",
+            ($"n_mismatch" === 0).as("merge_exact"))
+          .orderBy($"w_start", $"qpct")
+      },
+      Some("""WITH vals AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_day,
+            (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // (1::BIGINT << greatest(length(bin(
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))) - 6, 0)))
+              * (1::BIGINT << greatest(length(bin(
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))) - 6, 0))
+              AS lb
+          FROM events),
+        daycells AS (
+          SELECT w_day, lb, COUNT(*) AS c FROM vals GROUP BY w_day, lb),
+        merged AS (
+          SELECT date_trunc('week', w_day) AS w_start, lb,
+            CAST(SUM(c) AS BIGINT) AS c
+          FROM daycells GROUP BY 1, 2),
+        direct AS (
+          SELECT date_trunc('week', w_day) AS w_start, lb, COUNT(*) AS c
+          FROM vals GROUP BY 1, 2),
+        audit AS (
+          SELECT COALESCE(m.w_start, d.w_start) AS w_start,
+            COUNT(*) AS n_cells,
+            CAST(SUM(CASE WHEN m.c IS DISTINCT FROM d.c
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+          FROM merged m FULL JOIN direct d
+            ON m.w_start = d.w_start AND m.lb = d.lb
+          GROUP BY 1),
+        skc AS (
+          SELECT w_start, lb,
+            SUM(c) OVER (PARTITION BY w_start ORDER BY lb) AS cum
+          FROM merged),
+        tgt AS (
+          SELECT n.w_start, n.n, q.qpct, (n.n * q.qpct + 99) // 100 AS target
+          FROM (SELECT w_start, CAST(SUM(c) AS BIGINT) AS n
+                FROM merged GROUP BY w_start) n,
+            (SELECT unnest([50, 95]) AS qpct) q),
+        est AS (
+          SELECT t.w_start, t.qpct, t.n, MIN(s.lb) AS est_cents
+          FROM tgt t JOIN skc s ON s.w_start = t.w_start AND s.cum >= t.target
+          GROUP BY t.w_start, t.qpct, t.n)
+        SELECT e.w_start, e.qpct, e.n, e.est_cents,
+          CAST(a.n_cells AS BIGINT) AS n_cells,
+          a.n_mismatch,
+          (a.n_mismatch = 0) AS merge_exact
+        FROM est e JOIN audit a USING (w_start)
+        ORDER BY e.w_start, e.qpct""")),
+
     // ---- HLL cardinality sketch as relational algebra ----------------------
     // The sketch family's cardinality member (CMS = frequency, Bloom =
     // membership, HdrHistogram = quantiles, HLL = distinct), closing the
@@ -563,6 +659,88 @@ object Analytics {
             x.n_exact * ${P.boundPpm}) AS in_bound
         FROM est3 e JOIN ex x USING (w_start)
         ORDER BY e.w_start"""
+      }),
+
+    // ---- HLL merge law: weekly cells FROM daily cells ≡ direct weekly ------
+    // The mergeability claim as a GATE, not a scaladoc sentence: HLL
+    // registers merge by per-bucket MAX, so max-merging the persisted
+    // DAILY cells up to weeks must reproduce the direct weekly cells
+    // BIT-FOR-BIT (max over a partition of the data = max over the
+    // union). This is the 100 TB at-rest story — weekly/monthly/all-time
+    // cardinalities re-aggregate from KB-scale daily cells without ever
+    // touching raw data again — and the audit is exhaustive: a FULL
+    // OUTER join of merged vs direct cells counts every cell and every
+    // mismatch (n_mismatch must read 0), with the weekly estimate and
+    // its error bound riding along from the same shared Hll pipeline.
+    QueryDef(
+      "x_hll_merge",
+      (s, d) => {
+        import s.implicits._
+        val P = graft.ext.Hll.Default
+        val evd = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("w_start"), $"user_id")
+        val merged = graft.ext.Hll.cells(evd, $"user_id", P)
+          .groupBy(date_trunc("week", $"w_start").as("w_start"), $"bucket")
+          .agg(max($"rho").as("rho"))
+        val evw = Tables.events(s, d)
+          .select(date_trunc("week", $"ts").as("w_start"), $"user_id")
+        val direct = graft.ext.Hll.cells(evw, $"user_id", P)
+        val audit = merged.select($"w_start", $"bucket", $"rho".as("rho_m"))
+          .join(direct.select($"w_start", $"bucket", $"rho".as("rho_d")),
+            Seq("w_start", "bucket"), "full")
+          .groupBy($"w_start")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(!($"rho_m" <=> $"rho_d"), 1L).otherwise(0L))
+              .as("n_mismatch"))
+        val est = graft.ext.Hll.estimate(direct, P)
+        val exact = evw.groupBy($"w_start")
+          .agg(countDistinct($"user_id").as("n_exact"))
+        audit.join(est, Seq("w_start")).join(exact, Seq("w_start"))
+          .select($"w_start", $"n_exact", $"n_cells", $"n_mismatch",
+            ($"n_mismatch" === 0).as("merge_exact"),
+            $"hll_est", ($"hll_est" - $"n_exact").as("err"),
+            (abs($"hll_est" - $"n_exact") * 1000000 <=
+              $"n_exact" * P.boundPpm).as("in_bound"))
+          .orderBy($"w_start")
+      },
+      Some {
+        val P = graft.ext.Hll.Default
+        s"""WITH evd AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+            CAST(user_id AS VARCHAR) AS key_str
+          FROM events),
+        ${graft.ext.Hll.cellsSql(P, "d", "evd")},
+        merged AS (
+          SELECT date_trunc('week', w_start) AS w_start, bucket,
+            MAX(rho) AS rho
+          FROM cellsd GROUP BY 1, 2),
+        ev AS (
+          SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS w_start,
+            CAST(user_id AS VARCHAR) AS key_str, user_id
+          FROM events),
+        ${graft.ext.Hll.cellsSql(P)},
+        audit AS (
+          SELECT COALESCE(m.w_start, c.w_start) AS w_start,
+            COUNT(*) AS n_cells,
+            CAST(SUM(CASE WHEN m.rho IS DISTINCT FROM c.rho
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+          FROM merged m FULL JOIN cells c
+            ON m.w_start = c.w_start AND m.bucket = c.bucket
+          GROUP BY 1),
+        ${graft.ext.Hll.estChainSql(P)},
+        ex AS (
+          SELECT w_start, COUNT(DISTINCT user_id) AS n_exact
+          FROM ev GROUP BY w_start)
+        SELECT a.w_start, x.n_exact,
+          CAST(a.n_cells AS BIGINT) AS n_cells,
+          a.n_mismatch,
+          (a.n_mismatch = 0) AS merge_exact,
+          CAST(e.hll_est AS BIGINT) AS hll_est,
+          CAST(e.hll_est - x.n_exact AS BIGINT) AS err,
+          (abs(e.hll_est - x.n_exact) * 1000000 <=
+            x.n_exact * ${P.boundPpm}) AS in_bound
+        FROM audit a JOIN est3 e USING (w_start) JOIN ex x USING (w_start)
+        ORDER BY a.w_start"""
       }),
 
     // ---- Outlier detection: per-group z-scores, top-k most extreme --------
