@@ -743,6 +743,106 @@ object Analytics {
         ORDER BY a.w_start"""
       }),
 
+    // ---- HLL set algebra: union by register max, intersect by in-ex -------
+    // The second mergeability dimension (x_hll_merge merges across TIME;
+    // this merges across SETS): |A∪B| comes from max-merging A's and B's
+    // registers — no rescan, exact at the register level — and |A∩B|
+    // from inclusion–exclusion on the three estimates. Cohorts are
+    // deterministic id slices (even ids vs ids ≡ 0 mod 3 → overlap =
+    // ids ≡ 0 mod 6): at gate scale every ORGANIC cohort of this corpus
+    // fully overlaps (all 150 users touch every event type), so sliced
+    // cohorts manufacture the partial-overlap case the algebra must
+    // actually handle. Every estimate is the shared integer Hll
+    // pipeline — single row, all columns hash-exact; union carries the
+    // 5·rsd bound, intersection's error rides unbounded-but-visible
+    // (inclusion–exclusion compounds three estimates' errors; that
+    // honesty is the point).
+    QueryDef(
+      "x_hll_union",
+      (s, d) => {
+        import s.implicits._
+        val P = graft.ext.Hll.Default
+        val ev = Tables.events(s, d).select($"user_id")
+        def cohort(tag: String, cond: org.apache.spark.sql.Column) =
+          graft.ext.Hll.cells(
+            ev.filter(cond).select(lit(tag).as("w_start"), $"user_id"),
+            $"user_id", P)
+        val ca = cohort("A", $"user_id" % 2 === 0)
+        val cb = cohort("B", $"user_id" % 3 === 0)
+        val cu = ca.unionByName(cb)
+          .groupBy(lit("U").as("w_start"), $"bucket")
+          .agg(max($"rho").as("rho"))
+        val est = graft.ext.Hll.estimate(
+            ca.unionByName(cb).unionByName(cu), P)
+          .select($"w_start", $"hll_est")
+        val piv = est.agg(
+          max(when($"w_start" === "A", $"hll_est")).as("est_a"),
+          max(when($"w_start" === "B", $"hll_est")).as("est_b"),
+          max(when($"w_start" === "U", $"hll_est")).as("est_union"))
+        val ex = Tables.events(s, d).agg(
+          countDistinct(when($"user_id" % 2 === 0, $"user_id")).as("n_a"),
+          countDistinct(when($"user_id" % 3 === 0, $"user_id")).as("n_b"),
+          countDistinct(when($"user_id" % 2 === 0 || $"user_id" % 3 === 0,
+            $"user_id")).as("n_union"),
+          countDistinct(when($"user_id" % 6 === 0, $"user_id"))
+            .as("n_intersect"))
+        piv.crossJoin(ex)
+          .select($"n_a", $"n_b", $"n_union", $"n_intersect",
+            $"est_a", $"est_b", $"est_union",
+            ($"est_a" + $"est_b" - $"est_union").as("est_intersect"),
+            ($"est_union" - $"n_union").as("err_union"),
+            ($"est_a" + $"est_b" - $"est_union" - $"n_intersect")
+              .as("err_intersect"),
+            (abs($"est_union" - $"n_union") * 1000000 <=
+              $"n_union" * P.boundPpm).as("union_in_bound"))
+      },
+      Some {
+        val P = graft.ext.Hll.Default
+        s"""WITH eva AS (
+          SELECT 'A' AS w_start, CAST(user_id AS VARCHAR) AS key_str
+          FROM events WHERE user_id % 2 = 0),
+        evb AS (
+          SELECT 'B' AS w_start, CAST(user_id AS VARCHAR) AS key_str
+          FROM events WHERE user_id % 3 = 0),
+        ${graft.ext.Hll.cellsSql(P, "a", "eva")},
+        ${graft.ext.Hll.cellsSql(P, "b", "evb")},
+        cells AS (
+          SELECT * FROM cellsa
+          UNION ALL SELECT * FROM cellsb
+          UNION ALL
+          SELECT 'U' AS w_start, bucket, MAX(rho) AS rho
+          FROM (SELECT * FROM cellsa UNION ALL SELECT * FROM cellsb)
+          GROUP BY bucket),
+        ${graft.ext.Hll.estChainSql(P)},
+        piv AS (
+          SELECT
+            MAX(CASE WHEN w_start = 'A' THEN hll_est END) AS est_a,
+            MAX(CASE WHEN w_start = 'B' THEN hll_est END) AS est_b,
+            MAX(CASE WHEN w_start = 'U' THEN hll_est END) AS est_union
+          FROM est3),
+        ex AS (
+          SELECT
+            COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_a,
+            COUNT(DISTINCT CASE WHEN user_id % 3 = 0 THEN user_id END) AS n_b,
+            COUNT(DISTINCT CASE WHEN user_id % 2 = 0 OR user_id % 3 = 0
+              THEN user_id END) AS n_union,
+            COUNT(DISTINCT CASE WHEN user_id % 6 = 0 THEN user_id END)
+              AS n_intersect
+          FROM events)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(n_union AS BIGINT) AS n_union,
+          CAST(n_intersect AS BIGINT) AS n_intersect,
+          CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+          CAST(est_union AS BIGINT) AS est_union,
+          CAST(est_a + est_b - est_union AS BIGINT) AS est_intersect,
+          CAST(est_union - n_union AS BIGINT) AS err_union,
+          CAST(est_a + est_b - est_union - n_intersect AS BIGINT)
+            AS err_intersect,
+          (abs(est_union - n_union) * 1000000 <=
+            n_union * ${P.boundPpm}) AS union_in_bound
+        FROM piv, ex"""
+      }),
+
     // ---- Outlier detection: per-group z-scores, top-k most extreme --------
     // Data-quality screening as a two-pass shape: per-group moments from
     // DECIMAL-EXACT sums (order-free, so map-side partials can't drift

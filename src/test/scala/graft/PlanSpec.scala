@@ -289,6 +289,11 @@ class PlanSpec extends AnyFunSuite {
     // MMR-from-IVF: pool via the probed-cluster equi-join, greedy on the
     // driver — the returned frame is the k selected rows
     assert(SparkEntry.queries("x4_mmr_ivf")(spark, sfDir).count() == 8)
+    // merge-law gates: everything keyed (cells, audits, estimates) — no
+    // true cartesian anywhere (x_hll_union's single-row pivot×exact
+    // crossJoin plans as a broadcast NLJ, which is the intended shape)
+    assert(!plan("x_hll_merge").contains("CartesianProduct"))
+    assert(!plan("x_quantile_sketch_merge").contains("CartesianProduct"))
   }
 
   test("approx_count_distinct lands within its error bound of exact") {
