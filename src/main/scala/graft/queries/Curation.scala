@@ -27,7 +27,10 @@ object Curation {
     * definition shared by the CMS (cells=1024) and Bloom (cells=8192)
     * recipes; their DuckDB oracles mirror it via the md5_number_upper
     * bridge, so a change here must change both oracles in lockstep. */
-  private def sketchCell(dep: org.apache.spark.sql.Column,
+  // private[graft]: ONE cell-hash definition shared with the streaming
+  // CMS twin (streaming/CmsStream) — any drift would break its
+  // streamed ≡ batch spec pin
+  private[graft] def sketchCell(dep: org.apache.spark.sql.Column,
       term: org.apache.spark.sql.Column, cells: Int) = {
     import graft.functions.Md5Hash64.md5_le64
     shiftrightunsigned(
