@@ -189,4 +189,35 @@ object EpochStore {
     latestBelow(spark, path, key, Long.MaxValue)
       .getOrElse(throw new IllegalStateException(
         s"no epochs at $path — nothing has been persisted yet"))
+
+  /** Retention for SNAPSHOT-per-epoch stores (each epoch a FULL
+    * snapshot, not a delta — GraphStream ranks): delete every plain
+    * epoch except the newest `keep`, returning the dropped ids. Without
+    * this, a long-running snapshot store grows by one full table per
+    * batch forever — the operational gap [[compact]] does not cover
+    * (compaction merges DELTA stores; merging snapshots would be
+    * wrong).
+    *
+    * `keep >= 2` is the replay-safe floor: a crash-replayed batch B
+    * re-seeds from the epoch strictly below its own id
+    * ([[latestBelow]]), so the newest snapshot's PREDECESSOR must
+    * survive for as long as B can still replay — and once batch B+1
+    * has started, B never replays within the checkpoint lineage, which
+    * is exactly when B−1 becomes prunable. NEVER valid for delta
+    * stores: [[read]] merges all live partitions, so pruning one would
+    * change the multiset — use [[compact]] there instead. */
+  def pruneSnapshots(spark: SparkSession, path: String,
+      key: String = "batch", keep: Int = 2): Seq[Long] = {
+    require(keep >= 2,
+      s"keep must be >= 2 (replay needs the newest epoch's predecessor), got $keep")
+    val ids = epochIds(spark, path, key)
+      .filter(_ < CompactedBase).sorted
+    val drop = ids.dropRight(keep)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    drop.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"$key=$id"), true)
+    }
+    drop
+  }
 }

@@ -137,6 +137,18 @@ object GraphStream {
     EpochStore.latest(spark, s"$storePath/ranks", key = "epoch")
       .select(col("id"), col("r"))
 
+  /** Rank-epoch retention: every epoch is a FULL rank snapshot, so an
+    * unpruned store grows by one whole rank table per batch forever —
+    * at 100 TB scale that is the store's dominant cost within days.
+    * Delegates to [[EpochStore.pruneSnapshots]] (keep ≥ 2: the newest
+    * epoch's predecessor must survive while the in-flight batch can
+    * still crash-replay and re-seed from it — see its scaladoc). Run
+    * between batches, same single-maintainer discipline as
+    * [[compactEdges]]. */
+  def pruneRankEpochs(spark: SparkSession, storePath: String,
+      keep: Int = 2): Seq[Long] =
+    EpochStore.pruneSnapshots(spark, s"$storePath/ranks", "epoch", keep)
+
   /** Warm-start seed for batch `batchId`: the latest epoch STRICTLY
     * below it (a replayed batch must never seed from its own — possibly
     * partially written — epoch). None on the first epoch (cold start). */

@@ -112,6 +112,29 @@ class EpochStoreSpec extends AnyFunSuite {
     assert(EpochStore.latestBelow(spark, store, "epoch", 0L).isEmpty)
   }
 
+  test("pruneSnapshots keeps the newest `keep` epochs; floor enforced") {
+    val store = tmp("es_prune")
+    for (i <- 0L to 4L)
+      EpochStore.writeEpoch(frame(1L -> (i * 10L)), i, store, key = "epoch")
+    // prune to the newest 2: ids 0..2 dropped, latest + predecessor kept
+    val dropped = EpochStore.pruneSnapshots(spark, store, "epoch", keep = 2)
+    assert(dropped == Seq(0L, 1L, 2L))
+    val left = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSeq.sorted
+    assert(left == Seq("epoch=3", "epoch=4"))
+    // serving + warm-start surfaces still correct
+    assert(bag(EpochStore.latest(spark, store, "epoch")) ==
+      Map((1L, 40L) -> 1L))
+    assert(bag(EpochStore.latestBelow(spark, store, "epoch", 4L).get) ==
+      Map((1L, 30L) -> 1L))
+    // pruning again is a no-op; keep < 2 is rejected (replay needs the
+    // newest epoch's predecessor)
+    assert(EpochStore.pruneSnapshots(spark, store, "epoch", keep = 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      EpochStore.pruneSnapshots(spark, store, "epoch", keep = 1)
+    }
+  }
+
   test("an epoch at/below the compaction high-water mark fails loudly") {
     val store = tmp("es_lineage")
     EpochStore.writeEpoch(frame(1L -> 10L), 0L, store)
