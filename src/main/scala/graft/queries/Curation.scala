@@ -277,6 +277,126 @@ object Curation {
           CAST(est AS BIGINT) AS cms_est, CAST(est - c AS BIGINT) AS overcount
         FROM est ORDER BY exact_count DESC, term""")),
 
+    // ---- CMS merge law: weekly counter cells FROM daily ≡ direct -----------
+    // The frequency member of the merge-law triad (x_quantile_sketch_merge
+    // = sum-merged histogram cells, x_hll_merge = max-merged registers,
+    // this = sum-merged CMS counters): daily per-user event-count
+    // sketches roll up to weeks by cell-wise addition, and the full
+    // outer audit pins the merged cells EQUAL to a direct weekly sketch
+    // (Σ over a partition of the data = count over the union). The
+    // weekly top-3 heaviest users are then estimated FROM THE MERGED
+    // CELLS (min over depths — the x_cms_heavy_hitters extraction) next
+    // to their exact counts, overcount ≥ 0 by the CMS one-sided
+    // guarantee. ONE cell hash with the batch gate and the streaming
+    // store (sketchCell). At rest this is the ops dashboard shape:
+    // per-day 4×1024-cell writes, any coarser window served by cell
+    // addition, raw events never re-read.
+    QueryDef(
+      "x_cms_merge",
+      (s, d) => {
+        import s.implicits._
+        val W = 1024
+        def cellsOf(keyed: org.apache.spark.sql.DataFrame) = keyed
+          .groupBy($"w", $"term").agg(count(lit(1)).as("c"))
+          .select($"w", explode(sequence(lit(0), lit(3))).as("dep"),
+            $"term", $"c")
+          .select($"w", $"dep", sketchCell($"dep", $"term", W).as("cell"), $"c")
+          .groupBy($"w", $"dep", $"cell").agg(sum($"c").as("cc"))
+        val ev = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("w"),
+            $"user_id".cast("string").as("term"))
+        val merged = cellsOf(ev)
+          .groupBy(date_trunc("week", $"w").as("w"), $"dep", $"cell")
+          .agg(sum($"cc").as("cc"))
+        val direct = cellsOf(Tables.events(s, d)
+          .select(date_trunc("week", $"ts").as("w"),
+            $"user_id".cast("string").as("term")))
+        val audit = merged.select($"w", $"dep", $"cell", $"cc".as("cc_m"))
+          .join(direct.select($"w", $"dep", $"cell", $"cc".as("cc_d")),
+            Seq("w", "dep", "cell"), "full")
+          .groupBy($"w")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(!($"cc_m" <=> $"cc_d"), 1L).otherwise(0L))
+              .as("n_mismatch"))
+        val exact = Tables.events(s, d)
+          .select(date_trunc("week", $"ts").as("w"),
+            $"user_id".cast("string").as("term"))
+          .groupBy($"w", $"term").agg(count(lit(1)).as("c"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy($"w").orderBy($"c".desc, $"term")
+        val top = exact.withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= 3)
+        val est = top
+          .select($"w", $"rn", $"term", $"c",
+            explode(sequence(lit(0), lit(3))).as("dep"))
+          .withColumn("cell", sketchCell($"dep", $"term", W))
+          .join(merged, Seq("w", "dep", "cell"))
+          .groupBy($"w", $"rn", $"term", $"c").agg(min($"cc").as("est"))
+        est.join(audit, Seq("w"))
+          .select($"w".as("w_start"), $"rn", $"term", $"c".as("exact_count"),
+            $"est".as("cms_est"), ($"est" - $"c").as("overcount"),
+            $"n_cells", $"n_mismatch",
+            ($"n_mismatch" === 0).as("merge_exact"))
+          .orderBy($"w_start", $"rn")
+      },
+      Some("""WITH evd AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w,
+            CAST(user_id AS VARCHAR) AS term
+          FROM events),
+        evw AS (
+          SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS w,
+            CAST(user_id AS VARCHAR) AS term
+          FROM events),
+        dc AS (
+          SELECT w, dep,
+            CAST((md5_number_upper(CAST(dep AS VARCHAR) || ':' || term)
+              >> 4) AS BIGINT) % 1024 AS cell,
+            CAST(SUM(c) AS BIGINT) AS cc
+          FROM (SELECT w, term, COUNT(*) AS c FROM evd GROUP BY w, term),
+            generate_series(0, 3) AS gs(dep)
+          GROUP BY w, dep, cell),
+        merged AS (
+          SELECT date_trunc('week', w) AS w, dep, cell,
+            CAST(SUM(cc) AS BIGINT) AS cc
+          FROM dc GROUP BY 1, 2, 3),
+        direct AS (
+          SELECT w, dep,
+            CAST((md5_number_upper(CAST(dep AS VARCHAR) || ':' || term)
+              >> 4) AS BIGINT) % 1024 AS cell,
+            CAST(SUM(c) AS BIGINT) AS cc
+          FROM (SELECT w, term, COUNT(*) AS c FROM evw GROUP BY w, term),
+            generate_series(0, 3) AS gs(dep)
+          GROUP BY w, dep, cell),
+        audit AS (
+          SELECT COALESCE(m.w, d.w) AS w, COUNT(*) AS n_cells,
+            CAST(SUM(CASE WHEN m.cc IS DISTINCT FROM d.cc
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+          FROM merged m FULL JOIN direct d
+            ON m.w = d.w AND m.dep = d.dep AND m.cell = d.cell
+          GROUP BY 1),
+        top AS (
+          SELECT w, term, c, rn FROM (
+            SELECT w, term, c, ROW_NUMBER() OVER (PARTITION BY w
+              ORDER BY c DESC, term) AS rn
+            FROM (SELECT w, term, COUNT(*) AS c FROM evw GROUP BY w, term))
+          WHERE rn <= 3),
+        est AS (
+          SELECT t.w, t.rn, t.term, t.c, MIN(m.cc) AS est
+          FROM top t, generate_series(0, 3) AS gs(dep)
+          JOIN merged m ON m.w = t.w AND m.dep = gs.dep
+           AND m.cell = CAST((md5_number_upper(
+              CAST(gs.dep AS VARCHAR) || ':' || t.term) >> 4) AS BIGINT) % 1024
+          GROUP BY t.w, t.rn, t.term, t.c)
+        SELECT e.w AS w_start, CAST(e.rn AS INTEGER) AS rn, e.term,
+          CAST(e.c AS BIGINT) AS exact_count,
+          CAST(e.est AS BIGINT) AS cms_est,
+          CAST(e.est - e.c AS BIGINT) AS overcount,
+          CAST(a.n_cells AS BIGINT) AS n_cells,
+          a.n_mismatch,
+          (a.n_mismatch = 0) AS merge_exact
+        FROM est e JOIN audit a USING (w)
+        ORDER BY w_start, rn""")),
+
     // ---- Benchmark decontamination: n-gram overlap vs a held-out set -------
     // The REMOVAL direction of the eval-overlap family — the complement
     // of Text's x_span_contamination (which flags EVAL docs leaked into
