@@ -1799,6 +1799,59 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Streaming-CMS scale probe: five 200k-doc synthetic batches through
+    * the REAL CmsStream.processBatch (Zipf-ish 20k-term vocabulary via
+    * xxhash powers), then merge-on-read, point estimates, compaction.
+    * Claims measured: per-batch wall flat (one map-side-combined groupBy
+    * of the batch's own terms down to ≤ 4096 cells — the fixed-cell
+    * property), store KB-scale regardless of rows, serving bounded by
+    * cell rows. */
+  def cmsStreamProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("cms-stream", 32)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "cmsprobe")
+      .toString
+    val docs = 200000L
+    for (b <- 0L until 5L) {
+      // ~40 terms/doc, term ids skewed by squaring a uniform hash
+      val batch = spark.range(docs).select($"id".as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)),
+          j => concat(lit("t"),
+            (pmod(xxhash64($"id", j, lit(b)), lit(20000)) *
+             pmod(xxhash64($"id", j, lit(b + 7)), lit(20000)) / 20000)
+              .cast("long"))), " ").as("text"))
+      val t0 = System.nanoTime()
+      graft.streaming.CmsStream.processBatch(batch, b, store)
+      println(f"[cmsstream] batch=$b docs=$docs " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def du(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().map(x => du(x.getPath)).sum
+      else f.length()
+    }
+    println(f"[cmsstream] store_bytes=${du(store)} (1M docs / ~40M terms ingested)")
+    val t1 = System.nanoTime()
+    val cells = graft.streaming.CmsStream.merged(spark, store).count()
+    println(f"[cmsstream] merged cells=$cells " +
+      f"wall=${(System.nanoTime() - t1) / 1e9}%.2fs")
+    val t2 = System.nanoTime()
+    val est = graft.streaming.CmsStream.estimates(spark, store,
+      (0 to 9).map(i => s"t$i"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    println(f"[cmsstream] point estimates wall=${(System.nanoTime() - t2) / 1e9}%.2fs " +
+      s"head=${est.take(3).mkString(",")}")
+    val t3 = System.nanoTime()
+    graft.streaming.CmsStream.compact(spark, store)
+    println(f"[cmsstream] compact wall=${(System.nanoTime() - t3) / 1e9}%.2fs " +
+      f"store_bytes_after=${du(store)}")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(store))
+    spark.stop()
+  }
+
   /** PPJoin at a genuinely large vocabulary (r13 verdict item 7): the
     * r13 100x probe used the clone-heavy corpus where collapse-first
     * makes the join flat; the adversarial case for PREFIX FILTERING is
@@ -2333,6 +2386,7 @@ object BenchTune {
     if (args.headOption.contains("graphstream")) { graphStreamProbe(sfDir); return }
     if (args.headOption.contains("ppjoin")) { ppjoinProbe(sfDir); return }
     if (args.headOption.contains("sketchstream")) { sketchStreamProbe(sfDir); return }
+    if (args.headOption.contains("cmsstream")) { cmsStreamProbe(sfDir); return }
     if (args.headOption.contains("mediahash")) { mediaHashProbe(sfDir); return }
     if (args.headOption.contains("prefixsum")) { prefixSumProbe(sfDir); return }
     if (args.headOption.contains("probe")) {
