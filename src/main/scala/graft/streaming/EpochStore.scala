@@ -210,8 +210,16 @@ object EpochStore {
       key: String = "batch", keep: Int = 2): Seq[Long] = {
     require(keep >= 2,
       s"keep must be >= 2 (replay needs the newest epoch's predecessor), got $keep")
-    val ids = epochIds(spark, path, key)
-      .filter(_ < CompactedBase).sorted
+    val allIds = epochIds(spark, path, key)
+    // a compacted partition proves this is a DELTA store (snapshot
+    // stores never compact — merging snapshots would be wrong): pruning
+    // a delta store's epochs would silently change read()'s merged
+    // multiset, so refuse loudly instead
+    require(!allIds.exists(_ >= CompactedBase),
+      s"$path contains a compacted partition — this is a delta store; " +
+        "pruneSnapshots is only valid for snapshot-per-epoch stores " +
+        "(use compact for deltas)")
+    val ids = allIds.sorted
     val drop = ids.dropRight(keep)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

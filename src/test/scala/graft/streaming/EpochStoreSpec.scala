@@ -133,6 +133,16 @@ class EpochStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EpochStore.pruneSnapshots(spark, store, "epoch", keep = 1)
     }
+    // a compacted store is a DELTA store: pruning it would change the
+    // merged multiset — must refuse loudly
+    val delta = tmp("es_prune_delta")
+    EpochStore.writeEpoch(frame(1L -> 10L), 0L, delta)
+    EpochStore.writeEpoch(frame(2L -> 20L), 1L, delta)
+    EpochStore.compact(spark, delta)
+    EpochStore.writeEpoch(frame(3L -> 30L), 2L, delta)
+    intercept[IllegalArgumentException] {
+      EpochStore.pruneSnapshots(spark, delta)
+    }
   }
 
   test("an epoch at/below the compaction high-water mark fails loudly") {
