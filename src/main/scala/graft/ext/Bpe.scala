@@ -225,14 +225,22 @@ object Bpe {
     * result over it is reproducible evidence, not a seed accident. */
   def syntheticCounts(nWords: Int): Seq[(String, Long)] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until nWords).map { i =>
+    val raw = (0 until nWords).map { i =>
       val hex = md.digest(i.toString.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
       val len = 6 + (hex.charAt(0) - '0' + 16) % 8
       val w = hex.take(len).map(c =>
         ('a' + Integer.parseInt(c.toString, 16)).toChar).mkString
       (w, 1000000L / (i + 1))
-    }.distinct
+    }
+    // dedup by WORD keeping the first (lowest-i) frequency — two indices
+    // hashing to the same word carry different Zipf frequencies, so a
+    // tuple-level distinct would let both survive as duplicate vocab
+    // entries (first md5 prefix collision lands near nWords ≈ 20000;
+    // identical output to the old form at every collision-free size)
+    val seen = scala.collection.mutable.LinkedHashMap[String, Long]()
+    for ((w, f) <- raw) if (!seen.contains(w)) seen += w -> f
+    seen.toSeq
   }
 
   /** Distributed stage: corpus word frequencies (one token groupBy). */

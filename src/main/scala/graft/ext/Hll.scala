@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *    reprocessing cannot inflate a max);
   *  - the raw estimate α·m²/Σ2^−rho is carried with Σ2^−rho in 1e−12
   *    units: numerator round(α·1e6)·m²·1e6 stays Long-safe through
-  *    m = 2048 (α·m²·1e12 ≈ 3.0e18 there; m = 4096 would hit 1.2e19 >
-  *    2^63 — the require below caps m accordingly), and the division
-  *    is exact integer `div` on both engines;
+  *    m = 2048 (α·m²·1e12 ≈ 3.0e18 there; m = 4096 hits 1.2e19 > 2^63),
+  *    past which BOTH engines switch to an exact wide integer —
+  *    DECIMAL(38,0) on Spark, HUGEINT on DuckDB — so m = 2^14
+  *    (rsd 0.81%, the production register count) is admitted with the
+  *    same exact integer `div` on both engines (r15 verdict item 2);
   *  - the small-range linear-counting branch needs ln(m/V), which has
   *    only m possible values: they are inlined as SHARED LITERAL
   *    CONSTANTS computed once here and embedded in BOTH plans — no
@@ -47,22 +49,47 @@ import org.apache.spark.sql.functions._
   */
 object Hll {
 
-  /** round(1e6·α_m) with α_m = 0.7213/(1 + 1.079/m) — the standard bias
-    * correction (Flajolet et al. 2007), same formula at every m (the
-    * m = 64 gate historically used exactly this: 709341). */
-  def alphaE6(m: Int): Long = math.round(1e6 * 0.7213 / (1 + 1.079 / m))
+  /** round(1e6·α_m). Flajolet et al. 2007 specify DISCRETE constants for
+    * the two smallest register counts (α_16 = 0.673, α_32 = 0.697) and
+    * the asymptotic formula 0.7213/(1 + 1.079/m) from m = 64 up — the
+    * formula overestimates α by ~0.4% at m = 16/32, so the paper's
+    * constants are honored there (r15 ADVICE). m = 64 keeps the formula
+    * value the legacy gate shipped hard-coded: 709341. */
+  def alphaE6(m: Int): Long = m match {
+    case 16 => 673000L
+    case 32 => 697000L
+    case _  => math.round(1e6 * 0.7213 / (1 + 1.079 / m))
+  }
 
-  /** All derived constants for one register count. */
+  /** All derived constants for one register count. m up to 2048 keeps
+    * the whole estimate numerator α·m²·1e12 inside Long and both plans
+    * use plain BIGINT literals; m above that (production cardinality
+    * work wants m = 2^14 → rsd 0.81%) switches BOTH engines to an exact
+    * wide-integer numerator — DECIMAL(38,0) on Spark, HUGEINT on DuckDB
+    * — with the SAME integer `div`, so the no-drift property survives
+    * the Long cap (r15 verdict item 2). */
   final case class Params(m: Int) {
-    require(m >= 16 && m <= 2048 && (m & (m - 1)) == 0,
-      s"m must be a power of two in [16, 2048], got $m")
+    require(m >= 16 && m <= 16384 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 16384], got $m")
     /** log2(m): bucket bits. */
     val p: Int = Integer.numberOfTrailingZeros(m)
     /** rho = rhoBase − length(bin(h div m)) for the 60-bit md5-derived h. */
     val rhoBase: Int = 61 - p
-    /** est_raw = numerator div Σ(1e12 >> rho): α·m² with the Σ in 1e−12
-      * units folded in. Long-safe by the require above. */
-    val numerator: Long = alphaE6(m) * m.toLong * m.toLong * 1000000L
+    /** est_raw = numeratorBig div Σ(1e12 >> rho): α·m² with the Σ in
+      * 1e−12 units folded in. Exact at every admitted m (BigInt). */
+    val numeratorBig: BigInt =
+      BigInt(alphaE6(m)) * m * m * 1000000L
+    /** True when the numerator fits Long (m ≤ 2048) — both plans then
+      * keep the historical plain-BIGINT literal, bit-identical to the
+      * pre-r16 pins; above it the DECIMAL/HUGEINT path engages. */
+    val numeratorLongSafe: Boolean = numeratorBig.isValidLong
+    /** The legacy Long numerator — only meaningful when
+      * [[numeratorLongSafe]]; accessing it past the cap fails loudly. */
+    def numerator: Long = {
+      require(numeratorLongSafe,
+        s"numerator ${numeratorBig} exceeds Long at m=$m — use numeratorBig")
+      numeratorBig.toLong
+    }
     /** Linear counting applies when est_raw ≤ 5m/2 and empty buckets
       * exist (the standard small-range correction). */
     val lcThreshold: Long = m.toLong * 5L / 2L
@@ -75,6 +102,13 @@ object Hll {
   }
 
   val Default: Params = Params(1024)
+
+  /** The production register count (Heule et al.'s HLL++ default
+    * precision 14): rsd ≈ 1.04/√16384 ≈ 0.81%, 5·rsd bound ≈ 4%. Rides
+    * the wide-integer numerator path (DECIMAL(38,0) / HUGEINT) past the
+    * m = 2048 Long cap — the `x_hll_window_hi` gate, the merge law, and
+    * the streaming store all run here (r15 verdict item 2). */
+  val Hi: Params = Params(16384)
 
   // ---- Spark side ---------------------------------------------------------
 
@@ -99,10 +133,20 @@ object Hll {
       .withColumn("s_total",
         col("s_present") + col("v_zero") * 1000000000000L)
       .withColumn("hll_raw",
-        expr(s"${P.numerator} div greatest(s_total, 1)"))
+        // past the Long cap the numerator rides as DECIMAL(38,0); `div`
+        // is integral division on both integral and decimal inputs and
+        // always lands in BIGINT — same exact quotient either way
+        if (P.numeratorLongSafe)
+          expr(s"${P.numerator} div greatest(s_total, 1)")
+        else
+          expr(s"CAST('${P.numeratorBig}' AS DECIMAL(38,0)) " +
+            "div greatest(s_total, 1)"))
       .withColumn("hll_est",
         when(col("hll_raw") <= P.lcThreshold && col("v_zero") > 0,
-          element_at(array(P.lut.map(lit): _*), col("v_zero").cast("int")))
+          // ONE ArrayType literal (typedlit), not an m-child CreateArray
+          // — at m = 16384 the per-element form would be a 16K-node
+          // expression tree for what is a constant table
+          element_at(typedlit(P.lut.toArray), col("v_zero").cast("int")))
           .otherwise(col("hll_raw")))
       .select(col("w_start"), col("n_present"), col("v_zero"),
         col("hll_raw"), col("hll_est"))
@@ -131,14 +175,21 @@ object Hll {
   def estChainSql(P: Params, cells: String = "cells"): String = {
     val m = P.m
     val lut = P.lut.mkString("[", ", ", "]")
+    // past the Long cap the numerator is an explicit HUGEINT (DuckDB's
+    // exact 128-bit integer) — `//` stays exact integer division, the
+    // twin of Spark's DECIMAL(38,0) div; CAST back to BIGINT so est3's
+    // hll_raw has the same type either way
+    val num =
+      if (P.numeratorLongSafe) P.numerator.toString
+      else s"CAST('${P.numeratorBig}' AS HUGEINT)"
     s"""est AS (
       SELECT w_start, COUNT(*) AS n_present,
         CAST(SUM(1000000000000 >> rho) AS BIGINT) AS s_present
       FROM $cells GROUP BY w_start),
     est2 AS (
       SELECT w_start, n_present, $m - n_present AS v_zero,
-        ${P.numerator} // greatest(
-          s_present + ($m - n_present) * 1000000000000, 1)
+        CAST($num // greatest(
+          s_present + ($m - n_present) * 1000000000000, 1) AS BIGINT)
           AS hll_raw
       FROM est),
     est3 AS (

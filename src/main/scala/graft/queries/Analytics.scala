@@ -661,6 +661,62 @@ object Analytics {
         ORDER BY e.w_start"""
       }),
 
+    // ---- HLL at the production register count: m = 2^14 --------------------
+    // The same shared pipeline at Heule et al.'s HLL++ default precision
+    // 14 (m = 16384, rsd ≈ 0.81%, bound 5·rsd ≈ 4% — TEN times tighter
+    // than a8's built-in accuracy contract). The point of this gate is
+    // the WIDE-INTEGER path: α·m²·1e12 ≈ 1.9e20 exceeds Long, so the
+    // estimate numerator rides DECIMAL(38,0) on Spark and HUGEINT on
+    // DuckDB — both exact, same integer `div`, still hash-exact on every
+    // column INCLUDING the estimate (r15 verdict item 2 lifted the
+    // m = 2048 Long cap this way). The LUT is one 16384-entry ArrayType
+    // literal (typedlit) on the Spark side — a single constant node, not
+    // a 16K-child expression tree. Gate-scale estimates sit in the
+    // linear-counting regime (window cardinality ≪ 5m/2), exactly where
+    // production HLL at p=14 lives for daily windows; the raw-branch
+    // arithmetic is exercised to the same exactness by x_hll_window's
+    // m = 1024 twin, which keeps the Long-literal path pinned too.
+    QueryDef(
+      "x_hll_window_hi",
+      (s, d) => {
+        import s.implicits._
+        val P = graft.ext.Hll.Hi // m = 16384: rsd ≈ 0.81%, bound ≈ 4%
+        val ev = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("w_start"), $"user_id")
+        val est = graft.ext.Hll.estimate(
+          graft.ext.Hll.cells(ev, $"user_id", P), P)
+        val exact = ev.groupBy($"w_start")
+          .agg(countDistinct($"user_id").as("n_exact"))
+        est.join(exact, Seq("w_start"))
+          .select($"w_start", $"n_exact", $"n_present", $"v_zero",
+            $"hll_raw", $"hll_est",
+            ($"hll_est" - $"n_exact").as("err"),
+            (abs($"hll_est" - $"n_exact") * 1000000 <=
+              $"n_exact" * P.boundPpm).as("in_bound"))
+          .orderBy($"w_start")
+      },
+      Some {
+        val P = graft.ext.Hll.Hi
+        s"""WITH ev AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+            user_id, CAST(user_id AS VARCHAR) AS key_str
+          FROM events),
+        ${graft.ext.Hll.estimateSql(P)},
+        ex AS (
+          SELECT w_start, COUNT(DISTINCT user_id) AS n_exact
+          FROM ev GROUP BY w_start)
+        SELECT e.w_start, x.n_exact,
+          CAST(e.n_present AS BIGINT) AS n_present,
+          CAST(e.v_zero AS BIGINT) AS v_zero,
+          CAST(e.hll_raw AS BIGINT) AS hll_raw,
+          CAST(e.hll_est AS BIGINT) AS hll_est,
+          CAST(e.hll_est - x.n_exact AS BIGINT) AS err,
+          (abs(e.hll_est - x.n_exact) * 1000000 <=
+            x.n_exact * ${P.boundPpm}) AS in_bound
+        FROM est3 e JOIN ex x USING (w_start)
+        ORDER BY e.w_start"""
+      }),
+
     // ---- HLL merge law: weekly cells FROM daily cells ≡ direct weekly ------
     // The mergeability claim as a GATE, not a scaladoc sentence: HLL
     // registers merge by per-bucket MAX, so max-merging the persisted
@@ -676,7 +732,7 @@ object Analytics {
       "x_hll_merge",
       (s, d) => {
         import s.implicits._
-        val P = graft.ext.Hll.Default
+        val P = graft.ext.Hll.Hi // merge law at the production m (r15 item 2)
         val evd = Tables.events(s, d)
           .select(date_trunc("day", $"ts").as("w_start"), $"user_id")
         val merged = graft.ext.Hll.cells(evd, $"user_id", P)
@@ -704,7 +760,7 @@ object Analytics {
           .orderBy($"w_start")
       },
       Some {
-        val P = graft.ext.Hll.Default
+        val P = graft.ext.Hll.Hi
         s"""WITH evd AS (
           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
             CAST(user_id AS VARCHAR) AS key_str

@@ -383,7 +383,9 @@ object Similarity {
       .toMap
     var selected = Vector.empty[(Int, Long, Long, Long, Long)]
     var remaining = rel
-    for (i <- 1 to k) {
+    // an undersized pool (IVF probes can return < k candidates) yields a
+    // short selection instead of minBy-on-empty throwing (r15 ADVICE)
+    for (i <- 1 to math.min(k, rel.size)) {
       val scored = remaining.map { case (id, r) =>
         val ms =
           if (selected.isEmpty) 0L

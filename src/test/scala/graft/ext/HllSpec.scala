@@ -36,10 +36,35 @@ class HllSpec extends AnyFunSuite {
     assert(p.lut(1023) == 0L)
   }
 
-  test("m bounds: 2048 admitted (Long-safe), 4096 and non-powers rejected") {
+  test("m bounds: 2048 is the last Long-safe size, 16384 admitted via " +
+      "the wide-integer path, 32768 and non-powers rejected") {
+    assert(Hll.Params(2048).numeratorLongSafe)
     assert(Hll.Params(2048).numerator > 0)
-    intercept[IllegalArgumentException] { Hll.Params(4096) }
+    val p4k = Hll.Params(4096)
+    assert(!p4k.numeratorLongSafe)
+    intercept[IllegalArgumentException] { p4k.numerator } // fail-loudly
+    intercept[IllegalArgumentException] { Hll.Params(32768) }
     intercept[IllegalArgumentException] { Hll.Params(1000) }
     intercept[IllegalArgumentException] { Hll.Params(8) }
+  }
+
+  test("small-m alpha honors the paper's discrete constants; the " +
+      "formula holds from m = 64 up") {
+    assert(Hll.alphaE6(16) == 673000L) // α16 = 0.673 (Flajolet et al.)
+    assert(Hll.alphaE6(32) == 697000L) // α32 = 0.697
+    assert(Hll.alphaE6(64) == 709341L) // legacy formula value, pinned
+  }
+
+  test("m = 16384: wide-integer numerator exact, derived values") {
+    val p = Hll.Params(16384)
+    assert(p.p == 14 && p.rhoBase == 47)
+    assert(p.numeratorBig ==
+      BigInt(Hll.alphaE6(16384)) * 16384 * 16384 * 1000000L)
+    assert(p.numeratorBig > BigInt(Long.MaxValue), "should exceed Long")
+    // 5 * 1.04/sqrt(16384) = 0.040625 -> 40625 ppm
+    assert(p.boundPpm == 40625L)
+    assert(p.lut.length == 16384)
+    assert(p.lut(0) == math.round(16384 * math.log(16384.0)))
+    assert(p.lut(16383) == 0L)
   }
 }

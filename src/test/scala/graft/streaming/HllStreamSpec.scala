@@ -47,11 +47,11 @@ class HllStreamSpec extends AnyFunSuite {
       .distinct().groupBy($"w").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(est.keySet == exact.keySet)
-    // m = 1024 (Hll.Default): 5·rsd ≈ 16% relative, with an absolute
-    // floor of 2 for the tiny sf0.001 windows where the linear-counting
-    // LUT's integer rounding is the whole error
+    // m = 16384 (Hll.Hi): 5·rsd ≈ 4% relative, with an absolute floor
+    // of 2 for the tiny sf0.001 windows where the linear-counting LUT's
+    // integer rounding is the whole error
     for ((w, e) <- est)
-      assert(math.abs(e - exact(w)) <= math.max(2.0, 0.17 * exact(w)),
+      assert(math.abs(e - exact(w)) <= math.max(2.0, 0.05 * exact(w)),
         s"w=$w est=$e exact=${exact(w)}")
 
     // out-of-protocol duplication: same data under a NEW batch id — a
@@ -59,5 +59,40 @@ class HllStreamSpec extends AnyFunSuite {
     HllStream.processBatch(ev.select($"ts", $"user_id"), 99L, store)
     assert(cellMap(HllStream.merged(spark, store)) == streamed,
       "max-merge failed to absorb duplicated data")
+  }
+
+  test("params stamp: mismatched or missing register count is refused " +
+      "loudly instead of serving garbage estimates") {
+    val dir = tmp("hll_stamp")
+    // store written under a DIFFERENT m: re-estimating its cells under
+    // Hll.Default params would silently misinterpret them (r15 ADVICE)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_hll_m_64"), true).close()
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L, 7))
+      .toDF("w_start", "bucket", "rho")
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("append").parquet(dir)
+    val e1 = intercept[IllegalArgumentException] {
+      HllStream.merged(spark, dir).collect()
+    }
+    assert(e1.getMessage.contains("m=64"))
+    intercept[IllegalArgumentException] {
+      HllStream.processBatch(
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+          .toDF("ts", "user_id"), 1L, dir)
+    }
+
+    // an UNSTAMPED non-empty store (pre-stamp legacy / foreign data) is
+    // of unknown provenance — refused, not re-interpreted
+    val dir2 = tmp("hll_nostamp")
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L, 7))
+      .toDF("w_start", "bucket", "rho")
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("append").parquet(dir2)
+    val e2 = intercept[IllegalStateException] {
+      HllStream.estimates(spark, dir2).collect()
+    }
+    assert(e2.getMessage.contains("no _hll_m stamp"))
   }
 }
