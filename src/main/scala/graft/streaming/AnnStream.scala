@@ -62,17 +62,24 @@ object AnnStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the shared exactly-once write discipline (EpochStore); `cluster`
-        // stays the OUTER partition key so probe-time pruning keeps
-        // reading only nProbe clusters' directories as the index grows
-        EpochStore.writeEpoch(
-          IvfAnn.assign(batch.localCheckpoint(true), cents),
-          batchId, indexPath,
-          leadingPartitionCols = Seq("cluster"))
+        processBatch(batch, batchId, indexPath, cents)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** One epoch: assign the batch against the fixed codebook and append
+    * the rows exactly-once — the shared [[EpochStore]] write discipline
+    * with `cluster` as the OUTER partition key, so probe-time pruning
+    * keeps reading only nProbe clusters' directories as the index
+    * grows. Public so the crash-point torture spec drives the REAL
+    * foreachBatch body. */
+  def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      cents: Array[Array[Double]]): Unit =
+    EpochStore.writeEpoch(
+      IvfAnn.assign(batch.localCheckpoint(true), cents),
+      batchId, indexPath,
+      leadingPartitionCols = Seq("cluster"))
 
   /** Reattach the extended index for [[IvfAnn.searchJoin]]/`search`:
     * drops the writer-private `batch` partition key; `cluster` partition

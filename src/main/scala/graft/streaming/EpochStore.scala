@@ -62,6 +62,19 @@ import org.apache.spark.sql.functions._
   */
 object EpochStore {
 
+  /** TEST-ONLY crash injection for the exactly-once torture spec
+    * (`EpochTortureSpec`): invoked with a point name at every
+    * filesystem-mutation boundary of this store — before and after an
+    * epoch write, around the compaction snapshot commit, after each
+    * absorbed-partition delete, after each pruned snapshot delete. The
+    * spec swaps in a hook that throws at the k-th invocation to
+    * simulate a crash at exactly that step, then replays the batch the
+    * way a checkpoint restart would and asserts the final store is
+    * bit-identical to an uninterrupted run. The default is a no-op and
+    * each batch crosses only a handful of points — zero production
+    * cost. */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
   /** Compacted-partition id space: `CompactedBase + maxAbsorbedEpoch`.
     * Plain epoch ids must stay below this (structured-streaming batch
     * ids are small integers; [[writeEpoch]] enforces it) and the sum
@@ -92,12 +105,14 @@ object EpochStore {
           s"$highWater at $path — this store was compacted under a newer " +
           "lineage; re-point the checkpoint or use a fresh store path")
     }
+    failpoint("writeEpoch:pre")
     df.withColumn(key, lit(batchId))
       .write
       .partitionBy(leadingPartitionCols :+ key: _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+    failpoint("writeEpoch:post")
   }
 
   /** Epoch-partition ids present at `path` (driver-side listing; empty
@@ -151,6 +166,7 @@ object EpochStore {
       id < CompactedBase && id > prevHighWater)
     if (plainToAbsorb.isEmpty) return
     val newId = CompactedBase + plainToAbsorb.max
+    failpoint("compact:pre")
     // snapshot the live multiset BEFORE writing (localCheckpoint: the
     // merged frame must not lazily re-list the store mid-rewrite)
     val snapshot = merge(read(spark, path, key)).localCheckpoint(true)
@@ -161,13 +177,16 @@ object EpochStore {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+    failpoint("compact:committed")
     // deletes strictly after the snapshot partition is fully committed;
     // the read rule hides the absorbed partitions from this moment on
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     ids.filter(_ != newId).foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"$key=$id"), true)
+      failpoint("compact:deleted")
     }
+    failpoint("compact:post")
   }
 
   /** Rows of the highest epoch ≤/below the given bound — for stores
@@ -225,6 +244,7 @@ object EpochStore {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     drop.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"$key=$id"), true)
+      failpoint("prune:deleted")
     }
     drop
   }
