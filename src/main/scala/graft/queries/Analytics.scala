@@ -174,7 +174,14 @@ object Analytics {
         FROM lineitem, orders, supplier, nation, region
         WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        GROUP BY o_year ORDER BY o_year""")),
+        GROUP BY o_year ORDER BY o_year"""),
+      // r15 verdict item 5: the committed bench stressed scan/agg, one
+      // large-large join, and 3-table joins, but never a multi-join star
+      // — and at 100× the join order / broadcast cascade is where
+      // engines fall over. q8 (5 tables, two broadcast dims, the
+      // lineitem⋈orders backbone the bucketed layout serves) is that
+      // headliner.
+      bench = true),
 
     // ---- A7c: explicit GROUPING SETS (beyond rollup/cube) ------------------
     QueryDef(

@@ -148,6 +148,36 @@ object InvertedIndex {
       .write.mode("overwrite").format("parquet").saveAsTable(into + "_stats")
   }
 
+  /** Catalog table name of the committed-bench postings layout
+    * ([[writeBenchPostings]]). */
+  val BenchTable = "bench_ret_postings"
+
+  /** Committed-bench-leg prep (untimed — r15 verdict item 8): (re)build
+    * the sealed postings layout for `sfDir`'s documents under
+    * [[BenchTable]] (8 term buckets — the r10_inverted_index probe's
+    * configuration) and return the 5 highest-df query terms, i.e. the
+    * exact query shape of the `x_bm25_topk` gate, whose full-scan form
+    * this leg is the at-rest answer to. Like the bucketed star tables
+    * and the bench EdgeStore, the layout is rewritten fresh each run (a
+    * stale copy of a regenerated corpus would silently serve old rows),
+    * and any leftover warehouse directory from a crashed prior run is
+    * deleted first (saveAsTable throws on a location it has no catalog
+    * entry for). */
+  def writeBenchPostings(spark: SparkSession, sfDir: String): Seq[String] = {
+    Seq(BenchTable, BenchTable + "_stats").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(wh, t))
+    }
+    buildPostings(
+      graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      BenchTable, buckets = 8)
+    spark.table(BenchTable)
+      .select(col("term"), col("df")).distinct()
+      .orderBy(col("df").desc, col("term")).limit(5)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+  }
+
   /** Bucket count of an existing bucketed catalog table (sealing keeps
     * the live table's bucket spec unless the caller rewrites it). */
   private def bucketCount(spark: SparkSession, table: String): Int =
