@@ -596,6 +596,57 @@ object Similarity {
       },
       Some(mmrRecallOracle(8, 24, 8, 3, 8, 1))),
 
+    // ---- The probe-count→recall knob, demonstrated (r15 verdict item 6) ----
+    // x4_mmr_ivf_recall's floors (pool >= 8/24, selection >= 1/8) mostly
+    // certify non-emptiness — honest about MMR's pool-difference
+    // amplification, but a gate that constrains little. This twin runs
+    // the SAME two chains at nProbe = 7 of 8: probing most clusters must
+    // recover most of the global top-24 (floor >= 16/24) and with it
+    // most of the diverse selection (floor >= 4/8) — the
+    // probe-count→recall trade the 100 TB serving story depends on
+    // (probe few clusters for speed, more for fidelity), demonstrated
+    // as a hash-exact gate rather than asserted. Measured: pool 21-23/24
+    // and selection 4-7/8 across sf0.001/0.01/0.1, vs 11-13/24 and 1-2/8
+    // at nProbe = 3 — the knob works, and its AMPLIFICATION is visible
+    // on the way: nProbe = 6 still recovers 19-21/24 of the pool but
+    // only 2/8 of the selection at the small SFs (three missing pool
+    // members reshuffle the greedy chain), which is WHY the serving
+    // recommendation for diverse selection is nProbe near nCentroids or
+    // a brute pool over the probed union, not mid-range probing. All
+    // values are pure functions of the corpus + fixed seeds (hash-exact
+    // both engines), so exactly-at-floor readings cannot flake.
+    QueryDef(
+      "x4_mmr_ivf_recall_hi",
+      (s, d) => {
+        import s.implicits._
+        val K = 8; val Pool = 24; val NProbe = 7
+        val MinPoolOverlap = 16; val MinOverlap = 4
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" === 0).select($"ev".as("qv"))
+        val brutePool = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+          .select($"vec_id", mmrFp(cosine($"ev", $"qv")).as("rel_fp"), $"ev")
+          .orderBy($"rel_fp".desc, $"vec_id").limit(Pool)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+        val qdf = e.filter($"vec_id" === 0)
+          .select($"vec_id".as("qid"), $"ev".as("qv"))
+        val ivfPool = graft.ext.IvfAnn
+          .searchJoin(index, qdf, nProbe = NProbe, k = Pool)
+          .select($"vec_id", mmrFp($"cos").as("rel_fp"))
+          .join(e.select($"vec_id", $"ev"), Seq("vec_id"))
+        val poolOverlap = brutePool.select($"vec_id")
+          .join(ivfPool.select($"vec_id"), Seq("vec_id"))
+          .agg(count(lit(1)).as("pool_overlap"))
+        val selOverlap = mmrGreedy(brutePool, K).select($"vec_id")
+          .join(mmrGreedy(ivfPool, K).select($"vec_id"), Seq("vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+        poolOverlap.crossJoin(selOverlap)
+          .select($"pool_overlap", $"n_overlap", lit(K.toLong).as("k"),
+            round($"n_overlap" / (K + 0.0), 2).as("overlap"),
+            ($"pool_overlap" >= MinPoolOverlap).as("pool_ok"),
+            ($"n_overlap" >= MinOverlap).as("overlap_ok"))
+      },
+      Some(mmrRecallOracle(8, 24, 8, 7, 16, 4))),
+
     // ---- Hard-negative mining: nearest neighbors with a DIFFERENT label ----
     // The contrastive-training staple: for each anchor, the most similar
     // vectors that are NOT its class — exactly the examples a retrieval or
