@@ -199,6 +199,125 @@ object BenchTune {
     spark.stop()
   }
 
+  /** 10×-sweep outlier stage decomposition (r15 verdict item 4): the two
+    * remaining sweep factors above 2.4 without a committed decomposition
+    * are t_attribution (2.62×) and x4_pq_recall (2.46×) — name the
+    * dominant stage of each at 1× and a locally-replicated 10× (the
+    * sweep's own ScaleGen key-shift scheme: event/user and vec ids
+    * shifted per replica, so join cardinalities scale like a real sfN
+    * corpus), instead of guessing. Stages:
+    *
+    * t_attribution: scan (view/click filter+project), join (user_id
+    * equi-join + 30-min range predicate), window (+ per-view row_number
+    * → rn=1), full (committed query incl. the final global orderBy).
+    *
+    * x4_pq_recall: seed (codebook collect), encode (O(n·m·k) code
+    * kernel), adc (code scan + top-nCandidates, nCandidates = n/10 — it
+    * GROWS with the corpus by design), rerank (exact L2 over the
+    * shortlist via broadcast semi-join), truth (the GATE's own
+    * brute-force verification top-10 — part of the gate row, not of the
+    * operator), full (the committed query).
+    *
+    * Each stage is timed twice after a GC nudge (bench-steal memory:
+    * the first timed leg after driver-side work can read 10-40× slow on
+    * GC debt alone); the MIN is reported. */
+  def outlierStagesProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("outlier-stages", 32)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // local 10x of the two input tables, ScaleGen's shift scheme
+    val out = "/tmp/graft_outlier10"
+    def strideOf(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val evStride = strideOf(ev0, "event_id")
+    val userStride = strideOf(ev0, "user_id")
+    (0 until 10).map(i => ev0
+        .withColumn("event_id", col("event_id") + lit(i.toLong * evStride))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * userStride)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val em0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecStride = strideOf(em0, "vec_id")
+    (0 until 10).map(i =>
+        em0.withColumn("vec_id", col("vec_id") + lit(i.toLong * vecStride)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    def t(body: => Unit): Double =
+      (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime(); body
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    for ((tag, dir) <- Seq("1x" -> sfDir, "10x" -> out)) {
+      // ---- t_attribution stages ----
+      val e = graft.Tables.events(spark, dir)
+      def views = e.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      def clicks = e.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      def joined = views.join(clicks, Seq("user_id"))
+        .filter($"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL '30' MINUTE"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"view_id").orderBy($"click_ts", $"click_id")
+      val tScan = t { views.count(); clicks.count(); () }
+      val tJoin = t { joined.count(); () }
+      val tWindow = t {
+        joined.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).count(); ()
+      }
+      val tFullAttr = t {
+        graft.BenchProtocol.force(
+          graft.SparkEntry.queries("t_attribution")(spark, dir))
+      }
+      println(f"[outliers] $tag%-4s t_attribution scan=$tScan%.2f " +
+        f"join=$tJoin%.2f window=$tWindow%.2f full=$tFullAttr%.2f")
+
+      // ---- x4_pq_recall stages ----
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+        .localCheckpoint(true)
+      val n = emb.count()
+      val nCand = math.max(100L, n / 10).toInt
+      var cb: graft.ext.PqAnn.Codebooks = null
+      val tSeed = t { cb = graft.ext.PqAnn.seedCodebooks(emb, m = 8, k = 16) }
+      val qv = emb.filter($"vec_id" === 0).head().getSeq[Double](1)
+      val tEncode = t { graft.ext.PqAnn.encode(emb, cb).count(); () }
+      val encoded = graft.ext.PqAnn.encode(emb, cb).localCheckpoint(true)
+      val tAdc = t {
+        graft.ext.PqAnn.searchAdc(encoded, cb, qv, nCand).count(); ()
+      }
+      val tRerank = t {
+        graft.ext.PqAnn.searchAdcRerank(encoded, emb, cb, qv,
+          topK = 10, nCandidates = nCand).count(); ()
+      }
+      val qLit = array(qv.map(lit): _*)
+      val l2c = aggregate(
+        zip_with($"ev", qLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      val tTruth = t {
+        emb.select($"vec_id", round(l2c, 6).as("l2"))
+          .orderBy($"l2", $"vec_id").limit(10).count(); ()
+      }
+      val tFullPq = t {
+        graft.BenchProtocol.force(
+          graft.SparkEntry.queries("x4_pq_recall")(spark, dir))
+      }
+      println(f"[outliers] $tag%-4s x4_pq_recall  n=$n nCand=$nCand " +
+        f"seed=$tSeed%.2f encode=$tEncode%.2f adc=$tAdc%.2f " +
+        f"rerank=$tRerank%.2f truth=$tTruth%.2f full=$tFullPq%.2f")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    spark.stop()
+  }
+
   private def semdedupScaleTwinAt(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -2378,6 +2497,7 @@ object BenchTune {
     }
     if (args.headOption.contains("sentscale")) { sentScaleProbe(sfDir); return }
     if (args.headOption.contains("semstages")) { semStagesProbe(sfDir); return }
+    if (args.headOption.contains("outliers")) { outlierStagesProbe(sfDir); return }
     if (args.headOption.contains("bpe")) { bpeProbe(sfDir); return }
     if (args.headOption.contains("bpelong")) { bpeLongProbe(sfDir); return }
     if (args.headOption.contains("qsketch")) { qsketchProbe(sfDir); return }
