@@ -51,43 +51,40 @@ object DedupStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val docs = batch
-          .select($"path", $"value", xxhash64($"value").as("content_hash"))
-        // one row per in-batch hash, deterministically (lowest path)
-        val w = Window.partitionBy($"content_hash").orderBy($"path")
-        val inBatchUnique = docs
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1).drop("rn")
-
-        val seen = priorHashes(spark, storeDir, batchId)
-        val fresh = (seen match {
-          case Some(s) => inBatchUnique.join(s, Seq("content_hash"), "left_anti")
-          case None    => inBatchUnique
-        }).localCheckpoint(true) // pin rows BEFORE the store gains this batch
-
-        fresh.select($"content_hash")
-          .write.mode("overwrite")
-          .parquet(s"$storeDir/batch=$batchId")
-        try sink(fresh, batchId)
-        finally ()
-        ()
+        processBatch(batch, batchId, storeDir, sink)
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
-  /** Hashes registered by batches STRICTLY BEFORE `batchId` (partition
-    * pruning on the `batch` directory column); None when the store does
-    * not exist yet. */
-  private def priorHashes(
-      spark: SparkSession, storeDir: String, batchId: Long): Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hp) || fs.listStatus(hp).isEmpty) None
-    else Some(
-      spark.read.parquet(storeDir)
-        .filter(org.apache.spark.sql.functions.col("batch") < batchId)
-        .select(org.apache.spark.sql.functions.col("content_hash")))
+  /** One epoch: in-batch winners → anti-join the seen store STRICTLY
+    * below this batch ([[EpochStore.readBelow]] — own and later
+    * partitions excluded, so a crash-replay recomputes `fresh`
+    * bit-identically), register the fresh hashes exactly-once
+    * ([[EpochStore.writeEpoch]]), then fire the sink. Public so the
+    * crash-point torture spec drives the REAL foreachBatch body. */
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val docs = batch
+      .select($"path", $"value", xxhash64($"value").as("content_hash"))
+    // one row per in-batch hash, deterministically (lowest path)
+    val w = Window.partitionBy($"content_hash").orderBy($"path")
+    val inBatchUnique = docs
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+
+    val seen = EpochStore.readBelow(spark, storeDir, batchId)
+      .map(_.select($"content_hash"))
+    val fresh = (seen match {
+      case Some(s) => inBatchUnique.join(s, Seq("content_hash"), "left_anti")
+      case None    => inBatchUnique
+    }).localCheckpoint(true) // pin rows BEFORE the store gains this batch
+
+    EpochStore.writeEpoch(fresh.select($"content_hash"), batchId, storeDir)
+    sink(fresh, batchId)
+    ()
   }
 }

@@ -189,6 +189,31 @@ object EpochStore {
     failpoint("compact:post")
   }
 
+  /** Rows of ALL plain epochs STRICTLY below `strictlyBelow` — the
+    * SEEN-STORE read of the dedup family (Dedup / NearDup / SemDedup /
+    * SentenceDedup streams): a replayed batch must compare against
+    * exactly the store state its first attempt saw, so its own
+    * (possibly already written) partition and anything later are
+    * excluded — that exclusion is what makes the recomputation, and
+    * therefore the at-least-once sink re-fire, bit-identical. Refuses a
+    * compacted store loudly: a compacted partition spans an id RANGE
+    * and cannot honor a strictly-below cut (seen stores never compact —
+    * their strictly-ordered read depends on per-epoch partitions).
+    * None when no qualifying epoch exists (new store, or only the
+    * crashed attempt's own partition present — both read as "nothing
+    * seen before me"). */
+  def readBelow(spark: SparkSession, path: String,
+      strictlyBelow: Long, key: String = "batch"): Option[DataFrame] = {
+    val ids = epochIds(spark, path, key)
+    require(!ids.exists(_ >= CompactedBase),
+      s"$path contains a compacted partition — a strictly-below read " +
+        "cannot honor a compaction's id range; seen stores never compact")
+    if (!ids.exists(_ < strictlyBelow)) None
+    else Some(spark.read.parquet(path)
+      .filter(col(key).cast("long") < strictlyBelow)
+      .drop(key))
+  }
+
   /** Rows of the highest epoch ≤/below the given bound — for stores
     * whose epochs are full snapshots, not deltas (GraphStream ranks).
     * None if no qualifying epoch exists. */

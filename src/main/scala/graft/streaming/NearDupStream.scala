@@ -58,26 +58,32 @@ object NearDupStream {
       family: HashFamily = HashFamily.Md5)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    runBanded(spark, docsDir, checkpointDir, storeDir, availableNow)(
+      minhashBandify(numHashes, bands, family))(sink)
+  }
+
+  /** The MinHash banding stage (shared by [[run]] and the torture
+    * spec's direct [[processBanded]] driver). */
+  private[streaming] def minhashBandify(numHashes: Int, bands: Int,
+      family: HashFamily): DataFrame => DataFrame = { docs =>
     val rowsPerBand = numHashes / bands
-    runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
-      // materialize the signature ONCE PER DOC before banding: without the
-      // barrier CollapseProject inlines the signature chain into the
-      // per-band lambda and recomputes it `bands` times per doc
-      val withSig = docs
-        .withColumn("toks", split(col("value"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("path"), MinHashDedup.signatureOf(
-          MinHashDedup.shinglesOfToks(col("toks")), numHashes, family).as("sig"))
-        .localCheckpoint(true)
-      withSig
-        .select(col("path"), explode(transform(
-          sequence(lit(0), lit(bands - 1)), b =>
-            struct(b.as("band_idx"),
-              concat_ws(",", transform(
-                slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-                _.cast("string"))).as("band_key")))).as("band"))
-        .select(col("path"), col("band.band_idx"), col("band.band_key"))
-    }(sink)
+    // materialize the signature ONCE PER DOC before banding: without the
+    // barrier CollapseProject inlines the signature chain into the
+    // per-band lambda and recomputes it `bands` times per doc
+    val withSig = docs
+      .withColumn("toks", split(col("value"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("path"), MinHashDedup.signatureOf(
+        MinHashDedup.shinglesOfToks(col("toks")), numHashes, family).as("sig"))
+      .localCheckpoint(true)
+    withSig
+      .select(col("path"), explode(transform(
+        sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band_idx"),
+            concat_ws(",", transform(
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string"))).as("band_key")))).as("band"))
+      .select(col("path"), col("band.band_idx"), col("band.band_key"))
   }
 
   /** SimHash family: the 64-bit fingerprint split into 4 exact
@@ -133,53 +139,55 @@ object NearDupStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val docs = batch.localCheckpoint(true)
-        // banding chains interpreted HOF/signature expressions: materialize
-        // ONCE so the three consumers (in-batch window, prior join, store
-        // registration) don't re-evaluate them
-        val banded = bandify(docs).localCheckpoint(true)
-
-        // in-batch: any bucket with a smaller path suppresses this doc
-        val wMin = Window.partitionBy($"band_idx", $"band_key")
-        val inBatch = banded
-          .withColumn("min_path", min($"path").over(wMin))
-          .filter($"path" > $"min_path")
-          .select($"path")
-
-        // cross-batch: any band registered by a strictly EARLIER batch
-        val prior = priorBands(spark, storeDir, batchId) match {
-          case Some(p) => banded.join(p, Seq("band_idx", "band_key"))
-            .select($"path")
-          case None => spark.emptyDataset[String].toDF("path")
-        }
-
-        val suppressed = inBatch.union(prior).distinct()
-        val kept = docs.join(suppressed, Seq("path"), "left_anti")
-          .localCheckpoint(true) // pin BEFORE the store gains this batch
-
-        banded.join(kept.select($"path"), Seq("path"), "left_semi")
-          .select($"band_idx", $"band_key").distinct()
-          .write.mode("overwrite")
-          .parquet(s"$storeDir/batch=$batchId")
-        sink(kept, batchId)
-        ()
+        processBanded(batch, batchId, storeDir, bandify, sink)
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
-  /** Bands registered by batches STRICTLY BEFORE `batchId` (partition
-    * pruning on the `batch` directory column); None when the store does
-    * not exist yet. */
-  private def priorBands(
-      spark: SparkSession, storeDir: String, batchId: Long): Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hp) || fs.listStatus(hp).isEmpty) None
-    else Some(
-      spark.read.parquet(storeDir)
-        .filter(col("batch") < batchId)
-        .select(col("band_idx"), col("band_key")))
+  /** One epoch of the banded skeleton: in-batch bucket winners →
+    * anti-match bands registered STRICTLY below this batch
+    * ([[EpochStore.readBelow]] — own/later partitions excluded, so a
+    * crash-replay recomputes `kept` bit-identically), register the kept
+    * docs' bands exactly-once ([[EpochStore.writeEpoch]]), fire the
+    * sink. Package-visible so the crash-point torture spec drives the
+    * REAL foreachBatch body. */
+  private[streaming] def processBanded(batch: DataFrame, batchId: Long,
+      storeDir: String, bandify: DataFrame => DataFrame,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val docs = batch.localCheckpoint(true)
+    // banding chains interpreted HOF/signature expressions: materialize
+    // ONCE so the three consumers (in-batch window, prior join, store
+    // registration) don't re-evaluate them
+    val banded = bandify(docs).localCheckpoint(true)
+
+    // in-batch: any bucket with a smaller path suppresses this doc
+    val wMin = Window.partitionBy($"band_idx", $"band_key")
+    val inBatch = banded
+      .withColumn("min_path", min($"path").over(wMin))
+      .filter($"path" > $"min_path")
+      .select($"path")
+
+    // cross-batch: any band registered by a strictly EARLIER batch
+    val prior = EpochStore.readBelow(spark, storeDir, batchId) match {
+      case Some(p) => banded
+        .join(p.select($"band_idx", $"band_key"), Seq("band_idx", "band_key"))
+        .select($"path")
+      case None => spark.emptyDataset[String].toDF("path")
+    }
+
+    val suppressed = inBatch.union(prior).distinct()
+    val kept = docs.join(suppressed, Seq("path"), "left_anti")
+      .localCheckpoint(true) // pin BEFORE the store gains this batch
+
+    EpochStore.writeEpoch(
+      banded.join(kept.select($"path"), Seq("path"), "left_semi")
+        .select($"band_idx", $"band_key").distinct(),
+      batchId, storeDir)
+    sink(kept, batchId)
+    ()
   }
 }

@@ -65,7 +65,6 @@ object SemDedupStream {
       availableNow: Boolean = true)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import spark.implicits._
-    val cosine = graft.queries.Similarity.cosine _
 
     val stream = spark.readStream
       .option("wholetext", "true")
@@ -75,57 +74,59 @@ object SemDedupStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // parse + quantize once per doc; localCheckpoint pins the
-        // assignment for its three consumers (in-batch self-join sides,
-        // store registration)
-        val parsed = batch.select($"path",
-          transform(split(trim($"value"), "\\s+"), _.cast("double"))
-            .as("ev"))
-        val assigned = graft.ext.IvfAnn.assignKeyed(parsed, centroids)
-          .localCheckpoint(true)
-
-        // in-batch: any >= tau neighbor with a smaller path suppresses
-        val other = assigned.select($"cluster", $"path".as("o_path"),
-          $"ev".as("o_ev"))
-        val inBatch = assigned.join(other, Seq("cluster"))
-          .filter($"o_path" < $"path" &&
-            round(cosine($"ev", $"o_ev"), 4) >= tau)
-          .select($"path")
-
-        // cross-batch: any >= tau KEPT vector from a strictly earlier
-        // batch, same cell
-        val prior = priorVecs(spark, storeDir, batchId) match {
-          case Some(p) => assigned.join(p, Seq("cluster"))
-            .filter(round(cosine($"ev", $"p_ev"), 4) >= tau)
-            .select($"path")
-          case None => spark.emptyDataset[String].toDF("path")
-        }
-
-        val suppressed = inBatch.union(prior).distinct()
-        val kept = assigned.join(suppressed, Seq("path"), "left_anti")
-          .localCheckpoint(true) // pin BEFORE the store gains this batch
-
-        kept.select($"cluster", $"path", $"ev")
-          .write.mode("overwrite")
-          .parquet(s"$storeDir/batch=$batchId")
-        sink(kept.select($"path", $"ev"), batchId)
-        ()
+        processBatch(batch, batchId, storeDir, centroids, tau, sink)
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
-  /** Kept vectors registered by batches STRICTLY BEFORE `batchId`
-    * (partition pruning on the `batch` directory column). */
-  private def priorVecs(
-      spark: SparkSession, storeDir: String, batchId: Long): Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hp) || fs.listStatus(hp).isEmpty) None
-    else Some(
-      spark.read.parquet(storeDir)
-        .filter(col("batch") < batchId)
-        .select(col("cluster"), col("ev").as("p_ev")))
+  /** One epoch: parse + quantize → in-batch suppression → anti-match
+    * kept vectors registered STRICTLY below this batch
+    * ([[EpochStore.readBelow]] — own/later partitions excluded, so a
+    * crash-replay recomputes `kept` bit-identically), register
+    * exactly-once ([[EpochStore.writeEpoch]]), fire the sink. Public so
+    * the crash-point torture spec drives the REAL foreachBatch body. */
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      centroids: Array[Array[Double]], tau: Double,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cosine = graft.queries.Similarity.cosine _
+    // parse + quantize once per doc; localCheckpoint pins the
+    // assignment for its three consumers (in-batch self-join sides,
+    // store registration)
+    val parsed = batch.select($"path",
+      transform(split(trim($"value"), "\\s+"), _.cast("double"))
+        .as("ev"))
+    val assigned = graft.ext.IvfAnn.assignKeyed(parsed, centroids)
+      .localCheckpoint(true)
+
+    // in-batch: any >= tau neighbor with a smaller path suppresses
+    val other = assigned.select($"cluster", $"path".as("o_path"),
+      $"ev".as("o_ev"))
+    val inBatch = assigned.join(other, Seq("cluster"))
+      .filter($"o_path" < $"path" &&
+        round(cosine($"ev", $"o_ev"), 4) >= tau)
+      .select($"path")
+
+    // cross-batch: any >= tau KEPT vector from a strictly earlier
+    // batch, same cell
+    val prior = EpochStore.readBelow(spark, storeDir, batchId) match {
+      case Some(p) => assigned
+        .join(p.select($"cluster", $"ev".as("p_ev")), Seq("cluster"))
+        .filter(round(cosine($"ev", $"p_ev"), 4) >= tau)
+        .select($"path")
+      case None => spark.emptyDataset[String].toDF("path")
+    }
+
+    val suppressed = inBatch.union(prior).distinct()
+    val kept = assigned.join(suppressed, Seq("path"), "left_anti")
+      .localCheckpoint(true) // pin BEFORE the store gains this batch
+
+    EpochStore.writeEpoch(
+      kept.select($"cluster", $"path", $"ev"), batchId, storeDir)
+    sink(kept.select($"path", $"ev"), batchId)
+    ()
   }
 }

@@ -39,6 +39,18 @@ import java.nio.file.{Files, Paths}
   *     own partition (simulating a crashed attempt's leftovers) must be
   *     replaced WHOLESALE when the batch (re)commits — the dynamic
   *     partition overwrite contract the whole discipline rests on.
+  *  5. Seen-store members (Dedup / NearDup / SemDedup / SentenceDedup —
+  *     on the shared EpochStore since r16): same kill-at-every-step
+  *     replay, with the additional at-least-once SINK contract pinned —
+  *     every re-fire of a batch's sink must carry bit-identical rows,
+  *     because [[EpochStore.readBelow]] excludes the crashed attempt's
+  *     own partition from the recomputation.
+  *
+  * Not members: IngestStream/JdbcSink (exactly-once via the JDBC
+  * ledger, replay-specced in their own suites) and IndexStream (an
+  * AT-LEAST-ONCE bucketed-table append by documented contract — query
+  * paths collapse replay duplicates with `distinct()`, pinned in
+  * IndexStreamSpec); DeconStream holds no store.
   */
 class EpochTortureSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -243,6 +255,117 @@ class EpochTortureSpec extends AnyFunSuite {
         assert(parts.size == 1 &&
             parts.head.stripPrefix("batch=").toLong >= EpochStore.CompactedBase,
           s"${m.name} left uncollected partitions after step $k: $parts")
+      }
+    }
+
+  // ---- 2b. seen-store (dedup family) members ------------------------------
+  // The four dedup streams ride the SAME EpochStore discipline since r16
+  // (writeEpoch + the strictly-below readBelow), plus an at-least-once
+  // SINK whose idempotence is the caller's contract. The torture models
+  // the sink as a keyed store (batchId → rows) and ALSO logs every
+  // firing: a crash-replayed batch may fire the sink twice, but both
+  // firings must carry bit-identical rows (readBelow excludes the
+  // crashed attempt's own partition, so the recomputation cannot see
+  // its own leftovers — the property the whole family leans on).
+
+  final case class SinkMember(
+      name: String,
+      batches: IndexedSeq[DataFrame],
+      process: (DataFrame, Long, String, (DataFrame, Long) => Unit) => Unit)
+
+  /** Deterministic (value, path) doc batches with cross-batch duplicate
+    * pressure: batch 1 and 2 re-ship five of the previous batch's texts
+    * under NEW paths, so the strictly-below store anti-join actually
+    * suppresses rows in every later batch. */
+  private lazy val dedupDocBatches: IndexedSeq[DataFrame] = {
+    val base = docs.filter($"text".isNotNull)
+      .select(format_string("d%05d", $"doc_id").as("path"),
+        $"text".as("value"), $"doc_id")
+      .localCheckpoint(true)
+    def slice(i: Int) = base.filter($"doc_id" % 3 === i)
+    def clonesOf(i: Int, tag: String) = slice(i).orderBy($"doc_id").limit(5)
+      .select(concat(lit(tag), $"path").as("path"), $"value",
+        $"doc_id")
+    IndexedSeq(
+      slice(0).select($"value", $"path"),
+      slice(1).unionByName(clonesOf(0, "x")).select($"value", $"path"),
+      slice(2).unionByName(clonesOf(1, "y")).select($"value", $"path"))
+      .map(_.localCheckpoint(true))
+  }
+
+  private lazy val semVecBatches: IndexedSeq[DataFrame] = {
+    val base = Tables.embeddings(spark, sf)
+      .select(format_string("v%05d", $"vec_id").as("path"),
+        array_join(transform($"embedding", x => x.cast("double")
+          .cast("string")), " ").as("value"), $"vec_id")
+      .localCheckpoint(true)
+    (0 to 2).map(i => base.filter($"vec_id" % 3 === i)
+      .select($"value", $"path").localCheckpoint(true))
+  }
+
+  private lazy val semCentroids: Array[Array[Double]] = {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("ev"))
+    graft.ext.IvfAnn.build(emb, nCentroids = 8, lloydIters = 0)
+      .centroids.sortBy(_._1).map(_._2.toArray)
+  }
+
+  private lazy val sinkMembers = Seq(
+    SinkMember("dedup", dedupDocBatches,
+      (b, id, st, sink) => DedupStream.processBatch(b, id, st, sink)),
+    SinkMember("neardup", dedupDocBatches,
+      (b, id, st, sink) => NearDupStream.processBanded(b, id, st,
+        NearDupStream.minhashBandify(32, 8, graft.ext.HashFamily.Md5),
+        sink)),
+    SinkMember("semdedup", semVecBatches,
+      (b, id, st, sink) =>
+        SemDedupStream.processBatch(b, id, st, semCentroids, 0.35, sink)),
+    SinkMember("sentdedup", dedupDocBatches,
+      (b, id, st, sink) =>
+        SentenceDedupStream.processBatch(b, id, st, 10, sink)))
+
+  for (m <- sinkMembers)
+    test(s"${m.name}: batch killed at EVERY step, replayed — store " +
+        "bit-identical, every sink re-fire carries identical rows") {
+      def runAllSink(st: String): (Map[Long, Seq[String]], Seq[String]) = {
+        val fired = scala.collection.mutable.Map[Long, Seq[String]]()
+        val sink = (df: DataFrame, id: Long) => { fired(id) = canon(df); () }
+        (0 to 2).foreach(i => m.process(m.batches(i), i.toLong, st, sink))
+        (fired.toMap, canon(spark.read.parquet(st)))
+      }
+      val refStore = tmp(s"tortd_${m.name}_ref")
+      val (refSink, refRows) = runAllSink(refStore)
+
+      val probe = tmp(s"tortd_${m.name}_probe")
+      val noSink = (_: DataFrame, _: Long) => ()
+      m.process(m.batches(0), 0L, probe, noSink)
+      val steps = trace { m.process(m.batches(1), 1L, probe, noSink) }
+      assert(steps.size >= 2, s"expected >=2 kill points, saw $steps")
+
+      for (k <- steps.indices) {
+        val st = tmp(s"tortd_${m.name}_k$k")
+        val firings =
+          scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+        val sink = (df: DataFrame, id: Long) => {
+          firings += ((id, canon(df))); ()
+        }
+        m.process(m.batches(0), 0L, st, sink)
+        val crash = crashAt(k) { m.process(m.batches(1), 1L, st, sink) }
+        m.process(m.batches(1), 1L, st, sink) // checkpoint replay
+        m.process(m.batches(2), 2L, st, sink)
+        assert(canon(spark.read.parquet(st)) == refRows,
+          s"${m.name} store diverged after crash at step $k (${crash.point})")
+        // every firing for a batch id must be bit-identical (at-least-
+        // once with deterministic recomputation), and the last-writer
+        // view must equal the uninterrupted run's
+        firings.groupBy(_._1).foreach { case (id, fs) =>
+          assert(fs.map(_._2).distinct.size == 1,
+            s"${m.name} sink fired divergent rows for batch $id at step $k")
+        }
+        assert(firings.groupBy(_._1).view.mapValues(_.last._2).toMap ==
+          refSink,
+          s"${m.name} sink view diverged after crash at step $k")
       }
     }
 
