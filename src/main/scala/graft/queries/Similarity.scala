@@ -1085,6 +1085,100 @@ object Similarity {
           (COUNT(r.vec_id) >= 5) AS recall_ok
         FROM truth t LEFT JOIN rerank r ON r.vec_id = t.vec_id""")),
 
+    // ---- X4: IVFADC — the composed 100 TB retrieval shape, hash-exact ------
+    // searchIvfPq (Jégou §V.A) is the index the scale story actually
+    // serves: IVF prunes the scan to nProbe cells, PQ's ADC ranks a
+    // shortlist over nibble codes inside them, exact L2 re-ranks only
+    // the survivors — both prunings compose multiplicatively, and at
+    // rest the cluster-partitioned code table is the classic IVFADC
+    // layout. It had spec + probe coverage (SkewAndIvfSpec, r13 pq
+    // probe) but no driver-visible gate; at lloydIters = 0 every stage
+    // is SQL-derivable, so this row emits the top-10 SELECTION ITSELF —
+    // IVF seeds → assignment → probe ranking → PQ seeds → per-block
+    // argmin codes → integer ADC table → probed-cell shortlist → exact
+    // re-rank — all re-derived by DuckDB and hash-exact, the x4_mmr_ivf
+    // treatment applied to the composed index. (ADC tie-order parity:
+    // adc_dist = round(Σdl/1e6, 6) is information-free for integer Σdl,
+    // so ordering by the long sum — as the oracle does — is identical.)
+    QueryDef(
+      "x4_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d).select($"vec_id", $"ev")
+        val index0 = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+        // pin the assignment: encodeIndexed joins it against the encode
+        // pass, and without the barrier the O(n·k) kernel runs twice
+        val index = graft.ext.IvfAnn.Index(
+          index0.assigned.localCheckpoint(true), index0.centroids)
+        val cb = graft.ext.PqAnn.seedCodebooks(e, m = 8, k = 16)
+        val encIdx = graft.ext.PqAnn.encodeIndexed(index, cb)
+        val qv = e.filter($"vec_id" === 0).head().getSeq[Double](1)
+        graft.ext.PqAnn.searchIvfPq(index, encIdx, cb, qv,
+            nProbe = 3, topK = 10, nCandidates = 100)
+          .orderBy($"l2_dist", $"vec_id")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        iseeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, iseeds s) WHERE rn = 1),
+        q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        probes AS (
+          SELECT s.cluster FROM iseeds s, q
+          ORDER BY
+            list_sum(list_transform(generate_series(1, len(qv)),
+              k -> qv[k] * cv[k]))
+            / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+               * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+            s.cluster
+          LIMIT 3),
+        pseeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS code
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 16)),
+        blocks AS (SELECT unnest(generate_series(0, 7)) AS b),
+        codes AS (
+          SELECT vec_id, b, code FROM (
+            SELECT e.vec_id, blocks.b, s.code,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id, blocks.b ORDER BY
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (ev[blocks.b*8+i] - cv[blocks.b*8+i])
+                     * (ev[blocks.b*8+i] - cv[blocks.b*8+i]))) ASC,
+                s.code) AS rn
+            FROM e, blocks, pseeds s
+            WHERE e.vec_id IN (SELECT a.vec_id FROM assign a
+              WHERE a.cluster IN (SELECT cluster FROM probes)))
+          WHERE rn = 1),
+        dt AS (
+          SELECT blocks.b, s.code,
+            CAST(round(list_sum(list_transform(generate_series(1, 8),
+              i -> (qv[blocks.b*8+i] - cv[blocks.b*8+i])
+                 * (qv[blocks.b*8+i] - cv[blocks.b*8+i]))) * 1000000) AS BIGINT) AS dl
+          FROM blocks, pseeds s, q),
+        cand AS (
+          SELECT c.vec_id FROM codes c JOIN dt ON dt.b = c.b AND dt.code = c.code
+          GROUP BY c.vec_id
+          ORDER BY SUM(dt.dl), c.vec_id
+          LIMIT 100)
+        SELECT e.vec_id,
+          round(list_sum(list_transform(generate_series(1, len(ev)),
+            i -> (ev[i] - qv[i]) * (ev[i] - qv[i]))), 6) AS l2_dist
+        FROM e JOIN cand USING (vec_id), q
+        ORDER BY l2_dist, e.vec_id LIMIT 10""")),
+
     // ---- X4: pruned-probe IVF recall gate (HASH-EXACT oracle) --------------
     // The driver-visible answer to "how good is the APPROXIMATE path?":
     // searchJoin at nProbe = 2 of 8 clusters (a real 4x I/O prune, unlike
