@@ -296,6 +296,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("x_quantile_sketch_merge").contains("CartesianProduct"))
   }
 
+  test("round-16 queries keep scale-correct plan shapes") {
+    // HLL at the production m = 2^14: the wide-integer (DECIMAL) numerator
+    // and the 16384-entry typedlit LUT must stay scalar plan nodes — no
+    // cartesian, no join materializing the constant table
+    val hllHi = plan("x_hll_window_hi")
+    assert(!hllHi.contains("CartesianProduct"),
+      s"x_hll_window_hi grew a cartesian:\n$hllHi")
+    // IVFADC: probe pruning is a cluster isin FILTER over the code frame,
+    // the shortlist is a broadcast semi-join — no cartesian anywhere
+    val ivfpq = plan("x4_ivfpq")
+    assert(!ivfpq.contains("CartesianProduct"),
+      s"x4_ivfpq grew a cartesian:\n$ivfpq")
+    // the constraining MMR recall twin returns the 1-row overlap audit;
+    // building it exercises both greedy pools
+    assert(SparkEntry.queries("x4_mmr_ivf_recall_hi")(spark, sfDir)
+      .count() == 1)
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
