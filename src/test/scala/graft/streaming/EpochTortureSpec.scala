@@ -258,6 +258,55 @@ class EpochTortureSpec extends AnyFunSuite {
       }
     }
 
+  // ---- 2a. graph edge-store compaction (identity merge) -------------------
+  // The fourth delta store: GraphStream's edge multiset compacts with the
+  // IDENTITY merge (the multiset must be unchanged — later epochs
+  // re-converge from it). Separate from the loop above because the store
+  // lives under <root>/edges and the serving surface (latest ranks) is
+  // derived, not merged.
+
+  test("graph edges: compaction killed at EVERY step — multiset intact, " +
+      "re-convergence unchanged, leaks collected") {
+    val base = tmp("tortc_gedges_base")
+    (0 to 1).foreach(i =>
+      GraphStream.processBatch(spark, graphMember.batches(i), i.toLong,
+        base, maxIters = 100))
+    val refEdges = canon(EpochStore.read(spark, s"$base/edges"))
+
+    val probe = tmp("tortc_gedges_probe")
+    copyDir(base, probe)
+    val steps = trace { GraphStream.compactEdges(spark, probe) }
+    assert(steps.size >= 4, s"expected pre/committed/deleted+/post, saw $steps")
+
+    // reference end state: all three batches, never compacted
+    val refStore = tmp("tortc_gedges_ref")
+    runAll(graphMember, refStore)
+    val refRanks = canon(GraphStream.latestRanks(spark, refStore))
+    val refEdgesAll = canon(EpochStore.read(spark, s"$refStore/edges"))
+
+    for (k <- steps.indices) {
+      val st = tmp(s"tortc_gedges_k$k")
+      copyDir(base, st)
+      val crash = crashAt(k) { GraphStream.compactEdges(spark, st) }
+      assert(canon(EpochStore.read(spark, s"$st/edges")) == refEdges,
+        s"edge multiset inconsistent at crash step $k (${crash.point})")
+      GraphStream.compactEdges(spark, st) // recovery (possibly no-op)
+      assert(canon(EpochStore.read(spark, s"$st/edges")) == refEdges)
+      // batch 2 re-converges from the compacted store identically, and
+      // the next compaction collects any leaked absorbed partitions
+      GraphStream.processBatch(spark, graphMember.batches(2), 2L, st,
+        maxIters = 100)
+      assert(canon(GraphStream.latestRanks(spark, st)) == refRanks,
+        s"ranks diverged after edge-compaction crash at step $k")
+      GraphStream.compactEdges(spark, st)
+      assert(canon(EpochStore.read(spark, s"$st/edges")) == refEdgesAll)
+      val parts = partitionDirs(s"$st/edges")
+      assert(parts.size == 1 &&
+          parts.head.stripPrefix("batch=").toLong >= EpochStore.CompactedBase,
+        s"edge store left uncollected partitions after step $k: $parts")
+    }
+  }
+
   // ---- 2b. seen-store (dedup family) members ------------------------------
   // The four dedup streams ride the SAME EpochStore discipline since r16
   // (writeEpoch + the strictly-below readBelow), plus an at-least-once
