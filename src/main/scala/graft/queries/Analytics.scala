@@ -30,6 +30,99 @@ object Analytics {
 
   import Relational.dsum
 
+  /** The HLL set-algebra gate body, parameterized by the register count
+    * — ONE definition serves the m = 1024 gate (Long-numerator path) and
+    * its m = 2^14 twin (the r16 wide-integer path), so the algebra is
+    * pinned on BOTH estimate pipelines. */
+  private def hllUnionDef(name: String,
+      P0: graft.ext.Hll.Params): QueryDef =
+      QueryDef(
+        name,
+        (s, d) => {
+          import s.implicits._
+          val P = P0
+          val ev = Tables.events(s, d).select($"user_id")
+          def cohort(tag: String, cond: org.apache.spark.sql.Column) =
+            graft.ext.Hll.cells(
+              ev.filter(cond).select(lit(tag).as("w_start"), $"user_id"),
+              $"user_id", P)
+          val ca = cohort("A", $"user_id" % 2 === 0)
+          val cb = cohort("B", $"user_id" % 3 === 0)
+          val cu = ca.unionByName(cb)
+            .groupBy(lit("U").as("w_start"), $"bucket")
+            .agg(max($"rho").as("rho"))
+          val est = graft.ext.Hll.estimate(
+              ca.unionByName(cb).unionByName(cu), P)
+            .select($"w_start", $"hll_est")
+          val piv = est.agg(
+            max(when($"w_start" === "A", $"hll_est")).as("est_a"),
+            max(when($"w_start" === "B", $"hll_est")).as("est_b"),
+            max(when($"w_start" === "U", $"hll_est")).as("est_union"))
+          val ex = Tables.events(s, d).agg(
+            countDistinct(when($"user_id" % 2 === 0, $"user_id")).as("n_a"),
+            countDistinct(when($"user_id" % 3 === 0, $"user_id")).as("n_b"),
+            countDistinct(when($"user_id" % 2 === 0 || $"user_id" % 3 === 0,
+              $"user_id")).as("n_union"),
+            countDistinct(when($"user_id" % 6 === 0, $"user_id"))
+              .as("n_intersect"))
+          piv.crossJoin(ex)
+            .select($"n_a", $"n_b", $"n_union", $"n_intersect",
+              $"est_a", $"est_b", $"est_union",
+              ($"est_a" + $"est_b" - $"est_union").as("est_intersect"),
+              ($"est_union" - $"n_union").as("err_union"),
+              ($"est_a" + $"est_b" - $"est_union" - $"n_intersect")
+                .as("err_intersect"),
+              (abs($"est_union" - $"n_union") * 1000000 <=
+                $"n_union" * P.boundPpm).as("union_in_bound"))
+        },
+        Some {
+          val P = P0
+          s"""WITH eva AS (
+            SELECT 'A' AS w_start, CAST(user_id AS VARCHAR) AS key_str
+            FROM events WHERE user_id % 2 = 0),
+          evb AS (
+            SELECT 'B' AS w_start, CAST(user_id AS VARCHAR) AS key_str
+            FROM events WHERE user_id % 3 = 0),
+          ${graft.ext.Hll.cellsSql(P, "a", "eva")},
+          ${graft.ext.Hll.cellsSql(P, "b", "evb")},
+          cells AS (
+            SELECT * FROM cellsa
+            UNION ALL SELECT * FROM cellsb
+            UNION ALL
+            SELECT 'U' AS w_start, bucket, MAX(rho) AS rho
+            FROM (SELECT * FROM cellsa UNION ALL SELECT * FROM cellsb)
+            GROUP BY bucket),
+          ${graft.ext.Hll.estChainSql(P)},
+          piv AS (
+            SELECT
+              MAX(CASE WHEN w_start = 'A' THEN hll_est END) AS est_a,
+              MAX(CASE WHEN w_start = 'B' THEN hll_est END) AS est_b,
+              MAX(CASE WHEN w_start = 'U' THEN hll_est END) AS est_union
+            FROM est3),
+          ex AS (
+            SELECT
+              COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_a,
+              COUNT(DISTINCT CASE WHEN user_id % 3 = 0 THEN user_id END) AS n_b,
+              COUNT(DISTINCT CASE WHEN user_id % 2 = 0 OR user_id % 3 = 0
+                THEN user_id END) AS n_union,
+              COUNT(DISTINCT CASE WHEN user_id % 6 = 0 THEN user_id END)
+                AS n_intersect
+            FROM events)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            CAST(n_union AS BIGINT) AS n_union,
+            CAST(n_intersect AS BIGINT) AS n_intersect,
+            CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+            CAST(est_union AS BIGINT) AS est_union,
+            CAST(est_a + est_b - est_union AS BIGINT) AS est_intersect,
+            CAST(est_union - n_union AS BIGINT) AS err_union,
+            CAST(est_a + est_b - est_union - n_intersect AS BIGINT)
+              AS err_intersect,
+            (abs(est_union - n_union) * 1000000 <=
+              n_union * ${P.boundPpm}) AS union_in_bound
+          FROM piv, ex"""
+        })
+
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Q3 shape: shipping priority (customer ⋈ orders ⋈ lineitem) -------
@@ -820,91 +913,11 @@ object Analytics {
     // 5·rsd bound, intersection's error rides unbounded-but-visible
     // (inclusion–exclusion compounds three estimates' errors; that
     // honesty is the point).
-    QueryDef(
-      "x_hll_union",
-      (s, d) => {
-        import s.implicits._
-        val P = graft.ext.Hll.Default
-        val ev = Tables.events(s, d).select($"user_id")
-        def cohort(tag: String, cond: org.apache.spark.sql.Column) =
-          graft.ext.Hll.cells(
-            ev.filter(cond).select(lit(tag).as("w_start"), $"user_id"),
-            $"user_id", P)
-        val ca = cohort("A", $"user_id" % 2 === 0)
-        val cb = cohort("B", $"user_id" % 3 === 0)
-        val cu = ca.unionByName(cb)
-          .groupBy(lit("U").as("w_start"), $"bucket")
-          .agg(max($"rho").as("rho"))
-        val est = graft.ext.Hll.estimate(
-            ca.unionByName(cb).unionByName(cu), P)
-          .select($"w_start", $"hll_est")
-        val piv = est.agg(
-          max(when($"w_start" === "A", $"hll_est")).as("est_a"),
-          max(when($"w_start" === "B", $"hll_est")).as("est_b"),
-          max(when($"w_start" === "U", $"hll_est")).as("est_union"))
-        val ex = Tables.events(s, d).agg(
-          countDistinct(when($"user_id" % 2 === 0, $"user_id")).as("n_a"),
-          countDistinct(when($"user_id" % 3 === 0, $"user_id")).as("n_b"),
-          countDistinct(when($"user_id" % 2 === 0 || $"user_id" % 3 === 0,
-            $"user_id")).as("n_union"),
-          countDistinct(when($"user_id" % 6 === 0, $"user_id"))
-            .as("n_intersect"))
-        piv.crossJoin(ex)
-          .select($"n_a", $"n_b", $"n_union", $"n_intersect",
-            $"est_a", $"est_b", $"est_union",
-            ($"est_a" + $"est_b" - $"est_union").as("est_intersect"),
-            ($"est_union" - $"n_union").as("err_union"),
-            ($"est_a" + $"est_b" - $"est_union" - $"n_intersect")
-              .as("err_intersect"),
-            (abs($"est_union" - $"n_union") * 1000000 <=
-              $"n_union" * P.boundPpm).as("union_in_bound"))
-      },
-      Some {
-        val P = graft.ext.Hll.Default
-        s"""WITH eva AS (
-          SELECT 'A' AS w_start, CAST(user_id AS VARCHAR) AS key_str
-          FROM events WHERE user_id % 2 = 0),
-        evb AS (
-          SELECT 'B' AS w_start, CAST(user_id AS VARCHAR) AS key_str
-          FROM events WHERE user_id % 3 = 0),
-        ${graft.ext.Hll.cellsSql(P, "a", "eva")},
-        ${graft.ext.Hll.cellsSql(P, "b", "evb")},
-        cells AS (
-          SELECT * FROM cellsa
-          UNION ALL SELECT * FROM cellsb
-          UNION ALL
-          SELECT 'U' AS w_start, bucket, MAX(rho) AS rho
-          FROM (SELECT * FROM cellsa UNION ALL SELECT * FROM cellsb)
-          GROUP BY bucket),
-        ${graft.ext.Hll.estChainSql(P)},
-        piv AS (
-          SELECT
-            MAX(CASE WHEN w_start = 'A' THEN hll_est END) AS est_a,
-            MAX(CASE WHEN w_start = 'B' THEN hll_est END) AS est_b,
-            MAX(CASE WHEN w_start = 'U' THEN hll_est END) AS est_union
-          FROM est3),
-        ex AS (
-          SELECT
-            COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_a,
-            COUNT(DISTINCT CASE WHEN user_id % 3 = 0 THEN user_id END) AS n_b,
-            COUNT(DISTINCT CASE WHEN user_id % 2 = 0 OR user_id % 3 = 0
-              THEN user_id END) AS n_union,
-            COUNT(DISTINCT CASE WHEN user_id % 6 = 0 THEN user_id END)
-              AS n_intersect
-          FROM events)
-        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-          CAST(n_union AS BIGINT) AS n_union,
-          CAST(n_intersect AS BIGINT) AS n_intersect,
-          CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
-          CAST(est_union AS BIGINT) AS est_union,
-          CAST(est_a + est_b - est_union AS BIGINT) AS est_intersect,
-          CAST(est_union - n_union AS BIGINT) AS err_union,
-          CAST(est_a + est_b - est_union - n_intersect AS BIGINT)
-            AS err_intersect,
-          (abs(est_union - n_union) * 1000000 <=
-            n_union * ${P.boundPpm}) AS union_in_bound
-        FROM piv, ex"""
-      }),
+    hllUnionDef("x_hll_union", graft.ext.Hll.Default),
+    // the same algebra on the wide-integer estimate path (r16): union by
+    // register max and inclusion-exclusion intersection at the production
+    // m = 2^14, where the 4% union bound actually constrains
+    hllUnionDef("x_hll_union_hi", graft.ext.Hll.Hi),
 
     // ---- Outlier detection: per-group z-scores, top-k most extreme --------
     // Data-quality screening as a two-pass shape: per-group moments from

@@ -418,6 +418,47 @@ class EpochTortureSpec extends AnyFunSuite {
       }
     }
 
+  // ---- 2c. composed crash schedules ---------------------------------------
+  // Single-step kills prove each state is recoverable; this composes
+  // them: seeded pseudo-random schedules where EVERY batch may crash,
+  // including crashes DURING a replay of an already-crashed batch
+  // (replay-of-replay), before the run finally succeeds. The final
+  // store must still be bit-identical to the uninterrupted run — the
+  // property a checkpoint restart loop actually relies on, since
+  // nothing guarantees a restart itself survives.
+
+  test("hll: seeded multi-crash schedules (crashes during replays " +
+      "included) always converge to the uninterrupted store") {
+    val m = hllMember
+    val refStore = tmp("tortm_hll_ref")
+    runAll(m, refStore)
+    val ref = m.surfaces(refStore)
+
+    val probe = tmp("tortm_hll_probe")
+    m.process(m.batches(0), 0L, probe)
+    val stepsPerBatch = trace { m.process(m.batches(1), 1L, probe) }.size
+
+    val rnd = new scala.util.Random(421688L) // fixed seed: reproducible
+    for (schedule <- 1 to 6) {
+      val st = tmp(s"tortm_hll_s$schedule")
+      for (b <- 0 to 2) {
+        // each attempt of this batch crashes with decreasing probability;
+        // a batch may crash several times (replay-of-replay) at varying
+        // steps before one attempt is allowed to finish
+        var crashes = rnd.nextInt(3) // 0..2 failed attempts first
+        while (crashes > 0) {
+          crashAt(rnd.nextInt(stepsPerBatch)) {
+            m.process(m.batches(b), b.toLong, st)
+          }
+          crashes -= 1
+        }
+        m.process(m.batches(b), b.toLong, st)
+      }
+      assert(m.surfaces(st) == ref,
+        s"schedule $schedule diverged from the uninterrupted run")
+    }
+  }
+
   // ---- 3. snapshot retention killed between deletes -----------------------
 
   test("graph: rank-epoch prune killed between deletes — serving surface " +
