@@ -92,6 +92,54 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Committed-headline-set probe for SCALED corpora (the 100× question).
+    *
+    * `graft.Bench`'s steal-gated retry keys on an ABSOLUTE 2.0 s
+    * threshold tuned for ~6 s sf0.1 legs (≈1% of 32-CPU time). At 100×
+    * a leg runs tens of minutes and accumulates proportional background
+    * steal, so the gate can never pass and Bench burns MaxLegAttempts
+    * full legs (observed: 961 s leg steal at /tmp/graft_sf10 — a ~2.5%
+    * host steal RATE, i.e. ordinary guest-VM conditions, not a noisy
+    * burst). The protocol that scales is per-QUERY min-of-N with a GC
+    * before each pass and per-pass steal printed: the min pass is the
+    * interference-immune read (bench-steal memory: bursty steal + GC
+    * debt fake regressions), and publishing every pass's steal lets a
+    * reader attribute any outlier pass instead of trusting a leg gate.
+    *
+    * Honors SPARK_GRAFT_SKIP like the sweep (loud, never silent). */
+  def headlineProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("headline-probe", 32)
+    val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
+      .split(',').filter(_.nonEmpty).toSet
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (q <- graft.SparkEntry.benchQueries) {
+      if (skip(q)) println(f"[headline] $q%-24s SKIPPED (SPARK_GRAFT_SKIP)")
+      else {
+        def force(): Unit =
+          graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
+        force() // warmup: plan + codegen + first-touch page cache
+        val passes = (1 to 3).map { _ =>
+          System.gc()
+          val s0 = stealJiffies
+          val t0 = System.nanoTime()
+          force()
+          ((System.nanoTime() - t0) / 1e9, (stealJiffies - s0) / 100.0)
+        }
+        val best = passes.minBy(_._1)
+        val all = passes.map(p => f"${p._1}%.2f/${p._2}%.1f").mkString(" ")
+        println(f"[headline] $q%-24s min=${best._1}%8.3f s " +
+          f"steal_at_min=${best._2}%.1f passes(wall/steal)=$all")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    spark.stop()
+  }
+
   /** The scale-path twin behind d_semdedup_auto's loud guard: at corpora
     * where the derived k exceeds SemDedup.CoarseDispatchK (so the DuckDB
     * gate row cannot run), check the coarse DEFAULT against the flat
@@ -2486,6 +2534,7 @@ object BenchTune {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("headline")) { headlineProbe(sfDir); return }
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(sfDir); return }
     if (args.headOption.contains("graphscale")) { graphScaleProbe(sfDir); return }
