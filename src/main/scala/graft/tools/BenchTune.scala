@@ -119,24 +119,73 @@ object BenchTune {
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (q <- graft.SparkEntry.benchQueries) {
       if (skip(q)) println(f"[headline] $q%-24s SKIPPED (SPARK_GRAFT_SKIP)")
-      else {
-        def force(): Unit =
-          graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
-        force() // warmup: plan + codegen + first-touch page cache
-        val passes = (1 to 3).map { _ =>
-          System.gc()
-          val s0 = stealJiffies
-          val t0 = System.nanoTime()
-          force()
-          ((System.nanoTime() - t0) / 1e9, (stealJiffies - s0) / 100.0)
-        }
-        val best = passes.minBy(_._1)
-        val all = passes.map(p => f"${p._1}%.2f/${p._2}%.1f").mkString(" ")
-        println(f"[headline] $q%-24s min=${best._1}%8.3f s " +
-          f"steal_at_min=${best._2}%.1f passes(wall/steal)=$all")
-        spark.sharedState.cacheManager.clearCache()
-      }
+      else probeOne(spark, "headline", q,
+        graft.SparkEntry.queries(q), sfDir, stealJiffies _)
     }
+    spark.stop()
+  }
+
+  private def probeOne(spark: org.apache.spark.sql.SparkSession, tag: String,
+      q: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame,
+      sfDir: String, stealJiffies: () => Long): Unit = {
+    def force(): Unit = graft.BenchProtocol.force(fn(spark, sfDir))
+    force() // warmup: plan + codegen + first-touch page cache
+    val passes = (1 to 3).map { _ =>
+      System.gc()
+      val s0 = stealJiffies()
+      val t0 = System.nanoTime()
+      force()
+      ((System.nanoTime() - t0) / 1e9, (stealJiffies() - s0) / 100.0)
+    }
+    val best = passes.minBy(_._1)
+    val all = passes.map(p => f"${p._1}%.2f/${p._2}%.1f").mkString(" ")
+    println(f"[$tag] $q%-24s min=${best._1}%8.3f s " +
+      f"steal_at_min=${best._2}%.1f passes(wall/steal)=$all")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  /** The bucketed twin of [[headlineProbe]] — the at-rest answer to the
+    * 100× join costs the plain probe measures. Rewrites the 'orderkey'
+    * star layout, the src-bucketed bench EdgeStore, and the sealed BM25
+    * postings for `sfDir` UNTIMED (prep walls printed — at 100× the
+    * write cost of the at-rest layout is itself a number the scale
+    * story should carry), then runs the identical min-of-3/GC/steal
+    * protocol over the committed bucketed leg (plain set + the graph
+    * and retrieval at-rest entries) with the layout active. */
+  def headlineBkProbe(sfDir: String): Unit = {
+    val spark = graft.Sessions.local("headline-bk-probe", 32)
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def prep[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[headline-bk] prep $what%-18s ${(System.nanoTime() - t0) / 1e9}%8.1f s (untimed)")
+      r
+    }
+    prep("bucketed_tables") { writeBucketedTables(spark, sfDir, "orderkey") }
+    prep("edge_store") {
+      graft.queries.GraphQueries.writeBenchEdgeStore(spark, sfDir) }
+    val bm25Terms = prep("bm25_postings") {
+      graft.sources.InvertedIndex.writeBenchPostings(spark, sfDir) }
+    System.setProperty("graft.bucketed", "orderkey")
+    try {
+      val extra: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame] = Map(
+        "g_pagerank_edgestore" -> ((s, d) =>
+          graft.queries.GraphQueries.pagerankEdgeStore(s, d)),
+        "x_bm25_indexed" -> ((s, _) =>
+          graft.sources.InvertedIndex.bm25TopK(
+            s, graft.sources.InvertedIndex.BenchTable, bm25Terms, 20)))
+      val names = graft.SparkEntry.benchQueries ++ extra.keys.toSeq.sorted
+      val lookup = graft.SparkEntry.queries ++ extra
+      for (q <- names)
+        probeOne(spark, "headline-bk", q, lookup(q), sfDir, stealJiffies _)
+    } finally System.clearProperty("graft.bucketed")
     spark.stop()
   }
 
@@ -2535,6 +2584,7 @@ object BenchTune {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("headline")) { headlineProbe(sfDir); return }
+    if (args.headOption.contains("headlinebk")) { headlineBkProbe(sfDir); return }
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(sfDir); return }
     if (args.headOption.contains("graphscale")) { graphScaleProbe(sfDir); return }
