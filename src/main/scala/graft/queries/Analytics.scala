@@ -1404,6 +1404,71 @@ object Analytics {
           UNION ALL
           SELECT 'events.event_type', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c) FROM (
             SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1))
-        ORDER BY key_family"""))
+        ORDER BY key_family""")),
+
+    // ---- Sampled aggregation (Horvitz-Thompson) -----------------------------
+    // The "answer over 100 TB by reading 1/16th of it" primitive: a
+    // DETERMINISTIC Bernoulli sample (first md5 hex nibble of the row key
+    // == '0' → inclusion probability p = 1/16, the x_hash_split
+    // convention, so both engines draw the IDENTICAL sample and the gate
+    // stays hash-exact) feeds a per-group HT estimator (sampled sum ÷ p),
+    // emitted NEXT TO the exact arm so the estimator's realized relative
+    // error is driver-visible data, not a claim. At 100 TB the exact arm
+    // is the one you delete: the sample predicate pushes to the scan (a
+    // deterministic function of key columns — at rest you'd persist the
+    // sample as its own partition and prune, same math), and the
+    // estimate costs 1/16th the I/O with ~sqrt((1-p)/(p·n))·CV relative
+    // error — sub-1% for any group with ≥100k sampled rows, i.e. every
+    // group that matters at scale. in_bound (realized error ≤ 25%, wide
+    // enough to hold at the tiny sf0.001 groups where n_sampled ≈ 120)
+    // is RE-DERIVED by the oracle from the same exact arithmetic — both
+    // engines compute the same md5 sample, the same DECIMAL-exact sums,
+    // and the same double division, so the flag carries no luck and no
+    // hardcoding. Scale shape: one map-side-combined groupBy over 3 flag
+    // groups; the sample indicator is a per-row codegen'd expression.
+    QueryDef(
+      "x_sampled_agg",
+      (s, d) => {
+        import s.implicits._
+        val keyNib = substring(
+          md5(concat_ws("_", $"l_orderkey", $"l_linenumber")), 1, 1)
+        val inSample = when(keyNib === "0", 1L).otherwise(0L)
+        val qtyDec = $"l_quantity".cast("decimal(18,2)")
+        val zeroDec = lit(0).cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n_exact"),
+            (sum(inSample) * 16).as("n_est"),
+            sum(qtyDec).cast("double").as("sum_qty_exact"),
+            (sum(when(inSample === 1L, qtyDec).otherwise(zeroDec)) * 16)
+              .cast("double").as("sum_qty_est"))
+          .withColumn("rel_err_pct",
+            round(abs($"sum_qty_est" - $"sum_qty_exact")
+              / $"sum_qty_exact" * 100, 2))
+          .withColumn("in_bound", $"rel_err_pct" <= 25.0)
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH t AS (
+          SELECT l_returnflag,
+            CASE WHEN substring(md5(CONCAT(CAST(l_orderkey AS VARCHAR), '_',
+              CAST(l_linenumber AS VARCHAR))), 1, 1) = '0'
+              THEN 1 ELSE 0 END AS in_sample,
+            CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          FROM lineitem),
+        g AS (
+          SELECT l_returnflag,
+            COUNT(*) AS n_exact,
+            CAST(SUM(in_sample) * 16 AS BIGINT) AS n_est,
+            CAST(SUM(qty) AS DOUBLE) AS sum_qty_exact,
+            CAST(SUM(CASE WHEN in_sample = 1 THEN qty
+              ELSE CAST(0 AS DECIMAL(18,2)) END) * 16 AS DOUBLE) AS sum_qty_est
+          FROM t GROUP BY l_returnflag)
+        SELECT l_returnflag, n_exact, n_est, sum_qty_exact, sum_qty_est,
+          round(abs(sum_qty_est - sum_qty_exact) / sum_qty_exact * 100, 2)
+            AS rel_err_pct,
+          round(abs(sum_qty_est - sum_qty_exact) / sum_qty_exact * 100, 2)
+            <= 25.0 AS in_bound
+        FROM g ORDER BY l_returnflag"""))
   )
 }

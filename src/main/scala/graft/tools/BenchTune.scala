@@ -117,7 +117,8 @@ object BenchTune {
       if (cols.length > 8) cols(8).toLong else 0L
     } catch { case _: Throwable => 0L }
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (q <- graft.SparkEntry.benchQueries) {
+    val only = probeOnly
+    for (q <- graft.SparkEntry.benchQueries if only.isEmpty || only(q)) {
       if (skip(q)) println(f"[headline] $q%-24s SKIPPED (SPARK_GRAFT_SKIP)")
       else probeOne(spark, "headline", q,
         graft.SparkEntry.queries(q), sfDir, stealJiffies _)
@@ -125,13 +126,24 @@ object BenchTune {
     spark.stop()
   }
 
+  /** SPARK_GRAFT_PASSES (default 3) sets the timed-pass count — at 100×
+    * the 3-pass default can under-warm the heavies (q1's passes were
+    * still descending 229→38→17.5 s on a cold-page-cache corpus; the
+    * earlier full-Bench r10_100x with ETL-first JIT heat + 5–7 passes
+    * read 6.1 s), so converged reads want 7+. SPARK_GRAFT_ONLY=q1,a6
+    * filters to named queries for focused re-measurement. */
+  private def probePasses: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+  private def probeOnly: Set[String] = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+    .split(',').filter(_.nonEmpty).toSet
+
   private def probeOne(spark: org.apache.spark.sql.SparkSession, tag: String,
       q: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame,
       sfDir: String, stealJiffies: () => Long): Unit = {
     def force(): Unit = graft.BenchProtocol.force(fn(spark, sfDir))
     force() // warmup: plan + codegen + first-touch page cache
-    val passes = (1 to 3).map { _ =>
+    val passes = (1 to probePasses).map { _ =>
       System.gc()
       val s0 = stealJiffies()
       val t0 = System.nanoTime()
@@ -183,7 +195,8 @@ object BenchTune {
             s, graft.sources.InvertedIndex.BenchTable, bm25Terms, 20)))
       val names = graft.SparkEntry.benchQueries ++ extra.keys.toSeq.sorted
       val lookup = graft.SparkEntry.queries ++ extra
-      for (q <- names)
+      val only = probeOnly
+      for (q <- names if only.isEmpty || only(q))
         probeOne(spark, "headline-bk", q, lookup(q), sfDir, stealJiffies _)
     } finally System.clearProperty("graft.bucketed")
     spark.stop()
