@@ -109,7 +109,12 @@ object Bench {
   /** A leg whose host-CPU steal exceeds this is re-run (guest VM; r13/r14
     * showed steal this size fully explains uniform leg-level drift). */
   private val StealCleanThresholdS = 2.0
-  private val MaxLegAttempts = 3
+  /** r16 exhausted 3 attempts on a bursty window (plain leg 37.2/16.4/4.3 s
+    * steal) and committed a contaminated run; the host alternates
+    * quiet/bursty on ~tens of minutes, so a deeper budget rides out a
+    * burst. Attempts stop at the FIRST clean one — a quiet window still
+    * costs one attempt per leg (r16 verdict item 1). */
+  private val MaxLegAttempts = 6
 
   /** The bucketed-leg-only graph entry (not a SparkEntry gate query — its
     * input is the at-rest EdgeStore layout, not the raw parquet dir). */
@@ -128,17 +133,20 @@ object Bench {
     * advanced, leaving a machine-visible seam instead of a
     * silently-shifted total. (r16 grows both sets — q8 + the bm25 leg —
     * so both flags read false this round by construction.) */
-  private val PriorPlainSetHash = "898264ba"
-  private val PriorBucketedSetHash = "0d7b33fb"
+  private val PriorPlainSetHash = "249406e1"
+  private val PriorBucketedSetHash = "4850832d"
 
-  /** The r15 committed plain set — the cross-round seam subtotals
-    * `total_prev_set` (plain) and `total_bucketed_prev_set` (+ graph)
-    * are computed over exactly these names, directly comparable with
-    * r15's committed `total` / `total_bucketed`. */
+  /** The r16 committed plain set (the r15 ten + q8) — the cross-round
+    * seam subtotals `total_prev_set` (plain) and `total_bucketed_prev_set`
+    * (+ graph + bm25) are computed over exactly these names, directly
+    * comparable with r16's committed `total` / `total_bucketed`. With the
+    * set unchanged this round they coincide with `total`/`total_bucketed`
+    * — kept anyway so the seam machinery stays exercised and the next
+    * set growth only needs the constants advanced. */
   private val PrevPlainSet: Set[String] = Set(
     "q1_pricing_summary", "a6_revenue_by_nation", "j7_large_equi",
-    "q3_shipping_priority", "q5_local_supplier", "w3_moving_avg",
-    "t4_tumbling_hour", "t4_session", "x4_cosine_topk",
+    "q3_shipping_priority", "q5_local_supplier", "q8_market_share",
+    "w3_moving_avg", "t4_tumbling_hour", "t4_session", "x4_cosine_topk",
     "d_minhash_pipeline")
 
   private def median(xs: Seq[Double]): Double = {
@@ -361,7 +369,7 @@ object Bench {
       if (prevPlain.size == PrevPlainSet.size &&
           prevPlain.forall(_._2._1 >= 0)) prevPlain.map(_._2._1).sum
       else -1.0
-    val prevBkNames = PrevPlainSet + GraphBenchQuery
+    val prevBkNames = PrevPlainSet + GraphBenchQuery + Bm25BenchQuery
     val totalBkPrevSet =
       bucketedResults.map(_.filter(p => prevBkNames.contains(p._1))) match {
         case Some(rs) if rs.size == prevBkNames.size &&
@@ -385,7 +393,23 @@ object Bench {
     // active (Tables scaladoc) — bucketed totals are a different storage
     // contract, never compared against plain ones silently
     val layout = Tables.activeLayout.getOrElse("plain")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","queries":$qJson,"queries_min":$qMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"total_bucketed_shared":$totalBkShared%.4f,"total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_s":$stealPlainS%.1f,"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_s":$stealBkS%.1f,"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_clean_threshold_s":$StealCleanThresholdS%.1f,"sf":"$sfDir"}""")
+    // steal_clean: every executed leg's CHOSEN attempt met the gate — the
+    // one-boolean answer to "can this artifact's absolutes be trusted"
+    // (r16 verdict item 1: the committed run carried 4.3/25.8 s steal and
+    // a reader had to reconstruct that from the attempts arrays)
+    val bkRan = bucketedResults.isDefined
+    val stealClean = etlStealS >= 0 && etlStealS <= StealCleanThresholdS &&
+      stealPlainS >= 0 && stealPlainS <= StealCleanThresholdS &&
+      (!bkRan || (stealBkS >= 0 && stealBkS <= StealCleanThresholdS))
+    // EMISSION SPLIT (r16 verdict item 1): the r16 single metric line grew
+    // past the driver's 2000-char tail-capture window, so the committed
+    // artifact parsed as null. The per-pass detail (mins, attempts arrays,
+    // iters) now rides a SEPARATE "bench_detail" line printed FIRST — free
+    // to be truncated — and the metric line of record prints LAST and
+    // compact (~1.4 KB: medians + totals + steal summary), so its start
+    // always falls inside the tail window.
+    println(f"""{"metric":"bench_detail","queries_min":$qMinJson,"queries_bucketed_min":$qBkMinJson,"iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"max_leg_attempts":$MaxLegAttempts}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","etl_protocol":"first-400-med5","layout":"$layout","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","queries":$qJson,"failed":$nFailed,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"total_bucketed_shared":$totalBkShared%.4f,"total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_clean":$stealClean,"steal_clean_threshold_s":$StealCleanThresholdS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

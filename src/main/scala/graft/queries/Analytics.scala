@@ -123,6 +123,85 @@ object Analytics {
         })
 
 
+
+  /** The HLL across-TIME merge-law gate body, parameterized by the
+    * register count — ONE definition pins the per-bucket-MAX merge law
+    * on BOTH estimate pipelines: the m = 2^14 wide-integer production
+    * path and the m = 1024 Long-literal path (r16 ADVICE: repinning the
+    * main gate to Hi had left the Default pipeline's merge law ungated). */
+  private def hllMergeDef(name: String,
+      P0: graft.ext.Hll.Params): QueryDef =
+    QueryDef(
+      name,
+      (s, d) => {
+        import s.implicits._
+        val P = P0
+        val evd = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("w_start"), $"user_id")
+        val merged = graft.ext.Hll.cells(evd, $"user_id", P)
+          .groupBy(date_trunc("week", $"w_start").as("w_start"), $"bucket")
+          .agg(max($"rho").as("rho"))
+        val evw = Tables.events(s, d)
+          .select(date_trunc("week", $"ts").as("w_start"), $"user_id")
+        val direct = graft.ext.Hll.cells(evw, $"user_id", P)
+        val audit = merged.select($"w_start", $"bucket", $"rho".as("rho_m"))
+          .join(direct.select($"w_start", $"bucket", $"rho".as("rho_d")),
+            Seq("w_start", "bucket"), "full")
+          .groupBy($"w_start")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(!($"rho_m" <=> $"rho_d"), 1L).otherwise(0L))
+              .as("n_mismatch"))
+        val est = graft.ext.Hll.estimate(direct, P)
+        val exact = evw.groupBy($"w_start")
+          .agg(countDistinct($"user_id").as("n_exact"))
+        audit.join(est, Seq("w_start")).join(exact, Seq("w_start"))
+          .select($"w_start", $"n_exact", $"n_cells", $"n_mismatch",
+            ($"n_mismatch" === 0).as("merge_exact"),
+            $"hll_est", ($"hll_est" - $"n_exact").as("err"),
+            (abs($"hll_est" - $"n_exact") * 1000000 <=
+              $"n_exact" * P.boundPpm).as("in_bound"))
+          .orderBy($"w_start")
+      },
+      Some {
+        val P = P0
+        s"""WITH evd AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+            CAST(user_id AS VARCHAR) AS key_str
+          FROM events),
+        ${graft.ext.Hll.cellsSql(P, "d", "evd")},
+        merged AS (
+          SELECT date_trunc('week', w_start) AS w_start, bucket,
+            MAX(rho) AS rho
+          FROM cellsd GROUP BY 1, 2),
+        ev AS (
+          SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS w_start,
+            CAST(user_id AS VARCHAR) AS key_str, user_id
+          FROM events),
+        ${graft.ext.Hll.cellsSql(P)},
+        audit AS (
+          SELECT COALESCE(m.w_start, c.w_start) AS w_start,
+            COUNT(*) AS n_cells,
+            CAST(SUM(CASE WHEN m.rho IS DISTINCT FROM c.rho
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+          FROM merged m FULL JOIN cells c
+            ON m.w_start = c.w_start AND m.bucket = c.bucket
+          GROUP BY 1),
+        ${graft.ext.Hll.estChainSql(P)},
+        ex AS (
+          SELECT w_start, COUNT(DISTINCT user_id) AS n_exact
+          FROM ev GROUP BY w_start)
+        SELECT a.w_start, x.n_exact,
+          CAST(a.n_cells AS BIGINT) AS n_cells,
+          a.n_mismatch,
+          (a.n_mismatch = 0) AS merge_exact,
+          CAST(e.hll_est AS BIGINT) AS hll_est,
+          CAST(e.hll_est - x.n_exact AS BIGINT) AS err,
+          (abs(e.hll_est - x.n_exact) * 1000000 <=
+            x.n_exact * ${P.boundPpm}) AS in_bound
+        FROM audit a JOIN est3 e USING (w_start) JOIN ex x USING (w_start)
+        ORDER BY a.w_start"""
+      })
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Q3 shape: shipping priority (customer ⋈ orders ⋈ lineitem) -------
@@ -828,76 +907,12 @@ object Analytics {
     // OUTER join of merged vs direct cells counts every cell and every
     // mismatch (n_mismatch must read 0), with the weekly estimate and
     // its error bound riding along from the same shared Hll pipeline.
-    QueryDef(
-      "x_hll_merge",
-      (s, d) => {
-        import s.implicits._
-        val P = graft.ext.Hll.Hi // merge law at the production m (r15 item 2)
-        val evd = Tables.events(s, d)
-          .select(date_trunc("day", $"ts").as("w_start"), $"user_id")
-        val merged = graft.ext.Hll.cells(evd, $"user_id", P)
-          .groupBy(date_trunc("week", $"w_start").as("w_start"), $"bucket")
-          .agg(max($"rho").as("rho"))
-        val evw = Tables.events(s, d)
-          .select(date_trunc("week", $"ts").as("w_start"), $"user_id")
-        val direct = graft.ext.Hll.cells(evw, $"user_id", P)
-        val audit = merged.select($"w_start", $"bucket", $"rho".as("rho_m"))
-          .join(direct.select($"w_start", $"bucket", $"rho".as("rho_d")),
-            Seq("w_start", "bucket"), "full")
-          .groupBy($"w_start")
-          .agg(count(lit(1)).as("n_cells"),
-            sum(when(!($"rho_m" <=> $"rho_d"), 1L).otherwise(0L))
-              .as("n_mismatch"))
-        val est = graft.ext.Hll.estimate(direct, P)
-        val exact = evw.groupBy($"w_start")
-          .agg(countDistinct($"user_id").as("n_exact"))
-        audit.join(est, Seq("w_start")).join(exact, Seq("w_start"))
-          .select($"w_start", $"n_exact", $"n_cells", $"n_mismatch",
-            ($"n_mismatch" === 0).as("merge_exact"),
-            $"hll_est", ($"hll_est" - $"n_exact").as("err"),
-            (abs($"hll_est" - $"n_exact") * 1000000 <=
-              $"n_exact" * P.boundPpm).as("in_bound"))
-          .orderBy($"w_start")
-      },
-      Some {
-        val P = graft.ext.Hll.Hi
-        s"""WITH evd AS (
-          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
-            CAST(user_id AS VARCHAR) AS key_str
-          FROM events),
-        ${graft.ext.Hll.cellsSql(P, "d", "evd")},
-        merged AS (
-          SELECT date_trunc('week', w_start) AS w_start, bucket,
-            MAX(rho) AS rho
-          FROM cellsd GROUP BY 1, 2),
-        ev AS (
-          SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS w_start,
-            CAST(user_id AS VARCHAR) AS key_str, user_id
-          FROM events),
-        ${graft.ext.Hll.cellsSql(P)},
-        audit AS (
-          SELECT COALESCE(m.w_start, c.w_start) AS w_start,
-            COUNT(*) AS n_cells,
-            CAST(SUM(CASE WHEN m.rho IS DISTINCT FROM c.rho
-              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
-          FROM merged m FULL JOIN cells c
-            ON m.w_start = c.w_start AND m.bucket = c.bucket
-          GROUP BY 1),
-        ${graft.ext.Hll.estChainSql(P)},
-        ex AS (
-          SELECT w_start, COUNT(DISTINCT user_id) AS n_exact
-          FROM ev GROUP BY w_start)
-        SELECT a.w_start, x.n_exact,
-          CAST(a.n_cells AS BIGINT) AS n_cells,
-          a.n_mismatch,
-          (a.n_mismatch = 0) AS merge_exact,
-          CAST(e.hll_est AS BIGINT) AS hll_est,
-          CAST(e.hll_est - x.n_exact AS BIGINT) AS err,
-          (abs(e.hll_est - x.n_exact) * 1000000 <=
-            x.n_exact * ${P.boundPpm}) AS in_bound
-        FROM audit a JOIN est3 e USING (w_start) JOIN ex x USING (w_start)
-        ORDER BY a.w_start"""
-      }),
+    // production m = 2^14 (wide-integer estimate path, r15 item 2) AND
+    // the m = 1024 Long-literal path: repinning the main gate to Hi left
+    // the Default pipeline's across-TIME merge law ungated (r16 ADVICE) —
+    // the factory makes the twin free
+    hllMergeDef("x_hll_merge", graft.ext.Hll.Hi),
+    hllMergeDef("x_hll_merge_lo", graft.ext.Hll.Default),
 
     // ---- HLL set algebra: union by register max, intersect by in-ex -------
     // The second mergeability dimension (x_hll_merge merges across TIME;

@@ -99,15 +99,20 @@ object CmsStream {
     * x_cms_heavy_hitters extraction — min over the depth cells each
     * term hashes to. est ≥ true count ALWAYS (the CMS one-sided
     * guarantee); a term never streamed reads the collision mass of its
-    * cells. The query side is a broadcast-sized literal frame. */
+    * cells. The broadcast hint goes on the MERGED STORE — the build
+    * (right) side of the left join, the only side a broadcast-hash plan
+    * can build for left-outer (a hint on the preserved side is dropped
+    * with a HintErrorLogger warning, r16 verdict item 6) — and it is the
+    * side whose size is an INVARIANT: Depth×Width cells (≤ 4096 rows)
+    * regardless of corpus size, the whole point of a CMS. */
   def estimates(spark: SparkSession, storePath: String,
       terms: Seq[String]): DataFrame = {
     val qf = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
-    broadcast(qf)
+    qf
       .select(col("term"), explode(sequence(lit(0), lit(Depth - 1))).as("d"))
       .withColumn("cell",
         graft.queries.Curation.sketchCell(col("d"), col("term"), Width))
-      .join(merged(spark, storePath), Seq("d", "cell"), "left")
+      .join(broadcast(merged(spark, storePath)), Seq("d", "cell"), "left")
       .groupBy(col("term"))
       .agg(min(coalesce(col("cc"), lit(0L))).as("cms_est"))
       .orderBy(col("term"))

@@ -86,11 +86,29 @@ object HllStream {
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).map(_.getPath.getName)
       .collectFirst { case s if s.startsWith("_hll_m_") =>
-        s.stripPrefix("_hll_m_").toInt }
+        s.stripPrefix("_hll_m_").toIntOption.getOrElse(
+          throw new IllegalStateException(
+            s"store $storePath carries an unparseable params marker '$s' " +
+              "— expected _hll_m_<integer>; the store's register count " +
+              "cannot be verified; remove or repair the foreign marker"))
+      }
+  }
+
+  /** True iff the store already holds epoch partitions (`batch=*` dirs —
+    * plain epochs AND compacted snapshots share the key). Used to refuse
+    * ADOPTING a pre-stamp store: cells of unknown register count must
+    * never be legitimized by a late stamp. */
+  private def hasEpochs(spark: SparkSession, storePath: String): Boolean = {
+    val (fs, dir) = fsOf(spark, storePath)
+    fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
   }
 
   /** Write the `_hll_m_<m>` marker (idempotent), refusing a store
-    * stamped with a DIFFERENT register count. */
+    * stamped with a DIFFERENT register count — and refusing to stamp an
+    * UNSTAMPED store that already holds epochs: such cells were written
+    * under unknown params (a pre-stamp legacy store), and stamping them
+    * would make every later requireStamp pass on garbage (r16 ADVICE). */
   private def stamp(spark: SparkSession, storePath: String): Unit =
     stampedM(spark, storePath) match {
       case Some(m) => require(m == P.m,
@@ -98,6 +116,13 @@ object HllStream {
           "— its cells are not interpretable under these params; use a " +
           "fresh store path or a stream built with the stamped params")
       case None =>
+        if (hasEpochs(spark, storePath))
+          throw new IllegalStateException(
+            s"store $storePath has no _hll_m stamp but already holds " +
+              s"epoch partitions — cannot verify its register count " +
+              s"matches m=${P.m}; refusing to adopt it. Re-create it " +
+              "through HllStream.processBatch on a fresh path (which " +
+              "stamps before the first epoch) or stamp it manually")
         val (fs, dir) = fsOf(spark, storePath)
         fs.mkdirs(dir)
         fs.create(

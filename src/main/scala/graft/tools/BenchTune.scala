@@ -2594,8 +2594,201 @@ object BenchTune {
     spark.stop()
   }
 
+  /** The A13 sampled-aggregation SCALE demonstration (r16 verdict item
+    * 2): walls for (a) the exact aggregate, (b) the estimate-only arm
+    * over the PLAIN layout (the md5-nibble predicate is a function of
+    * key columns, so it cannot prune parquet I/O — the scan still reads
+    * every row and only the aggregate input shrinks 16×; this leg
+    * measures how little that buys when the query is scan-bound), and
+    * (c) the estimate over the AT-REST sample layout (lineitem written
+    * once partitioned by the sample bit; the `in_sample = 1` partition
+    * filter prunes at planning time, so the estimate reads 1/16th the
+    * bytes — the configuration the gate comment promises at 100 TB).
+    * Prep (the partitioned rewrite) is untimed and printed, same
+    * discipline as the bucketed leg. Partition sizes are printed so the
+    * I/O claim is bytes, not inference. */
+  def sampledAggProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("sampledagg-probe", 32)
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val nib = substring(
+      md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 1)
+    val qtyDec = col("l_quantity").cast("decimal(18,2)")
+    def aggOf(df: org.apache.spark.sql.DataFrame, scale: Int) =
+      df.groupBy(col("l_returnflag"))
+        .agg((count(lit(1)) * scale).as("n"),
+          (sum(qtyDec) * scale).cast("double").as("sum_qty"))
+    // untimed prep: the at-rest sample layout
+    val sampleDir = "/tmp/graft_sampled_lineitem"
+    val t0 = System.nanoTime()
+    graft.Tables.lineitem(spark, sfDir)
+      .withColumn("in_sample", (nib === "0").cast("int"))
+      .write.mode("overwrite").partitionBy("in_sample").parquet(sampleDir)
+    println(f"[sampledagg] prep partitioned rewrite " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
+    def du(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists) -1L
+      else Option(d.listFiles).map(_.filter(_.isFile).map(_.length).sum)
+        .getOrElse(-1L)
+    }
+    println(s"[sampledagg] bytes in_sample=1 ${du(s"$sampleDir/in_sample=1")}" +
+      s" in_sample=0 ${du(s"$sampleDir/in_sample=0")}")
+    probeOne(spark, "sampledagg", "exact_plain",
+      (s, d) => aggOf(graft.Tables.lineitem(s, d), 1), sfDir, stealJiffies _)
+    probeOne(spark, "sampledagg", "est_filtered_plain",
+      (s, d) => aggOf(graft.Tables.lineitem(s, d).filter(nib === "0"), 16),
+      sfDir, stealJiffies _)
+    probeOne(spark, "sampledagg", "est_atrest_pruned",
+      (s, _) => aggOf(
+        s.read.parquet(sampleDir).filter(col("in_sample") === 1), 16),
+      sfDir, stealJiffies _)
+    // reference: the exact aggregate served from the same rewritten
+    // layout (both partitions) — separates the rewrite's compression /
+    // clustering effect from the pruning effect
+    probeOne(spark, "sampledagg", "exact_atrest_both",
+      (s, _) => aggOf(s.read.parquet(sampleDir), 1), sfDir, stealJiffies _)
+    spark.stop()
+  }
+
+  /** Stage decomposition of the two creeping anchor ratios (r16 verdict
+    * item 3): w3_moving_avg (1.45× committed median vs anchor, drifting
+    * two rounds) and t4_tumbling_hour (1.44×). Each query is rebuilt
+    * cumulative-stage by cumulative-stage under the noop-sink protocol
+    * so the creep attributes to scan / exchange / window-or-agg / final
+    * sort rather than to "the query". */
+  def w3t4Probe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("w3t4-probe", 32)
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val w3cols = Seq("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    def w3base(s: SparkSession, d: String) =
+      graft.Tables.orders(s, d).select(w3cols.map(col): _*)
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 0)
+    def w3win(s: SparkSession, d: String) =
+      w3base(s, d).select(col("o_custkey"), col("o_orderkey"),
+        (sum(col("o_totalprice").cast("decimal(18,4)")).over(frame)
+          .cast("double") / count(lit(1)).over(frame)).as("mavg3"))
+    val stages: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "w3_scan" -> ((s, d) => w3base(s, d)),
+      "w3_exchange" -> ((s, d) => w3base(s, d).repartition(col("o_custkey"))),
+      "w3_window" -> ((s, d) => w3win(s, d)),
+      "w3_full_sorted" -> ((s, d) =>
+        w3win(s, d).orderBy(col("o_custkey"), col("o_orderkey"))),
+      "t4_scan" -> ((s, d) => graft.Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))),
+      "t4_agg" -> ((s, d) => graft.Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+      "t4_full_sorted" -> ((s, d) =>
+        graft.SparkEntry.queries("t4_tumbling_hour")(s, d)),
+      "w3_gate" -> ((s, d) =>
+        graft.SparkEntry.queries("w3_moving_avg")(s, d)))
+    stages.foreach { case (n, fn) =>
+      probeOne(spark, "w3t4", n, fn, sfDir, stealJiffies _) }
+    spark.stop()
+  }
+
+  /** IVFADC at production shape (r16 verdict item 7): the x4_ivfpq gate
+    * pins the composed pipeline hash-exact at toy parameters (8 cells,
+    * k=16, 2k vectors); this probe establishes the recall/wall curve at
+    * the real configuration — k=256 per-block codebooks, Lloyd-refined
+    * (IVF 2 iters, PQ 2 iters), on however many vectors `sfDir` holds
+    * (run against the distinct-content scaled corpus: 10× = 20k, 100× =
+    * 200k DISTINCT vectors). Reports build/train/encode walls (the
+    * amortized index cost), per-query ADC+rerank wall and recall@10 vs
+    * the exact L2 top-10 at sweeping nProbe, and the code-store row
+    * count (m bytes/vector at rest vs 4·dim for raw floats). */
+  def ivfPqProdProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("ivfpq-prod", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    def timed[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"[ivfpq-prod] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val nCells = math.max(8, (n / 256).toInt)
+    val index = timed(s"ivf_build k=$nCells") {
+      val ix = graft.ext.IvfAnn.build(e, nCentroids = nCells, lloydIters = 2)
+      ix.copy(assigned = ix.assigned.localCheckpoint(true))
+    }
+    val cb = timed("pq_seed m=8 k=256") {
+      graft.ext.PqAnn.seedCodebooks(e, m = 8, k = 256) }
+    val cbT = timed("pq_train 2 iters") { graft.ext.PqAnn.train(e, cb, 2) }
+    val codes = timed("encode_indexed") {
+      graft.ext.PqAnn.encodeIndexed(index, cbT).localCheckpoint(true) }
+    println(s"[ivfpq-prod] n=$n cells=$nCells code_rows=${codes.count()} " +
+      s"bytes_per_vec_codes=${cbT.m} raw=${64 * 4}")
+    // exact L2 truth for 20 query vectors (brute force, one pass each)
+    val qs = e.filter($"vec_id" < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val bcQs = spark.sparkContext.broadcast(qs.toMap)
+    val truth: Map[Long, Seq[Long]] = {
+      val rows = e.flatMap { r =>
+        val v = r.getSeq[Double](1); val id = r.getLong(0)
+        bcQs.value.iterator.collect { case (qid, qv) if qid != id =>
+          (qid, id, l2sq(qv, v)) }
+      }.toDF("qid", "vec_id", "d2")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"d2", $"vec_id")
+      rows.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+        .select($"qid", $"vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSeq }
+    }
+    for (nProbe <- Seq(4, 8, 16, 32)) {
+      val nCand = math.max(200, (n / 100).toInt)
+      var hits = 0; var tot = 0
+      val t0 = System.nanoTime()
+      qs.foreach { case (qid, qv) =>
+        val got = graft.ext.PqAnn.searchIvfPq(index, codes, cbT, qv,
+            nProbe, 11, nCand)
+          .filter($"vec_id" =!= qid)
+          .orderBy($"l2_dist", $"vec_id").limit(10)
+          .collect().map(_.getLong(0)).toSet
+        hits += truth(qid).count(got.contains); tot += 10
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[ivfpq-prod] nProbe=$nProbe%-3d nCand=$nCand " +
+        f"recall@10=${hits.toDouble / tot}%.3f " +
+        f"wall_total=${wall}%.2f s per_query=${wall / qs.size}%.3f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("sampledagg")) { sampledAggProbe(sfDir); return }
+    if (args.headOption.contains("w3t4")) { w3t4Probe(sfDir); return }
+    if (args.headOption.contains("ivfpqprod")) { ivfPqProdProbe(sfDir); return }
     if (args.headOption.contains("headline")) { headlineProbe(sfDir); return }
     if (args.headOption.contains("headlinebk")) { headlineBkProbe(sfDir); return }
     if (args.headOption.contains("lshauto")) { lshAutoProbe(sfDir); return }

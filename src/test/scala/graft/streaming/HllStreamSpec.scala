@@ -94,5 +94,32 @@ class HllStreamSpec extends AnyFunSuite {
       HllStream.estimates(spark, dir2).collect()
     }
     assert(e2.getMessage.contains("no _hll_m stamp"))
+
+    // WRITE-side adoption refusal (r16 ADVICE): a resumed stream's first
+    // processBatch on that same unstamped-but-non-empty store must NOT
+    // stamp it — that would legitimize the unknown-m cells and make every
+    // later requireStamp pass on garbage. Refuse before writing anything.
+    val e3 = intercept[IllegalStateException] {
+      HllStream.processBatch(
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+          .toDF("ts", "user_id"), 1L, dir2)
+    }
+    assert(e3.getMessage.contains("refusing to adopt"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir2,
+      s"_hll_m_${graft.ext.Hll.Hi.m}")), "adoption refusal must not stamp")
+    // and the store must still refuse reads (nothing was legitimized)
+    intercept[IllegalStateException] {
+      HllStream.estimates(spark, dir2).collect()
+    }
+
+    // a FOREIGN/corrupt marker (unparseable suffix) surfaces the
+    // deliberate provenance error, not a raw NumberFormatException
+    val dir3 = tmp("hll_badstamp")
+    fs.create(new org.apache.hadoop.fs.Path(dir3, "_hll_m_backup"), true)
+      .close()
+    val e4 = intercept[IllegalStateException] {
+      HllStream.merged(spark, dir3).collect()
+    }
+    assert(e4.getMessage.contains("unparseable params marker"))
   }
 }
