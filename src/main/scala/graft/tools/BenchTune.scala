@@ -2700,7 +2700,30 @@ object BenchTune {
       "t4_full_sorted" -> ((s, d) =>
         graft.SparkEntry.queries("t4_tumbling_hour")(s, d)),
       "w3_gate" -> ((s, d) =>
-        graft.SparkEntry.queries("w3_moving_avg")(s, d)))
+        graft.SparkEntry.queries("w3_moving_avg")(s, d)),
+      // single-exchange variant: RANGE-partition by custkey up front —
+      // satisfies the window's ClusteredDistribution(custkey) AND makes
+      // partition key-ranges disjoint, so the final (custkey, orderkey)
+      // order only needs a WITHIN-partition sort (the range exchange the
+      // plain plan inserts for the global orderBy disappears)
+      "w3_single_exchange" -> ((s, d) => {
+        val win = w3base(s, d).repartitionByRange(col("o_custkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            (sum(col("o_totalprice").cast("decimal(18,4)")).over(frame)
+              .cast("double") / count(lit(1)).over(frame)).as("mavg3"))
+        win.sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+      }),
+      // tumbling windows only need the BUCKET, not the (start,end)
+      // struct window() allocates per input row — date_trunc grouping
+      // is semantically identical for the 1-hour tumble and keeps the
+      // grouping key a flat timestamp through the partial aggregate
+      "t4_trunc_agg" -> ((s, d) => graft.Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))))
     stages.foreach { case (n, fn) =>
       probeOne(spark, "w3t4", n, fn, sfDir, stealJiffies _) }
     spark.stop()
