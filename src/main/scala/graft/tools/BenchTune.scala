@@ -2787,8 +2787,11 @@ object BenchTune {
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSeq }
     }
-    for (nProbe <- Seq(4, 8, 16, 32)) {
-      val nCand = math.max(200, (n / 100).toInt)
+    // sweep both knobs: the distinct-content corpus clusters ~replicas
+    // of a base vector into one cell, so large nCand saturates recall —
+    // the knee only shows at small shortlists / single-cell probes
+    for ((nProbe, nCand) <- Seq((1, 20), (1, 50), (2, 50), (4, 50),
+        (4, 200), (8, 200), (16, 2000), (32, math.max(200, (n / 100).toInt)))) {
       var hits = 0; var tot = 0
       val t0 = System.nanoTime()
       qs.foreach { case (qid, qv) =>
