@@ -83,6 +83,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BpeTokenCount(args.head,
           graft.ext.Bpe.FixedMerges.map(m => (m.l, m.r)))
       }))
+    // bounded-heap grouped top-k: the map-side-combined alternative to
+    // the row_number window plan (exchange O(groups×k), not O(rows))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKPairs].getName,
+        "graft_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, i, Literal(k: Int, IntegerType)) =>
+          graft.functions.TopKPairs(s, i, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_topk(score, id, k) takes double, bigint and an int literal")
+      }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

@@ -1484,6 +1484,42 @@ object Analytics {
             AS rel_err_pct,
           round(abs(sum_qty_est - sum_qty_exact) / sum_qty_exact * 100, 2)
             <= 25.0 AS in_bound
-        FROM g ORDER BY l_returnflag"""))
+        FROM g ORDER BY l_returnflag""")),
+
+    // ---- A14: grouped top-k as a bounded-heap AGGREGATE ---------------------
+    // Per-group top-k is usually written as
+    // row_number().over(partitionBy(g).orderBy(s.desc)) <= k — a plan
+    // that shuffles EVERY row to its group's partition and fully sorts
+    // each group to keep k rows. graft_topk (a TypedImperativeAggregate
+    // carrying a bounded min-heap, functions/TopKPairs.scala) rides the
+    // ordinary partial-aggregation machinery instead: each map task
+    // retains at most k pairs per group, the exchange moves
+    // O(groups × k × map partitions) regardless of corpus size, and no
+    // full sort exists anywhere (O(log k) heap update per row). At
+    // 100 TB the window plan ships the corpus; this ships kilobytes.
+    // The oracle IS the window formulation — same rows, ranks, ties
+    // (score DESC, id ASC) — so the gate pins the two plans equivalent.
+    // SQL callers get the same kernel as `graft_topk(score, id, k)`
+    // via GraftExtensions.
+    QueryDef(
+      "a14_group_topk",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(graft.functions.TopKPairs
+            .topk($"o_totalprice", $"o_orderkey", 5).as("top"))
+          .select($"o_orderpriority", posexplode($"top"))
+          .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
+            $"col.id".as("o_orderkey"), $"col.score".as("o_totalprice"))
+          .orderBy($"o_orderpriority", $"rank")
+      },
+      Some("""SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority,
+            ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+            o_orderkey, o_totalprice
+          FROM orders) t WHERE rank <= 5
+        ORDER BY o_orderpriority, rank"""))
   )
 }

@@ -718,5 +718,98 @@ object Curation {
           (NOT n_sampled >= 30) OR
             round(abs(flag_rate_est_pct - flag_rate_exact_pct), 2) <= 20.0
             AS in_bound
-        FROM p ORDER BY lang""")))
+        FROM p ORDER BY lang""")),
+
+    // ---- Join-size estimation from CMS inner products -----------------------
+    // The pre-flight planning primitive x_skew_profile is missing: how
+    // BIG is a join's output before you run it? |A ⋈ B on key| =
+    // Σ_k cA(k)·cB(k) — exactly the inner product of the two key-count
+    // vectors, which two Count-Min sketches estimate as
+    // min over depth rows d of Σ_cell cmsA[d][cell]·cmsB[d][cell]
+    // (AMS/CMS inner-product estimate; every collision term is
+    // POSITIVE, so each depth row ≥ the truth and the min is one-sided:
+    // overcount ≥ 0 ALWAYS — the gate asserts it). At 100 TB the
+    // decision this feeds — broadcast vs shuffle vs salt, or refuse a
+    // runaway cross-ish join — costs two 4×1024-cell sketches (one
+    // map-side-combined pass per side, mergeable across shards/days by
+    // cell addition like x_cms_merge), while the exact answer costs the
+    // join itself. The gate runs both arms on a join with real
+    // multiplicity on both sides (click-events ⋈ purchase-events on
+    // user_id), same sketchCell hash as the whole CMS family, oracle
+    // re-derives the sketches cell-for-cell in DuckDB. Expected error:
+    // + F1(A)·F1(B)/w per depth row before the min — at w=1024 and
+    // these side sizes the gate pins rel_err ≤ 25%, and the realized
+    // error is published as data.
+    QueryDef(
+      "x_join_size_cms",
+      (s, d) => {
+        import s.implicits._
+        val w = 1024
+        val depths = explode(sequence(lit(0), lit(3))).as("d")
+        def counts(t: String) = Tables.events(s, d)
+          .filter($"event_type" === t)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        def cells(cnt: org.apache.spark.sql.DataFrame) = cnt
+          .select(depths, $"user_id", $"c")
+          .select($"d", sketchCell($"d", $"user_id".cast("string"), w)
+            .as("cell"), $"c")
+          .groupBy($"d", $"cell").agg(sum($"c").as("cc"))
+        val a = counts("click"); val b = counts("purchase")
+        val exact = a.as("a").join(b.as("b"), "user_id")
+          .agg(sum($"a.c" * $"b.c").as("exact_join_rows"))
+        val est = cells(a).as("ca")
+          .join(cells(b).as("cb"), Seq("d", "cell"))
+          .groupBy($"d").agg(sum($"ca.cc" * $"cb.cc").as("ip"))
+          .agg(min($"ip").as("cms_est"))
+        val sizes = Tables.events(s, d)
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L))
+              .as("n_a"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("n_b"))
+        sizes.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+          .select($"n_a", $"n_b", $"exact_join_rows", $"cms_est",
+            ($"cms_est" - $"exact_join_rows").as("overcount"),
+            round(($"cms_est" - $"exact_join_rows").cast("double") * 100.0
+              / $"exact_join_rows", 2).as("rel_err_pct"))
+          .withColumn("one_sided", $"overcount" >= 0)
+          .withColumn("in_bound", $"rel_err_pct" <= 25.0)
+      },
+      Some("""WITH a AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'click' GROUP BY user_id),
+        b AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        ca AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)) >> 4) AS BIGINT) % 1024 AS cell,
+            SUM(c) AS cc
+          FROM a, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        cb AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)) >> 4) AS BIGINT) % 1024 AS cell,
+            SUM(c) AS cc
+          FROM b, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        exact AS (
+          SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_join_rows
+          FROM a JOIN b USING (user_id)),
+        est AS (
+          SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM (
+            SELECT d, SUM(ca.cc * cb.cc) AS ip
+            FROM ca JOIN cb USING (d, cell) GROUP BY d)),
+        sizes AS (
+          SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+          FROM events)
+        SELECT n_a, n_b, exact_join_rows, cms_est,
+          cms_est - exact_join_rows AS overcount,
+          round(CAST(cms_est - exact_join_rows AS DOUBLE) * 100.0
+            / exact_join_rows, 2) AS rel_err_pct,
+          cms_est - exact_join_rows >= 0 AS one_sided,
+          round(CAST(cms_est - exact_join_rows AS DOUBLE) * 100.0
+            / exact_join_rows, 2) <= 25.0 AS in_bound
+        FROM sizes, exact, est""")))
 }

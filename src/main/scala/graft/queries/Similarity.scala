@@ -1708,6 +1708,69 @@ object Similarity {
               COALESCE(CAST(1 AS DOUBLE) / (c.rb + 60), 0), 6) AS rrf
           FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id)
         SELECT doc_id, ra, rb, rrf FROM f
-        ORDER BY rrf DESC, doc_id LIMIT 20"""))
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // ---- X4: int8 scalar quantization (SQ8) — the 4× store shrink ----------
+    // The lighter sibling of PQ on the compression ladder (float32 → SQ8
+    // 4× → PQ m=8 32×): per-vector symmetric int8 — scale = max|component|,
+    // q_i = round(v_i / scale · 127) ∈ [−127, 127], dequant q_i·scale/127.
+    // At 100 TB this quarters the embedding store AND the similarity
+    // scan's bytes while staying a per-row, shuffle-free transform (no
+    // codebooks to train or broadcast, unlike PQ) — the standard first
+    // step before ANN indexing. The gate quantizes EVERY vector (query
+    // included), runs the same brute-force top-10 as x4_cosine_topk on
+    // dequantized vectors, and emits the SQ8 cosine NEXT TO the exact
+    // float cosine with membership in the exact top-10 — recall and
+    // realized cosine error are driver-visible data, oracle-re-derived
+    // (DuckDB quantizes cell-for-cell with the same round/scale
+    // arithmetic; round(…,4) bridges fold order as in x4_cosine_topk).
+    // Zero vectors (scale = 0) are excluded — quantization is undefined
+    // there and the corpus has none (the filter is the documented guard).
+    QueryDef(
+      "x4_sq8_topk",
+      (s, d) => {
+        import s.implicits._
+        val scaled = emb(s, d)
+          .withColumn("scale", array_max(transform($"ev", x => abs(x))))
+          .filter($"scale" > 0)
+          .withColumn("dq", transform(
+            transform($"ev", x => round(x / $"scale" * lit(127), 0)),
+            q => q * $"scale" / lit(127.0)))
+        val q = scaled.filter($"vec_id" === 0)
+          .select($"dq".as("qdq"), $"ev".as("qev"))
+        val cos = scaled.crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosine($"dq", $"qdq"), 4).as("cos_sq8"),
+            round(cosine($"ev", $"qev"), 4).as("cos_exact"))
+        val exactTop = cos.orderBy($"cos_exact".desc, $"vec_id").limit(10)
+          .select($"vec_id", lit(true).as("in_exact_top10"))
+        cos.orderBy($"cos_sq8".desc, $"vec_id").limit(10)
+          .join(broadcast(exactTop), Seq("vec_id"), "left")
+          .select($"vec_id", $"cos_sq8", $"cos_exact",
+            coalesce($"in_exact_top10", lit(false)).as("in_exact_top10"))
+          .orderBy($"cos_sq8".desc, $"vec_id")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+            list_aggregate(list_transform(embedding::DOUBLE[],
+              x -> abs(x)), 'max') AS scale
+          FROM embeddings),
+        sq AS (
+          SELECT vec_id, ev,
+            list_transform(list_transform(ev, x -> round(x / scale * 127)),
+              q -> q * scale / 127.0) AS dq
+          FROM e WHERE scale > 0),
+        qv AS (SELECT dq AS qdq, ev AS qev FROM sq WHERE vec_id = 0),
+        allc AS (
+          SELECT vec_id,
+            round(list_cosine_similarity(dq, qdq), 4) AS cos_sq8,
+            round(list_cosine_similarity(ev, qev), 4) AS cos_exact
+          FROM sq, qv),
+        ex AS (SELECT vec_id FROM allc
+          ORDER BY cos_exact DESC, vec_id LIMIT 10),
+        top AS (SELECT * FROM allc ORDER BY cos_sq8 DESC, vec_id LIMIT 10)
+        SELECT t.vec_id, t.cos_sq8, t.cos_exact,
+          t.vec_id IN (SELECT vec_id FROM ex) AS in_exact_top10
+        FROM top t ORDER BY cos_sq8 DESC, vec_id"""))
   )
 }

@@ -2810,8 +2810,52 @@ object BenchTune {
     spark.stop()
   }
 
+  /** graft_topk (bounded-heap aggregate) vs the row_number window plan,
+    * on two group-cardinality regimes: o_orderpriority (5 giant groups —
+    * the window plan's worst case: each group lands on ONE partition and
+    * fully sorts there) and o_custkey (many small groups — the window
+    * plan's best case). The aggregate's exchange is O(groups × k × map
+    * partitions) in both; the window's is O(rows) + a full per-group
+    * sort. Run at sf0.1 / 10× / 100× via SPARK_GRAFT_SF_DIR. */
+  def topkAggProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("topkagg-probe", 32)
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def aggPlan(g: String)(s: SparkSession, d: String) =
+      graft.Tables.orders(s, d)
+        .groupBy(col(g))
+        .agg(graft.functions.TopKPairs
+          .topk(col("o_totalprice"), col("o_orderkey"), 5).as("top"))
+        .select(col(g), posexplode(col("top")))
+        .select(col(g), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+    def winPlan(g: String)(s: SparkSession, d: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(g)).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      graft.Tables.orders(s, d)
+        .select(col(g), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rank"))
+        .filter(col("rank") <= 5)
+    }
+    val stages: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "win_5groups" -> (winPlan("o_orderpriority") _),
+      "agg_5groups" -> (aggPlan("o_orderpriority") _),
+      "win_custkey" -> (winPlan("o_custkey") _),
+      "agg_custkey" -> (aggPlan("o_custkey") _))
+    stages.foreach { case (n, fn) =>
+      probeOne(spark, "topkagg", n, fn, sfDir, stealJiffies _) }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("topkagg")) { topkAggProbe(sfDir); return }
     if (args.headOption.contains("sampledagg")) { sampledAggProbe(sfDir); return }
     if (args.headOption.contains("w3t4")) { w3t4Probe(sfDir); return }
     if (args.headOption.contains("ivfpqprod")) { ivfPqProdProbe(sfDir); return }
