@@ -24,11 +24,17 @@ object Windows {
         val w = Window.partitionBy($"o_custkey")
           .orderBy($"o_orderdate", $"o_orderkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // single-exchange plan (the w3_moving_avg pattern): range
+        // partitioning satisfies the window's clustering AND gives
+        // disjoint custkey ranges, so the final order needs only a
+        // within-partition sort — the output-sized range exchange the
+        // global orderBy would insert is gone
         Tables.orders(s, d)
+          .repartitionByRange($"o_custkey")
           .select($"o_custkey", $"o_orderkey",
             sum($"o_totalprice".cast("decimal(18,4)")).over(w)
               .cast("double").as("running_total"))
-          .orderBy($"o_custkey", $"o_orderkey")
+          .sortWithinPartitions($"o_custkey", $"o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
@@ -43,11 +49,15 @@ object Windows {
         import s.implicits._
         val w = Window.partitionBy($"o_custkey")
           .orderBy($"o_totalprice".desc, $"o_orderkey")
+        // single-exchange plan: rn is monotone in the window's own order
+        // within each custkey, so (custkey, rn) is a within-partition
+        // sort under range partitioning by custkey (disjoint ranges)
         Tables.orders(s, d)
+          .repartitionByRange($"o_custkey")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 3)
           .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
-          .orderBy($"o_custkey", $"rn")
+          .sortWithinPartitions($"o_custkey", $"rn")
       },
       Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -117,7 +127,9 @@ object Windows {
       (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        // single-exchange plan: see w1_running_total
         Tables.orders(s, d)
+          .repartitionByRange($"o_custkey")
           .select($"o_custkey", $"o_orderkey",
             lag($"o_totalprice", 1).over(w).as("prev_price"),
             lead($"o_totalprice", 1).over(w).as("next_price"),
@@ -125,7 +137,7 @@ object Windows {
             first($"o_orderkey").over(
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .as("first_key"))
-          .orderBy($"o_custkey", $"o_orderkey")
+          .sortWithinPartitions($"o_custkey", $"o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
         lag(o_totalprice, 1) OVER w AS prev_price,
