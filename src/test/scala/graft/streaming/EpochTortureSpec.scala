@@ -172,8 +172,20 @@ class EpochTortureSpec extends AnyFunSuite {
     (b, id, st) => AnnStream.processBatch(b, id, st, annCents),
     st => Seq("index" -> canon(spark.read.parquet(st))))
 
+  private lazy val topkMember = Member(
+    "topk",
+    (0 to 2).map(i => events.filter($"event_id" % 3 === i)
+      .select($"event_id", $"ts", $"value")),
+    (b, id, st) => TopKStream.processBatch(b, id, st),
+    st => Seq(
+      "rows" -> canon(EpochStore.read(spark, st)),
+      "merged" -> canon(TopKStream.merged(spark, st))),
+    compact = Some((st => TopKStream.compact(spark, st),
+      st => TopKStream.merged(spark, st))))
+
   private lazy val members =
-    Seq(hllMember, sketchMember, cmsMember, graphMember, annMember)
+    Seq(hllMember, sketchMember, cmsMember, graphMember, annMember,
+      topkMember)
 
   private def runAll(m: Member, st: String): Unit =
     (0 to 2).foreach(i => m.process(m.batches(i), i.toLong, st))
