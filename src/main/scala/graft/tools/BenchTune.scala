@@ -2853,8 +2853,57 @@ object BenchTune {
     spark.stop()
   }
 
+  /** SQ8 (per-vector symmetric int8) recall at corpus scale — the gate
+    * (x4_sq8_topk) pins the arithmetic at 2k vectors; this measures
+    * recall@10 and the realized cosine error over 20 queries at the
+    * 200k distinct-content corpus, with both rankings computed by
+    * graft_topk in ONE grouped pass over the 4M (query × corpus) cosine
+    * pairs. */
+  def sq8Probe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("sq8-probe", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val cos = graft.queries.Similarity.cosine _
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .withColumn("scale", array_max(transform($"ev", x => abs(x))))
+      .filter($"scale" > 0)
+      .withColumn("dq", transform(
+        transform($"ev", x => round(x / $"scale" * lit(127), 0)),
+        q => q * $"scale" / lit(127.0)))
+      .localCheckpoint(true)
+    val n = e.count()
+    val qs = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"dq".as("qdq"), $"ev".as("qev"))
+    val t0 = System.nanoTime()
+    val pairs = e.crossJoin(broadcast(qs)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        cos($"ev", $"qev").as("ce"), cos($"dq", $"qdq").as("cq"))
+    val tops = pairs.groupBy($"qid")
+      .agg(
+        graft.functions.TopKPairs.topk($"ce", $"vec_id", 10).as("texact"),
+        graft.functions.TopKPairs.topk($"cq", $"vec_id", 10).as("tsq8"),
+        max(abs($"ce" - $"cq")).as("max_cos_delta"))
+      .collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    var hits = 0
+    var maxDelta = 0.0
+    tops.foreach { r =>
+      def ids(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+        .map(_.getLong(1)).toSet
+      hits += (ids(1) & ids(2)).size
+      maxDelta = math.max(maxDelta, r.getDouble(3))
+    }
+    println(f"[sq8] n=$n queries=${tops.length} " +
+      f"recall@10=${hits.toDouble / (tops.length * 10)}%.3f " +
+      f"max_cos_delta=$maxDelta%.5f wall_both_rankings=${wall}%.2f s")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("sq8")) { sq8Probe(sfDir); return }
     if (args.headOption.contains("topkagg")) { topkAggProbe(sfDir); return }
     if (args.headOption.contains("sampledagg")) { sampledAggProbe(sfDir); return }
     if (args.headOption.contains("w3t4")) { w3t4Probe(sfDir); return }
