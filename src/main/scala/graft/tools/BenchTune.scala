@@ -2880,23 +2880,47 @@ object BenchTune {
     val pairs = e.crossJoin(broadcast(qs)).filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id",
         cos($"ev", $"qev").as("ce"), cos($"dq", $"qdq").as("cq"))
+    // texact/tsq8 = the two top-10s; t40 = the SQ8 over-fetch shortlist
+    // CARRYING the exact cosine as its payload score (re-rank by exact
+    // within the SQ8-selected 40 = the production over-fetch pattern,
+    // zero extra passes: the shortlist membership comes from cq via a
+    // pre-filter on the per-query 40th cq value... simpler: rank by cq
+    // keeping 40, then re-rank those by ce driver-side from a second
+    // heap keyed the other way)
     val tops = pairs.groupBy($"qid")
       .agg(
         graft.functions.TopKPairs.topk($"ce", $"vec_id", 10).as("texact"),
         graft.functions.TopKPairs.topk($"cq", $"vec_id", 10).as("tsq8"),
+        graft.functions.TopKPairs.topk($"cq", $"vec_id", 40).as("t40"),
         max(abs($"ce" - $"cq")).as("max_cos_delta"))
       .collect()
     val wall = (System.nanoTime() - t0) / 1e9
-    var hits = 0
+    // exact cosines for the over-fetch shortlists (40 ids × 20 queries =
+    // one semi-joined pass, then driver-side re-rank of 800 rows)
+    val shortlist = tops.flatMap { r =>
+      val q = r.getLong(0)
+      r.getSeq[org.apache.spark.sql.Row](3).map(p => (q, p.getLong(1)))
+    }.toSeq.toDF("qid", "vec_id")
+    val ceOf = pairs.join(broadcast(shortlist), Seq("qid", "vec_id"))
+      .select($"qid", $"vec_id", $"ce").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getDouble(2), r.getLong(1))).sorted(
+          Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+          .take(10).map(_._2).toSet
+      }
+    var hits = 0; var hitsRr = 0
     var maxDelta = 0.0
     tops.foreach { r =>
       def ids(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
         .map(_.getLong(1)).toSet
       hits += (ids(1) & ids(2)).size
-      maxDelta = math.max(maxDelta, r.getDouble(3))
+      hitsRr += (ids(1) & ceOf(r.getLong(0))).size
+      maxDelta = math.max(maxDelta, r.getDouble(4))
     }
     println(f"[sq8] n=$n queries=${tops.length} " +
       f"recall@10=${hits.toDouble / (tops.length * 10)}%.3f " +
+      f"recall@10_rerank40=${hitsRr.toDouble / (tops.length * 10)}%.3f " +
       f"max_cos_delta=$maxDelta%.5f wall_both_rankings=${wall}%.2f s")
     spark.stop()
   }
