@@ -1420,9 +1420,15 @@ object Text {
     // to a mean happens once, deterministically, per doc. Residual
     // cross-engine exposure: each fx is round(-ln(c/n)*1e6) computed by
     // Java Math.log vs DuckDB's libm independently — a value within ~1e-10
-    // of a .5 boundary could flip the long on one engine (same class as
-    // round(cosine, 4); verified clean on this corpus, but a future corpus
-    // tripping it should widen the quantum or gate this row rows-only).
+    // of a .5 boundary can flip the long on one engine (same class as
+    // round(cosine, 4)). REALIZED at sf0.1 in the bigram sibling (r17:
+    // one bigram type in ~600k flipped, shifting one doc's mean by
+    // 1e-6/n onto a 6-dp round boundary), so the published mean is now
+    // 4 dp: a 1-unit fx flip moves the mean by ≤1e-6/n ≈ 1e-8, four-plus
+    // orders below the output grid — flip visibility per row drops from
+    // ~1 (mean ON the finer boundary) to ~1e-4. The fixed-point SUM
+    // stays exact and order-independent; only published precision
+    // changed.
     QueryDef(
       "x_unigram_surprisal",
       (s, d) => {
@@ -1438,7 +1444,7 @@ object Text {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum($"fx").as("sfx"))
           .select($"doc_id", $"n_tokens",
-            round($"sfx".cast("double") / 1e6 / $"n_tokens", 6)
+            round($"sfx".cast("double") / 1e6 / $"n_tokens", 4)
               .as("avg_surprisal"))
           .orderBy($"doc_id")
       },
@@ -1451,7 +1457,7 @@ object Text {
             CAST(round(-ln(c.c::DOUBLE / tot.n) * 1000000) AS BIGINT) AS fx
           FROM tok t JOIN cnt c USING (term), tot)
         SELECT doc_id, COUNT(*) AS n_tokens,
-          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- DSIR importance weights: target-conditioned data selection --------
@@ -1612,8 +1618,11 @@ object Text {
     // the bigram stream — all equi-shuffles on token keys, V rides in as
     // one broadcast scalar. Same fixed-point discipline as the unigram
     // row (1e-6 longs, order-independent), and the same residual
-    // last-ulp ln() exposure noted there. Docs under 2 tokens have no
-    // bigrams and are excluded (both engines agree).
+    // last-ulp ln() exposure noted there — REALIZED here at sf0.1 (r17):
+    // one flipped bigram type put doc 1705's mean exactly on a 6-dp
+    // boundary, so the mean is published at 4 dp (see the unigram note).
+    // Docs under 2 tokens have no bigrams and are excluded (both
+    // engines agree).
     QueryDef(
       "x_bigram_surprisal",
       (s, d) => {
@@ -1639,7 +1648,7 @@ object Text {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum($"fx").as("sfx"))
           .select($"doc_id", $"n_bigrams",
-            round($"sfx".cast("double") / 1e6 / $"n_bigrams", 6)
+            round($"sfx".cast("double") / 1e6 / $"n_bigrams", 4)
               .as("avg_surprisal"))
           .orderBy($"doc_id")
       },
@@ -1662,7 +1671,7 @@ object Text {
           FROM bg g JOIN cbg c USING (prev, w)
           JOIN cnt u ON u.term = g.prev, vocab)
         SELECT doc_id, COUNT(*) AS n_bigrams,
-          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Kneser-Ney bigram surprisal (the principled LM filter) ------------
@@ -1708,7 +1717,7 @@ object Text {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum($"fx").as("sfx"))
           .select($"doc_id", $"n_bigrams",
-            round($"sfx".cast("double") / 1e6 / $"n_bigrams", 6)
+            round($"sfx".cast("double") / 1e6 / $"n_bigrams", 4)
               .as("avg_surprisal"))
           .orderBy($"doc_id")
       },
@@ -1737,7 +1746,7 @@ object Text {
           JOIN starts s ON s.prev = g.prev
           JOIN cont o ON o.w = g.w, totb)
         SELECT doc_id, COUNT(*) AS n_bigrams,
-          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+          round(CAST(SUM(fx) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_surprisal
         FROM fx GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Per-document token entropy (lexical-diversity quality signal) -----
