@@ -83,6 +83,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BpeTokenCount(args.head,
           graft.ext.Bpe.FixedMerges.map(m => (m.l, m.r)))
       }))
+    // SQ8 at-rest pair: pack embeddings to per-vector symmetric int8
+    // (one byte per component) and compute cosine directly on the
+    // packed bytes with integer accumulators (scales cancel — no
+    // dequant, no unpack)
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_pack"),
+      new ExpressionInfo(classOf[graft.functions.Sq8Pack].getName, "sq8_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sq8_pack(v) takes one array<double>")
+        graft.functions.Sq8Pack(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim_sq8"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimSq8].getName,
+        "cosine_sim_sq8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim_sq8(a, b) takes two binary")
+        graft.functions.CosineSimSq8(args.head, args(1))
+      }))
     // bounded-heap grouped top-k: the map-side-combined alternative to
     // the row_number window plan (exchange O(groups×k), not O(rows))
     ext.injectFunction((

@@ -1771,6 +1771,52 @@ object Similarity {
         top AS (SELECT * FROM allc ORDER BY cos_sq8 DESC, vec_id LIMIT 10)
         SELECT t.vec_id, t.cos_sq8, t.cos_exact,
           t.vec_id IN (SELECT vec_id FROM ex) AS in_exact_top10
-        FROM top t ORDER BY cos_sq8 DESC, vec_id"""))
+        FROM top t ORDER BY cos_sq8 DESC, vec_id""")),
+
+    // ---- X4: SQ8 at-rest store path — packed bytes, integer kernel ---------
+    // x4_sq8_topk pins the quantization ARITHMETIC (dequantized doubles);
+    // this gate pins the STORE PATH the 100 TB deployment actually runs:
+    // embeddings packed to per-vector symmetric int8 BINARY (one byte
+    // per component — sq8_pack, functions/Sq8.scala) and cosine computed
+    // DIRECTLY on the packed bytes with long accumulators
+    // (cosine_sim_sq8): cosine is scale-invariant per vector, so the
+    // scales cancel analytically — no dequant multiply, no unpack, no
+    // float reads anywhere in the scan. Cross-engine exactness is
+    // STRONGER here than for float cosine: the integer partial sums
+    // (dim·127² ≪ 2^53) are exact in both engines, so dot/‖·‖ agree to
+    // the last bit before the final division; round(…,4) matches the
+    // x4_cosine_topk convention anyway. The oracle re-derives every
+    // byte: DuckDB round() = half-away-from-zero = Spark round() =
+    // the kernel's explicit floor/ceil branch (spec-pinned on exact
+    // .5 inputs in Sq8Spec).
+    QueryDef(
+      "x4_sq8_store_topk",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Sq8.{cosine_sim_sq8, sq8_pack}
+        val packed = emb(s, d)
+          .select($"vec_id", sq8_pack($"ev").as("qz"))
+          .filter($"qz".isNotNull)
+        val q = packed.filter($"vec_id" === 0).select($"qz".as("qqz"))
+        packed.crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(cosine_sim_sq8($"qz", $"qqz"), 4).as("cos_sq8"))
+          .orderBy($"cos_sq8".desc, $"vec_id")
+          .limit(10)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+            list_aggregate(list_transform(embedding::DOUBLE[],
+              x -> abs(x)), 'max') AS scale
+          FROM embeddings),
+        q AS (
+          SELECT vec_id,
+            list_transform(ev, x -> round(x / scale * 127)) AS qz
+          FROM e WHERE scale > 0),
+        qv AS (SELECT qz AS qqz FROM q WHERE vec_id = 0)
+        SELECT vec_id,
+          round(list_cosine_similarity(qz, qqz), 4) AS cos_sq8
+        FROM q, qv
+        ORDER BY cos_sq8 DESC, vec_id LIMIT 10"""))
   )
 }

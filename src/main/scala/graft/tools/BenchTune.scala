@@ -2925,8 +2925,58 @@ object BenchTune {
     spark.stop()
   }
 
+  /** SQ8 AT-REST store measurement: write the same embeddings as (a) the
+    * source float32 arrays and (b) sq8_pack binary codes, compare store
+    * bytes and the brute-force top-10 scan wall over each (float path =
+    * the x4_cosine_topk kernel on cast doubles, SQ8 path = the integer
+    * kernel directly on the packed bytes — no dequant anywhere). */
+  def sq8StoreProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("sq8-store", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    val f32 = "/tmp/graft_sq8_f32"; val pk = "/tmp/graft_sq8_packed"
+    graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(f32)
+    graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.Sq8.sq8_pack(
+        transform($"embedding", x => x.cast("double"))).as("qz"))
+      .filter($"qz".isNotNull)
+      .write.mode("overwrite").parquet(pk)
+    def du(p: String): Long =
+      Option(new java.io.File(p).listFiles).map(
+        _.filter(_.isFile).map(_.length).sum).getOrElse(-1L)
+    println(s"[sq8-store] bytes f32=${du(f32)} packed=${du(pk)} " +
+      f"ratio=${du(f32).toDouble / du(pk)}%.2f")
+    probeOne(spark, "sq8-store", "f32_scan_topk", (s, _) => {
+      val e = s.read.parquet(f32).select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("ev"))
+      val q = e.filter($"vec_id" === 0).select($"ev".as("qv"))
+      e.crossJoin(broadcast(q))
+        .select($"vec_id",
+          graft.functions.CosineSim.cosine_sim($"ev", $"qv").as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(10)
+    }, sfDir, stealJiffies _)
+    probeOne(spark, "sq8-store", "sq8_scan_topk", (s, _) => {
+      val e = s.read.parquet(pk)
+      val q = e.filter($"vec_id" === 0).select($"qz".as("qqz"))
+      e.crossJoin(broadcast(q))
+        .select($"vec_id",
+          graft.functions.Sq8.cosine_sim_sq8($"qz", $"qqz").as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(10)
+    }, sfDir, stealJiffies _)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("sq8store")) { sq8StoreProbe(sfDir); return }
     if (args.headOption.contains("sq8")) { sq8Probe(sfDir); return }
     if (args.headOption.contains("topkagg")) { topkAggProbe(sfDir); return }
     if (args.headOption.contains("sampledagg")) { sampledAggProbe(sfDir); return }
