@@ -44,7 +44,14 @@ case class Sq8Pack(child: Expression) extends UnaryExpression {
     var scale = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(x.getDouble(i)); if (v > scale) scale = v; i += 1
+      val v = math.abs(x.getDouble(i))
+      // A NaN/Infinity component makes round(v/scale*127) undefined —
+      // abs(NaN) > scale is false, so without this check NaN would skip
+      // the scale scan and pack to byte 0, silently diverging from the
+      // documented SQL formulation. Null instead (zero-vector contract).
+      if (!java.lang.Double.isFinite(v)) return null
+      if (v > scale) scale = v
+      i += 1
     }
     if (scale == 0.0) null
     else {
@@ -78,11 +85,14 @@ case class Sq8Pack(child: Expression) extends UnaryExpression {
       s"""
          |final int $n = $a.numElements();
          |double $sc = 0.0;
+         |boolean ${sc}_bad = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $v = java.lang.Math.abs($a.getDouble($i));
+         |  // NaN/Infinity → null (see eval); abs(NaN) > sc is false
+         |  if (!java.lang.Double.isFinite($v)) { ${sc}_bad = true; break; }
          |  if ($v > $sc) $sc = $v;
          |}
-         |if ($sc == 0.0) {
+         |if (${sc}_bad || $sc == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  final byte[] $out = new byte[$n];

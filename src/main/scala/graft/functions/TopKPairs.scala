@@ -132,9 +132,19 @@ final class TopKHeap(k: Int) {
   private val ids = new Array[Long](k)
   private var n = 0
 
-  // a(i) weaker-than pair (s, id)?
-  @inline private def weaker(i: Int, s: Double, id: Long): Boolean =
-    scores(i) < s || (scores(i) == s && ids(i) > id)
+  // a(i) weaker-than pair (s, id)? Doubles compare with Spark's SQL
+  // semantics (SQLOrderingUtil.compareDoubles): a total order where NaN
+  // is the GREATEST value and -0.0 == 0.0 — strict < / == would make
+  // every comparison against a NaN root false, freezing the heap once a
+  // NaN lands at the root, and would diverge from the row_number window
+  // oracle (Spark and DuckDB both sort NaN as greatest).
+  @inline private def cmpScore(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  @inline private def weaker(i: Int, s: Double, id: Long): Boolean = {
+    val c = cmpScore(scores(i), s)
+    c < 0 || (c == 0 && ids(i) > id)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n < k) {
@@ -184,8 +194,10 @@ final class TopKHeap(k: Int) {
     var i = 0
     while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
     scala.util.Sorting.stableSort(out,
-      (a: (Double, Long), b: (Double, Long)) =>
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = cmpScore(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      })
     out
   }
 

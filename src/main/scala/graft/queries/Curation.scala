@@ -652,14 +652,20 @@ object Curation {
               expr(s"size(filter(split(text, ' '), t -> t IN $stopIn))")
                 .cast("double") / nToks < 0.05, 1L)
               .otherwise(0L).as("flag"))
+        // grouping() (not lang IS NULL) identifies the ROLLUP total row,
+        // so a genuine null-lang group can never be conflated with it;
+        // such a group gets its own deterministic '(null)' label.
         val g = t.rollup($"lang")
-          .agg(count(lit(1)).as("n_exact"), sum($"s").as("n_sampled"),
+          .agg(grouping($"lang").cast("int").as("g"),
+            count(lit(1)).as("n_exact"), sum($"s").as("n_sampled"),
             sum($"flag").as("flag_exact"),
             sum($"s" * $"flag").as("flag_sampled"))
-        val tot = g.filter($"lang".isNull)
+        val tot = g.filter($"g" === 1)
           .select($"n_exact".as("tot_n"), $"n_sampled".as("tot_s"))
         g.crossJoin(broadcast(tot))
-          .select(coalesce($"lang", lit("*")).as("lang"),
+          .select(when($"g" === 1, lit("*"))
+            .when($"lang".isNull, lit("(null)"))
+            .otherwise($"lang").as("lang"),
             $"n_exact", $"n_sampled", ($"n_sampled" * 16).as("n_est"),
             round($"n_exact".cast("double") * 100.0 / $"tot_n", 2)
               .as("share_exact_pct"),
@@ -689,16 +695,18 @@ object Curation {
               THEN 1 ELSE 0 END AS flag
           FROM documents WHERE text IS NOT NULL),
         g AS (
-          SELECT lang, COUNT(*) AS n_exact,
+          SELECT lang, GROUPING(lang) AS g, COUNT(*) AS n_exact,
             CAST(SUM(s) AS BIGINT) AS n_sampled,
             CAST(SUM(flag) AS BIGINT) AS flag_exact,
             CAST(SUM(s * flag) AS BIGINT) AS flag_sampled
           FROM t GROUP BY ROLLUP(lang)),
         tot AS (
           SELECT n_exact AS tot_n, n_sampled AS tot_s
-          FROM g WHERE lang IS NULL),
+          FROM g WHERE g = 1),
         p AS (
-          SELECT COALESCE(lang, '*') AS lang, n_exact, n_sampled,
+          SELECT CASE WHEN g = 1 THEN '*'
+              WHEN lang IS NULL THEN '(null)'
+              ELSE lang END AS lang, n_exact, n_sampled,
             CAST(n_sampled * 16 AS BIGINT) AS n_est,
             round(CAST(n_exact AS DOUBLE) * 100.0 / tot_n, 2)
               AS share_exact_pct,

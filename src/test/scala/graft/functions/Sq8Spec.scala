@@ -79,6 +79,21 @@ class Sq8Spec extends AnyFunSuite {
     assert(mismatch.filter($"c".isNull).count() == 1)
   }
 
+  test("NaN / Infinity components pack to null (zero-vector contract)") {
+    // abs(NaN) > scale is false, so without the finiteness check a NaN
+    // component would silently pack to byte 0 instead of following the
+    // documented round(x/scale*127) formulation; null is the same
+    // undefined-quantization contract the zero vector gets
+    val df = Seq(
+      Tuple1(Seq(1.0, Double.NaN, 2.0)),
+      Tuple1(Seq(1.0, Double.PositiveInfinity)),
+      Tuple1(Seq(Double.NegativeInfinity, 1.0)),
+      Tuple1(Seq(1.0, 2.0))).toDF("v")
+      .select(Sq8.sq8_pack($"v").as("p"))
+    assert(df.filter($"p".isNull).count() == 3)
+    assert(df.filter($"p".isNotNull).count() == 1)
+  }
+
   test("SQL surface matches the Column API") {
     vecs.createOrReplaceTempView("sq8_vecs")
     val viaSql = spark.sql("""

@@ -92,6 +92,28 @@ class TopKPairsSpec extends AnyFunSuite {
     assert(viaAgg(withNulls, 5) == viaWindow(clean, 5))
   }
 
+  test("NaN scores rank greatest, matching the window formulation") {
+    // NaN sorts as the GREATEST double in Spark (and DuckDB); the heap
+    // compares with SQL total-order semantics so a NaN at the root must
+    // not freeze inserts and NaN rows must outrank every finite score.
+    val withNaN = synth.withColumn("score",
+      when($"rid" % 11 === 0, lit(Double.NaN)).otherwise($"score"))
+    assert(viaAgg(withNaN, 5) == viaWindow(withNaN, 5))
+    // adversarial order: NaN arrives FIRST (sits at the root while the
+    // heap fills) and finite scores follow — pre-fix this froze the heap
+    val nanFirst = spark.range(100)
+      .select(lit(0L).as("g"),
+        when($"id" < 3, lit(Double.NaN))
+          .otherwise($"id".cast("double")).as("score"),
+        $"id".as("rid"))
+      .coalesce(1).sortWithinPartitions($"rid")
+    assert(viaAgg(nanFirst, 5) == viaWindow(nanFirst, 5))
+    // NaN must occupy the top ranks, ids ascending among the NaN ties
+    val top = viaAgg(nanFirst, 5)
+    assert(top.take(3).map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L))
+    assert(top.take(3).forall(_.getDouble(3).isNaN))
+  }
+
   test("SQL surface graft_topk matches the Column API") {
     synth.createOrReplaceTempView("topk_synth")
     val sql = spark.sql("""
