@@ -1817,6 +1817,79 @@ object Similarity {
         SELECT vec_id,
           round(list_cosine_similarity(qz, qqz), 4) AS cos_sq8
         FROM q, qv
-        ORDER BY cos_sq8 DESC, vec_id LIMIT 10"""))
+        ORDER BY cos_sq8 DESC, vec_id LIMIT 10""")),
+
+    // ---- X4: SQ8 two-stage retrieval — packed shortlist + exact re-rank ----
+    // The production SQ8 shape, completing the x4_pq_rerank pattern for
+    // the 4× rung of the compression ladder: the integer kernel over the
+    // PACKED bytes generates a 4·k-candidate shortlist (the over-fetch
+    // factor r17_sq8_scale measured to repair recall@10 0.930 → 1.000 at
+    // 200k vectors — SQ8's error comes from near-ties in quantized
+    // cosine, so a constant small multiple of k recovers them, unlike
+    // PQ's corpus-fraction shortlist), then exact float cosine re-ranks
+    // ONLY those 40 rows. At 100 TB the scan touches 1 byte/component
+    // and the raw floats are read for 40 rows total. The exact
+    // brute-force top-10 rides along as membership flags (the
+    // measurement arm you'd delete in production), so realized recall is
+    // driver-visible data; every stage is oracle-re-derived from the
+    // same packed bytes (integer sums exact in both engines, round(…,4)
+    // bridges the final division as in x4_sq8_store_topk).
+    QueryDef(
+      "x4_sq8_rerank",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Sq8.{cosine_sim_sq8, sq8_pack}
+        val packed = emb(s, d)
+          .select($"vec_id", $"ev", sq8_pack($"ev").as("qz"))
+          .filter($"qz".isNotNull)
+        val q = packed.filter($"vec_id" === 0)
+          .select($"qz".as("qqz"), $"ev".as("qev"))
+        val scored = packed.crossJoin(broadcast(q))
+          .select($"vec_id", $"ev", $"qev",
+            round(cosine_sim_sq8($"qz", $"qqz"), 4).as("cos_sq8"))
+        val shortlist = scored
+          .orderBy($"cos_sq8".desc, $"vec_id").limit(40)
+        val rerank = shortlist
+          .select($"vec_id", $"cos_sq8",
+            round(cosine($"ev", $"qev"), 4).as("cos_exact"))
+          .orderBy($"cos_exact".desc, $"vec_id").limit(10)
+        val exactTop = scored
+          .select($"vec_id", round(cosine($"ev", $"qev"), 4).as("ce"))
+          .orderBy($"ce".desc, $"vec_id").limit(10)
+          .select($"vec_id", lit(true).as("in_exact_top10"))
+        rerank.join(broadcast(exactTop), Seq("vec_id"), "left")
+          .select($"vec_id", $"cos_sq8", $"cos_exact",
+            coalesce($"in_exact_top10", lit(false)).as("in_exact_top10"))
+          .orderBy($"cos_exact".desc, $"vec_id")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+            list_aggregate(list_transform(embedding::DOUBLE[],
+              x -> abs(x)), 'max') AS scale
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, ev,
+            list_transform(ev, x -> round(x / scale * 127)) AS qz
+          FROM e WHERE scale > 0),
+        qv AS (SELECT qz AS qqz, ev AS qev FROM q WHERE vec_id = 0),
+        sc AS (
+          SELECT vec_id, ev,
+            round(list_cosine_similarity(qz, qqz), 4) AS cos_sq8
+          FROM q, qv),
+        short AS (SELECT * FROM sc ORDER BY cos_sq8 DESC, vec_id LIMIT 40),
+        rr AS (
+          SELECT s.vec_id, s.cos_sq8,
+            round(list_cosine_similarity(s.ev, qev), 4) AS cos_exact
+          FROM short s, qv
+          ORDER BY cos_exact DESC, s.vec_id LIMIT 10),
+        ex AS (
+          SELECT vec_id FROM (
+            SELECT vec_id,
+              round(list_cosine_similarity(ev, qev), 4) AS ce
+            FROM q, qv)
+          ORDER BY ce DESC, vec_id LIMIT 10)
+        SELECT r.vec_id, r.cos_sq8, r.cos_exact,
+          r.vec_id IN (SELECT vec_id FROM ex) AS in_exact_top10
+        FROM rr r ORDER BY cos_exact DESC, vec_id"""))
   )
 }
