@@ -314,6 +314,29 @@ class PlanSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("custkey window plans stay single-exchange range-partitioned") {
+    // The r17 w-family rewrite (Windows.scala: repartitionByRange +
+    // sortWithinPartitions): range partitioning satisfies the window's
+    // ClusteredDistribution(custkey) AND gives disjoint key ranges, so
+    // the final output order needs only a within-partition sort — the
+    // output-sized global-sort exchange is gone. Measured 25-41% off
+    // w3_moving_avg's sf0.1 wall; at scale it removes a full
+    // output-sized shuffle. These pins make a silent revert (e.g. a
+    // plain orderBy creeping back) fail the suite.
+    for (q <- Seq("w1_running_total", "w2_rank_top3", "w3_lag_lead",
+        "w3_moving_avg")) {
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$q is no longer single-exchange:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"$q lost its range-partitioned exchange:\n$p")
+      // a global Sort prints as "Sort [...], true, 0"; only
+      // within-partition sorts (", false, 0") are allowed
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isDefined,
+        s"$q reintroduced a global sort:\n$p")
+    }
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
