@@ -2974,8 +2974,302 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Incremental near-dup vs full batch re-dedup at distinct scale (r17
+    * verdict item 5). r17_distinct_scaling established that BATCH minhash
+    * re-dedup is linear in distinct docs — correct but the wrong way to
+    * run dedup continuously at 100 TB, where content arrives in small
+    * batches against a large seen-corpus. This probe runs the
+    * NearDupStream shape (band store + per-batch anti-join) for the
+    * arrival of a 1% batch (5k docs) against a 500k-doc seen store
+    * (/tmp/graft_sf10d documents — the distinct-100× corpus), next to
+    * the full batch re-dedup of seen+arrival (candidatePairsCollapsed,
+    * the d_minhash_pipeline plan), and measures the band-store join cost
+    * as the store grows (4 epochs of 125k docs — the readBelow curve).
+    * The arrival is half near-dups of seen docs (light ~3% token
+    * perturbation — above the LSH collision knee) and half fresh
+    * (heavy ~33% perturbation — below it), so the suppression counts
+    * sanity-check the semantics while the walls carry the scale story:
+    * the incremental epoch computes 5k signatures and one banded
+    * equi-join; the batch arm recomputes 505k signatures and re-shuffles
+    * every band. */
+  def neardupIncProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("neardup-inc", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    val seenDir = "/tmp/graft_sf10d"
+    val storeDir = "/tmp/graft_neardup_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+
+    // the NearDupStream banding (band key = exact signature slice, CSV);
+    // doc_id stands in for the stream's path column
+    def bandify(docs: org.apache.spark.sql.DataFrame) = {
+      val withSig = docs
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", graft.ext.MinHashDedup.signatureOf(
+          graft.ext.MinHashDedup.shinglesOfToks($"toks"), 32,
+          graft.ext.HashFamily.Md5).as("sig"))
+        .localCheckpoint(true)
+      withSig.select($"doc_id", explode(transform(
+        sequence(lit(0), lit(7)), b => struct(b.as("band_idx"),
+          concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
+            _.cast("string"))).as("band_key")))).as("band"))
+        .select($"doc_id", $"band.band_idx", $"band.band_key")
+    }
+
+    val seen = spark.read.parquet(s"$seenDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+      .localCheckpoint(true)
+    val nSeen = seen.count()
+    // store prep: 4 epochs of ~125k docs each — the store-growth axis
+    (0 until 4).foreach { e =>
+      val t0 = System.nanoTime()
+      graft.streaming.EpochStore.writeEpoch(
+        bandify(seen.filter(pmod($"doc_id", lit(4)) === e))
+          .select($"band_idx", $"band_key").distinct(),
+        e.toLong, storeDir)
+      println(f"[neardup-inc] store epoch $e (~${nSeen / 4} docs) " +
+        f"registered in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // arrival: 1% batch — half near-dups of seen base docs (~3% token
+    // tags: J≈0.8, band-collision p≈0.99), half fresh (~33%: p≈0)
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    def tag(df: org.apache.spark.sql.DataFrame, mod: Int, t: String,
+        shift: Long) = df.withColumn("text", array_join(
+        expr(s"transform(split(text, ' '), (t, p) -> " +
+          s"IF(pmod(xxhash64($shift, doc_id, p), $mod) = 0, " +
+          s"concat(t, '$t'), t))"), " "))
+      .withColumn("doc_id", $"doc_id" + lit(shift))
+    val arrival = tag(base.filter(pmod($"doc_id", lit(2)) === 0), 29, "q",
+        10000000L)
+      .unionByName(tag(base.filter(pmod($"doc_id", lit(2)) === 1), 3, "z",
+        11000000L))
+      .localCheckpoint(true)
+    val nArr = arrival.count()
+
+    // incremental epoch (the measurement): 2 passes, GC before each
+    var keptN = -1L
+    val incWalls = (1 to 2).map { pass =>
+      System.gc()
+      val s0 = stealJiffies; val t0 = System.nanoTime()
+      val banded = bandify(arrival).localCheckpoint(true)
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy($"band_idx", $"band_key")
+      val inBatch = banded.withColumn("m", min($"doc_id").over(wMin))
+        .filter($"doc_id" > $"m").select($"doc_id")
+      val prior = graft.streaming.EpochStore.readBelow(spark, storeDir, 4L)
+        .get.select($"band_idx", $"band_key")
+      val cross = banded.join(prior, Seq("band_idx", "band_key"))
+        .select($"doc_id")
+      val kept = arrival.join(inBatch.union(cross).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      keptN = kept.count()
+      graft.streaming.EpochStore.writeEpoch(
+        banded.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .select($"band_idx", $"band_key").distinct(), 4L, storeDir)
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"[neardup-inc] incremental pass $pass: $w%.2f s " +
+        f"steal=${(stealJiffies - s0) / 100.0}%.1f s kept=$keptN/$nArr")
+      w
+    }
+
+    // store-growth curve: join-only wall vs store size (arrival banding
+    // pinned once so only the readBelow join varies)
+    val bandedPinned = bandify(arrival).localCheckpoint(true)
+    (1 to 4).foreach { below =>
+      val walls = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.streaming.EpochStore.readBelow(spark, storeDir, below.toLong)
+          .get.select($"band_idx", $"band_key")
+          .join(bandedPinned, Seq("band_idx", "band_key")).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[neardup-inc] store-join below=$below " +
+        f"(~${below * nSeen / 4} docs): min=${walls.min}%.2f s")
+    }
+
+    // batch arm: full re-dedup of seen + arrival (the d_minhash_pipeline
+    // plan) — 2 passes, min
+    val union = seen.unionByName(arrival)
+    val batchWalls = (1 to 2).map { pass =>
+      System.gc()
+      val s0 = stealJiffies; val t0 = System.nanoTime()
+      val n = graft.ext.MinHashDedup.candidatePairsCollapsed(
+        union, numHashes = 32, bands = 8)._1.count()
+      val w = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[neardup-inc] batch pass $pass: $w%.2f s " +
+        f"steal=${(stealJiffies - s0) / 100.0}%.1f s pairs=$n")
+      w
+    }
+    println(f"[neardup-inc] SUMMARY seen=$nSeen arrival=$nArr " +
+      f"kept=$keptN inc_min=${incWalls.min}%.2f s " +
+      f"batch_min=${batchWalls.min}%.2f s " +
+      f"ratio=${batchWalls.min / incWalls.min}%.1f x")
+    spark.stop()
+  }
+
+  /** IVFADC recall under OUT-OF-CORPUS query geometry (r17 verdict item
+    * 6). r17_ivfpq_production honestly flagged that in-corpus queries on
+    * the clone-cluster corpus park every true neighbor in the query's
+    * home cell, so nProbe never constrains. Here the 20 queries are
+    * cross-family perturbations of base vectors at 2.5× the sibling
+    * noise radius (per-component ±0.125 vs ScaleGen's ±0.05,
+    * md5-deterministic), so the query lands BETWEEN cells while its true
+    * neighbors (the base's replica family, plus whatever else drifted
+    * close) may straddle several — recall should now rise with nProbe at
+    * fixed nCand. */
+  def ivfPqHardProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("ivfpq-hard", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    def timed[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"[ivfpq-hard] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val nCells = math.max(8, (n / 256).toInt)
+    val index = timed(s"ivf_build k=$nCells") {
+      val ix = graft.ext.IvfAnn.build(e, nCentroids = nCells, lloydIters = 2)
+      ix.copy(assigned = ix.assigned.localCheckpoint(true))
+    }
+    val cb = timed("pq_seed m=8 k=256") {
+      graft.ext.PqAnn.seedCodebooks(e, m = 8, k = 256) }
+    val cbT = timed("pq_train 2 iters") { graft.ext.PqAnn.train(e, cb, 2) }
+    val codes = timed("encode_indexed") {
+      graft.ext.PqAnn.encodeIndexed(index, cbT).localCheckpoint(true) }
+
+    // out-of-corpus queries: md5-deterministic ±0.125/component offsets
+    // from 20 replica-0 base vectors (2.5× the ±0.05 sibling noise)
+    def u(qid: Long, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hardq$qid:$j".getBytes("UTF-8"))
+      ((((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff))
+        .toDouble / 0xffffff - 0.5) * 0.25
+    }
+    val qs: Seq[(Long, Seq[Double])] = e.filter($"vec_id" < 20).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        id -> r.getSeq[Double](1).zipWithIndex.map { case (x, j) => x + u(id, j) }
+      }.toSeq.sortBy(_._1)
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val bcQs = spark.sparkContext.broadcast(qs.toMap)
+    val truth: Map[Long, Seq[Long]] = {
+      val rows = e.flatMap { r =>
+        val v = r.getSeq[Double](1); val id = r.getLong(0)
+        bcQs.value.iterator.map { case (qid, qv) => (qid, id, l2sq(qv, v)) }
+      }.toDF("qid", "vec_id", "d2")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"d2", $"vec_id")
+      rows.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+        .select($"qid", $"vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSeq }
+    }
+    for ((nProbe, nCand) <- Seq((1, 50), (2, 50), (4, 50), (8, 50),
+        (1, 200), (2, 200), (4, 200), (8, 200), (16, 200), (32, 200))) {
+      var hits = 0; var tot = 0
+      val t0 = System.nanoTime()
+      qs.foreach { case (qid, qv) =>
+        val got = graft.ext.PqAnn.searchIvfPq(index, codes, cbT, qv,
+            nProbe, 10, nCand)
+          .orderBy($"l2_dist", $"vec_id").limit(10)
+          .collect().map(_.getLong(0)).toSet
+        hits += truth(qid).count(got.contains); tot += 10
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[ivfpq-hard] nProbe=$nProbe%-3d nCand=$nCand%-5d " +
+        f"recall@10=${hits.toDouble / tot}%.3f " +
+        f"wall_total=$wall%.2f s per_query=${wall / qs.size}%.3f s")
+    }
+    spark.stop()
+  }
+
+  /** Auto-sized CMS join-size width (r17 verdict item 7).
+    * r17_joinsize_width proved error ∝ F1A·F1B/w; this probe closes the
+    * loop by SELF-SIZING: pass 1 sketches at the gate width w0=1024 and
+    * yields est1 (one-sided ≥ truth); the standard AMS correction
+    * est_corr = est1 − n_a·n_b/w0 removes the expected collision mass,
+    * and w_auto = next-pow2(n_a·n_b / (eps·est_corr)) for a 25% target
+    * error sizes pass 2 — all from the sketches' own F1 moments (the
+    * column sums), no exact join anywhere in the sizing path. The exact
+    * join size is computed ONLY to score the result. Run at the gate
+    * corpus, 10× (/tmp/graft_sf1) and 100× (/tmp/graft_sf10), where
+    * fixed-1024 read 14,634% rel err in r17. */
+  def cmsAutoProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("cms-auto", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val eps = 0.25
+    for ((tagName, dir) <- Seq("1x" -> sfDir, "10x" -> "/tmp/graft_sf1",
+        "100x" -> "/tmp/graft_sf10")) {
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        println(s"[cms-auto] $tagName corpus missing at $dir — skipped")
+      } else {
+        def counts(t: String) = graft.Tables.events(spark, dir)
+          .filter($"event_type" === t)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val a = counts("click"); val b = counts("purchase")
+        val nA = a.agg(sum($"c")).head().getLong(0)
+        val nB = b.agg(sum($"c")).head().getLong(0)
+        val exact = a.as("a").join(b.as("b"), "user_id")
+          .agg(sum($"a.c" * $"b.c")).head().getLong(0)
+        def est(w: Int): Long = {
+          def cells(cnt: org.apache.spark.sql.DataFrame) = cnt
+            .select(explode(sequence(lit(0), lit(3))).as("d"),
+              $"user_id", $"c")
+            .select($"d", graft.queries.Curation.sketchCell(
+              $"d", $"user_id".cast("string"), w).as("cell"), $"c")
+            .groupBy($"d", $"cell").agg(sum($"c").as("cc"))
+          cells(a).as("ca").join(cells(b).as("cb"), Seq("d", "cell"))
+            .groupBy($"d").agg(sum($"ca.cc" * $"cb.cc").as("ip"))
+            .agg(min($"ip")).head().getLong(0)
+        }
+        val w0 = 1024
+        val est1 = est(w0)
+        val estCorr = math.max(est1 - nA.toDouble * nB / w0, 1.0)
+        // next pow2 ≥ needed width; clamp BEFORE narrowing (a collapsed
+        // estCorr would overflow Int) and cap at 2^22 (128 MiB sketch)
+        val wNeed = math.min((1 << 22).toDouble, math.max(1024.0,
+          math.ceil(nA.toDouble * nB / (eps * estCorr))))
+        val wAuto = Integer.highestOneBit(wNeed.toInt * 2 - 1)
+        val est2 = est(wAuto)
+        def rel(e: Long): Double = (e - exact).toDouble * 100 / exact
+        println(f"[cms-auto] $tagName: n_a=$nA n_b=$nB exact=$exact | " +
+          f"w0=$w0 est1=$est1 rel1=${rel(est1)}%.1f%% " +
+          f"est_corr=${estCorr.toLong} | w_auto=$wAuto " +
+          f"(${4L * wAuto * 8 / 1024} KiB/sketch) est2=$est2 " +
+          f"rel2=${rel(est2)}%.1f%% one_sided=${est2 >= exact}")
+      }
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("neardupinc")) { neardupIncProbe(sfDir); return }
+    if (args.headOption.contains("ivfpqhard")) { ivfPqHardProbe(sfDir); return }
+    if (args.headOption.contains("cmsauto")) { cmsAutoProbe(sfDir); return }
     if (args.headOption.contains("sq8store")) { sq8StoreProbe(sfDir); return }
     if (args.headOption.contains("sq8")) { sq8Probe(sfDir); return }
     if (args.headOption.contains("topkagg")) { topkAggProbe(sfDir); return }
