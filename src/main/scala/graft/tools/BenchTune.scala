@@ -2974,6 +2974,82 @@ object BenchTune {
     spark.stop()
   }
 
+  /** a6_revenue_by_nation stage decomposition (r17 verdict item 3): the
+    * committed a6 read 1.48× its anchor with no clean counter-evidence;
+    * two r18 steal-clean full-bench runs still read ~1.30× while q1
+    * simultaneously read ~1.1× its own anchor, so the elevation is not
+    * pure steal. Name the cost: time (noop-sink, min-of-5, GC before
+    * each, per-stage steal) the cumulative plan prefixes —
+    * lineitem scan → ⋈ orders → ⋈ customer → ⋈ nation + agg → + sort —
+    * plus q1 in the same window as the window-quality reference. At
+    * sf0.1 orders/customer broadcast (below threshold), so the suspects
+    * are the two broadcast builds (driver-side, per-run) vs the scan. */
+  def a6StagesProbe(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("a6-stages", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    def rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+      .cast("decimal(18,6)")
+    def li = graft.Tables.lineitem(spark, sfDir)
+    def stage(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      graft.BenchProtocol.force(mk) // warm
+      val s0 = stealJiffies
+      val ts = (1 to 5).map { _ =>
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        graft.BenchProtocol.force(mk)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[a6-stages] $tag%-22s median=${ts(2)}%.3f min=${ts.head}%.3f " +
+        f"steal=${(stealJiffies - s0) / 100.0}%.1f s")
+    }
+    stage("scan_lineitem") {
+      li.select($"l_orderkey", rev.as("r")) }
+    stage("+join_orders") {
+      li.join(graft.Tables.orders(spark, sfDir),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey", rev.as("r")) }
+    stage("+join_customer") {
+      li.join(graft.Tables.orders(spark, sfDir),
+          $"l_orderkey" === $"o_orderkey")
+        .join(graft.Tables.customer(spark, sfDir),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey", rev.as("r")) }
+    stage("+nation+agg") {
+      li.join(graft.Tables.orders(spark, sfDir),
+          $"l_orderkey" === $"o_orderkey")
+        .join(graft.Tables.customer(spark, sfDir),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(graft.Tables.nation(spark, sfDir)),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")) }
+    stage("full_a6") {
+      graft.SparkEntry.queries("a6_revenue_by_nation")(spark, sfDir) }
+    stage("q1_reference") {
+      graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir) }
+    // broadcast-build cost isolated: the orders/customer dimension builds
+    // (scan + broadcast exchange) with a 1-row probe side
+    stage("bcast_orders_only") {
+      spark.range(1).toDF("l_orderkey")
+        .join(broadcast(graft.Tables.orders(spark, sfDir)),
+          $"l_orderkey" === $"o_orderkey", "left")
+        .select($"l_orderkey") }
+    stage("bcast_customer_only") {
+      spark.range(1).toDF("o_custkey")
+        .join(broadcast(graft.Tables.customer(spark, sfDir)),
+          $"o_custkey" === $"c_custkey", "left")
+        .select($"o_custkey") }
+    spark.stop()
+  }
+
   /** Incremental near-dup vs full batch re-dedup at distinct scale (r17
     * verdict item 5). r17_distinct_scaling established that BATCH minhash
     * re-dedup is linear in distinct docs — correct but the wrong way to
@@ -3267,6 +3343,7 @@ object BenchTune {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("a6stages")) { a6StagesProbe(sfDir); return }
     if (args.headOption.contains("neardupinc")) { neardupIncProbe(sfDir); return }
     if (args.headOption.contains("ivfpqhard")) { ivfPqHardProbe(sfDir); return }
     if (args.headOption.contains("cmsauto")) { cmsAutoProbe(sfDir); return }
