@@ -819,5 +819,55 @@ object Curation {
           cms_est - exact_join_rows >= 0 AS one_sided,
           round(CAST(cms_est - exact_join_rows AS DOUBLE) * 100.0
             / exact_join_rows, 2) <= 25.0 AS in_bound
-        FROM sizes, exact, est""")))
+        FROM sizes, exact, est""")),
+
+    // ---- Per-stratum top-k quality selection via graft_topk ----------------
+    // The A14 aggregate put to curation work (r18): "keep the k
+    // highest-quality documents per language" — the selection step a
+    // training pipeline runs after scoring, and the shape where the
+    // bounded-heap aggregate beats the window plan at scale (a stratum
+    // is a giant group: the window plan sorts each language's whole
+    // corpus on one partition; the aggregate moves k pairs per stratum
+    // per map partition — r17_topkagg measured 3.9× at 100× in exactly
+    // this regime). The quality score is deterministic pure-rational
+    // arithmetic (stopword ratio − |n_toks − 200|/1000 length penalty —
+    // no ln(), after r17's cross-engine ulp lesson), ties by doc_id;
+    // the oracle is the row_number window formulation, so this gate
+    // ALSO re-proves the aggregate ≡ window equivalence on real data
+    // at every SF.
+    QueryDef(
+      "x_quality_topk_stratum",
+      (s, d) => {
+        import s.implicits._
+        val stopIn = "('the','a','of','and','to','in','is','it')"
+        val nToks = size(split($"text", " "))
+        val q = round(
+          expr(s"size(filter(split(text, ' '), t -> t IN $stopIn))")
+            .cast("double") / nToks
+            - abs(nToks - lit(200)).cast("double") / 1000.0, 6)
+        Tables.documents(s, d)
+          .filter($"text".isNotNull)
+          .select($"lang", $"doc_id", q.as("q"))
+          .groupBy($"lang")
+          .agg(graft.functions.TopKPairs.topk($"q", $"doc_id", 5).as("top"))
+          .select($"lang", posexplode($"top"))
+          .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+            $"col.id".as("doc_id"), $"col.score".as("quality"))
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH t AS (
+          SELECT lang, doc_id,
+            round(CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','it')))
+                AS DOUBLE) / len(string_split(text, ' '))
+              - CAST(abs(len(string_split(text, ' ')) - 200) AS DOUBLE)
+                / 1000.0, 6) AS q
+          FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT lang, doc_id, q,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY q DESC, doc_id) AS rank
+          FROM t)
+        SELECT lang, rank, doc_id, q AS quality
+        FROM r WHERE rank <= 5 ORDER BY lang, rank""")))
 }
