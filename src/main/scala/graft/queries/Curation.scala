@@ -869,5 +869,101 @@ object Curation {
               ORDER BY q DESC, doc_id) AS rank
           FROM t)
         SELECT lang, rank, doc_id, q AS quality
-        FROM r WHERE rank <= 5 ORDER BY lang, rank""")))
+        FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    // ---- Bloom semi-join pruning: the shuffle reducer for selective joins --
+    // The x_bloom_membership sketch applied where it earns its keep at
+    // 100 TB: before shuffling the BIG side of a selective join, probe
+    // each row against a k=4, m=8192-cell Bloom built from the SMALL
+    // side's DISTINCT keys — rows that miss any cell cannot join and
+    // never enter the exchange. Here: clicks ⋈ purchases on user_id
+    // (the x_join_size_cms join). The Bloom is one-sided (a member key
+    // always hits all k cells), so the pruned join is LOSSLESS — the
+    // gate asserts it as data (member_pass_rows == member_rows) next to
+    // the realized scan reduction and the false-positive overhead, all
+    // oracle-re-derived cell-for-cell. At scale the bit set is a fixed
+    // ≤ 4·m-row broadcast regardless of corpus bytes (same md5 bridge
+    // as the CMS family), the probe is a map-side filter, and the
+    // numbers this gate publishes — scan_reduction vs fp overhead — are
+    // exactly the decision inputs for whether to deploy the filter on a
+    // given join (complementing x_join_size_cms, which prices the
+    // join's OUTPUT; this prices its INPUT shuffle).
+    QueryDef(
+      "x_bloom_join_prune",
+      (s, d) => {
+        import s.implicits._
+        val m = 8192
+        def cell(dep: org.apache.spark.sql.Column,
+            term: org.apache.spark.sql.Column) = sketchCell(dep, term, m)
+        val ev = Tables.events(s, d)
+        val clickCnt = ev.filter($"event_type" === "click")
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        // "high-value purchasers" — the selective small side that makes
+        // pruning real on this corpus (~20% of users; an unfiltered
+        // purchase side covers every click user and prunes nothing)
+        val purch = ev.filter($"event_type" === "purchase" && $"value" >= 200)
+          .select($"user_id").distinct()
+        val bits = purch
+          .select(explode(sequence(lit(0), lit(3))).as("d"), $"user_id")
+          .select($"d", cell($"d", $"user_id".cast("string")).as("cell"))
+          .distinct()
+        val flags = clickCnt
+          .select($"user_id", $"c",
+            explode(sequence(lit(0), lit(3))).as("d"))
+          .withColumn("cell", cell($"d", $"user_id".cast("string")))
+          .join(broadcast(bits.withColumn("b", lit(1))),
+            Seq("d", "cell"), "left")
+          .groupBy($"user_id", $"c").agg((count($"b") === 4).as("pass"))
+          .join(purch.withColumn("member", lit(true)), Seq("user_id"), "left")
+          .withColumn("member", coalesce($"member", lit(false)))
+        flags.agg(
+            sum($"c").as("click_rows"),
+            sum(when($"pass", $"c").otherwise(0L)).as("pass_rows"),
+            sum(when($"member", $"c").otherwise(0L)).as("member_rows"),
+            sum(when($"member" && $"pass", $"c").otherwise(0L))
+              .as("member_pass_rows"),
+            sum(when($"pass" && !$"member", $"c").otherwise(0L)).as("fp_rows"),
+            sum(when(!$"member", 1L).otherwise(0L)).as("nonmember_users"),
+            sum(when($"pass" && !$"member", 1L).otherwise(0L)).as("fp_users"))
+          .select($"click_rows", $"pass_rows", $"member_rows", $"fp_rows",
+            ($"member_pass_rows" === $"member_rows").as("lossless"),
+            round(lit(100.0) * ($"click_rows" - $"pass_rows")
+              / $"click_rows", 2).as("scan_reduction_pct"),
+            when($"nonmember_users" > 0,
+              round(lit(100.0) * $"fp_users" / $"nonmember_users", 2))
+              .as("fp_user_rate_pct"))
+      },
+      Some("""WITH cc AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'click' GROUP BY user_id),
+        p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value >= 200),
+        bits AS (
+          SELECT DISTINCT d, CAST((md5_number_upper(CAST(d AS VARCHAR)
+              || ':' || CAST(user_id AS VARCHAR)) >> 4) AS BIGINT) % 8192
+            AS cell
+          FROM p, generate_series(0, 3) AS gs(d)),
+        fl AS (
+          SELECT cc.user_id, cc.c, COUNT(b.cell) = 4 AS pass,
+            cc.user_id IN (SELECT user_id FROM p) AS member
+          FROM cc CROSS JOIN generate_series(0, 3) AS gs(d)
+          LEFT JOIN bits b ON b.d = gs.d AND b.cell =
+            CAST((md5_number_upper(CAST(gs.d AS VARCHAR) || ':'
+              || CAST(cc.user_id AS VARCHAR)) >> 4) AS BIGINT) % 8192
+          GROUP BY cc.user_id, cc.c)
+        SELECT CAST(SUM(c) AS BIGINT) AS click_rows,
+          CAST(SUM(CASE WHEN pass THEN c ELSE 0 END) AS BIGINT) AS pass_rows,
+          CAST(SUM(CASE WHEN member THEN c ELSE 0 END) AS BIGINT)
+            AS member_rows,
+          CAST(SUM(CASE WHEN pass AND NOT member THEN c ELSE 0 END)
+            AS BIGINT) AS fp_rows,
+          SUM(CASE WHEN member AND pass THEN c ELSE 0 END)
+            = SUM(CASE WHEN member THEN c ELSE 0 END) AS lossless,
+          round(100.0 * (SUM(c) - SUM(CASE WHEN pass THEN c ELSE 0 END))
+            / SUM(c), 2) AS scan_reduction_pct,
+          CASE WHEN SUM(CASE WHEN NOT member THEN 1 ELSE 0 END) > 0 THEN
+            round(100.0 * SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+              / SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 2) END
+            AS fp_user_rate_pct
+        FROM fl""")))
 }
