@@ -314,6 +314,26 @@ class PlanSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("round-18 queries keep scale-correct plan shapes") {
+    // stratum top-k must run as the heap AGGREGATE (ObjectHashAggregate
+    // partial+final), never fall back to a window plan — the whole point
+    // is no per-stratum sort of the corpus
+    val qt = plan("x_quality_topk_stratum")
+    assert(qt.contains("ObjectHashAggregate") && !qt.contains("Window"),
+      s"x_quality_topk_stratum lost the heap-aggregate plan:\n$qt")
+    // bloom join pruning: the bit set is a bounded broadcast (≤ 4·m rows)
+    // and nothing degenerates to a cartesian; the probe side meets it
+    // through a broadcast hash join
+    val bj = plan("x_bloom_join_prune")
+    assert(bj.contains("BroadcastHashJoin") && !bj.contains("CartesianProduct"),
+      s"x_bloom_join_prune bit set is not a bounded broadcast:\n$bj")
+    // SQ8 two-stage: the only nested-loop is the 1-row query broadcast
+    // (the crossJoin(broadcast(q)) idiom); no cartesian anywhere
+    val sr = plan("x4_sq8_rerank")
+    assert(!sr.contains("CartesianProduct"),
+      s"x4_sq8_rerank degenerated to a cross join:\n$sr")
+  }
+
   test("custkey window plans stay single-exchange range-partitioned") {
     // The r17 w-family rewrite (Windows.scala: repartitionByRange +
     // sortWithinPartitions): range partitioning satisfies the window's
