@@ -965,5 +965,119 @@ object Curation {
             round(100.0 * SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
               / SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 2) END
             AS fp_user_rate_pct
-        FROM fl""")))
+        FROM fl""")),
+
+    // ---- Self-sizing join-size estimation: the r18_cms_autowidth probe
+    // promoted to the gated surface. x_join_size_cms pins the fixed
+    // w=1024 estimator; this gate pins the PROTOCOL a 100 TB planner
+    // actually runs: pass 1 at w0=1024 → AMS-correct with the sketches'
+    // own F1 moments (est_corr = est1 − n_a·n_b/w0, the expected
+    // collision mass) → w_auto = smallest power of two in [2^10, 2^22]
+    // ≥ n_a·n_b/(0.25·est_corr) → pass 2 at w_auto. Every step is
+    // deterministic IEEE arithmetic (division/ceil only — no
+    // transcendentals, so both engines compute the identical w_auto)
+    // and the DuckDB arm re-derives BOTH sketches cell-for-cell plus
+    // the width search itself (integer pow2 scan, not log2). At the
+    // gate SFs the resize is REAL: sf0.1 sizes w_auto to 8192 where
+    // 1024 saturates. The two driver-side collects are 1-row scalars
+    // (est1 and the F1 pair) — the bounded pre-flight reads a planner
+    // performs between passes, not data movement.
+    QueryDef(
+      "x_join_size_cms_auto",
+      (s, d) => {
+        import s.implicits._
+        val w0 = 1024
+        def counts(t: String) = Tables.events(s, d)
+          .filter($"event_type" === t)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        def cells(cnt: org.apache.spark.sql.DataFrame, w: Int) = cnt
+          .select(explode(sequence(lit(0), lit(3))).as("d"),
+            $"user_id", $"c")
+          .select($"d", sketchCell($"d", $"user_id".cast("string"), w)
+            .as("cell"), $"c")
+          .groupBy($"d", $"cell").agg(sum($"c").as("cc"))
+        def ip(w: Int) = cells(counts("click"), w).as("ca")
+          .join(cells(counts("purchase"), w).as("cb"), Seq("d", "cell"))
+          .groupBy($"d").agg(sum($"ca.cc" * $"cb.cc").as("ip"))
+          .agg(min($"ip"))
+        val est1 = ip(w0).head().getLong(0)
+        val sizes = Tables.events(s, d)
+          .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)))
+          .head()
+        val nA = sizes.getLong(0); val nB = sizes.getLong(1)
+        // identical IEEE arithmetic to the oracle: division + ceil only
+        val estCorr = math.max(est1 - nA.toDouble * nB / w0, 1.0)
+        val wNeed = math.ceil(nA.toDouble * nB / (0.25 * estCorr))
+        val wAuto = (10 to 22).map(1 << _).find(_ >= wNeed).getOrElse(1 << 22)
+        val a = counts("click"); val b = counts("purchase")
+        val exact = a.as("a").join(b.as("b"), "user_id")
+          .agg(sum($"a.c" * $"b.c").as("exact_join_rows"))
+        val est2 = ip(wAuto).toDF("est_auto")
+        exact.crossJoin(broadcast(est2))
+          .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+            $"exact_join_rows", lit(est1).as("est_w0"),
+            lit(wAuto).cast("long").as("w_auto"), $"est_auto",
+            ($"est_auto" - $"exact_join_rows").as("overcount"),
+            round(($"est_auto" - $"exact_join_rows").cast("double") * 100.0
+              / $"exact_join_rows", 2).as("rel_err_pct"))
+          .withColumn("one_sided", $"overcount" >= 0)
+          .withColumn("in_bound", $"rel_err_pct" <= 25.0)
+      },
+      Some("""WITH a AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'click' GROUP BY user_id),
+        b AS (
+          SELECT user_id, COUNT(*) AS c FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        nn AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM a) AS n_a,
+            (SELECT CAST(SUM(c) AS BIGINT) FROM b) AS n_b),
+        ca0 AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)) >> 4) AS BIGINT) % 1024 AS cell,
+            SUM(c) AS cc
+          FROM a, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        cb0 AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)) >> 4) AS BIGINT) % 1024 AS cell,
+            SUM(c) AS cc
+          FROM b, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        est1 AS (
+          SELECT CAST(MIN(ip) AS BIGINT) AS est_w0 FROM (
+            SELECT d, SUM(ca0.cc * cb0.cc) AS ip
+            FROM ca0 JOIN cb0 USING (d, cell) GROUP BY d)),
+        wa AS (
+          SELECT CAST(MIN(p) AS BIGINT) AS w_auto FROM
+            (SELECT CAST(1 AS BIGINT) << gs AS p
+             FROM generate_series(10, 22) AS g(gs)) pw, est1, nn
+          WHERE p >= ceil(CAST(n_a AS DOUBLE) * n_b / (0.25 *
+            greatest(est_w0 - CAST(n_a AS DOUBLE) * n_b / 1024, 1.0)))),
+        ca1 AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)) >> 4) AS BIGINT)
+              % (SELECT w_auto FROM wa) AS cell,
+            SUM(c) AS cc
+          FROM a, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        cb1 AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)) >> 4) AS BIGINT)
+              % (SELECT w_auto FROM wa) AS cell,
+            SUM(c) AS cc
+          FROM b, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        est2 AS (
+          SELECT CAST(MIN(ip) AS BIGINT) AS est_auto FROM (
+            SELECT d, SUM(ca1.cc * cb1.cc) AS ip
+            FROM ca1 JOIN cb1 USING (d, cell) GROUP BY d)),
+        exact AS (
+          SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_join_rows
+          FROM a JOIN b USING (user_id))
+        SELECT n_a, n_b, exact_join_rows, est_w0, w_auto, est_auto,
+          est_auto - exact_join_rows AS overcount,
+          round(CAST(est_auto - exact_join_rows AS DOUBLE) * 100.0
+            / exact_join_rows, 2) AS rel_err_pct,
+          est_auto - exact_join_rows >= 0 AS one_sided,
+          round(CAST(est_auto - exact_join_rows AS DOUBLE) * 100.0
+            / exact_join_rows, 2) <= 25.0 AS in_bound
+        FROM nn, est1, wa, est2, exact""")))
 }
