@@ -36,6 +36,24 @@ object SkewJoin {
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** `saltedJoin` with a caller-supplied salt expression and the salt column
+    * RETAINED in the output (named `saltOut`) so downstream code can audit
+    * the realized spread of a hot key across its sub-partitions. The default
+    * `salt` uses xxhash64 (Spark-only, fastest); pass an md5-family salt
+    * (graft.functions.Md5Hash64) when the result must be re-derivable by an
+    * external engine — same nibble arithmetic on both sides makes the whole
+    * salted plan oracle-checkable, not just its final answer. `saltExpr`
+    * must be deterministic, row-level on `large`, and land in
+    * [0, buckets). Inner joins only (replication breaks outer semantics).
+    */
+  def saltedJoinExpr(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int, saltExpr: Column, saltOut: String = "_salt"): DataFrame = {
+    val saltedLarge = large.withColumn(saltOut, saltExpr)
+    val saltedSmall = small.withColumn(saltOut,
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, saltOut))
+  }
+
   /** Two-phase skew-safe aggregation: count per key via partial count on
     * (key, salt) then re-aggregate — the classic hot-key groupBy fix.
     * (Spark's hash aggregate already does map-side partials; this pattern

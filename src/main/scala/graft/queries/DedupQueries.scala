@@ -262,6 +262,83 @@ object DedupQueries {
         ORDER BY est_jaccard DESC, a, b"""),
       bench = true),
 
+    // ---- I5 INCREMENTAL near-dup — NearDupStream's semantics gated ---------
+    // The continuous-dedup shape r18_neardup_incremental measured (1.75 s
+    // per 1% arrival vs 8.88 s batch re-dedup at distinct-500k), promoted
+    // from probe+spec to a hash-exact oracle row: documents split into two
+    // arrival waves by the md5 nibble of doc_id (both engines draw the
+    // identical split), wave 0 processed as one micro-batch (greedy
+    // in-wave bucket winners, kept docs register bands), wave 1 processed
+    // against wave 0's band store PLUS its own in-wave winners — exactly
+    // NearDupStream.processBanded's per-epoch body in batch form
+    // (MinHashDedup.incrementalKeeps; the IncrementalDedupSpec pins the
+    // two forms row-identical on a clone-planted corpus). The output is
+    // the per-doc AUDIT — hit_batch / hit_store / kept — so the oracle
+    // re-derives not just the keep-set but the suppression REASON for
+    // every document from the md5-affine signature family.
+    QueryDef(
+      "d_minhash_incremental",
+      (s, d) => {
+        import s.implicits._
+        val wave = when(substring(md5($"doc_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        graft.ext.MinHashDedup.incrementalKeeps(
+          Tables.documents(s, d), wave, waves = Seq(0, 1),
+          numHashes = 32, bands = 8)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        wv AS (
+          SELECT doc_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND '7' THEN 0 ELSE 1 END AS wave
+          FROM documents),
+        banded AS (
+          SELECT s.doc_id, w.wave, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig s JOIN wv w USING (doc_id),
+            (SELECT unnest(generate_series(0, 7)) AS k) k),
+        hitb AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY wave, band_idx, band_key) AS mn
+            FROM banded) WHERE doc_id > mn),
+        store0 AS (
+          SELECT DISTINCT band_idx, band_key FROM banded
+          WHERE wave = 0 AND doc_id NOT IN (SELECT doc_id FROM hitb)),
+        hits AS (
+          SELECT DISTINCT b.doc_id FROM banded b
+          JOIN store0 st ON b.band_idx = st.band_idx
+            AND b.band_key = st.band_key
+          WHERE b.wave = 1)
+        SELECT w.doc_id, w.wave,
+          (hb.doc_id IS NOT NULL) AS hit_batch,
+          (hs.doc_id IS NOT NULL) AS hit_store,
+          (hb.doc_id IS NULL AND hs.doc_id IS NULL) AS kept
+        FROM wv w
+        LEFT JOIN hitb hb ON w.doc_id = hb.doc_id
+        LEFT JOIN hits hs ON w.doc_id = hs.doc_id
+        ORDER BY w.doc_id""")),
+
     // ---- I5 collapse-first near-dup (HASH-EXACT oracle) --------------------
     // Gates MinHashDedup.candidatePairsCollapsed: exact clones are planted
     // by unioning the subset with an id-shifted copy of itself (+100000,

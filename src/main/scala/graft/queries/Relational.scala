@@ -454,6 +454,62 @@ object Relational {
         SELECT id_a, id_b, levenshtein(pa, pb) AS ed FROM cand
         WHERE levenshtein(pa, pb) <= 2 ORDER BY id_a, id_b""")),
 
+    // ---- J9: salted skew join — the hot-key shuffle fix, oracle-audited ----
+    // A deliberately skewed derived key (l_quantity <= 25 maps ~half of
+    // lineitem onto key 0; the rest spreads over 50 keys) joins a 51-row
+    // weight dim. Plain hash-partitioning would put ~50% of the big side on
+    // ONE reducer — the classic 100 TB straggler. SkewJoin.saltedJoinExpr
+    // splits every key into 4 sub-keys: the big side gets a row-level salt,
+    // the dim replicates x4, and the join (forced to sort-merge so the
+    // (key, salt) exchange is REAL, not a broadcast that would hide the
+    // demonstration) runs on the composite key. The salt is the md5 hex
+    // nibble of (orderkey:linenumber) mod 4 — the oracle-recomputable hash
+    // family (Md5Hash64 scaladoc) — so DuckDB re-derives the per-salt
+    // partition audit EXACTLY, not just the join's final answer: n_hot per
+    // salt shows the hot key's rows landing ~evenly on 4 sub-partitions,
+    // and the decimal revenue totals prove the rewrite lossless. At 100 TB
+    // the same pattern holds with buckets sized to the skew profile
+    // (x_skew_profile + x_join_size_cms are the pre-flight inputs).
+    QueryDef(
+      "j9_salted_skew",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.SkewJoin
+        val big = li(s, d).withColumn("skew_key",
+          when($"l_quantity" <= 25.0, lit(0L))
+            .otherwise(pmod($"l_orderkey", lit(50L)) + lit(1L)))
+        val dim = s.range(0, 51).select($"id".as("skew_key"),
+          ($"id" % 7 + 1).cast("double").as("w"))
+        val saltExpr = pmod(
+          conv(substring(md5(concat($"l_orderkey".cast("string"), lit(":"),
+            $"l_linenumber".cast("string"))), 1, 1), 16, 10).cast("int"),
+          lit(4))
+        SkewJoin.saltedJoinExpr(big, dim.hint("merge"), "skew_key", 4,
+            saltExpr, saltOut = "salt")
+          .groupBy($"salt")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"skew_key" === 0L, 1L).otherwise(0L)).as("n_hot"),
+            sum($"l_extendedprice".cast("decimal(18,4)")
+              * $"w".cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy($"salt")
+      },
+      Some("""WITH big AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+            CASE WHEN l_quantity <= 25 THEN 0
+                 ELSE (l_orderkey % 50) + 1 END AS skew_key
+          FROM lineitem),
+        dim AS (SELECT r AS skew_key, CAST(r % 7 + 1 AS DOUBLE) AS w
+          FROM range(0, 51) t(r))
+        SELECT (strpos('0123456789abcdef',
+            substr(md5(l_orderkey || ':' || l_linenumber), 1, 1)) - 1) % 4
+            AS salt,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN skew_key = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hot,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM big JOIN dim USING (skew_key)
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- A6b: collect_set aggregation (sorted for determinism) -------------
     QueryDef(
       "a6_collect",

@@ -27,6 +27,36 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(buckets == 8)
   }
 
+  test("saltedJoinExpr matches plain join, keeps the salt, and the forced " +
+      "SMJ joins on (key, salt)") {
+    val big = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k${i % 7}", i.toLong)).toDF("key", "v")
+    val small = Seq(("hot", 1), ("k1", 2), ("k3", 3)).toDF("key", "w")
+    // oracle-recomputable salt shape (md5 hex nibble mod 4) as used by the
+    // j9_salted_skew gate
+    val saltExpr = pmod(
+      conv(substring(md5($"v".cast("string")), 1, 1), 16, 10).cast("int"),
+      lit(4))
+    val joined = SkewJoin.saltedJoinExpr(big, small.hint("merge"), "key", 4,
+      saltExpr, saltOut = "salt")
+    val plain = big.join(small, "key").agg(sum($"v" * $"w")).head().getLong(0)
+    assert(joined.agg(sum($"v" * $"w")).head().getLong(0) == plain)
+    // the salt column survives for spread audit, and every value is in range
+    val spread = joined.filter($"key" === "hot")
+      .groupBy($"salt").count().collect()
+    assert(spread.length == 4 &&
+      spread.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
+    // the hot key really splits: no salt bucket holds more than half its rows
+    assert(spread.forall(_.getLong(1) < 450))
+    // plan: a real sort-merge join on the composite (key, salt) — the
+    // exchange that spreads the hot key is present, not broadcast away
+    // (string match: under AQE the join sits inside AdaptiveSparkPlan)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a SortMergeJoin:\n$plan")
+    assert("SortMergeJoin \\[key#\\d+, salt#\\d+\\]".r.findFirstIn(plan).isDefined,
+      s"expected composite (key, salt) join keys:\n$plan")
+  }
+
   test("saltedCount equals plain count per key") {
     val df = (1 to 500).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
     val plain = df.groupBy($"key").count()

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkTestSession, Tables}
+import graft.ext.{HashFamily, MinHashDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHashDedup.incrementalKeeps is DOCUMENTED as the batch form of
+  * NearDupStream's per-epoch semantics — this spec makes that claim a
+  * pinned equivalence: the same two-wave corpus driven through the REAL
+  * streaming body (processBanded, the exact foreachBatch code) must keep
+  * exactly the docs the batch form flags kept, wave for wave. Clones are
+  * planted across waves so every suppression arm (in-wave bucket winner,
+  * cross-wave store hit) actually fires.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  // doc_id-keyed corpus with planted exact clones (+100000, same text):
+  // clone pairs land in DIFFERENT waves whenever their md5 nibbles differ,
+  // exercising the store arm; same-wave clones exercise the greedy arm.
+  private lazy val corpus: DataFrame = {
+    val base = Tables.documents(spark, sf).filter($"doc_id" < 200)
+      .select($"doc_id", $"text")
+    base.union(base.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .localCheckpoint(true)
+  }
+
+  private def waveOf(c: org.apache.spark.sql.Column) =
+    when(substring(md5(c.cast("string")), 1, 1).between("0", "7"), 0)
+      .otherwise(1)
+
+  test("incrementalKeeps == NearDupStream.processBanded, wave for wave") {
+    val audit = MinHashDedup.incrementalKeeps(
+      corpus, waveOf($"doc_id"), waves = Seq(0, 1),
+      numHashes = 32, bands = 8).collect()
+    val batchKept = audit.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("wave"))).toSet
+    // both suppression arms must actually fire for the pin to mean much
+    assert(audit.exists(_.getAs[Boolean]("hit_batch")), "no in-wave hits")
+    assert(audit.exists(_.getAs[Boolean]("hit_store")), "no store hits")
+
+    // stream the same corpus: zero-padded path preserves doc_id order so
+    // the streaming module's lexicographic min == the batch form's numeric
+    // min; one micro-batch per wave, ascending
+    val streamed = corpus
+      .select(format_string("d%09d", $"doc_id").as("path"), $"text".as("value"),
+        waveOf($"doc_id").as("wave"))
+      .localCheckpoint(true)
+    val store = tmp("incdedup_store")
+    val keptPaths = scala.collection.mutable.Map[Long, Set[String]]()
+    val sink = (df: DataFrame, id: Long) => {
+      keptPaths(id) = df.select($"path").collect().map(_.getString(0)).toSet
+      ()
+    }
+    for (w <- Seq(0, 1))
+      NearDupStream.processBanded(
+        streamed.filter($"wave" === w).select($"value", $"path"),
+        w.toLong, store,
+        NearDupStream.minhashBandify(32, 8, HashFamily.Md5), sink)
+
+    val streamKept = (for ((id, paths) <- keptPaths.toSeq; p <- paths)
+      yield (p.stripPrefix("d").toLong, id.toInt)).toSet
+    assert(streamKept == batchKept,
+      s"stream/batch keep-sets differ: only-stream=${
+        (streamKept -- batchKept).take(5)}, only-batch=${
+        (batchKept -- streamKept).take(5)}")
+  }
+
+  test("audit flags are consistent: kept == !(hit_batch || hit_store), " +
+      "and bandless docs are always kept") {
+    val tiny = Seq((1L, "a b"), (2L, "x y z w"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val rows = MinHashDedup.incrementalKeeps(
+      tiny, lit(0), waves = Seq(0), numHashes = 32, bands = 8).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ==
+        !(r.getAs[Boolean]("hit_batch") || r.getAs[Boolean]("hit_store")))
+    }
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("kept"), "2-token doc must be kept")
+    assert(byId(2L).getAs[Boolean]("kept"), "bucket winner must be kept")
+    assert(byId(3L).getAs[Boolean]("hit_batch") && !byId(3L).getAs[Boolean]("kept"),
+      "exact clone with larger id must lose its buckets")
+  }
+}
