@@ -234,7 +234,11 @@ object MinHashDedup {
     *    their keeper, bounding the store by canonical docs, not arrivals.
     *
     * Docs that produce no bands (fewer than 3 tokens) are always kept and
-    * register nothing. Returns one AUDIT row per input doc —
+    * register nothing. `waveCol` must land every row in `waves`: a row
+    * labeled outside the list still gets in-wave greedy dedup and an audit
+    * row, but never registers bands and never sees the store (the fold
+    * only walks the declared arrival order). Returns one AUDIT row per
+    * input doc —
     * (doc_id, wave, hit_batch, hit_store, kept) — so the suppression
     * REASON is data, not just the final keep-set; the `d_minhash
     * _incremental` gate re-derives every row in DuckDB from the md5-affine

@@ -460,9 +460,11 @@ object Relational {
     // weight dim. Plain hash-partitioning would put ~50% of the big side on
     // ONE reducer — the classic 100 TB straggler. SkewJoin.saltedJoinExpr
     // splits every key into 4 sub-keys: the big side gets a row-level salt,
-    // the dim replicates x4, and the join (forced to sort-merge so the
-    // (key, salt) exchange is REAL, not a broadcast that would hide the
-    // demonstration) runs on the composite key. The salt is the md5 hex
+    // the dim replicates x4, and the join (forced to SHUFFLED-HASH so the
+    // (key, salt) exchange is REAL — not a broadcast that would hide the
+    // demonstration, and not a sort-merge whose big-side sort dominates:
+    // probed at the 100x corpus, SHJ 23.1 s vs SMJ 39.0 s, identical at
+    // sf0.1) runs on the composite key. The salt is the md5 hex
     // nibble of (orderkey:linenumber) mod 4 — the oracle-recomputable hash
     // family (Md5Hash64 scaladoc) — so DuckDB re-derives the per-salt
     // partition audit EXACTLY, not just the join's final answer: n_hot per
@@ -484,7 +486,7 @@ object Relational {
           conv(substring(md5(concat($"l_orderkey".cast("string"), lit(":"),
             $"l_linenumber".cast("string"))), 1, 1), 16, 10).cast("int"),
           lit(4))
-        SkewJoin.saltedJoinExpr(big, dim.hint("merge"), "skew_key", 4,
+        SkewJoin.saltedJoinExpr(big, dim.hint("shuffle_hash"), "skew_key", 4,
             saltExpr, saltOut = "salt")
           .groupBy($"salt")
           .agg(count(lit(1)).as("n"),

@@ -1104,6 +1104,118 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Three-way w3 LAYOUT shoot-out, closing r17_100x_layout_neutral's
+    * open thread: that probe root-caused w3-bucketed 1.23× to the
+    * ORDERKEY-sorted star layout inflating the custkey-side column
+    * encodings (1.22× bytes) — but never measured the window workload's
+    * OWN layout. Here the same moving-average shape runs on (a) plain
+    * parquet with the gate's single-exchange plan, (b) the
+    * orderkey-bucketed star table (the committed bucketed leg's layout),
+    * (c) orders bucketed+sorted by (o_custkey, o_orderdate, o_orderkey) —
+    * the layout whose hash distribution satisfies the window's clustering
+    * outright, so the plan needs ZERO exchanges. Prints per-layout wall
+    * (median/min of 5 after GC), exchanges below the WindowExec, at-rest
+    * table bytes, and per-pass host steal; results asserted identical
+    * up to row order.
+    */
+  def window3Way(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("window-3way", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def stealJiffies: Long = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+    val hz = 100.0
+
+    def freshTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = java.nio.file.Paths.get("spark-warehouse", name)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    def dirBytes(p: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.exists(p)) 0L
+      else java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }
+    freshTable("ab3_orders_ok"); freshTable("ab3_orders_cust")
+    graft.sources.Bucketing.writeBucketedSorted(
+      graft.Tables.orders(spark, sfDir), "ab3_orders_ok",
+      "o_orderkey", Seq("o_orderkey"), 32)
+    graft.sources.Bucketing.writeBucketedSorted(
+      graft.Tables.orders(spark, sfDir), "ab3_orders_cust",
+      "o_custkey", Seq("o_custkey", "o_orderdate", "o_orderkey"), 32)
+    val plainBytes = dirBytes(java.nio.file.Paths.get(
+      sfDir.stripPrefix("file:"), "orders.parquet"))
+    println(f"[window3way] orders bytes plain=$plainBytes " +
+      f"ok=${dirBytes(java.nio.file.Paths.get("spark-warehouse", "ab3_orders_ok"))} " +
+      f"cust=${dirBytes(java.nio.file.Paths.get("spark-warehouse", "ab3_orders_cust"))}")
+
+    // the gate's w3 shape; `reorg` adds the explicit range partitioning the
+    // PLAIN plan needs (its one exchange) — bucketed scans already satisfy
+    // the window's clustering and must not re-shuffle
+    def w3(ord: org.apache.spark.sql.DataFrame, reorg: Boolean) = {
+      val f = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-2, 0)
+      val base = if (reorg) ord.repartitionByRange($"o_custkey") else ord
+      base.select($"o_custkey", $"o_orderkey",
+        (sum($"o_totalprice".cast("decimal(18,4)")).over(f).cast("double") /
+          count(lit(1)).over(f)).as("mavg3"))
+        .sortWithinPartitions($"o_custkey", $"o_orderkey")
+    }
+    def exchangesBelowWindow(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.window.WindowExec
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectFirst { case w: WindowExec =>
+        w.collect { case _: ShuffleExchangeLike => 1 }.sum
+      }.getOrElse(-1)
+    }
+    val legs = Seq(
+      "plain" -> (() => w3(graft.Tables.orders(spark, sfDir), reorg = true)),
+      "orderkey" -> (() => w3(spark.table("ab3_orders_ok"), reorg = false)),
+      "custkey" -> (() => w3(spark.table("ab3_orders_cust"), reorg = false)))
+    // correctness first: identical rows up to order across the three legs
+    val sums = legs.map { case (tag, f) =>
+      // bit_xor: order-independent and overflow-free under ANSI (a long
+      // SUM of 64-bit hashes would overflow)
+      tag -> f().agg(count(lit(1)), expr(
+        "bit_xor(xxhash64(o_custkey, o_orderkey, cast(mavg3 as string)))"))
+        .head()
+    }
+    require(sums.map(_._2.toString).distinct.size == 1,
+      s"legs disagree: $sums")
+    legs.foreach { case (tag, f) =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      def force(): Unit = graft.BenchProtocol.force(f())
+      force() // warmup
+      val s0 = stealJiffies
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val steal = (stealJiffies - s0) / hz
+      println(f"[window3way] $tag%-9s median=${times(2)}%.3f " +
+        f"min=${times.head}%.3f steal=${steal}%.1f " +
+        f"exchangesBelowWindow=${exchangesBelowWindow(f())}")
+    }
+    freshTable("ab3_orders_ok"); freshTable("ab3_orders_cust")
+    spark.stop()
+  }
+
   /** Per-bench-query total shuffle write — the direct measure of what
     * each query MOVES, complementing the wall-clock bench (at cluster
     * scale shuffle bytes cross a network; locally they only cross page
@@ -3398,6 +3510,7 @@ object BenchTune {
     if (args.headOption.contains("mhcollapse")) { minhashCollapse(sfDir); return }
     if (args.headOption.contains("shufbytes")) { shuffleBytes(sfDir); return }
     if (args.headOption.contains("windowab")) { windowAb(sfDir); return }
+    if (args.headOption.contains("window3way")) { window3Way(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("pq")) { pqProbe(sfDir); return }

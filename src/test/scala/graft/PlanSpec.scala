@@ -357,6 +357,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j9_salted_skew: shuffled-hash join on composite (skew_key, salt), " +
+      "never broadcast, never sort-merge") {
+    val p = plan("j9_salted_skew")
+    assert(p.contains("ShuffledHashJoin"),
+      s"j9 lost its shuffled-hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"j9's dim side got broadcast — the salted exchange is gone:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"j9 regressed to sort-merge (big-side sort dominates at scale; " +
+        s"probed 39.0 s vs 23.1 s SHJ at the 100x corpus):\n$p")
+    assert("ShuffledHashJoin \\[skew_key#\\d+L?, salt#\\d+\\]".r
+      .findFirstIn(p).isDefined,
+      s"j9's join keys no longer include the salt:\n$p")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
