@@ -65,6 +65,43 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("window over custkey-bucketed+sorted orders plans with ZERO " +
+      "exchanges below the WindowExec") {
+    // the r18_w3_layout_3way property: bucketing by the window's partition
+    // key satisfies its clustering requirement outright (2.7x over the
+    // plain single-exchange plan at the 100x corpus) — pin it so a
+    // refactor can't silently reintroduce the window shuffle
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders_cust_w")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "b_orders_cust_w")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    Bucketing.writeBucketedSorted(Tables.orders(spark, sf),
+      "b_orders_cust_w", "o_custkey",
+      Seq("o_custkey", "o_orderdate", "o_orderkey"), 4)
+    try {
+      val f = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-2, 0)
+      val df = spark.table("b_orders_cust_w")
+        .select($"o_custkey", $"o_orderkey",
+          avg($"o_totalprice").over(f).as("mavg3"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window "), s"no window in plan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"custkey-bucketed window shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"scan is not bucket-aware:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS b_orders_cust_w")
+  }
+
   test("Tables bucketed layout: fails loudly unwritten, resolves and re-registers written") {
     val layout = "orderkey"
     val names = Tables.BucketedLayouts(layout).keys.toSeq
