@@ -471,7 +471,11 @@ object Relational {
     // salt shows the hot key's rows landing ~evenly on 4 sub-partitions,
     // and the decimal revenue totals prove the rewrite lossless. At 100 TB
     // the same pattern holds with buckets sized to the skew profile
-    // (x_skew_profile + x_join_size_cms are the pre-flight inputs).
+    // (x_skew_profile + x_join_size_cms are the pre-flight inputs). Salt
+    // inputs (orderkey, linenumber) are NOT NULL by the lineitem contract;
+    // a null would salt to null and drop the row from the inner join on
+    // the Spark side while DuckDB's group-by would keep a null-salt group
+    // — use coalesce'd salt columns on corpora where keys can be null.
     QueryDef(
       "j9_salted_skew",
       (s, d) => {
