@@ -218,106 +218,34 @@ object MinHashDedup {
       .orderBy(col("est_jaccard").desc, col("a"), col("b"))
   }
 
-  /** Batch form of [[graft.streaming.NearDupStream]]'s INCREMENTAL
-    * semantics, for oracle gating and arrival-vs-rededup analysis: docs
-    * arrive in `waves` (ascending order = arrival order; `waveCol` labels
-    * each row), and each wave is processed exactly like one NearDupStream
-    * micro-batch —
-    *
-    *  - **greedy in-wave bucket winners**: a doc is suppressed iff ANY of
-    *    its band buckets holds a smaller doc_id from the SAME wave (even a
-    *    doc itself suppressed through another band — the streaming
-    *    module's documented compromise);
-    *  - **cross-wave store anti-match**: a doc is suppressed iff any of
-    *    its bands was registered by a KEPT doc of an earlier wave;
-    *  - **kept docs only register**: suppressed docs are represented by
-    *    their keeper, bounding the store by canonical docs, not arrivals.
-    *
-    * Docs that produce no bands (fewer than 3 tokens) are always kept and
-    * register nothing. `waveCol` must land every row in `waves`: a row
-    * labeled outside the list still gets in-wave greedy dedup and an audit
-    * row, but never registers bands and never sees the store (the fold
-    * only walks the declared arrival order). Returns one AUDIT row per
-    * input doc —
-    * (doc_id, wave, hit_batch, hit_store, kept) — so the suppression
-    * REASON is data, not just the final keep-set; the `d_minhash
-    * _incremental` gate re-derives every row in DuckDB from the md5-affine
-    * signature family. At 100 TB this is the continuous-dedup shape
-    * `r18_neardup_incremental` measured (per-arrival cost, not
-    * per-corpus): the store join is a (band_idx, band_key) equi-shuffle,
-    * never all-pairs.
+  /** Batch form of [[graft.streaming.NearDupStream.run]]'s incremental
+    * MinHash-LSH suppression — [[IncrementalDedup.keepsBanded]] (see its
+    * scaladoc for the wave/store/audit contract) under the signature-slice
+    * banding: docs with fewer than 3 tokens produce no shingles, so they
+    * are always kept and register nothing. The `d_minhash_incremental`
+    * gate re-derives every audit row in DuckDB from the md5-affine
+    * signature family.
     */
   def incrementalKeeps(docs: DataFrame, waveCol: Column, waves: Seq[Int],
       numHashes: Int, bands: Int,
       family: HashFamily = HashFamily.Md5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    require(waves == waves.sorted && waves.distinct == waves,
-      "waves must be ascending and distinct (arrival order)")
     val rowsPerBand = numHashes / bands
-    val spark = docs.sparkSession
-
-    val labeled = docs.select(col("doc_id"), waveCol.as("wave"), col("text"))
-    // signature barrier: same rationale as candidatePairs — HOF signatures
-    // must materialize once, not re-evaluate per consumer
-    val banded = labeled
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("wave"),
-        signatureOf(shinglesOfToks(col("toks")), numHashes, family).as("sig"))
-      .select(col("doc_id"), col("wave"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band_idx"),
-            concat_ws(",", transform(
-              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              _.cast("string"))).as("band_key")))).as("band"))
-      .select(col("doc_id"), col("wave"),
-        col("band.band_idx"), col("band.band_key"))
-      .cache()
-
-    import org.apache.spark.sql.expressions.Window
-    // in-wave greedy winners for EVERY wave in one pass: the bucket window
-    // partitions by (wave, band_idx, band_key), so each wave sees only its
-    // own arrivals — exactly the streaming module's per-batch window
-    val wMin = Window.partitionBy(col("wave"), col("band_idx"), col("band_key"))
-    val hitBatch = banded
-      .withColumn("mn", min(col("doc_id")).over(wMin))
-      .filter(col("doc_id") > col("mn"))
-      .select(col("doc_id")).distinct()
-      .withColumn("hit_batch", lit(true))
-
-    // store fold across waves: wave w's store hits come from bands
-    // registered by kept docs of waves < w. Waves are protocol-bounded
-    // (micro-batch count), so the driver-side fold builds a bounded plan.
-    var store: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      banded.select(col("band_idx"), col("band_key")).schema)
-    var hitStore: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      banded.select(col("doc_id")).schema)
-    for (w <- waves) {
-      val bw = banded.filter(col("wave") === w)
-      val hs = bw.join(store, Seq("band_idx", "band_key"), "left_semi")
-        .select(col("doc_id")).distinct()
-      hitStore = hitStore.union(hs)
-      val suppressed = hs
-        .union(bw.join(hitBatch.select(col("doc_id")), Seq("doc_id"),
-          "left_semi").select(col("doc_id")))
-        .distinct()
-      val keptBands = bw
-        .join(suppressed, Seq("doc_id"), "left_anti")
-        .select(col("band_idx"), col("band_key")).distinct()
-      store = store.union(keptBands)
+    IncrementalDedup.keepsBanded(docs, waveCol, waves) { labeled =>
+      labeled
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("wave"),
+          signatureOf(shinglesOfToks(col("toks")), numHashes, family)
+            .as("sig"))
+        .select(col("doc_id"), col("wave"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band_idx"),
+              concat_ws(",", transform(
+                slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                _.cast("string"))).as("band_key")))).as("band"))
+        .select(col("doc_id"), col("wave"),
+          col("band.band_idx"), col("band.band_key"))
     }
-    val hitStoreFlag = hitStore.distinct().withColumn("hit_store", lit(true))
-
-    labeled.select(col("doc_id"), col("wave"))
-      .join(hitBatch, Seq("doc_id"), "left_outer")
-      .join(hitStoreFlag, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("wave"),
-        coalesce(col("hit_batch"), lit(false)).as("hit_batch"),
-        coalesce(col("hit_store"), lit(false)).as("hit_store"),
-        not(coalesce(col("hit_batch"), lit(false)) ||
-          coalesce(col("hit_store"), lit(false))).as("kept"))
-      .orderBy(col("doc_id"))
   }
 }

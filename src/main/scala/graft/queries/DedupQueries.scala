@@ -339,6 +339,71 @@ object DedupQueries {
         LEFT JOIN hits hs ON w.doc_id = hs.doc_id
         ORDER BY w.doc_id""")),
 
+    // ---- SimHash INCREMENTAL near-dup — the second streaming family gated --
+    // NearDupStream.runSimHash's semantics in batch form: the same
+    // wave/store/audit contract as d_minhash_incremental (see
+    // IncrementalDedup.keepsBanded) under 4x16-bit SimHash banding —
+    // pigeonhole guarantees hamming <= 3 near-dups share a band, every
+    // tokenizable doc fingerprints (no shingle minimum), and the oracle
+    // re-derives fingerprints bit-for-bit from per-token
+    // md5_number_upper votes (the d_simhash derivation, corpus-wide)
+    // before replaying the greedy-winner + store fold in SQL.
+    QueryDef(
+      "d_simhash_incremental",
+      (s, d) => {
+        import s.implicits._
+        val wave = when(substring(md5($"doc_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        graft.ext.IncrementalDedup.incrementalKeepsSimHash(
+          Tables.documents(s, d), wave, waves = Seq(0, 1))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents),
+        votes AS (
+          SELECT doc_id, b.b AS b,
+            SUM(CASE WHEN (md5_number_upper(t) >> b.b) & 1 = 1
+                THEN 1 ELSE -1 END) AS v
+          FROM tok, (SELECT unnest(generate_series(0, 63)) AS b) b
+          GROUP BY doc_id, b.b),
+        fp AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << b)
+                     WHEN v > 0 AND b = 63 THEN -9223372036854775808
+                     ELSE 0 END) AS BIGINT) AS fp
+          FROM votes GROUP BY doc_id),
+        wv AS (
+          SELECT doc_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND '7' THEN 0 ELSE 1 END AS wave
+          FROM documents),
+        banded AS (
+          SELECT f.doc_id, w.wave, k.k AS band_idx,
+            CAST((f.fp >> (k.k * 16)) & 65535 AS VARCHAR) AS band_key
+          FROM fp f JOIN wv w USING (doc_id),
+            (SELECT unnest(generate_series(0, 3)) AS k) k),
+        hitb AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY wave, band_idx, band_key) AS mn
+            FROM banded) WHERE doc_id > mn),
+        store0 AS (
+          SELECT DISTINCT band_idx, band_key FROM banded
+          WHERE wave = 0 AND doc_id NOT IN (SELECT doc_id FROM hitb)),
+        hits AS (
+          SELECT DISTINCT b.doc_id FROM banded b
+          JOIN store0 st ON b.band_idx = st.band_idx
+            AND b.band_key = st.band_key
+          WHERE b.wave = 1)
+        SELECT w.doc_id, w.wave,
+          (hb.doc_id IS NOT NULL) AS hit_batch,
+          (hs.doc_id IS NOT NULL) AS hit_store,
+          (hb.doc_id IS NULL AND hs.doc_id IS NULL) AS kept
+        FROM wv w
+        LEFT JOIN hitb hb ON w.doc_id = hb.doc_id
+        LEFT JOIN hits hs ON w.doc_id = hs.doc_id
+        ORDER BY w.doc_id""")),
+
     // ---- I5 collapse-first near-dup (HASH-EXACT oracle) --------------------
     // Gates MinHashDedup.candidatePairsCollapsed: exact clones are planted
     // by unioning the subset with an id-shifted copy of itself (+100000,

@@ -99,22 +99,28 @@ object NearDupStream {
       availableNow: Boolean = true,
       family: HashFamily = HashFamily.Md5)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    runBanded(spark, docsDir, checkpointDir, storeDir, availableNow) { docs =>
-      // same barrier rationale as the MinHash family: fingerprint once per
-      // doc, not once per band
-      val withFp = docs
-        .select(col("path"),
-          graft.ext.SimHash.simhashOf(col("value"), family).as("fp"))
-        .localCheckpoint(true)
-      withFp
-        .select(col("path"), explode(transform(
-          sequence(lit(0), lit(3)), b =>
-            struct(b.as("band_idx"),
-              call_function("shiftright", col("fp"), b * 16)
-                .bitwiseAND(lit(0xffffL)).cast("string").as("band_key"))))
-          .as("band"))
-        .select(col("path"), col("band.band_idx"), col("band.band_key"))
-    }(sink)
+    runBanded(spark, docsDir, checkpointDir, storeDir, availableNow)(
+      simhashBandify(family))(sink)
+
+  /** The SimHash banding stage (shared by [[runSimHash]] and the
+    * batch-equivalence spec's direct [[processBanded]] driver). */
+  private[streaming] def simhashBandify(family: HashFamily):
+      DataFrame => DataFrame = { docs =>
+    // same barrier rationale as the MinHash family: fingerprint once per
+    // doc, not once per band
+    val withFp = docs
+      .select(col("path"),
+        graft.ext.SimHash.simhashOf(col("value"), family).as("fp"))
+      .localCheckpoint(true)
+    withFp
+      .select(col("path"), explode(transform(
+        sequence(lit(0), lit(3)), b =>
+          struct(b.as("band_idx"),
+            call_function("shiftright", col("fp"), b * 16)
+              .bitwiseAND(lit(0xffffL)).cast("string").as("band_key"))))
+        .as("band"))
+      .select(col("path"), col("band.band_idx"), col("band.band_key"))
+  }
 
   /** Shared skeleton: `bandify` maps the micro-batch's raw docs
     * (value, path) to (path, band_idx, band_key STRING) rows; everything

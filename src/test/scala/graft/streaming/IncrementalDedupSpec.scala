@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import graft.{SparkTestSession, Tables}
-import graft.ext.{HashFamily, MinHashDedup}
+import graft.ext.{HashFamily, IncrementalDedup, MinHashDedup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -71,6 +71,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
       yield (p.stripPrefix("d").toLong, id.toInt)).toSet
     assert(streamKept == batchKept,
       s"stream/batch keep-sets differ: only-stream=${
+        (streamKept -- batchKept).take(5)}, only-batch=${
+        (batchKept -- streamKept).take(5)}")
+  }
+
+  test("incrementalKeepsSimHash == NearDupStream SimHash processBanded, " +
+      "wave for wave") {
+    val audit = IncrementalDedup.incrementalKeepsSimHash(
+      corpus, waveOf($"doc_id"), waves = Seq(0, 1)).collect()
+    val batchKept = audit.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("wave"))).toSet
+    assert(audit.exists(_.getAs[Boolean]("hit_batch")), "no in-wave hits")
+    assert(audit.exists(_.getAs[Boolean]("hit_store")), "no store hits")
+
+    val streamed = corpus
+      .select(format_string("d%09d", $"doc_id").as("path"), $"text".as("value"),
+        waveOf($"doc_id").as("wave"))
+      .localCheckpoint(true)
+    val store = tmp("incsim_store")
+    val keptPaths = scala.collection.mutable.Map[Long, Set[String]]()
+    val sink = (df: DataFrame, id: Long) => {
+      keptPaths(id) = df.select($"path").collect().map(_.getString(0)).toSet
+      ()
+    }
+    for (w <- Seq(0, 1))
+      NearDupStream.processBanded(
+        streamed.filter($"wave" === w).select($"value", $"path"),
+        w.toLong, store,
+        NearDupStream.simhashBandify(HashFamily.Md5), sink)
+    val streamKept = (for ((id, paths) <- keptPaths.toSeq; p <- paths)
+      yield (p.stripPrefix("d").toLong, id.toInt)).toSet
+    assert(streamKept == batchKept,
+      s"simhash stream/batch keep-sets differ: only-stream=${
         (streamKept -- batchKept).take(5)}, only-batch=${
         (batchKept -- streamKept).take(5)}")
   }
