@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.queries.Similarity
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Semantic deduplication over an embedding column — the SemDeDup recipe
@@ -136,6 +136,86 @@ object SemDedup {
       .select(col("vec_id")).distinct()
     assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Batch form of [[graft.streaming.SemDedupStream]]'s INCREMENTAL
+    * semantics — the semantic member of the incremental-dedup family
+    * (see [[IncrementalDedup.keepsBanded]] for the shared wave/store/audit
+    * contract; this one folds over a cluster-keyed SIMILARITY join rather
+    * than a band-key equality). The quantizer is seeded once from the
+    * FULL corpus (md5-ordered seeds, lloydIters = 0 — the SQL-derivable
+    * form, and the batch analogue of the stream's offline bootstrap
+    * codebook) and held stationary across waves. Per wave:
+    *
+    *  - **in-wave**: suppressed iff ANY smaller vec_id in the same cell
+    *    has round(cosine, 4) ≥ tau — suppressors may themselves be
+    *    suppressed (the pure-pair rule both the batch operator and the
+    *    stream's per-batch pass use);
+    *  - **cross-wave**: suppressed iff any KEPT vector of an earlier
+    *    wave in the same cell is ≥ tau similar — kept-only registration
+    *    bounds the store by canonicals, so similarity chains split
+    *    across waves can diverge from single-batch verdicts BY DESIGN
+    *    (SemDedupStream scaladoc).
+    *
+    * Returns (vec_id, wave, cluster, hit_batch, hit_store, kept) ordered
+    * by vec_id — the audit the `d_semdedup_incremental` gate re-derives
+    * in DuckDB from the same seeds, assignment, and rounded cosines.
+    */
+  def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
+      nCentroids: Int, tau: Double): DataFrame = {
+    require(waves == waves.sorted && waves.distinct == waves,
+      "waves must be ascending and distinct (arrival order)")
+    val spark = e.sparkSession
+    val labeled = e.select(col("vec_id"), waveCol.as("wave"), col("ev"))
+      .localCheckpoint(true)
+    val assigned = IvfAnn
+      .build(labeled.select(col("vec_id"), col("ev")), nCentroids,
+        lloydIters = 0)
+      .assigned
+      .join(labeled.select(col("vec_id"), col("wave")), Seq("vec_id"))
+      .localCheckpoint(true)
+
+    // in-wave pure-pair suppression, every wave in one cluster-keyed join
+    val other = assigned.select(col("cluster"), col("wave"),
+      col("vec_id").as("o_id"), col("ev").as("o_ev"))
+    val hitBatch = assigned.join(other, Seq("cluster", "wave"))
+      .filter(col("o_id") < col("vec_id") &&
+        round(Similarity.cosine(col("ev"), col("o_ev")), 4) >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("hit_batch", lit(true))
+
+    // store fold: kept vectors of earlier waves, cluster-keyed
+    var store: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      assigned.select(col("cluster"), col("ev").as("p_ev")).schema)
+    var hitStore: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      assigned.select(col("vec_id")).schema)
+    for (w <- waves) {
+      val bw = assigned.filter(col("wave") === w)
+      val hs = bw.join(store, Seq("cluster"))
+        .filter(round(Similarity.cosine(col("ev"), col("p_ev")), 4) >= tau)
+        .select(col("vec_id")).distinct()
+      hitStore = hitStore.union(hs)
+      val suppressed = hs
+        .union(bw.join(hitBatch.select(col("vec_id")), Seq("vec_id"),
+          "left_semi").select(col("vec_id")))
+        .distinct()
+      val keptVecs = bw.join(suppressed, Seq("vec_id"), "left_anti")
+        .select(col("cluster"), col("ev").as("p_ev"))
+      store = store.union(keptVecs)
+    }
+    val hitStoreFlag = hitStore.distinct().withColumn("hit_store", lit(true))
+
+    assigned.select(col("vec_id"), col("wave"), col("cluster"))
+      .join(hitBatch, Seq("vec_id"), "left_outer")
+      .join(hitStoreFlag, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("wave"), col("cluster"),
+        coalesce(col("hit_batch"), lit(false)).as("hit_batch"),
+        coalesce(col("hit_store"), lit(false)).as("hit_store"),
+        not(coalesce(col("hit_batch"), lit(false)) ||
+          coalesce(col("hit_store"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
   }
 }

@@ -404,6 +404,122 @@ object DedupQueries {
         LEFT JOIN hits hs ON w.doc_id = hs.doc_id
         ORDER BY w.doc_id""")),
 
+    // ---- EXACT incremental dedup — DedupStream's semantics gated -----------
+    // The third streaming dedup family in batch form: exact content
+    // identity is the degenerate banding (ONE band per doc, key =
+    // md5(text) — the oracle-recomputable twin of the stream's xxhash64
+    // store key; suppression is pure key equality so kept-sets agree
+    // whichever injective content hash keys the store). Same wave/store/
+    // audit contract through IncrementalDedup.keepsBanded; for exact
+    // dedup, kept-only registration loses nothing (a suppressed doc's
+    // key IS its keeper's key). IncrementalDedupSpec pins the batch form
+    // against the real DedupStream.processBatch body.
+    QueryDef(
+      "d_exact_incremental",
+      (s, d) => {
+        import s.implicits._
+        val wave = when(substring(md5($"doc_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        graft.ext.IncrementalDedup.keepsBanded(
+          Tables.documents(s, d), wave, waves = Seq(0, 1)) { labeled =>
+          labeled.select($"doc_id", $"wave",
+            lit(0).as("band_idx"), md5($"text").as("band_key"))
+        }
+      },
+      Some("""WITH wv AS (
+          SELECT doc_id, md5(text) AS k,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND '7' THEN 0 ELSE 1 END AS wave
+          FROM documents),
+        hitb AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY wave, k) AS mn
+            FROM wv) WHERE doc_id > mn),
+        store0 AS (
+          SELECT DISTINCT k FROM wv
+          WHERE wave = 0 AND doc_id NOT IN (SELECT doc_id FROM hitb)),
+        hits AS (
+          SELECT DISTINCT w.doc_id FROM wv w JOIN store0 st ON w.k = st.k
+          WHERE w.wave = 1)
+        SELECT w.doc_id, w.wave,
+          (hb.doc_id IS NOT NULL) AS hit_batch,
+          (hs.doc_id IS NOT NULL) AS hit_store,
+          (hb.doc_id IS NULL AND hs.doc_id IS NULL) AS kept
+        FROM wv w
+        LEFT JOIN hitb hb ON w.doc_id = hb.doc_id
+        LEFT JOIN hits hs ON w.doc_id = hs.doc_id
+        ORDER BY w.doc_id""")),
+
+    // ---- SEMANTIC incremental dedup — SemDedupStream's semantics gated -----
+    // The fourth and last streaming dedup family in batch form
+    // (SemDedup.incrementalSemDedup scaladoc): the quantizer seeds once
+    // from the full corpus (md5-ordered, lloydIters = 0 — the batch
+    // analogue of the stream's offline bootstrap codebook), in-wave
+    // suppression is the pure-pair rule, cross-wave compares only KEPT
+    // earlier vectors cluster-locally with round(cos, 4) >= tau. The
+    // oracle re-derives seeds, assignment, and both suppression arms —
+    // every audit flag — from the embeddings alone.
+    QueryDef(
+      "d_semdedup_incremental",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("ev"))
+        val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        graft.ext.SemDedup.incrementalSemDedup(
+          e, wave, waves = Seq(0, 1), nCentroids = 8, tau = 0.35)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        wv AS (
+          SELECT a.vec_id, a.cluster,
+            CASE WHEN substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND '7' THEN 0 ELSE 1 END AS wave
+          FROM assign a),
+        hitb AS (
+          SELECT DISTINCT x.vec_id
+          FROM wv x JOIN wv y
+            ON x.cluster = y.cluster AND x.wave = y.wave
+              AND y.vec_id < x.vec_id
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE round(list_cosine_similarity(ex.ev, ey.ev), 4) >= 0.35),
+        kept0 AS (
+          SELECT w.vec_id, w.cluster FROM wv w
+          WHERE w.wave = 0 AND w.vec_id NOT IN (SELECT vec_id FROM hitb)),
+        hits AS (
+          SELECT DISTINCT x.vec_id
+          FROM wv x JOIN kept0 y ON x.cluster = y.cluster
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE x.wave = 1
+            AND round(list_cosine_similarity(ex.ev, ey.ev), 4) >= 0.35)
+        SELECT w.vec_id, w.wave, w.cluster,
+          (hb.vec_id IS NOT NULL) AS hit_batch,
+          (hs.vec_id IS NOT NULL) AS hit_store,
+          (hb.vec_id IS NULL AND hs.vec_id IS NULL) AS kept
+        FROM wv w
+        LEFT JOIN hitb hb ON w.vec_id = hb.vec_id
+        LEFT JOIN hits hs ON w.vec_id = hs.vec_id
+        ORDER BY w.vec_id""")),
+
     // ---- I5 collapse-first near-dup (HASH-EXACT oracle) --------------------
     // Gates MinHashDedup.candidatePairsCollapsed: exact clones are planted
     // by unioning the subset with an id-shifted copy of itself (+100000,

@@ -1216,6 +1216,35 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Incremental SemDedup at the AUTO-K cluster count (k ∝ n, the batch
+    * operator's own scale rule) vs the gate's fixed k=8 — the remedy for
+    * the fixed-k quadratic cliff the d_semdedup_incremental 100× probe
+    * measures (per-cell pair work is (n/k)²·k, so k ∝ n holds per-cell
+    * size constant). Prints wall (median/min of 3) and the derived k.
+    */
+  def semIncAuto(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Sessions.local("seminc-auto", 32)
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    val k = math.max(8L, n / 250L).toInt
+    val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
+      .between("0", "7"), 0).otherwise(1)
+    def run() = graft.BenchProtocol.force(
+      graft.ext.SemDedup.incrementalSemDedup(
+        e, wave, waves = Seq(0, 1), nCentroids = k, tau = 0.35))
+    run() // warmup
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"[semincauto] n=$n k=$k median=${times(1)}%.3f min=${times.head}%.3f")
+    spark.stop()
+  }
+
   /** Per-bench-query total shuffle write — the direct measure of what
     * each query MOVES, complementing the wall-clock bench (at cluster
     * scale shuffle bytes cross a network; locally they only cross page
@@ -3511,6 +3540,7 @@ object BenchTune {
     if (args.headOption.contains("shufbytes")) { shuffleBytes(sfDir); return }
     if (args.headOption.contains("windowab")) { windowAb(sfDir); return }
     if (args.headOption.contains("window3way")) { window3Way(sfDir); return }
+    if (args.headOption.contains("semincauto")) { semIncAuto(sfDir); return }
     if (args.headOption.contains("spankey")) { spanKeyShootout(sfDir); return }
     if (args.headOption.contains("bucketab")) { bucketAb(sfDir); return }
     if (args.headOption.contains("pq")) { pqProbe(sfDir); return }

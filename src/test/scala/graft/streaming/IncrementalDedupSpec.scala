@@ -107,6 +107,86 @@ class IncrementalDedupSpec extends AnyFunSuite {
         (batchKept -- streamKept).take(5)}")
   }
 
+  test("exact-dedup keepsBanded (single md5 band) == DedupStream" +
+      ".processBatch, wave for wave") {
+    import graft.ext.IncrementalDedup
+    val audit = IncrementalDedup.keepsBanded(
+      corpus, waveOf($"doc_id"), waves = Seq(0, 1)) { labeled =>
+      labeled.select($"doc_id", $"wave",
+        lit(0).as("band_idx"), md5($"text").as("band_key"))
+    }.collect()
+    val batchKept = audit.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("wave"))).toSet
+    assert(audit.exists(_.getAs[Boolean]("hit_batch")), "no in-wave hits")
+    assert(audit.exists(_.getAs[Boolean]("hit_store")), "no store hits")
+
+    // DedupStream keys its store on xxhash64; kept-sets must still agree
+    // because both hashes are injective content identities here
+    val streamed = corpus
+      .select(format_string("d%09d", $"doc_id").as("path"), $"text".as("value"),
+        waveOf($"doc_id").as("wave"))
+      .localCheckpoint(true)
+    val store = tmp("incexact_store")
+    val keptPaths = scala.collection.mutable.Map[Long, Set[String]]()
+    val sink = (df: DataFrame, id: Long) => {
+      keptPaths(id) = df.select($"path").collect().map(_.getString(0)).toSet
+      ()
+    }
+    for (w <- Seq(0, 1))
+      DedupStream.processBatch(
+        streamed.filter($"wave" === w).select($"value", $"path"),
+        w.toLong, store, sink)
+    val streamKept = (for ((id, paths) <- keptPaths.toSeq; p <- paths)
+      yield (p.stripPrefix("d").toLong, id.toInt)).toSet
+    assert(streamKept == batchKept,
+      s"exact stream/batch keep-sets differ: only-stream=${
+        (streamKept -- batchKept).take(5)}, only-batch=${
+        (batchKept -- streamKept).take(5)}")
+  }
+
+  test("incrementalSemDedup == SemDedupStream.processBatch under the " +
+      "same codebook, wave for wave") {
+    import graft.ext.{IvfAnn, SemDedup}
+    val e = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("ev"))
+      .localCheckpoint(true)
+    val audit = SemDedup.incrementalSemDedup(
+      e, waveOf($"vec_id"), waves = Seq(0, 1),
+      nCentroids = 8, tau = 0.35).collect()
+    val batchKept = audit.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("wave"))).toSet
+    assert(audit.exists(_.getAs[Boolean]("hit_batch")), "no in-wave hits")
+    assert(audit.exists(_.getAs[Boolean]("hit_store")), "no store hits")
+
+    // the stream gets the SAME codebook the batch form derives (full-corpus
+    // md5 seeds, lloydIters = 0), vectors rendered as whitespace text the
+    // way SemDedupStream's file source delivers them
+    val cents = IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+      .centroids.sortBy(_._1).map(_._2.toArray)
+    val streamed = e
+      .select(format_string("v%09d", $"vec_id").as("path"),
+        array_join(transform($"ev", _.cast("string")), " ").as("value"),
+        waveOf($"vec_id").as("wave"))
+      .localCheckpoint(true)
+    val store = tmp("incsem_store")
+    val keptPaths = scala.collection.mutable.Map[Long, Set[String]]()
+    val sink = (df: DataFrame, id: Long) => {
+      keptPaths(id) = df.select($"path").collect().map(_.getString(0)).toSet
+      ()
+    }
+    for (w <- Seq(0, 1))
+      SemDedupStream.processBatch(
+        streamed.filter($"wave" === w).select($"value", $"path"),
+        w.toLong, store, cents, 0.35, sink)
+    val streamKept = (for ((id, paths) <- keptPaths.toSeq; p <- paths)
+      yield (p.stripPrefix("v").toLong, id.toInt)).toSet
+    assert(streamKept == batchKept,
+      s"semantic stream/batch keep-sets differ: only-stream=${
+        (streamKept -- batchKept).take(5)}, only-batch=${
+        (batchKept -- streamKept).take(5)}")
+  }
+
   test("audit flags are consistent: kept == !(hit_batch || hit_store), " +
       "and bandless docs are always kept") {
     val tiny = Seq((1L, "a b"), (2L, "x y z w"), (3L, "x y z w"))
