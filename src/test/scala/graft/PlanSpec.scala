@@ -372,6 +372,22 @@ class PlanSpec extends AnyFunSuite {
       s"j9's join keys no longer include the salt:\n$p")
   }
 
+  test("incremental dedup family: no all-pairs join in any plan") {
+    // the family's 100 TB contract (IncrementalDedup scaladoc): every
+    // suppression arm is a band-key or cluster equi-join — a refactor
+    // that degrades one to a nested-loop/cartesian must turn this red.
+    // (Broadcast HASH joins are fine: tiny flag frames broadcast; it is
+    // the non-equi NESTED-LOOP shape that would mean all-pairs work.)
+    for (q <- Seq("d_minhash_incremental", "d_simhash_incremental",
+        "d_exact_incremental", "d_semdedup_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$p")
+    }
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
