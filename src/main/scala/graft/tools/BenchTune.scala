@@ -1275,6 +1275,34 @@ object BenchTune {
     spark.stop()
   }
 
+  /** [[shuffleBytes]] for an arbitrary named-query list — the same
+    * listener protocol pointed at non-bench gates (e.g. the incremental
+    * dedup family, whose 100 TB cost model is stated in shuffle terms). */
+  def shuffleBytesFor(sfDir: String, names: Seq[String]): Unit = {
+    val spark = graft.Sessions.local("shuffle-bytes-q", 32)
+    val sw = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val qs = SparkEntry.queries
+    names.foreach { n =>
+      spark.sharedState.cacheManager.clearCache()
+      graft.BenchProtocol.force(qs(n)(spark, sfDir)) // warmup
+      org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+      sw.set(0)
+      graft.BenchProtocol.force(qs(n)(spark, sfDir))
+      org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+      println(f"[shufbytesq] $n%-24s ${sw.get / 1024}%9d KiB")
+    }
+    spark.stop()
+  }
+
   /** Exact-collapse-first MinHash A/B at heavily-cloned corpora. Pair
     * ENUMERATION is output-bound: a duplicate group of g clones emits
     * g(g-1)/2 candidate pairs, so a corpus where every doc has c exact
@@ -3538,6 +3566,12 @@ object BenchTune {
     if (args.headOption.contains("mhfamily")) { minhashFamilies(sfDir); return }
     if (args.headOption.contains("mhcollapse")) { minhashCollapse(sfDir); return }
     if (args.headOption.contains("shufbytes")) { shuffleBytes(sfDir); return }
+    if (args.headOption.contains("shufbytesq")) {
+      shuffleBytesFor(sfDir,
+        args.drop(1).headOption.getOrElse("").split(',').filter(_.nonEmpty)
+          .toSeq)
+      return
+    }
     if (args.headOption.contains("windowab")) { windowAb(sfDir); return }
     if (args.headOption.contains("window3way")) { window3Way(sfDir); return }
     if (args.headOption.contains("semincauto")) { semIncAuto(sfDir); return }
