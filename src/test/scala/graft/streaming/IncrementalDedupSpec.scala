@@ -187,6 +187,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
         (batchKept -- streamKept).take(5)}")
   }
 
+  test("three waves: the store accumulates across ALL earlier waves, " +
+      "suppressed docs never register") {
+    val docs = Seq(
+      (1L, "x y z w", 0), // wave-0 keeper: registers
+      (2L, "x y z w", 0), // wave-0 clone: in-wave hit, registers NOTHING
+      (3L, "x y z w", 1), // wave-1: store hit via doc 1
+      (4L, "p q r s", 1), // wave-1 keeper: registers
+      (5L, "p q r s", 2), // wave-2: store hit via WAVE-1's registration
+      (6L, "x y z w", 2), // wave-2: store hit via WAVE-0's registration
+      (7L, "a b c d", 2)  // wave-2: fresh, kept
+    ).toDF("doc_id", "text", "w")
+    val rows = MinHashDedup.incrementalKeeps(
+      docs, $"w", waves = Seq(0, 1, 2), numHashes = 32, bands = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("hit_batch"), r.getAs[Boolean]("hit_store"),
+          r.getAs[Boolean]("kept"))).toMap
+    assert(rows(1L) == ((false, false, true)))
+    assert(rows(2L) == ((true, false, false)))
+    assert(rows(3L) == ((false, true, false)))
+    assert(rows(4L) == ((false, false, true)))
+    assert(rows(5L) == ((false, true, false)), "wave-1 registration must " +
+      "be visible to wave 2")
+    assert(rows(6L) == ((false, true, false)), "wave-0 registration must " +
+      "still be visible to wave 2")
+    assert(rows(7L) == ((false, false, true)))
+  }
+
   test("audit flags are consistent: kept == !(hit_batch || hit_store), " +
       "and bandless docs are always kept") {
     val tiny = Seq((1L, "a b"), (2L, "x y z w"), (3L, "x y z w"))
