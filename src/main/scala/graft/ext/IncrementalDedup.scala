@@ -44,8 +44,12 @@ object IncrementalDedup {
 
     val labeled = docs.select(col("doc_id"), waveCol.as("wave"), col("text"))
     // banding barrier: family signatures are HOF/codegen expressions that
-    // must materialize once, not re-evaluate per consumer
-    val banded = bandify(labeled).cache()
+    // must materialize once, not re-evaluate per consumer. localCheckpoint
+    // (not cache) — eager, guarantees single evaluation, and the blocks
+    // free with the RDD via ContextCleaner instead of occupying storage
+    // memory for the session lifetime (the verify/bench runners execute
+    // hundreds of queries in one long-lived session)
+    val banded = bandify(labeled).localCheckpoint(true)
 
     // in-wave greedy winners for EVERY wave in one pass: the bucket window
     // partitions by (wave, band_idx, band_key), so each wave sees only its
@@ -58,8 +62,10 @@ object IncrementalDedup {
       .withColumn("hit_batch", lit(true))
 
     // store fold across waves: wave w's store hits come from bands
-    // registered by kept docs of waves < w. Waves are protocol-bounded
-    // (micro-batch count), so the driver-side fold builds a bounded plan.
+    // registered by kept docs of waves < w. The per-wave localCheckpoint
+    // below keeps the fold's plan LINEAR in |waves| (the accumulated
+    // store would otherwise double per wave), so arbitrary wave lists
+    // are safe, matching the public API's contract.
     var store: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       banded.select(col("band_idx"), col("band_key")).schema)
@@ -78,7 +84,13 @@ object IncrementalDedup {
       val keptBands = bw
         .join(suppressed, Seq("doc_id"), "left_anti")
         .select(col("band_idx"), col("band_key")).distinct()
-      store = store.union(keptBands)
+      // materialize the accumulated store per wave: it is referenced in
+      // TWO branches of the next iteration (the left_semi probe and the
+      // next union), so without a barrier the logical plan doubles per
+      // wave (~2^|waves|) — the batch mirror of the streaming module's
+      // per-epoch parquet materialization, keeping plan size linear for
+      // arbitrary wave lists
+      store = store.union(keptBands).localCheckpoint(true)
     }
     val hitStoreFlag = hitStore.distinct().withColumn("hit_store", lit(true))
 

@@ -204,7 +204,10 @@ object SemDedup {
         .distinct()
       val keptVecs = bw.join(suppressed, Seq("vec_id"), "left_anti")
         .select(col("cluster"), col("ev").as("p_ev"))
-      store = store.union(keptVecs)
+      // per-wave barrier: without it the accumulated store (referenced by
+      // both the similarity probe and the next union) doubles the logical
+      // plan per wave — see IncrementalDedup.keepsBanded's store fold
+      store = store.union(keptVecs).localCheckpoint(true)
     }
     val hitStoreFlag = hitStore.distinct().withColumn("hit_store", lit(true))
 

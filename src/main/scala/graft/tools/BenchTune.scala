@@ -1208,9 +1208,13 @@ object BenchTune {
         val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
       }.sorted
       val steal = (stealJiffies - s0) / hz
+      // inspect the plan of a FORCED instance: under AQE, executedPlan on
+      // a never-executed DataFrame is the initial plan, which may not be
+      // the one the timed passes actually ran (windowAb's fin pattern)
+      val fin = f(); graft.BenchProtocol.force(fin)
       println(f"[window3way] $tag%-9s median=${times(2)}%.3f " +
         f"min=${times.head}%.3f steal=${steal}%.1f " +
-        f"exchangesBelowWindow=${exchangesBelowWindow(f())}")
+        f"exchangesBelowWindow=${exchangesBelowWindow(fin)}")
     }
     freshTable("ab3_orders_ok"); freshTable("ab3_orders_cust")
     spark.stop()
