@@ -162,6 +162,40 @@ object SemDedup {
     * by vec_id — the audit the `d_semdedup_incremental` gate re-derives
     * in DuckDB from the same seeds, assignment, and rounded cosines.
     */
+  /** The batch auto-k rule as a pure function — shared by the batch
+    * overloads here, the incremental auto overload, and
+    * [[graft.streaming.SemDedupStream.bootstrapCodebook]], so the derived
+    * cluster count can never diverge between batch and stream. Integer
+    * arithmetic only (ceil-division), so an oracle re-derives it. */
+  def autoK(n: Long, targetClusterSize: Int): Int =
+    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
+  /** AUTO-K incremental semantic dedup — the remedy for the fixed-k
+    * quadratic cliff, wired into the incremental path as its sizing rule
+    * (r18: the fixed-k=8 shape reads 229 s at the 100× corpus where
+    * k = n/250 reads 30.4 s; per-cell pair work is (n/k)²·k, so k ∝ n
+    * holds per-cell size constant). One cheap count of the id column,
+    * k = [[autoK]](n, targetClusterSize), then the explicit-k fold —
+    * flat (exact, SQL-derivable) assignment, deliberately: the gate
+    * oracle re-derives seeds + assignment at the DERIVED k, so the width
+    * rule itself is hash-checked data. Output adds a `k_auto` column
+    * (the derived k on every row) so the derivation is visible to the
+    * oracle, not just implied by the cluster ids. At very large k the
+    * assignment is O(n·k); a deployment amortizes that via the offline
+    * codebook ([[graft.streaming.SemDedupStream]] bootstraps once and
+    * holds the codebook stationary across epochs).
+    */
+  def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
+      tau: Double, targetClusterSize: Int): DataFrame = {
+    // barrier: the count and the subsequent seeding/assignment must see
+    // the SAME rows (semanticDedup's auto overload rationale)
+    val ec = e.localCheckpoint(true)
+    val n = ec.select(col("vec_id")).count()
+    val k = autoK(n, targetClusterSize)
+    incrementalSemDedup(ec, waveCol, waves, nCentroids = k, tau = tau)
+      .withColumn("k_auto", lit(k))
+  }
+
   def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
       nCentroids: Int, tau: Double): DataFrame = {
     require(waves == waves.sorted && waves.distinct == waves,

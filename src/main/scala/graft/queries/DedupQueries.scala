@@ -520,6 +520,81 @@ object DedupQueries {
         LEFT JOIN hits hs ON w.vec_id = hs.vec_id
         ORDER BY w.vec_id""")),
 
+    // ---- AUTO-K incremental semantic dedup (r18 verdict item 2) ------------
+    // The fixed-k gate above pins the fold's SEMANTICS; this one pins its
+    // SIZING RULE: k = max(8, ceil(n / targetClusterSize)) — the remedy
+    // for the fixed-k quadratic cliff (229 s at the 100× corpus vs 30.4 s
+    // under k ∝ n), now the incremental path's own overload rather than a
+    // probe-only parameter. targetClusterSize = 50 so the DERIVED k
+    // differs from the fixed gate's 8 at every SF (500 vecs → k = 10,
+    // 2000 → 40) — a regression in the ceil-division or the max-floor
+    // moves cluster ids on every row. The k_auto output column makes the
+    // derivation itself hash-checked data; the oracle re-derives it with
+    // the same integer arithmetic and sizes its seed LIMIT from it.
+    QueryDef(
+      "d_semdedup_incremental_auto",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("ev"))
+        val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        graft.ext.SemDedup.incrementalSemDedup(
+          e, wave, waves = Seq(0, 1), tau = 0.35, targetClusterSize = 50)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ka AS (
+          SELECT greatest(8, (count(*) + 49) // 50) AS k FROM e),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT (SELECT k FROM ka))),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        wv AS (
+          SELECT a.vec_id, a.cluster,
+            CASE WHEN substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)
+              BETWEEN '0' AND '7' THEN 0 ELSE 1 END AS wave
+          FROM assign a),
+        hitb AS (
+          SELECT DISTINCT x.vec_id
+          FROM wv x JOIN wv y
+            ON x.cluster = y.cluster AND x.wave = y.wave
+              AND y.vec_id < x.vec_id
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE round(list_cosine_similarity(ex.ev, ey.ev), 4) >= 0.35),
+        kept0 AS (
+          SELECT w.vec_id, w.cluster FROM wv w
+          WHERE w.wave = 0 AND w.vec_id NOT IN (SELECT vec_id FROM hitb)),
+        hits AS (
+          SELECT DISTINCT x.vec_id
+          FROM wv x JOIN kept0 y ON x.cluster = y.cluster
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE x.wave = 1
+            AND round(list_cosine_similarity(ex.ev, ey.ev), 4) >= 0.35)
+        SELECT w.vec_id, w.wave, w.cluster,
+          (hb.vec_id IS NOT NULL) AS hit_batch,
+          (hs.vec_id IS NOT NULL) AS hit_store,
+          (hb.vec_id IS NULL AND hs.vec_id IS NULL) AS kept,
+          (SELECT k FROM ka) AS k_auto
+        FROM wv w
+        LEFT JOIN hitb hb ON w.vec_id = hb.vec_id
+        LEFT JOIN hits hs ON w.vec_id = hs.vec_id
+        ORDER BY w.vec_id""")),
+
     // ---- I5 collapse-first near-dup (HASH-EXACT oracle) --------------------
     // Gates MinHashDedup.candidatePairsCollapsed: exact clones are planted
     // by unioning the subset with an id-shifted copy of itself (+100000,

@@ -1890,6 +1890,114 @@ object Similarity {
           ORDER BY ce DESC, vec_id LIMIT 10)
         SELECT r.vec_id, r.cos_sq8, r.cos_exact,
           r.vec_id IN (SELECT vec_id FROM ex) AS in_exact_top10
-        FROM rr r ORDER BY cos_exact DESC, vec_id"""))
+        FROM rr r ORDER BY cos_exact DESC, vec_id""")),
+
+    // ---- X4: hard-query IVF recall as oracle-checked DATA ------------------
+    // (r18 verdict item 4.) The gated ANN surface measured IN-corpus
+    // geometry only; the r18_ivfpq_hardq probe showed that OUT-of-corpus
+    // queries at 2.5× the sibling noise radius are what make probe count
+    // matter. This gate promotes that protocol to the hash-exact surface:
+    // 20 queries derived from the first 20 corpus vectors by
+    // md5-deterministic ±0.125/component offsets (both engines re-derive
+    // every offset from md5_number_upper arithmetic — the query set can
+    // never silently drift), IVF search at nProbe = 3 of 8 (lloydIters =
+    // 0, the SQL-derivable index), and the output row per query IS its
+    // recall@10 against the oracle's own brute-force top-10 — the recall
+    // column moves if seeding, assignment, probe ranking, or the search
+    // join regresses. n_hit stays integer (exact) and recall_at_10 is
+    // n_hit/10 (one exact IEEE division).
+    QueryDef(
+      "x4_ivf_recall_hardq",
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val index = graft.ext.IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+        // out-of-corpus queries: base vector + md5-derived offset per
+        // component; one float add per component, bit-stable cross-engine
+        val queries = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"),
+            transform($"ev", (x, j) => x +
+              (shiftrightunsigned(graft.functions.Md5Hash64.md5_le64(
+                concat(lit("hardq"), $"vec_id".cast("string"), lit(":"),
+                  j.cast("string"))), 40).cast("double")
+                / lit(16777216.0) - 0.5) * 0.25).as("qv"))
+          .localCheckpoint(true) // one derivation feeds IVF AND truth arms
+        val ivf = graft.ext.IvfAnn.searchJoin(
+          index, queries, nProbe = 3, k = 10, excludeSelf = false)
+        val wT = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val truth = e.crossJoin(broadcast(queries))
+          .select($"qid", $"vec_id",
+            round(cosine($"ev", $"qv"), 4).as("cos"))
+          .withColumn("rn", row_number().over(wT)).filter($"rn" <= 10)
+          .select($"qid", $"vec_id")
+        truth
+          .join(ivf.select($"qid", $"vec_id", lit(true).as("in_ivf")),
+            Seq("qid", "vec_id"), "left")
+          .groupBy($"qid")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when($"in_ivf", 1L).otherwise(0L)).as("n_hit"))
+          .select($"qid", $"n_truth", $"n_hit",
+            ($"n_hit" / lit(10.0)).as("recall_at_10"))
+          .orderBy($"qid")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (
+          SELECT ev AS cv, ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cluster
+          FROM (SELECT vec_id, ev,
+                  (md5_number_upper(CAST(vec_id AS VARCHAR)) >> 4)::BIGINT AS hk
+                FROM e ORDER BY hk, vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, len(ev)),
+                  k -> ev[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM e, seeds s) WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS qid,
+            list_transform(generate_series(1, len(ev)), j -> ev[j] +
+              ((md5_number_upper('hardq' || vec_id || ':' || (j - 1)) >> 40)::DOUBLE
+                / 16777216.0 - 0.5) * 0.25) AS qv
+          FROM e WHERE vec_id < 20),
+        probes AS (
+          SELECT qid, cluster FROM (
+            SELECT q.qid, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                list_sum(list_transform(generate_series(1, len(qv)),
+                  k -> qv[k] * cv[k]))
+                / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x)))) DESC,
+                s.cluster) AS rn
+            FROM q, seeds s) WHERE rn <= 3),
+        ivf AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                round(list_cosine_similarity(e.ev, q.qv), 4) DESC,
+                e.vec_id) AS rn
+            FROM q
+            JOIN probes p ON p.qid = q.qid
+            JOIN assign a ON a.cluster = p.cluster
+            JOIN e ON e.vec_id = a.vec_id) WHERE rn <= 10),
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                round(list_cosine_similarity(e.ev, q.qv), 4) DESC,
+                e.vec_id) AS rn
+            FROM e, q) WHERE rn <= 10)
+        SELECT t.qid, count(*) AS n_truth,
+          CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+          CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT)::DOUBLE / 10.0 AS recall_at_10
+        FROM truth t
+        LEFT JOIN ivf i ON i.qid = t.qid AND i.vec_id = t.vec_id
+        GROUP BY t.qid
+        ORDER BY t.qid"""))
   )
 }

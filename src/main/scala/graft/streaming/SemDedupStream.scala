@@ -50,6 +50,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SemDedupStream {
 
+  /** Derive the stream's FIXED codebook from a bootstrap corpus under the
+    * batch auto-k rule ([[graft.ext.SemDedup.autoK]]): k =
+    * max(8, ceil(n / targetClusterSize)) md5-ordered seeds, lloydIters =
+    * 0 — exactly what the batch incremental auto overload derives over
+    * the same frame, so stream and batch verdicts agree codebook-for-
+    * codebook (spec-pinned). This is the offline re-sizing rule the
+    * scaladoc above prescribes: as the corpus grows, a periodic offline
+    * job re-bootstraps over a fresh sample (n grows ⇒ k grows ⇒ per-cell
+    * work stays constant) and starts a new stream generation — the
+    * streaming analogue of batch auto-k, without in-stream codebook
+    * mutation. */
+  def bootstrapCodebook(bootstrap: org.apache.spark.sql.DataFrame,
+      targetClusterSize: Int = graft.ext.SemDedup.DefaultTargetClusterSize)
+      : Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.col
+    // barrier: count and seeding must see the same rows (SemDedup auto
+    // overload rationale)
+    val ec = bootstrap.select(col("vec_id"), col("ev")).localCheckpoint(true)
+    val k = graft.ext.SemDedup.autoK(ec.count(), targetClusterSize)
+    graft.ext.IvfAnn.build(ec, k, lloydIters = 0)
+      .centroids.sortBy(_._1).map(_._2.toArray)
+  }
+
   /** Start the stream over `vecsDir` (one text file per vector:
     * whitespace-separated doubles). `centroids` is the fixed codebook
     * (cluster id = array index); `sink` receives the KEPT (path, vec)
@@ -80,6 +103,24 @@ object SemDedupStream {
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
+
+  /** Auto-k entry point: codebook derived from `bootstrap` under the
+    * batch auto-k rule via [[bootstrapCodebook]], then the explicit-
+    * codebook stream above. The bootstrap frame needs (vec_id, ev)
+    * columns — typically the offline corpus sample the deployment
+    * re-clusters periodically. */
+  def run(
+      spark: SparkSession,
+      vecsDir: String,
+      checkpointDir: String,
+      storeDir: String,
+      bootstrap: DataFrame,
+      targetClusterSize: Int,
+      tau: Double,
+      availableNow: Boolean)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    run(spark, vecsDir, checkpointDir, storeDir,
+      bootstrapCodebook(bootstrap, targetClusterSize), tau, availableNow)(sink)
 
   /** One epoch: parse + quantize → in-batch suppression → anti-match
     * kept vectors registered STRICTLY below this batch

@@ -1235,12 +1235,15 @@ object BenchTune {
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
     val n = e.count()
-    val k = math.max(8L, n / 250L).toInt
+    val k = graft.ext.SemDedup.autoK(n, graft.ext.SemDedup.DefaultTargetClusterSize)
     val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
       .between("0", "7"), 0).otherwise(1)
+    // drives the SHIPPED auto overload (r18 verdict item 2), not a
+    // hand-derived k, so the probe measures the path callers get
     def run() = graft.BenchProtocol.force(
       graft.ext.SemDedup.incrementalSemDedup(
-        e, wave, waves = Seq(0, 1), nCentroids = k, tau = 0.35))
+        e, wave, waves = Seq(0, 1), tau = 0.35,
+        targetClusterSize = graft.ext.SemDedup.DefaultTargetClusterSize))
     run() // warmup
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9

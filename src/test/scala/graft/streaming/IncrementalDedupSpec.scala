@@ -187,6 +187,73 @@ class IncrementalDedupSpec extends AnyFunSuite {
         (batchKept -- streamKept).take(5)}")
   }
 
+  test("auto-k incremental semantic dedup: derived k matches the integer " +
+      "rule, audit matches the explicit-k fold, and the stream under " +
+      "bootstrapCodebook keeps the same set") {
+    import graft.ext.{IvfAnn, SemDedup}
+    val e = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("ev"))
+      .localCheckpoint(true)
+    val n = e.count()
+    val target = 50
+    val kExpected = math.max(8L, (n + target - 1) / target).toInt
+    assert(kExpected != 8, "corpus must derive a k that differs from the " +
+      "fixed-k gate or the auto rule is untested")
+
+    val auto = SemDedup.incrementalSemDedup(
+      e, waveOf($"vec_id"), waves = Seq(0, 1),
+      tau = 0.35, targetClusterSize = target).collect()
+    assert(auto.forall(_.getAs[Int]("k_auto") == kExpected),
+      s"k_auto must equal max(8, ceil($n/$target)) = $kExpected")
+
+    // the auto overload IS the explicit-k fold at the derived k
+    val explicit = SemDedup.incrementalSemDedup(
+      e, waveOf($"vec_id"), waves = Seq(0, 1),
+      nCentroids = kExpected, tau = 0.35).collect()
+    assert(auto.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("wave"),
+        r.getAs[Int]("cluster"), r.getAs[Boolean]("hit_batch"),
+        r.getAs[Boolean]("hit_store"), r.getAs[Boolean]("kept"))).toSeq ==
+      explicit.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("wave"),
+        r.getAs[Int]("cluster"), r.getAs[Boolean]("hit_batch"),
+        r.getAs[Boolean]("hit_store"), r.getAs[Boolean]("kept"))).toSeq,
+      "auto overload must be row-identical to the explicit-k fold")
+
+    // bootstrapCodebook derives the SAME codebook the batch auto path
+    // seeds, so stream verdicts agree with the batch auto verdicts
+    val cents = SemDedupStream.bootstrapCodebook(e, target)
+    assert(cents.length == kExpected,
+      "stream bootstrap must derive the same k as the batch auto rule")
+    val expected = IvfAnn.build(e, kExpected, lloydIters = 0)
+      .centroids.sortBy(_._1).map(_._2.toArray)
+    assert(cents.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+      "stream bootstrap codebook must equal the batch auto seeding")
+
+    val batchKept = auto.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("wave"))).toSet
+    val streamed = e
+      .select(format_string("v%09d", $"vec_id").as("path"),
+        array_join(transform($"ev", _.cast("string")), " ").as("value"),
+        waveOf($"vec_id").as("wave"))
+      .localCheckpoint(true)
+    val store = tmp("incsemauto_store")
+    val keptPaths = scala.collection.mutable.Map[Long, Set[String]]()
+    val sink = (df: DataFrame, id: Long) => {
+      keptPaths(id) = df.select($"path").collect().map(_.getString(0)).toSet
+      ()
+    }
+    for (w <- Seq(0, 1))
+      SemDedupStream.processBatch(
+        streamed.filter($"wave" === w).select($"value", $"path"),
+        w.toLong, store, cents, 0.35, sink)
+    val streamKept = (for ((id, paths) <- keptPaths.toSeq; p <- paths)
+      yield (p.stripPrefix("v").toLong, id.toInt)).toSet
+    assert(streamKept == batchKept,
+      s"auto-k semantic stream/batch keep-sets differ: only-stream=${
+        (streamKept -- batchKept).take(5)}, only-batch=${
+        (batchKept -- streamKept).take(5)}")
+  }
+
   test("three waves: the store accumulates across ALL earlier waves, " +
       "suppressed docs never register") {
     val docs = Seq(
