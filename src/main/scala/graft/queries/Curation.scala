@@ -1079,5 +1079,226 @@ object Curation {
           est_auto - exact_join_rows >= 0 AS one_sided,
           round(CAST(est_auto - exact_join_rows AS DOUBLE) * 100.0
             / exact_join_rows, 2) <= 25.0 AS in_bound
-        FROM nn, est1, wa, est2, exact""")))
+        FROM nn, est1, wa, est2, exact""")),
+
+    // ---- Join pre-flight DECISION gate (r18 verdict item 5) ----------------
+    // The toolkit's three sketches — key-count sizes + hot-key profile
+    // (x_skew_profile's arithmetic), CMS output pricing (x_join_size_cms),
+    // Bloom input pruning (x_bloom_join_prune) — composed into the
+    // PLANNER PROTOCOL: one row per candidate join whose columns ARE the
+    // decision vector, every input and every threshold re-derived by the
+    // oracle from pure integer/ratio arithmetic. Published thresholds
+    // (deliberately small so crossings are OBSERVABLE at gate corpora;
+    // production sizes the first to executor memory):
+    //   broadcast  iff n_small      <= 2,000 rows        (row proxy for
+    //                                 autoBroadcastJoinThreshold)
+    //   salt       iff not broadcast AND skew_fp >= 16e6 (hot >= 16x mean)
+    //     with salt_n = clamp(ceil(hot / (2·mean)), 2, 32) — the bucket
+    //     count that caps any sub-key at ~2x the mean reducer load
+    //   shuffle    otherwise
+    //   prefilter  iff not broadcast AND the Bloom (m=8192, k=4) of the
+    //     small side's keys removes >= 30% of big-side rows — the
+    //     map-side filter is only worth its probe cost when it prunes
+    //   out_blowup iff cms_est_corr > 10·(n_big + n_small) — the
+    //     "review this join before running it" flag. The DECISION uses
+    //     the AMS-corrected estimate (raw est minus the sketch's expected
+    //     collision mass n_big·n_small/w, computed in exact 1/1024
+    //     integer fixed point): the raw one-sided est saturates on
+    //     high-cardinality uniform keys (the star family reads ~15×
+    //     exact at sf0.1) and would flag every big CLEAN join — the same
+    //     correction x_join_size_cms_auto sizes widths with. Both
+    //     estimates are published; only est_corr decides.
+    // Families chosen so decisions MOVE across the gate SFs (sf0.01:
+    // all-broadcast except the skew family salts; sf0.1: the star join
+    // crosses into shuffle) and flip again at 10x/100x (BenchTune
+    // preflight probe): the selective clicks~hv-purchasers join stays
+    // broadcast until its key set outgrows the limit, the skewed
+    // lineitem~orders join salts at 13 buckets, the orders~customer
+    // star join is the uniform shuffle baseline whose Bloom correctly
+    // prunes NOTHING (referential integrity ⇒ reduction 0 ⇒ prefilter
+    // false — the gate proves the protocol declines a useless filter).
+    QueryDef(
+      "x_join_preflight_decision",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val f1big = ev.filter($"event_type" === "click")
+          .groupBy($"user_id".cast("string").as("k"))
+          .agg(count(lit(1)).as("c"))
+        val f1small = ev
+          .filter($"event_type" === "purchase" && $"value" >= 200)
+          .select($"user_id".cast("string").as("k")).distinct()
+          .withColumn("c", lit(1L))
+        val f2big = Tables.lineitem(s, d)
+          .select(when($"l_quantity" <= 25.0, lit(0L))
+            .otherwise(pmod($"l_orderkey", lit(50L)) + lit(1L))
+            .cast("string").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("c"))
+        val f2small = Tables.orders(s, d)
+          .select(pmod($"o_orderkey", lit(51L)).cast("string").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("c"))
+        val f3big = Tables.orders(s, d)
+          .select($"o_custkey".cast("string").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("c"))
+        val f3small = Tables.customer(s, d)
+          .select($"c_custkey".cast("string").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("c"))
+        preflightRow(s, "clicks~hv_purchasers", f1big, f1small)
+          .unionByName(
+            preflightRow(s, "lineitem_skew~orders_mod51", f2big, f2small))
+          .unionByName(preflightRow(s, "orders~customer", f3big, f3small))
+          .orderBy($"join_id")
+      },
+      Some(preflightOracle)))
+
+  /** One pre-flight decision row for a candidate join: `big`/`small` are
+    * the two sides' key-count vectors (k STRING, c BIGINT — one
+    * map-side-combined pass per side, the only corpus-sized work). All
+    * downstream frames are sketch-sized (1-row aggregates, a ≤4·8192-row
+    * Bloom, 4×1024 CMS cells); at 100 TB this is exactly the pre-flight
+    * read a planner affords before committing to an exchange. Thresholds
+    * documented at the gate. */
+  private def preflightRow(s: org.apache.spark.sql.SparkSession,
+      joinId: String, big: org.apache.spark.sql.DataFrame,
+      small: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = 1024; val m = 8192
+    // one materialization per side: each feeds sizes + CMS + Bloom
+    val bc = big.localCheckpoint(true)
+    val sc = small.localCheckpoint(true)
+    val sizes = bc
+      .agg(sum($"c").as("n_big"), count(lit(1)).as("n_big_keys"),
+        max($"c").as("hot"))
+      .crossJoin(broadcast(sc.agg(sum($"c").as("n_small"),
+        count(lit(1)).as("n_small_keys"))))
+    def cells(cnt: org.apache.spark.sql.DataFrame) = cnt
+      .select(explode(sequence(lit(0), lit(3))).as("d"), $"k", $"c")
+      .select($"d", sketchCell($"d", $"k", w).as("cell"), $"c")
+      .groupBy($"d", $"cell").agg(sum($"c").as("cc"))
+    val est = cells(bc).as("ca").join(cells(sc).as("cb"), Seq("d", "cell"))
+      .groupBy($"d").agg(sum($"ca.cc" * $"cb.cc").as("ip"))
+      .agg(min($"ip").as("cms_est_out"))
+    val bits = sc.select(explode(sequence(lit(0), lit(3))).as("d"), $"k")
+      .select($"d", sketchCell($"d", $"k", m).as("cell")).distinct()
+    val passRows = bc
+      .select($"k", $"c", explode(sequence(lit(0), lit(3))).as("d"))
+      .withColumn("cell", sketchCell($"d", $"k", m))
+      .join(broadcast(bits.withColumn("b", lit(1))), Seq("d", "cell"), "left")
+      .groupBy($"k", $"c").agg((count($"b") === 4).as("pass"))
+      .agg(sum(when($"pass", $"c").otherwise(0L)).as("bloom_pass_rows"))
+    sizes.crossJoin(broadcast(est)).crossJoin(broadcast(passRows))
+      .select(lit(joinId).as("join_id"), $"n_big", $"n_small",
+        $"n_big_keys", $"n_small_keys", $"hot",
+        expr("(hot * n_big_keys * 1000000) div n_big").as("skew_fp"),
+        $"cms_est_out", $"bloom_pass_rows",
+        round(lit(100.0) * ($"n_big" - $"bloom_pass_rows") / $"n_big", 2)
+          .as("scan_reduction_pct"))
+      .withColumn("strategy",
+        when($"n_small" <= 2000L, lit("broadcast"))
+          .when($"skew_fp" >= 16000000L, lit("salt"))
+          .otherwise(lit("shuffle")))
+      .withColumn("salt_n",
+        when($"strategy" === "salt",
+          expr("greatest(CAST(2 AS BIGINT), least(CAST(32 AS BIGINT), " +
+            "(hot * n_big_keys + 2 * n_big - 1) div (2 * n_big)))"))
+          .otherwise(lit(0L)))
+      .withColumn("prefilter",
+        $"strategy" =!= "broadcast" && $"scan_reduction_pct" >= 30.0)
+      .withColumn("cms_est_corr",
+        expr("greatest(CAST(0 AS BIGINT), " +
+          "cms_est_out * 1024 - n_big * n_small) div 1024"))
+      .withColumn("out_blowup",
+        $"cms_est_corr" > lit(10L) * ($"n_big" + $"n_small"))
+  }
+
+  /** DuckDB twin of the three-family decision gate: the per-family CTE
+    * block re-derives sizes, skew_fp, the 4×1024 CMS inner product, the
+    * m=8192/k=4 Bloom pass mass, and the identical threshold arithmetic.
+    * (lazy: `defs` above references this during object init — a plain
+    * val here would still be null when the QueryDef captures it.) */
+  private lazy val preflightOracle: String = {
+    // (bigSql, smallSql) produce (k VARCHAR, c BIGINT) key-count vectors
+    def family(i: Int, joinId: String, bigSql: String, smallSql: String) =
+      s"""bc$i AS ($bigSql),
+        sc$i AS ($smallSql),
+        sz$i AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM bc$i) AS n_big,
+            (SELECT COUNT(*) FROM bc$i) AS n_big_keys,
+            (SELECT CAST(MAX(c) AS BIGINT) FROM bc$i) AS hot,
+            (SELECT CAST(SUM(c) AS BIGINT) FROM sc$i) AS n_small,
+            (SELECT COUNT(*) FROM sc$i) AS n_small_keys),
+        ca$i AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' || k)
+              >> 4) AS BIGINT) % 1024 AS cell, SUM(c) AS cc
+          FROM bc$i, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        cb$i AS (
+          SELECT d, CAST((md5_number_upper(CAST(d AS VARCHAR) || ':' || k)
+              >> 4) AS BIGINT) % 1024 AS cell, SUM(c) AS cc
+          FROM sc$i, generate_series(0, 3) AS gs(d) GROUP BY d, cell),
+        est$i AS (
+          SELECT CAST(MIN(ip) AS BIGINT) AS cms_est_out FROM (
+            SELECT d, SUM(ca$i.cc * cb$i.cc) AS ip
+            FROM ca$i JOIN cb$i USING (d, cell) GROUP BY d)),
+        bits$i AS (
+          SELECT DISTINCT d, CAST((md5_number_upper(CAST(d AS VARCHAR)
+              || ':' || k) >> 4) AS BIGINT) % 8192 AS cell
+          FROM sc$i, generate_series(0, 3) AS gs(d)),
+        pr$i AS (
+          SELECT CAST(SUM(CASE WHEN nhit = 4 THEN c ELSE 0 END) AS BIGINT)
+            AS bloom_pass_rows
+          FROM (
+            SELECT bc.k, bc.c, COUNT(b.cell) AS nhit
+            FROM bc$i bc CROSS JOIN generate_series(0, 3) AS gs(d)
+            LEFT JOIN bits$i b ON b.d = gs.d AND b.cell =
+              CAST((md5_number_upper(CAST(gs.d AS VARCHAR) || ':' || bc.k)
+                >> 4) AS BIGINT) % 8192
+            GROUP BY bc.k, bc.c)),
+        row$i AS (
+          SELECT '$joinId' AS join_id, n_big, n_small, n_big_keys,
+            n_small_keys, hot,
+            (hot * n_big_keys * 1000000) // n_big AS skew_fp,
+            cms_est_out, bloom_pass_rows,
+            round(100.0 * (n_big - bloom_pass_rows) / n_big, 2)
+              AS scan_reduction_pct
+          FROM sz$i, est$i, pr$i)"""
+    val f1 = family(1, "clicks~hv_purchasers",
+      """SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c FROM events
+          WHERE event_type = 'click' GROUP BY 1""",
+      """SELECT CAST(user_id AS VARCHAR) AS k, CAST(1 AS BIGINT) AS c
+          FROM (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 200)""")
+    val f2 = family(2, "lineitem_skew~orders_mod51",
+      """SELECT CAST(CASE WHEN l_quantity <= 25 THEN 0
+            ELSE (l_orderkey % 50) + 1 END AS VARCHAR) AS k,
+          COUNT(*) AS c FROM lineitem GROUP BY 1""",
+      """SELECT CAST(o_orderkey % 51 AS VARCHAR) AS k, COUNT(*) AS c
+          FROM orders GROUP BY 1""")
+    val f3 = family(3, "orders~customer",
+      """SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS c
+          FROM orders GROUP BY 1""",
+      """SELECT CAST(c_custkey AS VARCHAR) AS k, COUNT(*) AS c
+          FROM customer GROUP BY 1""")
+    s"""WITH $f1,
+        $f2,
+        $f3,
+        allrows AS (
+          SELECT * FROM row1 UNION ALL
+          SELECT * FROM row2 UNION ALL
+          SELECT * FROM row3)
+        SELECT join_id, n_big, n_small, n_big_keys, n_small_keys, hot,
+          skew_fp, cms_est_out, bloom_pass_rows, scan_reduction_pct,
+          CASE WHEN n_small <= 2000 THEN 'broadcast'
+               WHEN skew_fp >= 16000000 THEN 'salt'
+               ELSE 'shuffle' END AS strategy,
+          CASE WHEN n_small > 2000 AND skew_fp >= 16000000 THEN
+            greatest(2, least(32,
+              (hot * n_big_keys + 2 * n_big - 1) // (2 * n_big)))
+            ELSE 0 END AS salt_n,
+          (n_small > 2000 AND scan_reduction_pct >= 30.0) AS prefilter,
+          greatest(0, cms_est_out * 1024 - n_big * n_small) // 1024
+            AS cms_est_corr,
+          greatest(0, cms_est_out * 1024 - n_big * n_small) // 1024
+            > 10 * (n_big + n_small) AS out_blowup
+        FROM allrows ORDER BY join_id"""
+  }
 }

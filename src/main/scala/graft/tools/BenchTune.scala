@@ -3455,6 +3455,35 @@ object BenchTune {
     spark.stop()
   }
 
+  /** Pre-flight decision vectors at the scale ladder (r18 verdict item
+    * 5's probe arm): the x_join_preflight_decision gate re-run at
+    * 1×/10×/100×, printing each family's decision so the flips are
+    * measured, not asserted — clicks~hv_purchasers outgrows the
+    * broadcast limit at 10× (2,970 keys) and its Bloom starts paying
+    * (prefilter true), the skewed family stays salt-13 at every rung,
+    * orders~customer stays a clean shuffle with NO blowup flag (the
+    * AMS-corrected estimate keeps declining the saturated raw read). */
+  def preflightProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("preflight-scale") { spark =>
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        def q() = graft.SparkEntry.queries("x_join_preflight_decision")(spark, dir)
+        val (med, mn, steal) = ProbeHarness.timedForce(3)(q _)
+        q().collect().foreach { r =>
+          println(s"[preflight] $tag ${r.getAs[String]("join_id")}: " +
+            s"n_big=${r.getAs[Long]("n_big")} n_small=${r.getAs[Long]("n_small")} " +
+            s"skew_fp=${r.getAs[Long]("skew_fp")} " +
+            s"est_corr=${r.getAs[Long]("cms_est_corr")} " +
+            s"reduction=${r.getAs[java.lang.Double]("scan_reduction_pct")} " +
+            s"-> ${r.getAs[String]("strategy")}" +
+            s"(salt_n=${r.getAs[Long]("salt_n")}, " +
+            s"prefilter=${r.getAs[Boolean]("prefilter")}, " +
+            s"blowup=${r.getAs[Boolean]("out_blowup")})")
+        }
+        println(f"[preflight] $tag wall median=$med%.2f min=$mn%.2f " +
+          f"steal=$steal%.1f s")
+      }
+    }
+
   /** Auto-sized CMS join-size width (r17 verdict item 7).
     * r17_joinsize_width proved error ∝ F1A·F1B/w; this probe closes the
     * loop by SELF-SIZING: pass 1 sketches at the gate width w0=1024 and
@@ -3523,6 +3552,7 @@ object BenchTune {
     if (args.headOption.contains("neardupinc")) { neardupIncProbe(sfDir); return }
     if (args.headOption.contains("ivfpqhard")) { ivfPqHardProbe(sfDir); return }
     if (args.headOption.contains("cmsauto")) { cmsAutoProbe(sfDir); return }
+    if (args.headOption.contains("preflight")) { preflightProbe(sfDir); return }
     if (args.headOption.contains("sq8store")) { sq8StoreProbe(sfDir); return }
     if (args.headOption.contains("sq8")) { sq8Probe(sfDir); return }
     if (args.headOption.contains("topkagg")) { topkAggProbe(sfDir); return }
