@@ -112,6 +112,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — bench_n_bucketed 14; the set-hash rule flips
   *    comparable_with_prior_bucketed false for this round, with
   *    total_bucketed_prev_set the cross-seam comparable subtotal.
+  *
+  * ROUND-19 protocol changes (r18 verdict items 1 + 6):
+  *  - PER-QUERY OUTLIER GUARD: the r18 artifact shipped q8_market_share
+  *    at 2.586 s median vs 1.329 s in-leg min inside a leg that
+  *    self-reported steal-clean — a mid-leg burst the 3-s quiet gate
+  *    cannot see. A query whose median exceeds [[OutlierMedMinRatio]] ×
+  *    its own in-leg min now waits for a quiet window and re-runs its
+  *    timed passes ONCE; the read with the lower median is kept. The
+  *    metric line carries the total rerun count (`q_reruns`), the detail
+  *    line the names (`outlier_reruns`).
+  *  - CUSTKEY WINDOW LEG: r18_w3_layout_3way measured the window
+  *    workload's OWN at-rest layout (orders bucketed+sorted by
+  *    (o_custkey, o_orderdate, o_orderkey)) at 2.7× plain with ZERO
+  *    exchanges below the WindowExec, and BucketingSpec pins the plan —
+  *    but nothing trended it per round. A third timed leg now runs the
+  *    w1/w3 gate shapes (minus their repartitionByRange — the bucketed
+  *    scan already satisfies the window's clustering) over a freshly
+  *    rewritten custkey table: `queries_custkey`/`total_custkey` (short
+  *    keys w1/w3 to respect the 2000-char tail window), same
+  *    steal-gating and failure discipline as the other legs.
   */
 object Bench {
   private val Iters = 5
@@ -149,6 +169,12 @@ object Bench {
   private val QuietWaitPerRetryS = 150
   private val QuietWaitBudgetS = 600
 
+  /** Per-query outlier guard (ROUND-19 scaladoc): a med/min spread above
+    * this inside one pass set is a mid-leg burst signature (r18's q8 read
+    * 1.95×; the eleven clean builder windows never exceeded ~1.4×) —
+    * re-run once after a fresh quiet check, keep the lower-median read. */
+  private val OutlierMedMinRatio = 1.5
+
   /** The bucketed-leg-only graph entry (not a SparkEntry gate query — its
     * input is the at-rest EdgeStore layout, not the raw parquet dir). */
   private val GraphBenchQuery = "g_pagerank_edgestore"
@@ -174,7 +200,7 @@ object Bench {
     * silently-shifted total. (r16 grows both sets — q8 + the bm25 leg —
     * so both flags read false this round by construction.) */
   private val PriorPlainSetHash = "249406e1"
-  private val PriorBucketedSetHash = "4850832d"
+  private val PriorBucketedSetHash = "2cf10af4"
 
   /** The r16 committed plain set (the r15 ten + q8) — the cross-round
     * seam subtotals `total_prev_set` (plain) and `total_bucketed_prev_set`
@@ -308,40 +334,64 @@ object Bench {
 
     def timeLeg(legNames: Seq[String],
         lookup: Map[String, (SparkSession, String) => DataFrame])
-        : Seq[(String, (Double, Double))] = legNames.map { name =>
-      spark.sharedState.cacheManager.clearCache()
-      // localCheckpoint blocks (lshCandidatePairs, x_contamination) are
-      // NOT in the CacheManager — they free via ContextCleaner when their
-      // RDD is collected, so nudge a GC to keep prior queries' blocks from
-      // occupying storage memory during this query's runs
-      System.gc()
-      // the headline query gets 7 timed passes (r9 verdict item 8: its
-      // median-of-5 drifted 22% above a simultaneously-IMPROVED min —
-      // session noise; a median over 7 tolerates three stalled passes);
-      // iterative / multi-action legs get 9 (r15 item 3: chained actions
-      // amplify per-action scheduler noise)
-      val iters = name match {
-        case HeadlineQuery                     => HeadlineIters
-        case GraphBenchQuery | Bm25BenchQuery  => IterativeIters
-        case _                                 => Iters
-      }
-      val q = lookup(name)
-      val warmOk = force(q, name)
-      val times =
-        if (!warmOk) Seq.empty[Double]
-        else (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = force(q, name)
-          if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        : (Seq[(String, (Double, Double))], Seq[String]) = {
+      val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+      val rs = legNames.map { name =>
+        spark.sharedState.cacheManager.clearCache()
+        // localCheckpoint blocks (lshCandidatePairs, x_contamination) are
+        // NOT in the CacheManager — they free via ContextCleaner when their
+        // RDD is collected, so nudge a GC to keep prior queries' blocks from
+        // occupying storage memory during this query's runs
+        System.gc()
+        // the headline query gets 7 timed passes (r9 verdict item 8: its
+        // median-of-5 drifted 22% above a simultaneously-IMPROVED min —
+        // session noise; a median over 7 tolerates three stalled passes);
+        // iterative / multi-action legs get 9 (r15 item 3: chained actions
+        // amplify per-action scheduler noise)
+        val iters = name match {
+          case HeadlineQuery                     => HeadlineIters
+          case GraphBenchQuery | Bm25BenchQuery  => IterativeIters
+          case _                                 => Iters
         }
-      // a failed query must not masquerade as a (near-zero) fast timing
-      if (times.isEmpty || times.exists(_.isNaN)) name -> (-1.0, -1.0)
-      else name -> (median(times), times.min)
+        val q = lookup(name)
+        val warmOk = force(q, name)
+        def passes(): Seq[Double] =
+          if (!warmOk) Seq.empty[Double]
+          else (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            val ok = force(q, name)
+            if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+          }
+        val t1 = passes()
+        // a failed query must not masquerade as a (near-zero) fast timing
+        if (t1.isEmpty || t1.exists(_.isNaN)) name -> (-1.0, -1.0)
+        else {
+          var med = median(t1); var mn = t1.min
+          // per-query outlier guard (ROUND-19 scaladoc): a mid-leg burst
+          // inflates the median while the min stays at the steady-state
+          // floor — re-run the passes once in a fresh quiet window and
+          // keep whichever pass set has the LOWER median (the reads stay
+          // same-protocol; the discard is published, not hidden)
+          if (med > OutlierMedMinRatio * mn) {
+            reruns += name
+            System.err.println(
+              f"[bench] $name med/min ${med / mn}%.2f > " +
+                f"$OutlierMedMinRatio%.1f — re-running after quiet check")
+            waitForQuiet(s"rerun:$name")
+            val t2 = passes()
+            if (t2.nonEmpty && !t2.exists(_.isNaN) && median(t2) < med) {
+              med = median(t2); mn = t2.min
+            }
+          }
+          name -> (med, mn)
+        }
+      }
+      (rs, reruns.toSeq)
     }
 
     // plain leg — steal-gated (r15; r13 item 1 added the sampling, r14
     // item 1 the retry: the committed artifact must carry a clean run)
-    val (results, stealPlainS, stealPlainAttempts) =
+    val ((results, rerunsPlain), stealPlainS, stealPlainAttempts) =
       stealGated("plain") { () => timeLeg(names, qs) }
     spark.sharedState.cacheManager.clearCache()
 
@@ -371,9 +421,10 @@ object Bench {
           ((s: SparkSession, _: String) =>
             sources.InvertedIndex.bm25TopK(
               s, sources.InvertedIndex.BenchTable, bm25Terms, 20)))
-    val (bucketedResults, stealBkS, stealBkAttempts):
-        (Option[Seq[(String, (Double, Double))]], Double, Seq[Double]) =
-      if (Tables.activeLayout.isDefined) (None, -1.0, Seq.empty)
+    val (bucketedResults, rerunsBk, stealBkS, stealBkAttempts):
+        (Option[Seq[(String, (Double, Double))]], Seq[String], Double,
+          Seq[Double]) =
+      if (Tables.activeLayout.isDefined) (None, Seq.empty, -1.0, Seq.empty)
       else {
         try {
           // untimed prep, outside the retried window: steal during a
@@ -383,14 +434,76 @@ object Bench {
           bm25Terms = sources.InvertedIndex.writeBenchPostings(spark, sfDir)
           System.setProperty("graft.bucketed", BucketedLayout)
           try {
-            val (rs, s, as) =
+            val ((rs, rr), s, as) =
               stealGated("bucketed") { () => timeLeg(bucketedNames, qsBk) }
-            (Some(rs), s, as)
+            (Some(rs), rr, s, as)
           } finally System.clearProperty("graft.bucketed")
         } catch { case e: Throwable =>
           System.clearProperty("graft.bucketed")
           System.err.println(s"[bench] bucketed leg failed: ${e.getMessage}")
-          (None, -1.0, Seq.empty)
+          (None, Seq.empty, -1.0, Seq.empty)
+        }
+      }
+    spark.sharedState.cacheManager.clearCache()
+
+    // ---- custkey window leg (ROUND-19 scaladoc; r18 verdict item 6) -------
+    // The window workload's OWN at-rest layout, trended per round: the
+    // w1/w3 gate shapes with the explicit range partitioning removed —
+    // the bucketed+sorted scan satisfies the window's clustering, so the
+    // plan below WindowExec has ZERO exchanges (pinned in BucketingSpec).
+    // Table rewritten fresh each run (untimed), same discipline as the
+    // star tables.
+    val CustkeyTable = "bench_orders_cust"
+    val custkeyNames = Seq("w1", "w3")
+    val qsCust: Map[String, (SparkSession, String) => DataFrame] = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.{Window => W}
+      Map(
+        "w1" -> ((s: SparkSession, _: String) => {
+          val w = W.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+          s.table(CustkeyTable)
+            .select(col("o_custkey"), col("o_orderkey"),
+              sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+                .cast("double").as("running_total"))
+            .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+        }),
+        "w3" -> ((s: SparkSession, _: String) => {
+          val f = W.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 0)
+          s.table(CustkeyTable)
+            .select(col("o_custkey"), col("o_orderkey"),
+              (sum(col("o_totalprice").cast("decimal(18,4)")).over(f)
+                .cast("double") / count(lit(1)).over(f)).as("mavg3"))
+            .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+        }))
+    }
+    val (custResults, rerunsCk, stealCkS, stealCkAttempts):
+        (Option[Seq[(String, (Double, Double))]], Seq[String], Double,
+          Seq[Double]) =
+      if (Tables.activeLayout.isDefined) (None, Seq.empty, -1.0, Seq.empty)
+      else {
+        try {
+          // fresh-table discipline (BenchTune.writeBucketedTables): the
+          // catalog is per-JVM but the warehouse dir survives runs —
+          // drop both or saveAsTable fails with LOCATION_ALREADY_EXISTS
+          spark.sql(s"DROP TABLE IF EXISTS $CustkeyTable")
+          val loc = java.nio.file.Paths.get("spark-warehouse", CustkeyTable)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+          sources.Bucketing.writeBucketedSorted(
+            Tables.orders(spark, sfDir), CustkeyTable, "o_custkey",
+            Seq("o_custkey", "o_orderdate", "o_orderkey"), 32) // untimed
+          val ((rs, rr), s, as) =
+            stealGated("custkey") { () => timeLeg(custkeyNames, qsCust) }
+          (Some(rs), rr, s, as)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] custkey leg failed: ${e.getMessage}")
+          (None, Seq.empty, -1.0, Seq.empty)
         }
       }
     spark.sharedState.cacheManager.clearCache()
@@ -448,6 +561,18 @@ object Bench {
       }
     val qBkJson = bucketedResults.map(fmt(_, _._1)).getOrElse("{}")
     val qBkMinJson = bucketedResults.map(fmt(_, _._2)).getOrElse("{}")
+    // custkey leg: same failure discipline (sentinels, never a silently
+    // shrunken total)
+    val nFailedCk = custResults.map(_.count(_._2._1 < 0)).getOrElse(-1)
+    val totalCk = custResults match {
+      case Some(rs) if nFailedCk == 0 => rs.map(_._2._1).sum
+      case _ => -1.0
+    }
+    val qCkJson = custResults.map(fmt(_, _._1)).getOrElse("{}")
+    val qCkMinJson = custResults.map(fmt(_, _._2)).getOrElse("{}")
+    val qReruns = rerunsPlain.size + rerunsBk.size + rerunsCk.size
+    val rerunNames = (rerunsPlain ++ rerunsBk ++ rerunsCk)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val plainSetHash = setHash(names)
     val bkSetHash = setHash(bucketedNames)
     // comparability = clean run AND unchanged query set (r14 ADVICE: a
@@ -468,9 +593,11 @@ object Bench {
     // (r16 verdict item 1: the committed run carried 4.3/25.8 s steal and
     // a reader had to reconstruct that from the attempts arrays)
     val bkRan = bucketedResults.isDefined
+    val ckRan = custResults.isDefined
     val stealClean = etlStealS >= 0 && etlStealS <= StealCleanThresholdS &&
       stealPlainS >= 0 && stealPlainS <= StealCleanThresholdS &&
-      (!bkRan || (stealBkS >= 0 && stealBkS <= StealCleanThresholdS))
+      (!bkRan || (stealBkS >= 0 && stealBkS <= StealCleanThresholdS)) &&
+      (!ckRan || (stealCkS >= 0 && stealCkS <= StealCleanThresholdS))
     // EMISSION (r17 verdict items 1 + wrong #3): the driver records the
     // LAST 2000 chars of stdout (sbt's trailing "[success] …" line costs
     // ~75 of them), so everything the committed artifact must preserve
@@ -483,11 +610,19 @@ object Bench {
     // iters, etl protocol tag, wait accounting) to the truncatable
     // detail line printed first. A guard warns on stderr if the metric
     // line ever outgrows the window again.
-    println(f"""{"metric":"bench_detail","iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_protocol":"first-400-med5","etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"max_leg_attempts":$MaxLegAttempts,"quiet_wait_s":$quietWaitSpent%.0f,"steal_clean_threshold_s":$StealCleanThresholdS%.1f}""")
-    val metricLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","layout":"$layout","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","failed":$nFailed,"queries":$qJson,"queries_min":$qMinJson,"layout_bucketed":"$BucketedLayout","total_bucketed":$totalBk%.4f,"total_bucketed_shared":$totalBkShared%.4f,"total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"failed_bucketed":$nFailedBk,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_clean":$stealClean,"sf":"$sfDir"}"""
+    // r19 char budget: the custkey maps + rerun count cost ~200 chars, so
+    // the constant/re-derivable cross-round seam fields (layout_bucketed,
+    // total_*_prev_set — equal to total/total_bucketed while the sets are
+    // unchanged) and the custkey leg's secondary accounting move to the
+    // truncatable detail line; steal_clean on the metric line still
+    // covers every executed leg including custkey, and total_custkey's
+    // -1 sentinel still flags a failed/skipped leg on the line of record.
+    println(f"""{"metric":"bench_detail","iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_protocol":"first-400-med5","etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_custkey_attempts_s":${fmtArr(stealCkAttempts)},"steal_custkey_s":$stealCkS%.1f,"failed_custkey":$nFailedCk,"failed_bucketed":$nFailedBk,"layout_bucketed":"$BucketedLayout","total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"outlier_reruns":$rerunNames,"outlier_medmin_ratio":$OutlierMedMinRatio%.1f,"max_leg_attempts":$MaxLegAttempts,"quiet_wait_s":$quietWaitSpent%.0f,"steal_clean_threshold_s":$StealCleanThresholdS%.1f}""")
+    val metricLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","layout":"$layout","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","failed":$nFailed,"queries":$qJson,"queries_min":$qMinJson,"total_bucketed":$totalBk%.4f,"total_bucketed_shared":$totalBkShared%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"total_custkey":$totalCk%.4f,"queries_custkey":$qCkJson,"queries_custkey_min":$qCkMinJson,"q_reruns":$qReruns,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_clean":$stealClean,"sf":"$sfDir"}"""
     if (metricLine.length > 1900)
       System.err.println(s"[bench] WARNING: metric line is " +
-        s"${metricLine.length} chars — may outgrow the 2000-char tail window")
+        s"${metricLine.length} chars — may outgrow the ~1925-char budget " +
+        "(2000-char driver tail window minus sbt's success line)")
     println(metricLine)
     spark.stop()
   }
