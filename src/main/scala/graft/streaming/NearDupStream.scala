@@ -122,6 +122,34 @@ object NearDupStream {
       .select(col("path"), col("band.band_idx"), col("band.band_key"))
   }
 
+  /** Long-horizon band-store maintenance (r18 verdict item 3). A
+    * continuously-deduplicating stream grows its store by one partition
+    * per micro-batch forever; the store JOIN stays a (band_idx,
+    * band_key) equi-shuffle but listing/open-file cost and scan
+    * overhead grow O(epochs). This collapses every partition strictly
+    * below the newest epoch into one snapshot clustered by (band_idx,
+    * band_key) — files cover narrow band ranges, so parquet stats
+    * localize the store probe — with a set-semantics distinct merge
+    * (the anti-join's verdicts are bit-identical because band
+    * membership is all that matters), via
+    * [[EpochStore.compactSeen]], whose scaladoc carries the
+    * replay-safety argument and failpoint schedule (torture-pinned).
+    *
+    * `ttlEpochs`: optional retention horizon. Bands registered ONLY by
+    * epochs older than `newest − ttlEpochs` are forgotten — meaning a
+    * document that near-duplicates something seen before the horizon
+    * RE-ENTERS the kept stream. That is the stated trade (bounded store
+    * vs unbounded memory of every document ever seen); run without a
+    * TTL when exact long-horizon suppression is required. Call between
+    * micro-batches (single compactor, no concurrent writer — e.g. from
+    * the AvailableNow drain's completion hook or a maintenance cron). */
+  def compactStore(spark: SparkSession, storeDir: String,
+      ttlEpochs: Option[Long] = None): Unit =
+    EpochStore.compactSeen(spark, storeDir,
+      merge = _.distinct(),
+      ttlEpochs = ttlEpochs,
+      clusterCols = Seq("band_idx", "band_key"))
+
   /** Shared skeleton: `bandify` maps the micro-batch's raw docs
     * (value, path) to (path, band_idx, band_key STRING) rows; everything
     * else — greedy in-batch bucket winners, cross-batch store anti-match,

@@ -3484,6 +3484,99 @@ object BenchTune {
       }
     }
 
+  /** Band-store compaction benefit (r18 verdict item 3's measurement
+    * arm): build a NearDup-shaped band store epoch by epoch, measure the
+    * store-probe join (a fresh batch's bands semi-joined against
+    * readBelow) at growing epoch counts, then
+    * [[graft.streaming.NearDupStream.compactStore]] and re-measure — the
+    * probe cost must fall back to ~the few-epoch floor while the verdict
+    * row count stays identical (asserted). Also prints partition-dir
+    * counts, the listing/open-file overhead a 100 TB continuous store
+    * actually accumulates. */
+  def storeCompactProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("store-compact") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val epochs = 40
+      val docs = graft.Tables.documents(spark, sfDir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"text").localCheckpoint(true)
+      def bandsOf(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", graft.ext.MinHashDedup.signatureOf(
+          graft.ext.MinHashDedup.shinglesOfToks($"toks"), 32,
+          graft.ext.HashFamily.Md5).as("sig"))
+        .select($"doc_id", posexplode(transform(sequence(lit(0), lit(7)),
+          b => concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
+            _.cast("string"))))))
+        .select($"pos".as("band_idx"), $"col".as("band_key"))
+      val store = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "storecompact").toString + "/s"
+      val probeBands = bandsOf(docs.filter($"doc_id" % epochs === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000)).localCheckpoint(true)
+      def probeJoin(below: Long): Long =
+        graft.streaming.EpochStore.readBelow(spark, store, below) match {
+          case Some(p) => probeBands
+            .join(p.select($"band_idx", $"band_key").distinct(),
+              Seq("band_idx", "band_key"), "left_semi").count()
+          case None => -1L
+        }
+      var hitsRef = -1L
+      for (e <- 0 until epochs) {
+        graft.streaming.EpochStore.writeEpoch(
+          bandsOf(docs.filter($"doc_id" % epochs === e)).distinct(),
+          e.toLong, store)
+        if (Seq(9, 19, 39).contains(e)) {
+          val (med, mn, steal) =
+            ProbeHarness.timedPasses(3)(probeJoin(e + 1L))
+          hitsRef = probeJoin(e + 1L)
+          println(f"[storecompact] epochs=${e + 1}%-3d dirs=${e + 1} " +
+            f"probe_join median=$med%.3f min=$mn%.3f steal=$steal%.1f " +
+            f"hits=$hitsRef")
+        }
+      }
+      graft.streaming.NearDupStream.compactStore(spark, store)
+      val dirs = Option(new java.io.File(store).listFiles()).toSeq.flatten
+        .count(_.isDirectory)
+      val (med, mn, steal) = ProbeHarness.timedPasses(3)(probeJoin(epochs))
+      val hits = probeJoin(epochs)
+      require(hits == hitsRef,
+        s"compaction changed the probe verdict: $hits vs $hitsRef")
+      println(f"[storecompact] COMPACTED  dirs=$dirs " +
+        f"probe_join median=$med%.3f min=$mn%.3f steal=$steal%.1f " +
+        f"hits=$hits (verdict identical)")
+    }
+
+  /** Incremental MinHash at DISTINCT-content scale (r18 verdict item 7):
+    * the clone-100× read is sublinear because greedy bucket winners
+    * erase clone groups without pair enumeration; the honest floor is
+    * the distinct-content corpus, where every replica carries ~14%
+    * perturbed tokens and real near-dup structure. Runs the gated
+    * two-wave incrementalKeeps shape at 1×/10×/100× distinct, printing
+    * wall (median of 3) and total shuffle WRITE bytes — the cost model a
+    * 100 TB continuous-dedup deployment prices. */
+  def mhIncDistinctProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("mhinc-distinct") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir, Seq(
+          "10xd" -> "/tmp/graft_10xd", "100xd" -> "/tmp/graft_100xd"))) {
+        val docs = graft.Tables.documents(spark, dir)
+          .select($"doc_id", $"text").localCheckpoint(true)
+        val wave = when(substring(md5($"doc_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        def run() = graft.BenchProtocol.force(
+          graft.ext.MinHashDedup.incrementalKeeps(
+            docs, wave, waves = Seq(0, 1), numHashes = 32, bands = 8))
+        val (med, mn, steal) = ProbeHarness.timedPasses(3)(run())
+        val bytes = ProbeHarness.shuffleWriteBytes(spark)(run())
+        println(f"[mhincdistinct] $tag%-5s docs=${docs.count()}%-8d " +
+          f"median=$med%.2f min=$mn%.2f steal=$steal%.1f " +
+          f"shuffle_write=${bytes / 1024 / 1024}%d MiB")
+      }
+    }
+
   /** Auto-sized CMS join-size width (r17 verdict item 7).
     * r17_joinsize_width proved error ∝ F1A·F1B/w; this probe closes the
     * loop by SELF-SIZING: pass 1 sketches at the gate width w0=1024 and
@@ -3553,6 +3646,8 @@ object BenchTune {
     if (args.headOption.contains("ivfpqhard")) { ivfPqHardProbe(sfDir); return }
     if (args.headOption.contains("cmsauto")) { cmsAutoProbe(sfDir); return }
     if (args.headOption.contains("preflight")) { preflightProbe(sfDir); return }
+    if (args.headOption.contains("storecompact")) { storeCompactProbe(sfDir); return }
+    if (args.headOption.contains("mhincdistinct")) { mhIncDistinctProbe(sfDir); return }
     if (args.headOption.contains("sq8store")) { sq8StoreProbe(sfDir); return }
     if (args.headOption.contains("sq8")) { sq8Probe(sfDir); return }
     if (args.headOption.contains("topkagg")) { topkAggProbe(sfDir); return }

@@ -444,6 +444,78 @@ class EpochTortureSpec extends AnyFunSuite {
       }
     }
 
+  // ---- 2b'. SEEN-store compaction (compactSeen — r18 verdict item 3) ------
+  // The dedup family's band stores compact with a set-semantics distinct
+  // merge, strictly below the newest plain epoch, so the one batch that
+  // can still replay keeps its exact pre-state (EpochStore.compactSeen
+  // scaladoc). Invariants at EVERY kill point: the strictly-below read
+  // of the next batch is SET-identical to the uncompacted store's (the
+  // join-exact invariant — multiset changes are the merge's contract),
+  // recovery converges, a probe batch's kept rows equal the uncompacted
+  // twin's, and a later compaction collects any leaked partitions.
+
+  test("seen-store compaction killed at EVERY step — readBelow stays " +
+      "consistent, recovery converges, verdicts unchanged, leaks collected") {
+    val bandify =
+      NearDupStream.minhashBandify(32, 8, graft.ext.HashFamily.Md5)
+    val noSink = (_: DataFrame, _: Long) => ()
+    def build(st: String): Unit = (0 to 2).foreach(i =>
+      NearDupStream.processBanded(
+        dedupDocBatches(i), i.toLong, st, bandify, noSink))
+    // probe batch: clones of batch 0's docs (store suppression must
+    // fire; fresh paths so in-batch winners don't mask the store arm)
+    // plus one genuinely new banded doc, so the KEPT arm registers and
+    // epoch 3 materializes on disk
+    val freshDoc = ("quantum error correction codes stabilize logical " +
+      "qubits against decoherence noise using syndrome measurements " +
+      "repeated very often ") * 5
+    val probeBatch = dedupDocBatches(0)
+      .select($"value", concat(lit("z"), $"path").as("path"))
+      .unionByName(Seq((freshDoc, "zfresh")).toDF("value", "path"))
+      .localCheckpoint(true)
+
+    val ref = tmp("tortcs_ref"); build(ref)
+    val refBelow3 =
+      canon(EpochStore.readBelow(spark, ref, 3L).get.distinct())
+    var refKept: Seq[String] = Seq.empty
+    NearDupStream.processBanded(probeBatch, 3L, ref, bandify,
+      (df: DataFrame, _: Long) => { refKept = canon(df.select($"path")); () })
+    val probeSize = probeBatch.count()
+    assert(refKept.size < probeSize,
+      "probe batch must exercise the store-suppression arm")
+
+    val base = tmp("tortcs_base"); build(base)
+    val stepsProbe = tmp("tortcs_probe"); copyDir(base, stepsProbe)
+    val steps = trace { NearDupStream.compactStore(spark, stepsProbe) }
+    assert(steps.size >= 4, s"expected pre/committed/deleted+/post, saw $steps")
+
+    for (k <- steps.indices) {
+      val st = tmp(s"tortcs_k$k"); copyDir(base, st)
+      val crash = crashAt(k) { NearDupStream.compactStore(spark, st) }
+      assert(canon(EpochStore.readBelow(spark, st, 3L).get.distinct())
+          == refBelow3,
+        s"readBelow inconsistent at crash step $k (${crash.point})")
+      NearDupStream.compactStore(spark, st) // recovery (may no-op)
+      assert(canon(EpochStore.readBelow(spark, st, 3L).get.distinct())
+          == refBelow3,
+        s"readBelow inconsistent after recovery at step $k")
+      var kept: Seq[String] = Seq.empty
+      NearDupStream.processBanded(probeBatch, 3L, st, bandify,
+        (df: DataFrame, _: Long) => { kept = canon(df.select($"path")); () })
+      assert(kept == refKept,
+        s"verdicts diverged after crash at step $k (${crash.point})")
+      // the NEXT maintenance pass absorbs epoch 2 and collects whatever
+      // a mid-delete crash leaked
+      NearDupStream.compactStore(spark, st)
+      val parts = partitionDirs(st)
+      assert(parts.size == 2 &&
+          parts.exists(_.stripPrefix("batch=").toLong >=
+            EpochStore.CompactedBase) &&
+          parts.contains("batch=3"),
+        s"unexpected layout after step $k: $parts")
+    }
+  }
+
   // ---- 2c. composed crash schedules ---------------------------------------
   // Single-step kills prove each state is recoverable; this composes
   // them: seeded pseudo-random schedules where EVERY batch may crash,

@@ -138,4 +138,69 @@ class NearDupStreamSpec extends AnyFunSuite {
     // batch=0 partition overwritten, not appended: still 16 band rows
     assert(spark.read.parquet(store).count() == 16L)
   }
+
+  test("compactStore preserves verdicts exactly; ttlEpochs forgets " +
+      "pre-horizon registrations so their near-dups re-enter") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bandify =
+      NearDupStream.minhashBandify(32, 8, graft.ext.HashFamily.Md5)
+    val topic2 = ("orchestra rehearsals feature brass woodwind strings " +
+      "percussion sections tuning carefully before the conductor arrives " +
+      "onstage for tonight ") * 5
+    val topic3 = ("gardening manuals recommend composting kitchen scraps " +
+      "alongside autumn leaves to enrich vegetable beds before spring " +
+      "planting begins again ") * 5
+    val fresh = ("deep sea hydrothermal vents host chemosynthetic bacteria " +
+      "sustaining tube worms crabs and shrimp in total darkness below " +
+      "crushing pressure zones ") * 5
+    // one doc per epoch, four epochs; the probe batch carries a near-dup
+    // of each epoch's doc plus one fresh doc
+    val epochDocs = IndexedSeq(base, unrelated, topic2, topic3)
+    val batches = epochDocs.zipWithIndex.map { case (t, i) =>
+      Seq((t, s"doc$i")).toDF("value", "path").localCheckpoint(true)
+    }
+    val probe = Seq(
+      (base.replace("lazy", "sleepy"), "p0"),
+      (unrelated.replace("spacecraft", "rocket"), "p1"),
+      (topic2.replace("brass", "silver"), "p2"),
+      (topic3.replace("autumn", "fall"), "p3"),
+      (fresh, "pf")).toDF("value", "path").localCheckpoint(true)
+    val noSink = (_: org.apache.spark.sql.DataFrame, _: Long) => ()
+
+    def run(st: String, compact: Option[Option[Long]]): Map[String, Boolean] = {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        NearDupStream.processBanded(b, i.toLong, st, bandify, noSink) }
+      compact.foreach(ttl => NearDupStream.compactStore(spark, st, ttl))
+      var kept = Set.empty[String]
+      NearDupStream.processBanded(probe, 4L, st, bandify,
+        (df: org.apache.spark.sql.DataFrame, _: Long) => {
+          kept = df.select("path").collect().map(_.getString(0)).toSet; ()
+        })
+      probe.select("path").collect().map(_.getString(0))
+        .map(n => n -> kept.contains(n)).toMap
+    }
+
+    val expect = Map("p0" -> false, "p1" -> false, "p2" -> false,
+      "p3" -> false, "pf" -> true)
+    assert(run(tmp("ndc_plain") + "/s", None) == expect)
+    // compaction must be verdict-invisible
+    val cst = tmp("ndc_comp") + "/s"
+    assert(run(cst, Some(None)) == expect)
+    // layout: epochs 0..2 collapsed into one band_idx-partitioned
+    // snapshot, the newest epoch (3) per-partition, then the probe's own
+    val cParts = Option(new java.io.File(cst).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(cParts.exists(_.stripPrefix("batch=").toLong >=
+      EpochStore.CompactedBase) && cParts.contains("batch=3"),
+      s"unexpected compacted layout: $cParts")
+
+    // ttlEpochs = 2 at newest = 3 keeps only epoch 2 of the absorbed
+    // range: epoch-0/1 registrations are forgotten — their near-dups
+    // RE-ENTER (the stated trade); epoch-2 (kept) and epoch-3 (newest,
+    // never absorbed) still suppress
+    assert(run(tmp("ndc_ttl") + "/s", Some(Some(2L))) ==
+      Map("p0" -> true, "p1" -> true, "p2" -> false,
+        "p3" -> false, "pf" -> true))
+  }
 }
