@@ -44,11 +44,7 @@ object BenchTune {
     // per-run host-CPU-steal accounting (r13 verdict item 1): a sweep whose
     // total drifts vs a prior round must be able to self-attribute guest-VM
     // contention the same way the ETL leg does (BENCH_SCALE r13_etl_steal)
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val sweepStart = System.nanoTime()
     val stealStart = stealJiffies
     // absorb first-job session warmup (codegen compiler, broadcast infra,
@@ -108,15 +104,10 @@ object BenchTune {
     *
     * Honors SPARK_GRAFT_SKIP like the sweep (loud, never silent). */
   def headlineProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("headline-probe", 32)
+    val spark = ProbeHarness.session("headline-probe")
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(',').filter(_.nonEmpty).toSet
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val only = probeOnly
     for (q <- graft.SparkEntry.benchQueries if only.isEmpty || only(q)) {
       if (skip(q)) println(f"[headline] $q%-24s SKIPPED (SPARK_GRAFT_SKIP)")
@@ -166,13 +157,8 @@ object BenchTune {
     * protocol over the committed bucketed leg (plain set + the graph
     * and retrieval at-rest entries) with the layout active. */
   def headlineBkProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("headline-bk-probe", 32)
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("headline-bk-probe")
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     def prep[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body
@@ -261,9 +247,8 @@ object BenchTune {
     */
   def semStagesProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("sem-stages", 32)
+    val spark = ProbeHarness.session("sem-stages")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val out = "/tmp/graft_emb10_semstages"
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val stride = base.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1L
@@ -623,9 +608,8 @@ object BenchTune {
     */
   def a6Shootout(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("a6-shootout", 32)
+    val spark = ProbeHarness.session("a6-shootout")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     def rev = ($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,6)")
     def current = graft.Tables.lineitem(spark, sfDir)
       .join(graft.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
@@ -673,9 +657,8 @@ object BenchTune {
     * docs only, the property that bounds it at 100 TB.
     */
   def streamThroughput(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("stream-bench", 32)
+    val spark = ProbeHarness.session("stream-bench")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val docs = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").collect()
     val nBatches = 4
@@ -721,9 +704,8 @@ object BenchTune {
     */
   def bucketAb(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("bucket-ab", 32)
+    val spark = ProbeHarness.session("bucket-ab")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
 
     def dsum6(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(18,6)")).cast("double")
@@ -870,8 +852,7 @@ object BenchTune {
   }
 
   def bucketWrite(sfDir: String, layout: String): Unit = {
-    val spark = graft.Sessions.local("bucket-write", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("bucket-write")
     writeBucketedTables(spark, sfDir, layout)
 
     // q3 A/B through the REAL query path (Tables resolution toggled by
@@ -925,9 +906,8 @@ object BenchTune {
     */
   def pqProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("pq-probe", 32)
+    val spark = ProbeHarness.session("pq-probe")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
@@ -1015,8 +995,7 @@ object BenchTune {
     * measures what that trade costs end-to-end at the probed SF.
     */
   def minhashFamilies(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("mh-family", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("mh-family")
     Seq[(String, graft.ext.HashFamily)](
       "md5" -> graft.ext.HashFamily.Md5,
       "xx" -> graft.ext.HashFamily.Xx).foreach { case (tag, fam) =>
@@ -1045,9 +1024,8 @@ object BenchTune {
     */
   def windowAb(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("window-ab", 32)
+    val spark = ProbeHarness.session("window-ab")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     spark.sql("DROP TABLE IF EXISTS ab_orders_cust")
     val loc = java.nio.file.Paths.get("spark-warehouse", "ab_orders_cust")
     if (java.nio.file.Files.exists(loc)) {
@@ -1120,14 +1098,9 @@ object BenchTune {
     */
   def window3Way(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("window-3way", 32)
+    val spark = ProbeHarness.session("window-3way")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val hz = 100.0
 
     def freshTable(name: String): Unit = {
@@ -1228,9 +1201,8 @@ object BenchTune {
     */
   def semIncAuto(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("seminc-auto", 32)
+    val spark = ProbeHarness.session("seminc-auto")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
@@ -1322,9 +1294,8 @@ object BenchTune {
     */
   def minhashCollapse(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("mh-collapse", 32)
+    val spark = ProbeHarness.session("mh-collapse")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     def docs = graft.Tables.documents(spark, sfDir)
     def collapsed = {
       val w = org.apache.spark.sql.expressions.Window
@@ -1453,9 +1424,8 @@ object BenchTune {
     */
   def clusterPruneProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("clusterprune-probe", 32)
+    val spark = ProbeHarness.session("clusterprune-probe")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
@@ -1544,8 +1514,7 @@ object BenchTune {
     * SPARK_GRAFT_SF_DIR to pin the factors.
     */
   def retrievalProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("retrieval-probe", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("retrieval-probe")
     for (q <- Seq("x_decontamination", "x_bloom_membership", "x_bm25_topk")) {
       def force(): Unit =
         graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
@@ -1638,9 +1607,8 @@ object BenchTune {
     * (a) grows with the corpus, (b) with the batch.
     */
   def annIncProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("ann-inc-probe", 32)
+    val spark = ProbeHarness.session("ann-inc-probe")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id",
         org.apache.spark.sql.functions.transform(
@@ -1679,10 +1647,9 @@ object BenchTune {
     * dimension; Z-order skips in both.
     */
   def zorderProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("zorder-probe", 32)
+    val spark = ProbeHarness.session("zorder-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     // balanced dims at every scale: rank both keys into the same 1500-value
     // space (the zValue scaladoc's skew contract — real OPTIMIZE ZORDER
     // implementations interleave ranks for the same reason)
@@ -1739,8 +1706,7 @@ object BenchTune {
     * 10× / 100× via SPARK_GRAFT_SF_DIR to pin the factors.
     */
   def eventOpsProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("eventops-probe", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("eventops-probe")
     for (q <- Seq("t_funnel", "t_retention_cohorts", "t_event_transitions",
         "x_chunk_windows", "x_zorder_value")) {
       def force(): Unit =
@@ -1762,10 +1728,9 @@ object BenchTune {
     * a modest decode cost, uncompressed is the anti-baseline.
     */
   def codecProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("codec-probe", 32)
+    val spark = ProbeHarness.session("codec-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val li = graft.Tables.lineitem(spark, sfDir).localCheckpoint(true)
     val base = "/tmp/codec_probe_" + math.abs(sfDir.hashCode)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
@@ -1811,8 +1776,7 @@ object BenchTune {
     * collapse-first claim is exercised at its design point. */
   def sentScaleProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("sent-scale", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("sent-scale")
     val docs = graft.Tables.documents(spark, sfDir)
     val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val out = "/tmp/graft_docs100"
@@ -1850,8 +1814,7 @@ object BenchTune {
     */
   def bpeProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("bpe-probe", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("bpe-probe")
     val docs = graft.Tables.documents(spark, sfDir)
     val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val out = "/tmp/graft_docs100_bpe"
@@ -1912,8 +1875,7 @@ object BenchTune {
     */
   def bpeLongProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("bpe-long-probe", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("bpe-long-probe")
     val counts = graft.ext.Bpe.syntheticCounts(3000)
     val vocab = counts.map(_._1)
     println(s"[bpelong] synthetic vocab=${vocab.size} " +
@@ -1970,9 +1932,8 @@ object BenchTune {
     * wall (runs on sketch-sized frames, so it must be scale-free). */
   def qsketchProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("qsketch", 32)
+    val spark = ProbeHarness.session("qsketch")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val base = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("grp"),
         graft.functions.FixedPoint.requirePositive(
@@ -2019,9 +1980,8 @@ object BenchTune {
     * never shuffle, so throughput ∝ cores with no cliff to find. */
   def mediaHashProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("media-hash", 32)
+    val spark = ProbeHarness.session("media-hash")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = sys.env.getOrElse("SPARK_GRAFT_MEDIA_N", "100000").toLong
     def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
@@ -2076,9 +2036,8 @@ object BenchTune {
   def prefixSumProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val spark = graft.Sessions.local("prefix-sum", 32)
+    val spark = ProbeHarness.session("prefix-sum")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = sys.env.getOrElse("SPARK_GRAFT_PREFIX_N", "10000000").toLong
     // unique scrambled keys, lumpy values
     val df = spark.range(0, n)
@@ -2103,8 +2062,7 @@ object BenchTune {
   }
 
   def queryProbe(sfDir: String, names: Seq[String]): Unit = {
-    val spark = graft.Sessions.local("query-probe", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("query-probe")
     for (q <- names) {
       def force(): Unit =
         graft.BenchProtocol.force(graft.SparkEntry.queries(q)(spark, sfDir))
@@ -2124,10 +2082,9 @@ object BenchTune {
     * spilled >78 GB before dying — so the fixed form runs only under
     * SPARK_GRAFT_LSH_FIXED=1 (safe at ≤10× corpora). */
   def lshAutoProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("lsh-auto-probe", 32)
+    val spark = ProbeHarness.session("lsh-auto-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
@@ -2167,10 +2124,9 @@ object BenchTune {
     * batch rows (the sketch property), merge-on-read wall bounded by
     * CELLS not rows. */
   def sketchStreamProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("sketch-stream", 32)
+    val spark = ProbeHarness.session("sketch-stream")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val store = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "skprobe")
       .toString
@@ -2212,10 +2168,9 @@ object BenchTune {
     * property), store KB-scale regardless of rows, serving bounded by
     * cell rows. */
   def cmsStreamProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("cms-stream", 32)
+    val spark = ProbeHarness.session("cms-stream")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val store = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "cmsprobe")
       .toString
@@ -2271,11 +2226,10 @@ object BenchTune {
     * position filter (the r14 refinement now in d_jaccard_join) and
     * verifies every planted twin survives to the verified output. */
   def ppjoinProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("ppjoin-probe", 32)
+    val spark = ProbeHarness.session("ppjoin-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = sys.env.getOrElse("SPARK_GRAFT_PPJOIN_N", "300000").toLong
     // above ~500k docs only the large-vocab point is probed: candidate
     // volume ∝ n²/vocab, and the small-vocab points exist to trace the
@@ -2361,10 +2315,9 @@ object BenchTune {
     * directly so the numbers are compute, not trigger latency. Reports
     * s/batch and warm iteration counts vs the cold epoch-0 count. */
   def graphStreamProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("graphstream-probe", 32)
+    val spark = ProbeHarness.session("graphstream-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 2000000L
     val store = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/tmp"), "gs_probe")
@@ -2400,8 +2353,7 @@ object BenchTune {
     * keyed on something other than user_id (t4_tumbling_hour) are
     * included as the no-benefit control — bucketing must not hurt them. */
   def eventAbProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("event-ab", 32)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("event-ab")
     writeBucketedTables(spark, sfDir, "orderkey")
     val queries = Seq("t4_session", "t_funnel", "t_retention_cohorts",
       "t_session_paths", "x_gap_detection", "t4_tumbling_hour")
@@ -2446,10 +2398,9 @@ object BenchTune {
     * is pinned by EdgeStoreSpec; here both arms' total mass is printed as
     * a checksum. */
   def edgeAbProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("edge-ab", 32)
+    val spark = ProbeHarness.session("edge-ab")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 2000000L
     val nodes = spark.range(n).select($"id").localCheckpoint(true)
     val edges = spark.range(n)
@@ -2503,10 +2454,9 @@ object BenchTune {
   }
 
   def pagerankProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("pagerank-probe", 32)
+    val spark = ProbeHarness.session("pagerank-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 2000000L
     val nodes = spark.range(n).select($"id").localCheckpoint(true)
     // deterministic 3-out-regular graph; xxhash64 is fine here (probe-only,
@@ -2554,10 +2504,9 @@ object BenchTune {
     * both-sides-big regime; with a 100k-row dim Spark would otherwise
     * just broadcast and hide the skew). */
   def skewProbe(sfDir: String, nRows: Option[Long] = None): Unit = {
-    val spark = graft.Sessions.local("skew-probe", 32)
+    val spark = ProbeHarness.session("skew-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = nRows.getOrElse(20000000L)
     println(s"[skew] n=$n")
     val hotShare = 50L // percent of rows on key 0
@@ -2599,10 +2548,9 @@ object BenchTune {
     * checkpointing) and triangle counting (does the wedge join survive
     * millions of edges — it does iff fan-out stays degree-bounded). */
   def graphScaleProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("graph-scale-probe", 32)
+    val spark = ProbeHarness.session("graph-scale-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 2000000L
     val nodes = spark.range(n).select($"id").localCheckpoint(true)
     val edges = spark.range(n)
@@ -2644,10 +2592,9 @@ object BenchTune {
     * cold-before, cold-after, warm-after at 2M nodes / ~6M edges.
     */
   def prWarmProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("pr-warm-probe", 32)
+    val spark = ProbeHarness.session("pr-warm-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 2000000L
     val nodes = spark.range(n).select($"id").localCheckpoint(true)
     val edges = spark.range(n)
@@ -2686,10 +2633,9 @@ object BenchTune {
     * the total wedge count stays degeneracy-bounded. Both legs count the
     * SAME triangles (asserted) — only the work differs. */
   def triSkewProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("tri-skew-probe", 32)
+    val spark = ProbeHarness.session("tri-skew-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 1000000L
     val hot = n / 2
     val hotDeg = 30000L // ~1% of the ~3M background edges
@@ -2743,10 +2689,9 @@ object BenchTune {
     * edges: sweeps to stability and wall per sweep under eager
     * checkpointing (ADVICE r12 #5). */
   def lpaConvProbe(sfDir: String): Unit = {
-    val spark = graft.Sessions.local("lpa-conv-probe", 32)
+    val spark = ProbeHarness.session("lpa-conv-probe")
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val n = 2000000L
     val nodes = spark.range(n).select($"id").localCheckpoint(true)
     val und = spark.range(n)
@@ -2785,13 +2730,8 @@ object BenchTune {
     * I/O claim is bytes, not inference. */
   def sampledAggProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("sampledagg-probe", 32)
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("sampledagg-probe")
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val nib = substring(
       md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 1)
     val qtyDec = col("l_quantity").cast("decimal(18,2)")
@@ -2840,13 +2780,8 @@ object BenchTune {
     * sort rather than to "the query". */
   def w3t4Probe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("w3t4-probe", 32)
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("w3t4-probe")
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val w3cols = Seq("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     def w3base(s: SparkSession, d: String) =
       graft.Tables.orders(s, d).select(w3cols.map(col): _*)
@@ -2917,9 +2852,8 @@ object BenchTune {
     * count (m bytes/vector at rest vs 4·dim for raw floats). */
   def ivfPqProdProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("ivfpq-prod", 32)
+    val spark = ProbeHarness.session("ivfpq-prod")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
@@ -2995,13 +2929,8 @@ object BenchTune {
     * sort. Run at sf0.1 / 10× / 100× via SPARK_GRAFT_SF_DIR. */
   def topkAggProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("topkagg-probe", 32)
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = ProbeHarness.session("topkagg-probe")
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     def aggPlan(g: String)(s: SparkSession, d: String) =
       graft.Tables.orders(s, d)
         .groupBy(col(g))
@@ -3037,9 +2966,8 @@ object BenchTune {
     * pairs. */
   def sq8Probe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("sq8-probe", 32)
+    val spark = ProbeHarness.session("sq8-probe")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val cos = graft.queries.Similarity.cosine _
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
@@ -3108,14 +3036,9 @@ object BenchTune {
     * kernel directly on the packed bytes — no dequant anywhere). */
   def sq8StoreProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("sq8-store", 32)
+    val spark = ProbeHarness.session("sq8-store")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val f32 = "/tmp/graft_sq8_f32"; val pk = "/tmp/graft_sq8_packed"
     graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
@@ -3162,14 +3085,9 @@ object BenchTune {
     * are the two broadcast builds (driver-side, per-run) vs the scan. */
   def a6StagesProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("a6-stages", 32)
+    val spark = ProbeHarness.session("a6-stages")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     def rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
       .cast("decimal(18,6)")
     def li = graft.Tables.lineitem(spark, sfDir)
@@ -3246,14 +3164,9 @@ object BenchTune {
     * every band. */
   def neardupIncProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("neardup-inc", 32)
+    val spark = ProbeHarness.session("neardup-inc")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    def stealJiffies: Long = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
-    } catch { case _: Throwable => 0L }
+    def stealJiffies: Long = ProbeHarness.stealJiffies
     val seenDir = "/tmp/graft_sf10d"
     val storeDir = "/tmp/graft_neardup_store"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
@@ -3382,9 +3295,8 @@ object BenchTune {
     * fixed nCand. */
   def ivfPqHardProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("ivfpq-hard", 32)
+    val spark = ProbeHarness.session("ivfpq-hard")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val e = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
       .localCheckpoint(true)
@@ -3590,9 +3502,8 @@ object BenchTune {
     * fixed-1024 read 14,634% rel err in r17. */
   def cmsAutoProbe(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = graft.Sessions.local("cms-auto", 32)
+    val spark = ProbeHarness.session("cms-auto")
     import spark.implicits._
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val eps = 0.25
     for ((tagName, dir) <- Seq("1x" -> sfDir, "10x" -> "/tmp/graft_sf1",
         "100x" -> "/tmp/graft_sf10")) {

@@ -19,10 +19,16 @@ object ProbeHarness {
   } catch { case _: Throwable => 0L }
 
   /** Standard probe session: local[32] + the first-job warmup that keeps
-    * codegen/scheduler bring-up off the first measured pass. */
-  def withSpark(name: String)(f: SparkSession => Unit): Unit = {
+    * codegen/scheduler bring-up off the first measured pass. Caller
+    * stops it (or use [[withSpark]]). */
+  def session(name: String): SparkSession = {
     val spark = graft.Sessions.local(name, 32)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark
+  }
+
+  def withSpark(name: String)(f: SparkSession => Unit): Unit = {
+    val spark = session(name)
     try f(spark) finally spark.stop()
   }
 
