@@ -388,6 +388,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-19 queries keep scale-correct plan shapes") {
+    // d_semdedup_incremental_auto inherits the family contract: every
+    // suppression arm equi-joins — no cartesian, no nested loop
+    val auto = plan("d_semdedup_incremental_auto")
+    assert(!auto.contains("CartesianProduct") &&
+      !auto.contains("BroadcastNestedLoopJoin"),
+      s"auto incremental semdedup degraded to all-pairs:\n$auto")
+
+    // x4_ivf_recall_hardq: the IVF candidate join must stay an equi join
+    // (hash on cluster), top-k must push down as WindowGroupLimit (rank
+    // filters evaluated group-locally before the full sort), and the ONE
+    // allowed cross is the 20-row broadcast the truth arm declares
+    val recall = plan("x4_ivf_recall_hardq")
+    assert(!recall.contains("CartesianProduct"), recall)
+    assert(recall.contains("WindowGroupLimit"),
+      s"top-k window lost its group-limit pushdown:\n$recall")
+    // toString renders the node as "BroadcastNestedLoopJoin BuildRight,
+    // Cross" (formatted explain flips the order) — match per line
+    def nonCrossBnlj(p: String): Int = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross"))
+    assert(nonCrossBnlj(recall) == 0,
+      s"recall gate plans a non-cross nested loop:\n$recall")
+
+    // x_join_preflight_decision: sketch-sized frames combine via
+    // broadcast joins ONLY — the corpus-sized side must never be the
+    // build/stream side of a nested loop, and no true cartesian exists;
+    // the CMS cell joins and Bloom probes hash-join
+    val pre = plan("x_join_preflight_decision")
+    assert(!pre.contains("CartesianProduct"), pre)
+    assert(pre.contains("BroadcastHashJoin"),
+      s"decision gate lost its broadcast equi-joins:\n$pre")
+    assert(nonCrossBnlj(pre) == 0,
+      s"decision gate plans a non-cross nested loop:\n$pre")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)

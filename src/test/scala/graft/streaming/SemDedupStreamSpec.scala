@@ -205,4 +205,52 @@ class SemDedupStreamSpec extends AnyFunSuite {
       s"first: $first second: $second")
     rmTree(dir)
   }
+
+  test("auto-k run overload: the stream under a bootstrapCodebook-derived " +
+      "codebook suppresses exactly like the explicit-codebook stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // bootstrap corpus = the real embeddings table; target 50 derives the
+    // same k the d_semdedup_incremental_auto gate pins (500 vecs -> 10)
+    val boot = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double"))
+        .as("ev"))
+      .localCheckpoint(true)
+    val cents = SemDedupStream.bootstrapCodebook(boot, 50)
+    assert(cents.length == graft.ext.SemDedup.autoK(boot.count(), 50))
+
+    val dir = tmp("sdauto")
+    val ckpt1 = tmp("sdauto_ck1")
+    val ckpt2 = tmp("sdauto_ck2")
+    // two corpus vectors rendered as stream files, plus a near-parallel
+    // of the first — the explicit and auto streams must agree on all
+    val rows = boot.filter($"vec_id" < 2).collect()
+    def render(v: Seq[Double]) = v.mkString(" ")
+    Files.writeString(Paths.get(dir, "a.txt"),
+      render(rows(0).getSeq[Double](1)))
+    Files.writeString(Paths.get(dir, "b.txt"),
+      render(rows(0).getSeq[Double](1).map(_ * 1.001)))
+    Files.writeString(Paths.get(dir, "c.txt"),
+      render(rows(1).getSeq[Double](1)))
+    def drain(ckpt: String, store: String,
+        useAuto: Boolean): Seq[String] = {
+      val emitted = mutable.ArrayBuffer.empty[String]
+      val sink = (kept: org.apache.spark.sql.DataFrame, _: Long) => {
+        emitted ++= kept.select("path").collect()
+          .map(_.getString(0).split('/').last); ()
+      }
+      val q =
+        if (useAuto) SemDedupStream.run(spark, dir, ckpt, store,
+          boot, 50, 0.95, availableNow = true)(sink)
+        else SemDedupStream.run(spark, dir, ckpt, store, cents, 0.95)(sink)
+      q.awaitTermination()
+      emitted.toSeq.sorted
+    }
+    val explicit = drain(ckpt1, tmp("sdauto_st1") + "/s", useAuto = false)
+    val auto = drain(ckpt2, tmp("sdauto_st2") + "/s", useAuto = true)
+    assert(explicit == auto && auto == Seq("a.txt", "c.txt"),
+      s"explicit: $explicit auto: $auto")
+    rmTree(dir)
+  }
 }
