@@ -1096,9 +1096,15 @@ object Curation {
     //     with salt_n = clamp(ceil(hot / (2·mean)), 2, 32) — the bucket
     //     count that caps any sub-key at ~2x the mean reducer load
     //   shuffle    otherwise
-    //   prefilter  iff not broadcast AND the Bloom (m=8192, k=4) of the
-    //     small side's keys removes >= 30% of big-side rows — the
-    //     map-side filter is only worth its probe cost when it prunes
+    //   prefilter  iff not broadcast AND the Bloom of the small side's
+    //     keys removes >= 30% of big-side rows — the map-side filter is
+    //     only worth its probe cost when it prunes. The Bloom SIZES
+    //     ITSELF the way x_join_size_cms_auto sizes its width: m_auto =
+    //     smallest pow2 in [2^13, 2^24] >= 16·n_small_keys (k=4 ⇒ fp ≈
+    //     (1−e^−0.25)^4 ≈ 0.2%), an integer pow2 scan the oracle
+    //     re-derives; m_auto rides the output. The bit-set stays
+    //     broadcastable at ANY m: its rows are the DISTINCT (d, cell)
+    //     pairs, ≤ 4·n_small_keys regardless of width.
     //   out_blowup iff cms_est_corr > 10·(n_big + n_small) — the
     //     "review this join before running it" flag. The DECISION uses
     //     the AMS-corrected estimate (raw est minus the sketch's expected
@@ -1112,11 +1118,14 @@ object Curation {
     // all-broadcast except the skew family salts; sf0.1: the star join
     // crosses into shuffle) and flip again at 10x/100x (BenchTune
     // preflight probe): the selective clicks~hv-purchasers join stays
-    // broadcast until its key set outgrows the limit, the skewed
-    // lineitem~orders join salts at 13 buckets, the orders~customer
-    // star join is the uniform shuffle baseline whose Bloom correctly
-    // prunes NOTHING (referential integrity ⇒ reduction 0 ⇒ prefilter
-    // false — the gate proves the protocol declines a useless filter).
+    // broadcast until its key set outgrows the limit, then gains a
+    // prefilter whose auto-sized Bloom KEEPS paying at 100x (m_auto
+    // grows 8192 → 2^19 with the key set, holding ~79% reduction where
+    // a fixed m=8192 saturated to 7.8%); the skewed lineitem~orders
+    // join salts at 13 buckets; the orders~customer star join is the
+    // uniform shuffle baseline whose Bloom correctly prunes NOTHING at
+    // ANY width (referential integrity ⇒ reduction 0 ⇒ prefilter false
+    // — the gate proves the protocol declines a useless filter).
     QueryDef(
       "x_join_preflight_decision",
       (s, d) => {
@@ -1154,18 +1163,23 @@ object Curation {
   /** One pre-flight decision row for a candidate join: `big`/`small` are
     * the two sides' key-count vectors (k STRING, c BIGINT — one
     * map-side-combined pass per side, the only corpus-sized work). All
-    * downstream frames are sketch-sized (1-row aggregates, a ≤4·8192-row
-    * Bloom, 4×1024 CMS cells); at 100 TB this is exactly the pre-flight
-    * read a planner affords before committing to an exchange. Thresholds
-    * documented at the gate. */
+    * downstream frames are sketch-sized (1-row aggregates, a
+    * ≤4·n_small_keys-row Bloom bit-set, 4×1024 CMS cells); at 100 TB
+    * this is exactly the pre-flight read a planner affords before
+    * committing to an exchange. Thresholds documented at the gate. */
   private def preflightRow(s: org.apache.spark.sql.SparkSession,
       joinId: String, big: org.apache.spark.sql.DataFrame,
       small: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val w = 1024; val m = 8192
+    val w = 1024
     // one materialization per side: each feeds sizes + CMS + Bloom
     val bc = big.localCheckpoint(true)
     val sc = small.localCheckpoint(true)
+    // auto-m (gate comment): one driver-side scalar — the bounded
+    // pre-flight read a planner performs before sizing its filter
+    val nSmallKeys = sc.count()
+    val m = (13 to 24).map(1 << _).find(_ >= 16L * nSmallKeys)
+      .getOrElse(1 << 24)
     val sizes = bc
       .agg(sum($"c").as("n_big"), count(lit(1)).as("n_big_keys"),
         max($"c").as("hot"))
@@ -1190,7 +1204,7 @@ object Curation {
       .select(lit(joinId).as("join_id"), $"n_big", $"n_small",
         $"n_big_keys", $"n_small_keys", $"hot",
         expr("(hot * n_big_keys * 1000000) div n_big").as("skew_fp"),
-        $"cms_est_out", $"bloom_pass_rows",
+        $"cms_est_out", lit(m.toLong).as("m_auto"), $"bloom_pass_rows",
         round(lit(100.0) * ($"n_big" - $"bloom_pass_rows") / $"n_big", 2)
           .as("scan_reduction_pct"))
       .withColumn("strategy",
@@ -1239,9 +1253,14 @@ object Curation {
           SELECT CAST(MIN(ip) AS BIGINT) AS cms_est_out FROM (
             SELECT d, SUM(ca$i.cc * cb$i.cc) AS ip
             FROM ca$i JOIN cb$i USING (d, cell) GROUP BY d)),
+        ma$i AS (
+          SELECT CAST(MIN(p) AS BIGINT) AS m FROM
+            (SELECT CAST(1 AS BIGINT) << gs AS p
+             FROM generate_series(13, 24) AS g(gs)) pw
+          WHERE p >= 16 * (SELECT COUNT(*) FROM sc$i)),
         bits$i AS (
           SELECT DISTINCT d, CAST((md5_number_upper(CAST(d AS VARCHAR)
-              || ':' || k) >> 4) AS BIGINT) % 8192 AS cell
+              || ':' || k) >> 4) AS BIGINT) % (SELECT m FROM ma$i) AS cell
           FROM sc$i, generate_series(0, 3) AS gs(d)),
         pr$i AS (
           SELECT CAST(SUM(CASE WHEN nhit = 4 THEN c ELSE 0 END) AS BIGINT)
@@ -1251,13 +1270,13 @@ object Curation {
             FROM bc$i bc CROSS JOIN generate_series(0, 3) AS gs(d)
             LEFT JOIN bits$i b ON b.d = gs.d AND b.cell =
               CAST((md5_number_upper(CAST(gs.d AS VARCHAR) || ':' || bc.k)
-                >> 4) AS BIGINT) % 8192
+                >> 4) AS BIGINT) % (SELECT m FROM ma$i)
             GROUP BY bc.k, bc.c)),
         row$i AS (
           SELECT '$joinId' AS join_id, n_big, n_small, n_big_keys,
             n_small_keys, hot,
             (hot * n_big_keys * 1000000) // n_big AS skew_fp,
-            cms_est_out, bloom_pass_rows,
+            cms_est_out, (SELECT m FROM ma$i) AS m_auto, bloom_pass_rows,
             round(100.0 * (n_big - bloom_pass_rows) / n_big, 2)
               AS scan_reduction_pct
           FROM sz$i, est$i, pr$i)"""
@@ -1286,7 +1305,7 @@ object Curation {
           SELECT * FROM row2 UNION ALL
           SELECT * FROM row3)
         SELECT join_id, n_big, n_small, n_big_keys, n_small_keys, hot,
-          skew_fp, cms_est_out, bloom_pass_rows, scan_reduction_pct,
+          skew_fp, cms_est_out, m_auto, bloom_pass_rows, scan_reduction_pct,
           CASE WHEN n_small <= 2000 THEN 'broadcast'
                WHEN skew_fp >= 16000000 THEN 'salt'
                ELSE 'shuffle' END AS strategy,

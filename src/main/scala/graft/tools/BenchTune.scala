@@ -3371,10 +3371,12 @@ object BenchTune {
     * 5's probe arm): the x_join_preflight_decision gate re-run at
     * 1×/10×/100×, printing each family's decision so the flips are
     * measured, not asserted — clicks~hv_purchasers outgrows the
-    * broadcast limit at 10× (2,970 keys) and its Bloom starts paying
-    * (prefilter true), the skewed family stays salt-13 at every rung,
-    * orders~customer stays a clean shuffle with NO blowup flag (the
-    * AMS-corrected estimate keeps declining the saturated raw read). */
+    * broadcast limit at 10× (2,970 keys) and its AUTO-SIZED Bloom pays
+    * at every later rung (m_auto grows with the key set, so prefilter
+    * stays true at 100× where a fixed m=8192 saturated), the skewed
+    * family stays salt-13 at every rung, orders~customer stays a clean
+    * shuffle with NO blowup flag (the AMS-corrected estimate keeps
+    * declining the saturated raw read). */
   def preflightProbe(sfDir: String): Unit =
     ProbeHarness.withSpark("preflight-scale") { spark =>
       for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
@@ -3385,6 +3387,7 @@ object BenchTune {
             s"n_big=${r.getAs[Long]("n_big")} n_small=${r.getAs[Long]("n_small")} " +
             s"skew_fp=${r.getAs[Long]("skew_fp")} " +
             s"est_corr=${r.getAs[Long]("cms_est_corr")} " +
+            s"m=${r.getAs[Long]("m_auto")} " +
             s"reduction=${r.getAs[java.lang.Double]("scan_reduction_pct")} " +
             s"-> ${r.getAs[String]("strategy")}" +
             s"(salt_n=${r.getAs[Long]("salt_n")}, " +
