@@ -1125,7 +1125,11 @@ object Curation {
     // join salts at 13 buckets; the orders~customer star join is the
     // uniform shuffle baseline whose Bloom correctly prunes NOTHING at
     // ANY width (referential integrity ⇒ reduction 0 ⇒ prefilter false
-    // — the gate proves the protocol declines a useless filter).
+    // — the gate proves the protocol declines a useless filter); the
+    // fourth family (lineitem ⋈ high-value orders, ~50% selective)
+    // crosses the broadcast limit BETWEEN sf0.001 and sf0.01, so the
+    // prefilter-TRUE arm is oracle-checked at two gate SFs rather than
+    // living only in the probe.
     QueryDef(
       "x_join_preflight_decision",
       (s, d) => {
@@ -1152,10 +1156,19 @@ object Curation {
         val f3small = Tables.customer(s, d)
           .select($"c_custkey".cast("string").as("k"))
           .groupBy($"k").agg(count(lit(1)).as("c"))
+        val f4big = Tables.lineitem(s, d)
+          .select($"l_orderkey".cast("string").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("c"))
+        val f4small = Tables.orders(s, d)
+          .filter($"o_totalprice" >= 250000.0)
+          .select($"o_orderkey".cast("string").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("c"))
         preflightRow(s, "clicks~hv_purchasers", f1big, f1small)
           .unionByName(
             preflightRow(s, "lineitem_skew~orders_mod51", f2big, f2small))
           .unionByName(preflightRow(s, "orders~customer", f3big, f3small))
+          .unionByName(
+            preflightRow(s, "lineitem~big_orders", f4big, f4small))
           .orderBy($"join_id")
       },
       Some(preflightOracle)))
@@ -1297,13 +1310,20 @@ object Curation {
           FROM orders GROUP BY 1""",
       """SELECT CAST(c_custkey AS VARCHAR) AS k, COUNT(*) AS c
           FROM customer GROUP BY 1""")
+    val f4 = family(4, "lineitem~big_orders",
+      """SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+          FROM lineitem GROUP BY 1""",
+      """SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+          FROM orders WHERE o_totalprice >= 250000 GROUP BY 1""")
     s"""WITH $f1,
         $f2,
         $f3,
+        $f4,
         allrows AS (
           SELECT * FROM row1 UNION ALL
           SELECT * FROM row2 UNION ALL
-          SELECT * FROM row3)
+          SELECT * FROM row3 UNION ALL
+          SELECT * FROM row4)
         SELECT join_id, n_big, n_small, n_big_keys, n_small_keys, hot,
           skew_fp, cms_est_out, m_auto, bloom_pass_rows, scan_reduction_pct,
           CASE WHEN n_small <= 2000 THEN 'broadcast'
