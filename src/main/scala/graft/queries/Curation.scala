@@ -1171,7 +1171,141 @@ object Curation {
             preflightRow(s, "lineitem~big_orders", f4big, f4small))
           .orderBy($"join_id")
       },
-      Some(preflightOracle)))
+      Some(preflightOracle)),
+
+    // ---- KMV bounded-error set intersection --------------------------------
+    // The remedy for x_hll_union's DOCUMENTED weakness: HLL intersection
+    // via inclusion–exclusion has unbounded relative error when
+    // |A∩B| ≪ |A∪B| (three estimates subtract). A K-Minimum-Values
+    // sketch estimates the intersection DIRECTLY: keep the k smallest
+    // md5 hashes of the union with per-set membership flags; the
+    // sketch is a uniform sample of A∪B, so J_est = shared/k and
+    // |A∪B|_est = (k−1)/U_(k) (U_(k) = the kth smallest hash
+    // normalized to [0,1]) give |A∩B|_est = J_est·|A∪B|_est with error
+    // RELATIVE to the answer (binomial on J ⊕ KMV on the union — both
+    // ∝ 1/√k), never amplified by subtraction. k = 64 exercises BOTH
+    // estimator branches across the gate SFs: at sf0.001 the union
+    // (15 users) is smaller than k ⇒ the sketch IS the set and the
+    // exact branch answers; at sf0.01/sf0.1 the sketch branch reads
+    // 4.3%/13.0% realized intersection error (published as data,
+    // bound 25%). The KMV MERGE LAW — KMV(A∪B) = k-smallest of
+    // KMV(A) ∪ KMV(B), what makes the sketch shardable across
+    // 1000 executors/days — is asserted AS DATA (merge_law_holds).
+    // Scale shape: per-set sketches are k-row TakeOrdered aggregates
+    // (never a global sort); the flags join is a distinct-user
+    // equi-join; everything downstream is k-row bounded. 2^63 enters
+    // as pow(2,63) — exact in IEEE on both engines.
+    QueryDef(
+      "x_kmv_intersection",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Md5Hash64.md5_le64
+        val k = 64
+        val ev = Tables.events(s, d)
+        val a = ev.filter($"event_type" === "click")
+          .select($"user_id").distinct().withColumn("in_a", lit(true))
+        val b = ev.filter($"event_type" === "purchase" && $"value" >= 200)
+          .select($"user_id").distinct().withColumn("in_b", lit(true))
+        val uni = a.join(b, Seq("user_id"), "full_outer")
+          .select($"user_id",
+            coalesce($"in_a", lit(false)).as("in_a"),
+            coalesce($"in_b", lit(false)).as("in_b"),
+            shiftrightunsigned(md5_le64($"user_id".cast("string")), 1)
+              .as("h"))
+          .localCheckpoint(true) // feeds sketch + exact arm + merge law
+        val sk = uni.orderBy($"h", $"user_id").limit(k)
+        // merge-law arm: per-set k-sketches, merged, re-cut to k
+        val skAB = uni.filter($"in_a").orderBy($"h", $"user_id").limit(k)
+          .select($"user_id")
+          .union(uni.filter($"in_b").orderBy($"h", $"user_id").limit(k)
+            .select($"user_id")).distinct()
+        val merged = uni.join(skAB, Seq("user_id"), "left_semi")
+          .orderBy($"h", $"user_id").limit(k)
+        val agg = sk.agg(count(lit(1)).as("n_sketch"), max($"h").as("kth"),
+          sum(when($"in_a" && $"in_b", 1L).otherwise(0L)).as("shared"))
+        val mm = sk.select($"user_id")
+          .join(merged.select($"user_id"), Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n_merge_match"))
+        val ex = uni.agg(
+          sum(when($"in_a", 1L).otherwise(0L)).as("n_a_exact"),
+          sum(when($"in_b", 1L).otherwise(0L)).as("n_b_exact"),
+          count(lit(1)).as("union_exact"),
+          sum(when($"in_a" && $"in_b", 1L).otherwise(0L)).as("inter_exact"))
+        val uEst = when($"n_sketch" < k, $"n_sketch".cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ($"kth".cast("double") / pow(lit(2), lit(63))))
+        agg.crossJoin(broadcast(ex)).crossJoin(broadcast(mm))
+          .select($"n_a_exact", $"n_b_exact", $"union_exact", $"inter_exact",
+            lit(k.toLong).as("kmv_k"), $"n_sketch", $"shared",
+            round(uEst, 2).as("union_est"),
+            round(when($"n_sketch" < k, $"shared".cast("double"))
+              .otherwise($"shared" * uEst / k), 2).as("inter_est"),
+            ($"n_merge_match" === $"n_sketch").as("merge_law_holds"))
+          .withColumn("rel_err_pct",
+            when($"inter_exact" > 0,
+              round(($"inter_est" - $"inter_exact") * 100.0
+                / $"inter_exact", 2)))
+          .withColumn("in_bound",
+            $"rel_err_pct".isNull || abs($"rel_err_pct") <= 25.0)
+      },
+      Some("""WITH a AS (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        b AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value >= 200),
+        uni AS (
+          SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+            a.user_id IS NOT NULL AS in_a, b.user_id IS NOT NULL AS in_b,
+            (md5_number_upper(CAST(COALESCE(a.user_id, b.user_id)
+              AS VARCHAR)) >> 1)::BIGINT AS h
+          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id),
+        sk AS (SELECT * FROM uni ORDER BY h, user_id LIMIT 64),
+        skab AS (
+          SELECT DISTINCT user_id FROM (
+            (SELECT user_id FROM uni WHERE in_a ORDER BY h, user_id LIMIT 64)
+            UNION ALL
+            (SELECT user_id FROM uni WHERE in_b ORDER BY h, user_id LIMIT 64))),
+        merged AS (
+          SELECT u.* FROM uni u JOIN skab USING (user_id)
+          ORDER BY h, user_id LIMIT 64),
+        agg AS (
+          SELECT COUNT(*) AS n_sketch, MAX(h) AS kth,
+            CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+              AS shared
+          FROM sk),
+        mm AS (
+          SELECT COUNT(*) AS n_merge_match
+          FROM sk JOIN merged USING (user_id)),
+        ex AS (
+          SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a_exact,
+            CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b_exact,
+            COUNT(*) AS union_exact,
+            CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+              AS inter_exact
+          FROM uni),
+        est AS (
+          SELECT *,
+            CASE WHEN n_sketch < 64 THEN n_sketch::DOUBLE
+              ELSE 63.0 / (kth::DOUBLE / CAST(POW(2, 63) AS DOUBLE)) END
+              AS u_est_d
+          FROM agg)
+        SELECT n_a_exact, n_b_exact, union_exact, inter_exact,
+          CAST(64 AS BIGINT) AS kmv_k, n_sketch, shared,
+          round(u_est_d, 2) AS union_est,
+          round(CASE WHEN n_sketch < 64 THEN shared::DOUBLE
+            ELSE shared * u_est_d / 64 END, 2) AS inter_est,
+          n_merge_match = n_sketch AS merge_law_holds,
+          CASE WHEN inter_exact > 0 THEN
+            round((round(CASE WHEN n_sketch < 64 THEN shared::DOUBLE
+              ELSE shared * u_est_d / 64 END, 2) - inter_exact) * 100.0
+              / inter_exact, 2) END AS rel_err_pct,
+          (inter_exact = 0) OR abs(CASE WHEN inter_exact > 0 THEN
+            round((round(CASE WHEN n_sketch < 64 THEN shared::DOUBLE
+              ELSE shared * u_est_d / 64 END, 2) - inter_exact) * 100.0
+              / inter_exact, 2) END) <= 25.0 AS in_bound
+        FROM est, ex, mm""")))
 
   /** One pre-flight decision row for a candidate join: `big`/`small` are
     * the two sides' key-count vectors (k STRING, c BIGINT — one
