@@ -105,6 +105,98 @@ object IncrementalDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[keepsBanded]] under an epoch TTL — the batch twin of
+    * [[graft.streaming.NearDupStream.compactStore]]'s retention horizon
+    * (r19 verdict item 6: the TTL's stated trade was spec-pinned but not
+    * oracle data). Before each wave the store is compacted as
+    * `EpochStore.compactSeen(ttlEpochs)` would between micro-batches:
+    * with `newest` = the previously processed wave, only registrations
+    * from waves STRICTLY GREATER than `newest − ttlEpochs` remain (the
+    * horizon wave itself is dropped — the compactSeen keepIds filter).
+    * A band registered by both a forgotten and a retained wave survives
+    * via the retained one, exactly like the set-semantics snapshot
+    * merge.
+    *
+    * Output adds the trade itself as a column: `reentered` = the doc is
+    * KEPT under the TTL'd store but its bands match a registration the
+    * horizon forgot (kept docs of pre-horizon waves) — i.e. the
+    * near-duplicate that RE-ENTERS the kept stream because the store no
+    * longer remembers its original. `kept` already implies no in-window
+    * or in-wave hit, so `reentered = kept && hit_forgotten`. With
+    * `ttlEpochs >= |waves|` nothing is ever forgotten and this equals
+    * [[keepsBanded]] with `reentered` all-false (spec-pinned). */
+  def keepsBandedTtl(docs: DataFrame, waveCol: Column, waves: Seq[Int],
+      ttlEpochs: Int)(bandify: DataFrame => DataFrame): DataFrame = {
+    require(waves == waves.sorted && waves.distinct == waves,
+      "waves must be ascending and distinct (arrival order)")
+    require(ttlEpochs >= 0, "ttlEpochs must be non-negative")
+    val spark = docs.sparkSession
+
+    val labeled = docs.select(col("doc_id"), waveCol.as("wave"), col("text"))
+    val banded = bandify(labeled).localCheckpoint(true)
+
+    val wMin = Window.partitionBy(col("wave"), col("band_idx"), col("band_key"))
+    val hitBatch = banded
+      .withColumn("mn", min(col("doc_id")).over(wMin))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit_batch", lit(true))
+
+    def emptyLike(cols: String*) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      banded.select(cols.map(col): _*).schema)
+    // per-wave registrations, each checkpointed once; the visible store
+    // for a wave is the union of the registrations inside the horizon
+    // (≤ ttlEpochs frames — plan stays linear without a fold barrier)
+    var registered = Vector.empty[(Int, DataFrame)]
+    var hitStore = emptyLike("doc_id")
+    var hitForgotten = emptyLike("doc_id")
+    var prevWave: Option[Int] = None
+    for (w <- waves) {
+      val bw = banded.filter(col("wave") === w)
+      val visible = prevWave match {
+        case None => Vector.empty
+        case Some(p) => registered.filter(_._1 > p - ttlEpochs)
+      }
+      val forgotten = registered.filterNot(visible.contains)
+      def hitsAgainst(frames: Vector[(Int, DataFrame)]) =
+        if (frames.isEmpty) emptyLike("doc_id")
+        else bw.join(
+          frames.map(_._2).reduce(_ union _).distinct(),
+          Seq("band_idx", "band_key"), "left_semi")
+          .select(col("doc_id")).distinct()
+      val hs = hitsAgainst(visible)
+      hitStore = hitStore.union(hs)
+      hitForgotten = hitForgotten.union(hitsAgainst(forgotten))
+      val suppressed = hs
+        .union(bw.join(hitBatch.select(col("doc_id")), Seq("doc_id"),
+          "left_semi").select(col("doc_id")))
+        .distinct()
+      val keptBands = bw
+        .join(suppressed, Seq("doc_id"), "left_anti")
+        .select(col("band_idx"), col("band_key")).distinct()
+        .localCheckpoint(true)
+      registered :+= ((w, keptBands))
+      prevWave = Some(w)
+    }
+    val hitStoreFlag = hitStore.distinct().withColumn("hit_store", lit(true))
+    val hitForgottenFlag =
+      hitForgotten.distinct().withColumn("hit_forgotten", lit(true))
+
+    val kept = not(coalesce(col("hit_batch"), lit(false)) ||
+      coalesce(col("hit_store"), lit(false)))
+    labeled.select(col("doc_id"), col("wave"))
+      .join(hitBatch, Seq("doc_id"), "left_outer")
+      .join(hitStoreFlag, Seq("doc_id"), "left_outer")
+      .join(hitForgottenFlag, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("wave"),
+        coalesce(col("hit_batch"), lit(false)).as("hit_batch"),
+        coalesce(col("hit_store"), lit(false)).as("hit_store"),
+        kept.as("kept"),
+        (kept && coalesce(col("hit_forgotten"), lit(false))).as("reentered"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash family: the 64-bit md5 fingerprint split into 4 exact
     * 16-bit bands (pigeonhole: hamming ≤ 3 always leaves one band
     * untouched — same banding as `SimHash.nearDupPairs` and

@@ -228,10 +228,29 @@ object MinHashDedup {
     */
   def incrementalKeeps(docs: DataFrame, waveCol: Column, waves: Seq[Int],
       numHashes: Int, bands: Int,
-      family: HashFamily = HashFamily.Md5): DataFrame = {
+      family: HashFamily = HashFamily.Md5): DataFrame =
+    IncrementalDedup.keepsBanded(docs, waveCol, waves)(
+      sliceBandify(numHashes, bands, family))
+
+  /** [[incrementalKeeps]] under an epoch TTL
+    * ([[IncrementalDedup.keepsBandedTtl]] — see its scaladoc for the
+    * horizon semantics and the `reentered` audit column). The
+    * `d_minhash_ttl_reentry` gate re-derives the horizoned fold AND the
+    * re-entry consequence in DuckDB. */
+  def incrementalKeepsTtl(docs: DataFrame, waveCol: Column, waves: Seq[Int],
+      ttlEpochs: Int, numHashes: Int, bands: Int,
+      family: HashFamily = HashFamily.Md5): DataFrame =
+    IncrementalDedup.keepsBandedTtl(docs, waveCol, waves, ttlEpochs)(
+      sliceBandify(numHashes, bands, family))
+
+  /** The signature-slice banding stage shared by the incremental forms
+    * (same slice semantics as [[candidatePairs]] and
+    * `NearDupStream.minhashBandify`). */
+  private def sliceBandify(numHashes: Int, bands: Int,
+      family: HashFamily): DataFrame => DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    IncrementalDedup.keepsBanded(docs, waveCol, waves) { labeled =>
+    labeled =>
       labeled
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
@@ -246,6 +265,5 @@ object MinHashDedup {
                 _.cast("string"))).as("band_key")))).as("band"))
         .select(col("doc_id"), col("wave"),
           col("band.band_idx"), col("band.band_key"))
-    }
   }
 }

@@ -186,29 +186,82 @@ object SemDedup {
     * holds the codebook stationary across epochs).
     */
   def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
-      tau: Double, targetClusterSize: Int): DataFrame = {
+      tau: Double, targetClusterSize: Int): DataFrame =
+    incrementalSemDedup(e, waveCol, waves, tau, targetClusterSize,
+      exact = false)
+
+  /** r19 verdict item 3: the auto-k incremental path's LAST superlinear
+    * term was its flat O(n·k) assignment — with k ∝ n that is
+    * O(n²/target) (160M cosines at the 100× corpus, the bulk of its
+    * 33 s). The default now dispatches assignment through the two-level
+    * coarse quantizer ([[IvfAnn.assignCoarse]], O(n·√k)) above
+    * [[CoarseDispatchK]] — the SAME rule, threshold, and quantizer as
+    * the batch default, so batch and incremental can never disagree on
+    * when the approximation engages. `exact = true` forces the flat
+    * SQL-derivable assignment at any k — the gate arm
+    * (`d_semdedup_incremental_auto` derives k = 8 < 64, so the gate
+    * rides the flat path under either flag). The fold (in-wave
+    * pure-pair + kept-only store) is IDENTICAL in both modes — only
+    * cell membership can differ, and only for vectors whose nearest
+    * fine centroid lives in an unprobed coarse group (the standard IVF
+    * trade, agreement spec-pinned at [[IvfAnn.assignCoarse]]).
+    * Measured at the 100× corpus: 33.0 s flat → see BENCH_SCALE
+    * `r20_seminc_ivf`. */
+  def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
+      tau: Double, targetClusterSize: Int, exact: Boolean): DataFrame = {
     // barrier: the count and the subsequent seeding/assignment must see
     // the SAME rows (semanticDedup's auto overload rationale)
     val ec = e.localCheckpoint(true)
     val n = ec.select(col("vec_id")).count()
     val k = autoK(n, targetClusterSize)
-    incrementalSemDedup(ec, waveCol, waves, nCentroids = k, tau = tau)
-      .withColumn("k_auto", lit(k))
+    val out =
+      if (!exact && k > CoarseDispatchK)
+        incrementalSemDedupCoarse(ec, waveCol, waves, nCentroids = k,
+          tau = tau)
+      else incrementalSemDedup(ec, waveCol, waves, nCentroids = k, tau = tau)
+    out.withColumn("k_auto", lit(k))
   }
 
   def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
-      nCentroids: Int, tau: Double): DataFrame = {
-    require(waves == waves.sorted && waves.distinct == waves,
-      "waves must be ascending and distinct (arrival order)")
-    val spark = e.sparkSession
+      nCentroids: Int, tau: Double): DataFrame =
+    incrementalFold(
+      assignLabeled(e, waveCol, coarse = false, nCentroids), waves, tau)
+
+  /** Coarse-assigned incremental variant, unconditionally (the
+    * [[semanticDedupCoarse]] analogue): same fold, assignment through
+    * the two-level quantizer at ANY k — useful for measuring the
+    * crossover. APPROXIMATE (cell-boundary caveat at
+    * [[IvfAnn.assignCoarse]]); use the explicit-k overload when the
+    * gate demands SQL-derivability. */
+  def incrementalSemDedupCoarse(e: DataFrame, waveCol: Column,
+      waves: Seq[Int], nCentroids: Int, tau: Double): DataFrame =
+    incrementalFold(
+      assignLabeled(e, waveCol, coarse = true, nCentroids), waves, tau)
+
+  /** Shared assignment stage: label waves, seed the stationary codebook
+    * (md5-ordered, lloydIters = 0 — the batch analogue of the stream's
+    * offline bootstrap), assign flat or coarse, re-attach waves. */
+  private def assignLabeled(e: DataFrame, waveCol: Column, coarse: Boolean,
+      nCentroids: Int): DataFrame = {
     val labeled = e.select(col("vec_id"), waveCol.as("wave"), col("ev"))
       .localCheckpoint(true)
-    val assigned = IvfAnn
-      .build(labeled.select(col("vec_id"), col("ev")), nCentroids,
-        lloydIters = 0)
-      .assigned
+    val vecs = labeled.select(col("vec_id"), col("ev"))
+    val assignedVecs =
+      if (coarse) IvfAnn.assignCoarse(vecs, IvfAnn.seedCentroids(vecs, nCentroids))
+      else IvfAnn.build(vecs, nCentroids, lloydIters = 0).assigned
+    assignedVecs
       .join(labeled.select(col("vec_id"), col("wave")), Seq("vec_id"))
       .localCheckpoint(true)
+  }
+
+  /** The wave fold over an assignment frame (vec_id, ev, cluster, wave):
+    * in-wave pure-pair suppression + kept-only cross-wave store —
+    * identical under flat and coarse assignment. */
+  private def incrementalFold(assigned: DataFrame, waves: Seq[Int],
+      tau: Double): DataFrame = {
+    require(waves == waves.sorted && waves.distinct == waves,
+      "waves must be ascending and distinct (arrival order)")
+    val spark = assigned.sparkSession
 
     // in-wave pure-pair suppression, every wave in one cluster-keyed join
     val other = assigned.select(col("cluster"), col("wave"),

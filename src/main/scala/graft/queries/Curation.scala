@@ -1108,8 +1108,9 @@ object Curation {
     //   out_blowup iff cms_est_corr > 10·(n_big + n_small) — the
     //     "review this join before running it" flag. The DECISION uses
     //     the AMS-corrected estimate (raw est minus the sketch's expected
-    //     collision mass n_big·n_small/w, computed in exact 1/1024
-    //     integer fixed point): the raw one-sided est saturates on
+    //     collision mass floor(n_big·n_small/w), computed via the exact
+    //     overflow-safe split (n_big div w)·n_small +
+    //     ((n_big mod w)·n_small) div w): the raw one-sided est saturates on
     //     high-cardinality uniform keys (the star family reads ~15×
     //     exact at sf0.1) and would flag every big CLEAN join — the same
     //     correction x_join_size_cms_auto sizes widths with. Both
@@ -1134,41 +1135,55 @@ object Curation {
       "x_join_preflight_decision",
       (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
-        val f1big = ev.filter($"event_type" === "click")
-          .groupBy($"user_id".cast("string").as("k"))
+        // SHARED-SCAN protocol (r19 verdict item 2): the r19 form ran
+        // TWO key-count corpus passes per family — 8 scans over
+        // events/lineitem/orders/customer for the 4-family gate, the
+        // dominant term at 10×/100×. A planner affords ONE pre-flight
+        // pass per base table: each row explodes into its (family-side
+        // tag, key) contributions and one map-side-combined groupBy
+        // builds EVERY family's key-count vector over that table at
+        // once, materialized once (localCheckpoint); the per-family
+        // sides are then cheap filters over the tiny checkpointed
+        // vector, never the corpus. Conditional contributions (the
+        // hv-purchaser / big-order filters) enter as null struct
+        // elements and are dropped; distinct-key sides (f1 small)
+        // override c to 1 AFTER the groupBy (grouping already dedups).
+        // scans-per-family = 1 (4 tables / 4 families; probed at 10× in
+        // r20_preflight_sharedscan).
+        def vec(rows: org.apache.spark.sql.DataFrame,
+            contribs: org.apache.spark.sql.Column*) = rows
+          .select(explode(array(contribs: _*)).as("t"))
+          .filter($"t".isNotNull)
+          .groupBy($"t.fam".as("fam"), $"t.k".as("k"))
           .agg(count(lit(1)).as("c"))
-        val f1small = ev
-          .filter($"event_type" === "purchase" && $"value" >= 200)
-          .select($"user_id".cast("string").as("k")).distinct()
-          .withColumn("c", lit(1L))
-        val f2big = Tables.lineitem(s, d)
-          .select(when($"l_quantity" <= 25.0, lit(0L))
-            .otherwise(pmod($"l_orderkey", lit(50L)) + lit(1L))
-            .cast("string").as("k"))
-          .groupBy($"k").agg(count(lit(1)).as("c"))
-        val f2small = Tables.orders(s, d)
-          .select(pmod($"o_orderkey", lit(51L)).cast("string").as("k"))
-          .groupBy($"k").agg(count(lit(1)).as("c"))
-        val f3big = Tables.orders(s, d)
-          .select($"o_custkey".cast("string").as("k"))
-          .groupBy($"k").agg(count(lit(1)).as("c"))
-        val f3small = Tables.customer(s, d)
-          .select($"c_custkey".cast("string").as("k"))
-          .groupBy($"k").agg(count(lit(1)).as("c"))
-        val f4big = Tables.lineitem(s, d)
-          .select($"l_orderkey".cast("string").as("k"))
-          .groupBy($"k").agg(count(lit(1)).as("c"))
-        val f4small = Tables.orders(s, d)
-          .filter($"o_totalprice" >= 250000.0)
-          .select($"o_orderkey".cast("string").as("k"))
-          .groupBy($"k").agg(count(lit(1)).as("c"))
-        preflightRow(s, "clicks~hv_purchasers", f1big, f1small)
-          .unionByName(
-            preflightRow(s, "lineitem_skew~orders_mod51", f2big, f2small))
-          .unionByName(preflightRow(s, "orders~customer", f3big, f3small))
-          .unionByName(
-            preflightRow(s, "lineitem~big_orders", f4big, f4small))
+          .localCheckpoint(true)
+        def tag(fam: String, k: org.apache.spark.sql.Column) =
+          struct(lit(fam).as("fam"), k.cast("string").as("k"))
+        val ev = Tables.events(s, d)
+        val evVec = vec(ev,
+          when($"event_type" === "click", tag("f1b", $"user_id")),
+          when($"event_type" === "purchase" && $"value" >= 200,
+            tag("f1s", $"user_id")))
+          .withColumn("c", when($"fam" === "f1s", lit(1L)).otherwise($"c"))
+        val liVec = vec(Tables.lineitem(s, d),
+          tag("f2b", when($"l_quantity" <= 25.0, lit(0L))
+            .otherwise(pmod($"l_orderkey", lit(50L)) + lit(1L))),
+          tag("f4b", $"l_orderkey"))
+        val orVec = vec(Tables.orders(s, d),
+          tag("f2s", pmod($"o_orderkey", lit(51L))),
+          tag("f3b", $"o_custkey"),
+          when($"o_totalprice" >= 250000.0, tag("f4s", $"o_orderkey")))
+        val cuVec = vec(Tables.customer(s, d), tag("f3s", $"c_custkey"))
+        def side(v: org.apache.spark.sql.DataFrame, fam: String) =
+          v.filter($"fam" === fam).select($"k", $"c")
+        preflightRow(s, "clicks~hv_purchasers",
+          side(evVec, "f1b"), side(evVec, "f1s"))
+          .unionByName(preflightRow(s, "lineitem_skew~orders_mod51",
+            side(liVec, "f2b"), side(orVec, "f2s")))
+          .unionByName(preflightRow(s, "orders~customer",
+            side(orVec, "f3b"), side(cuVec, "f3s")))
+          .unionByName(preflightRow(s, "lineitem~big_orders",
+            side(liVec, "f4b"), side(orVec, "f4s")))
           .orderBy($"join_id")
       },
       Some(preflightOracle)),
@@ -1308,8 +1323,9 @@ object Curation {
         FROM est, ex, mm""")))
 
   /** One pre-flight decision row for a candidate join: `big`/`small` are
-    * the two sides' key-count vectors (k STRING, c BIGINT — one
-    * map-side-combined pass per side, the only corpus-sized work). All
+    * the two sides' key-count vectors (k STRING, c BIGINT — since r20,
+    * filtered slices of a SHARED per-base-table tagged vector built in
+    * one map-side-combined pass per table; see the gate body). All
     * downstream frames are sketch-sized (1-row aggregates, a
     * ≤4·n_small_keys-row Bloom bit-set, 4×1024 CMS cells); at 100 TB
     * this is exactly the pre-flight read a planner affords before
@@ -1320,18 +1336,31 @@ object Curation {
     import s.implicits._
     val w = 1024
     // one materialization per side: each feeds sizes + CMS + Bloom
+    // (cheap — the inputs are key-count vector slices, not the corpus)
     val bc = big.localCheckpoint(true)
     val sc = small.localCheckpoint(true)
-    // auto-m (gate comment): one driver-side scalar — the bounded
-    // pre-flight read a planner performs before sizing its filter
-    val nSmallKeys = sc.count()
-    val m = (13 to 24).map(1 << _).find(_ >= 16L * nSmallKeys)
-      .getOrElse(1 << 24)
-    val sizes = bc
+    // ONE driver-side action per family (r19 verdict item 2): collect
+    // the 1-row sizes aggregate over the vectors; its n_small_keys
+    // sizes the Bloom (previously a separate count() action) and the
+    // row re-enters the plan as literals (previously a second
+    // aggregation job inside the output plan). sum/max are null only
+    // for an empty side — re-entered as typed null literals so an
+    // empty family's row is bit-identical to the pre-r20 aggregate.
+    val szRow = bc
       .agg(sum($"c").as("n_big"), count(lit(1)).as("n_big_keys"),
         max($"c").as("hot"))
       .crossJoin(broadcast(sc.agg(sum($"c").as("n_small"),
         count(lit(1)).as("n_small_keys"))))
+      .head()
+    def litLong(i: Int) =
+      if (szRow.isNullAt(i)) lit(null).cast("long") else lit(szRow.getLong(i))
+    val nSmallKeys = szRow.getLong(4)
+    val m = (13 to 24).map(1 << _).find(_ >= 16L * nSmallKeys)
+      .getOrElse(1 << 24)
+    val sizes = s.range(1).select(
+      litLong(0).as("n_big"), litLong(1).as("n_big_keys"),
+      litLong(2).as("hot"), litLong(3).as("n_small"),
+      litLong(4).as("n_small_keys"))
     def cells(cnt: org.apache.spark.sql.DataFrame) = cnt
       .select(explode(sequence(lit(0), lit(3))).as("d"), $"k", $"c")
       .select($"d", sketchCell($"d", $"k", w).as("cell"), $"c")
@@ -1366,8 +1395,18 @@ object Curation {
       .withColumn("prefilter",
         $"strategy" =!= "broadcast" && $"scan_reduction_pct" >= 30.0)
       .withColumn("cms_est_corr",
-        expr("greatest(CAST(0 AS BIGINT), " +
-          "cms_est_out * 1024 - n_big * n_small) div 1024"))
+        // overflow-safe form (ADVICE r19): subtract the DIVIDED collision
+        // mass instead of computing cms_est_out*1024 (which overflows Long
+        // once n_big*n_small nears 2^63 — in reach at 100 TB). The split
+        // (n_big div w)*n_small + ((n_big mod w)*n_small) div w is EXACTLY
+        // floor(n_big*n_small/w) for non-negative operands (write n_big =
+        // w·q + r: q·n_small is integral, the remainder term carries the
+        // floor), and keeps every intermediate ≤ n_big·n_small/1024 —
+        // 1024× more Long headroom. Identical integer arithmetic on both
+        // engines (floor div of non-negative values).
+        expr("greatest(CAST(0 AS BIGINT), cms_est_out - " +
+          "((n_big div 1024) * n_small + " +
+          "((n_big % 1024) * n_small) div 1024))"))
       .withColumn("out_blowup",
         $"cms_est_corr" > lit(10L) * ($"n_big" + $"n_small"))
   }
@@ -1401,7 +1440,11 @@ object Curation {
             SELECT d, SUM(ca$i.cc * cb$i.cc) AS ip
             FROM ca$i JOIN cb$i USING (d, cell) GROUP BY d)),
         ma$i AS (
-          SELECT CAST(MIN(p) AS BIGINT) AS m FROM
+          -- COALESCE mirrors the Spark arm's getOrElse(1 << 24): MIN over
+          -- an empty set (small side > 2^20 distinct keys) must saturate
+          -- to 2^24, not propagate NULL into bits/pr (ADVICE r19).
+          SELECT CAST(COALESCE(MIN(p), CAST(1 AS BIGINT) << 24) AS BIGINT)
+            AS m FROM
             (SELECT CAST(1 AS BIGINT) << gs AS p
              FROM generate_series(13, 24) AS g(gs)) pw
           WHERE p >= 16 * (SELECT COUNT(*) FROM sc$i)),
@@ -1468,9 +1511,10 @@ object Curation {
               (hot * n_big_keys + 2 * n_big - 1) // (2 * n_big)))
             ELSE 0 END AS salt_n,
           (n_small > 2000 AND scan_reduction_pct >= 30.0) AS prefilter,
-          greatest(0, cms_est_out * 1024 - n_big * n_small) // 1024
-            AS cms_est_corr,
-          greatest(0, cms_est_out * 1024 - n_big * n_small) // 1024
+          greatest(0, cms_est_out - ((n_big // 1024) * n_small
+            + ((n_big % 1024) * n_small) // 1024)) AS cms_est_corr,
+          greatest(0, cms_est_out - ((n_big // 1024) * n_small
+            + ((n_big % 1024) * n_small) // 1024))
             > 10 * (n_big + n_small) AS out_blowup
         FROM allrows ORDER BY join_id"""
   }

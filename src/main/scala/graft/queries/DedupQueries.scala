@@ -339,6 +339,108 @@ object DedupQueries {
         LEFT JOIN hits hs ON w.doc_id = hs.doc_id
         ORDER BY w.doc_id""")),
 
+    // ---- I5 TTL'd incremental near-dup — the RE-ENTRY consequence as data --
+    // r19 verdict item 6: NearDupStream.compactStore's retention horizon
+    // trades bounded store size for a stated consequence — a document
+    // that near-duplicates something seen BEFORE the horizon re-enters
+    // the kept stream — which was spec-pinned (NearDupStreamSpec) but
+    // absent from the hash-exact surface. Here: THREE arrival waves
+    // (md5-nibble split both engines draw identically), the band store
+    // compacted between waves at ttlEpochs = 1 (before wave 2 the
+    // horizon drops wave 0's registrations — compactSeen keeps ids
+    // STRICTLY greater than newest − ttl), and the output carries
+    // `reentered` = kept-but-matches-a-forgotten-registration, the
+    // trade itself as an oracle-re-derived column. Scale shape
+    // unchanged from d_minhash_incremental (band-keyed equi-joins, the
+    // store bounded by ≤ ttl waves of canonicals — the POINT of the
+    // horizon at 100 TB: the store probe join stays sized to the
+    // retention window, not to all history).
+    QueryDef(
+      "d_minhash_ttl_reentry",
+      (s, d) => {
+        import s.implicits._
+        val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+        val wave = when(nib.between("0", "4"), 0)
+          .when(nib.between("5", "9"), 1).otherwise(2)
+        graft.ext.MinHashDedup.incrementalKeepsTtl(
+          Tables.documents(s, d), wave, waves = Seq(0, 1, 2), ttlEpochs = 1,
+          numHashes = 32, bands = 8)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM toks),
+        ab AS (
+          SELECT doc_id,
+            CAST(md5_number_upper(s) >> 4 AS BIGINT) AS a,
+            CAST((md5_number_lower(s) >> 4) | 1 AS BIGINT) AS b
+          FROM sh),
+        hv AS (
+          SELECT doc_id, i.i AS i,
+            MIN(CAST((CAST(a AS HUGEINT) + i.i * CAST(b AS HUGEINT))
+              % 1152921504606846976 AS BIGINT)) AS h
+          FROM ab, (SELECT unnest(generate_series(0, 31)) AS i) i
+          GROUP BY doc_id, i.i),
+        sig AS (
+          SELECT doc_id, list(h ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        wv AS (
+          SELECT doc_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                BETWEEN '0' AND '4' THEN 0
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                BETWEEN '5' AND '9' THEN 1
+              ELSE 2 END AS wave
+          FROM documents),
+        banded AS (
+          SELECT s.doc_id, w.wave, k.k AS band_idx,
+            array_to_string(sig[k.k*4+1 : k.k*4+4], ',') AS band_key
+          FROM sig s JOIN wv w USING (doc_id),
+            (SELECT unnest(generate_series(0, 7)) AS k) k),
+        hitb AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY wave, band_idx, band_key) AS mn
+            FROM banded) WHERE doc_id > mn),
+        store0 AS (
+          SELECT DISTINCT band_idx, band_key FROM banded
+          WHERE wave = 0 AND doc_id NOT IN (SELECT doc_id FROM hitb)),
+        hits1 AS (
+          SELECT DISTINCT b.doc_id FROM banded b
+          JOIN store0 st ON b.band_idx = st.band_idx
+            AND b.band_key = st.band_key
+          WHERE b.wave = 1),
+        store1 AS (
+          SELECT DISTINCT band_idx, band_key FROM banded
+          WHERE wave = 1 AND doc_id NOT IN (SELECT doc_id FROM hitb)
+            AND doc_id NOT IN (SELECT doc_id FROM hits1)),
+        hits2v AS (
+          SELECT DISTINCT b.doc_id FROM banded b
+          JOIN store1 st ON b.band_idx = st.band_idx
+            AND b.band_key = st.band_key
+          WHERE b.wave = 2),
+        hits2f AS (
+          SELECT DISTINCT b.doc_id FROM banded b
+          JOIN store0 st ON b.band_idx = st.band_idx
+            AND b.band_key = st.band_key
+          WHERE b.wave = 2),
+        hitstore AS (
+          SELECT doc_id FROM hits1 UNION SELECT doc_id FROM hits2v)
+        SELECT w.doc_id, w.wave,
+          (hb.doc_id IS NOT NULL) AS hit_batch,
+          (hs.doc_id IS NOT NULL) AS hit_store,
+          (hb.doc_id IS NULL AND hs.doc_id IS NULL) AS kept,
+          (hb.doc_id IS NULL AND hs.doc_id IS NULL
+            AND hf.doc_id IS NOT NULL) AS reentered
+        FROM wv w
+        LEFT JOIN hitb hb ON w.doc_id = hb.doc_id
+        LEFT JOIN hitstore hs ON w.doc_id = hs.doc_id
+        LEFT JOIN hits2f hf ON w.doc_id = hf.doc_id
+        ORDER BY w.doc_id""")),
+
     // ---- SimHash INCREMENTAL near-dup — the second streaming family gated --
     // NearDupStream.runSimHash's semantics in batch form: the same
     // wave/store/audit contract as d_minhash_incremental (see

@@ -136,7 +136,10 @@ object NearDupStream {
     * replay-safety argument and failpoint schedule (torture-pinned).
     *
     * `ttlEpochs`: optional retention horizon. Bands registered ONLY by
-    * epochs older than `newest − ttlEpochs` are forgotten — meaning a
+    * epochs AT OR BELOW `newest − ttlEpochs` are forgotten (the horizon
+    * epoch itself is dropped — `compactSeen` keeps ids strictly greater
+    * than `newest − ttlEpochs`, so with newest=3, ttl=2 the snapshot
+    * holds epochs {2, 3}) — meaning a
     * document that near-duplicates something seen before the horizon
     * RE-ENTERS the kept stream. That is the stated trade (bounded store
     * vs unbounded memory of every document ever seen); run without a

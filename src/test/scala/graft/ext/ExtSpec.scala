@@ -316,6 +316,49 @@ class ExtSpec extends AnyFunSuite {
     assert(below == belowFlat, "default below threshold must stay flat")
   }
 
+  test("incremental SemDedup auto dispatches like the batch path (r20)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 400)
+    val wv = (col("vec_id") % 2).cast("int")
+    val waves = Seq(0, 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("k_auto").collect().toSeq
+    // n = 400, target 5 ⇒ derived k = 80 > CoarseDispatchK ⇒ the default
+    // must be EXACTLY the coarse-assigned fold at the derived k …
+    val dflt = rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      tau = 0.3, targetClusterSize = 5))
+    val coarse = rows(SemDedup.incrementalSemDedupCoarse(e, wv, waves,
+      nCentroids = 80, tau = 0.3))
+    assert(dflt == coarse,
+      "incremental default above threshold must equal the coarse fold")
+    // … exact = true forces the flat SQL-derivable assignment at the same k
+    val exact = rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      tau = 0.3, targetClusterSize = 5, exact = true))
+    val flat = rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      nCentroids = 80, tau = 0.3))
+    assert(exact == flat,
+      "incremental exact=true must equal flat explicit-k")
+    // below the threshold (target 50 ⇒ k = 8) the default stays flat —
+    // this is the gate arm's regime (d_semdedup_incremental_auto, k = 8)
+    val below = rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      tau = 0.3, targetClusterSize = 50))
+    val belowFlat = rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      nCentroids = 8, tau = 0.3))
+    assert(below == belowFlat,
+      "incremental default below threshold must stay flat")
+    // the coarse fold must differ from flat ONLY via cluster membership.
+    // This parameterization is deliberately pathological (target 5 ⇒
+    // ~5-vector cells over synthetic near-uniform embeddings, so MANY
+    // vectors sit on cell boundaries) — verdicts still agree on ≥ 80%
+    // (observed 85%); the production-regime assignment agreement pin
+    // (≥ 95% on clustered embeddings) lives in SkewAndIvfSpec
+    val flatKept = flat.map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val agree = dflt.count(r => flatKept(r.getLong(0)) == r.getBoolean(5))
+    assert(agree >= (0.8 * flat.size).toInt,
+      s"coarse/flat verdict agreement too low: $agree/${flat.size}")
+  }
+
   test("multimodal: stubbed decode extracts metadata per partition") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),

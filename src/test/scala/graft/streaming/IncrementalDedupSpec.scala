@@ -281,6 +281,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(rows(7L) == ((false, false, true)))
   }
 
+  test("TTL horizon: pre-horizon registrations are forgotten and " +
+      "re-entries are flagged (r20)") {
+    val docs = Seq(
+      (1L, "x y z w", 0), // wave-0 keeper: registers
+      (2L, "p q r s", 1), // wave-1 keeper: registers
+      (3L, "x y z w", 2), // near-dups the FORGOTTEN wave-0 keep → re-enters
+      (4L, "p q r s", 2), // dups the in-window wave-1 keep → suppressed
+      (5L, "a b c d", 2)  // fresh: kept, NOT a re-entry
+    ).toDF("doc_id", "text", "w")
+    val rows = MinHashDedup.incrementalKeepsTtl(
+      docs, $"w", waves = Seq(0, 1, 2), ttlEpochs = 1,
+      numHashes = 32, bands = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("hit_batch"), r.getAs[Boolean]("hit_store"),
+          r.getAs[Boolean]("kept"), r.getAs[Boolean]("reentered")))).toMap
+    assert(rows(1L) == ((false, false, true, false)))
+    assert(rows(2L) == ((false, false, true, false)),
+      "wave-1 doc must still see wave-0's registration horizon-free " +
+        "(ids > 0 - 1 keeps wave 0) — but 'p q r s' is fresh anyway")
+    assert(rows(3L) == ((false, false, true, true)),
+      "wave-0's registration is beyond the ttl=1 horizon at wave 2 — " +
+        "doc 3 must re-enter and be flagged")
+    assert(rows(4L) == ((false, true, false, false)))
+    assert(rows(5L) == ((false, false, true, false)))
+
+    // at wave 1 the horizon (ids > 0 − 1) still covers wave 0: a wave-1
+    // dup of a wave-0 keep is suppressed, never a re-entry
+    val two = Seq((1L, "x y z w", 0), (2L, "x y z w", 1))
+      .toDF("doc_id", "text", "w")
+    val r2 = MinHashDedup.incrementalKeepsTtl(
+      two, $"w", waves = Seq(0, 1), ttlEpochs = 1, numHashes = 32, bands = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("hit_store"), r.getAs[Boolean]("kept"),
+          r.getAs[Boolean]("reentered")))).toMap
+    assert(r2(2L) == ((true, false, false)))
+  }
+
+  test("TTL >= |waves| degrades to the horizon-free fold, reentered " +
+      "all-false (r20)") {
+    val plain = MinHashDedup.incrementalKeeps(
+      corpus, waveOf($"doc_id"), waves = Seq(0, 1),
+      numHashes = 32, bands = 8).collect().toSeq
+    val ttl = MinHashDedup.incrementalKeepsTtl(
+      corpus, waveOf($"doc_id"), waves = Seq(0, 1), ttlEpochs = 5,
+      numHashes = 32, bands = 8)
+    assert(ttl.filter($"reentered").count() == 0)
+    assert(ttl.drop("reentered").collect().toSeq == plain)
+  }
+
   test("audit flags are consistent: kept == !(hit_batch || hit_store), " +
       "and bandless docs are always kept") {
     val tiny = Seq((1L, "a b"), (2L, "x y z w"), (3L, "x y z w"))
