@@ -132,6 +132,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    rewritten custkey table: `queries_custkey`/`total_custkey` (short
   *    keys w1/w3 to respect the 2000-char tail window), same
   *    steal-gating and failure discipline as the other legs.
+  *
+  * ROUND-20 protocol changes (r19 verdict items 1 + 7, ADVICE):
+  *  - IN-GUEST CONTENTION SIGNAL: r19 discovered (and memorialized) a
+  *    blind spot — a second JVM inside the guest inflates walls with
+  *    ZERO steal signature, so `steal_clean` alone cannot certify an
+  *    artifact. Every leg attempt now also measures OTHER-PROCESS CPU:
+  *    Δ(host busy jiffies) − Δ(self+children jiffies) over the leg,
+  *    normalized by leg wall seconds (`other_rate` — ~0 when this JVM
+  *    is the only worker, ≥1.0 when a second JVM burns a core). An
+  *    attempt is CLEAN iff steal ≤ [[StealCleanThresholdS]] AND
+  *    other_rate ≤ [[OtherRateCleanThreshold]]; the wait-for-quiet
+  *    sampler gates on both rates too. `contention_clean` rides the
+  *    metric line next to `steal_clean` (which keeps its steal-only
+  *    meaning for cross-round continuity); per-leg other-CPU seconds
+  *    ride the detail line, the max rate rides the metric line
+  *    (`other_rate_max`).
+  *  - END-OF-RUN SECOND CHANCE: the host's bursts last tens of minutes
+  *    — longer than one leg's 6-attempt budget (r19's plain leg stayed
+  *    dirty through six attempts + 144 s of waits while the OTHER legs'
+  *    windows were clean). After all legs complete (~15 min after the
+  *    plain leg first ran), any QUERY leg (plain/bucketed/custkey —
+  *    never ETL, whose fresh-JVM contract a late re-run would break)
+  *    whose chosen attempt is still dirty re-runs once more with a
+  *    fresh quiet budget; the cleaner read (by steal + excess-other
+  *    score) is committed. `second_chance` (count) rides the detail
+  *    line.
+  *  - QUIET BUDGET PER LEG: r19 exhausted the 600 s RUN-GLOBAL wait
+  *    budget inside one burst and later legs had nothing left to wait
+  *    with. The budget is now PER STEAL-GATED CALL (replenishes each
+  *    leg and each second chance), keeping the same 600 s depth where
+  *    it matters and bounding the whole run by legs × budget instead
+  *    of starving the tail legs.
+  *  - LEG PROTOCOL TAG (r19 ADVICE): the r19 outlier guard changed the
+  *    timed-leg protocol (downward-only rerun selection can only lower
+  *    medians) but `comparable_with_prior` keyed only on clean-run +
+  *    set hash. The metric line now carries
+  *    `leg_protocol:"med-outlier-rerun-1.5"` — advance the string
+  *    whenever the timed-pass selection rule changes so cross-round
+  *    readers compare like with like.
+  *  - `x_kmv_intersection` joins the bucketed leg (r19 verdict item 7):
+  *    the pre-flight sketch family's k-row-bounded representative —
+  *    flat at 10×, cheap, won't destabilize the total — trends per
+  *    round. bench_n_bucketed 15; the set-hash rule flips
+  *    comparable_with_prior_bucketed false for this round, with
+  *    total_bucketed_prev_set (now over r19's committed 14-name set)
+  *    the cross-seam comparable subtotal.
+  *  - METRIC-LINE BUDGET: the additions cost ~140 chars, paid for by
+  *    moving re-derivable/constant fields to the truncatable detail
+  *    line: `protocol` (constant "noop-sink" since r8),
+  *    `total_bucketed_shared` (re-derivable from queries_bucketed),
+  *    `queries_custkey_min`, `etl_steal_s`, and the per-leg steal
+  *    fields (summarized on the line by `steal_max_s`; per-attempt
+  *    arrays stay on the detail line).
   */
 object Bench {
   private val Iters = 5
@@ -167,13 +220,42 @@ object Bench {
   private val QuietSampleS = 3
   private val QuietRateThreshold = 0.10
   private val QuietWaitPerRetryS = 150
+  /** PER STEAL-GATED CALL since r20 (ROUND-20 scaladoc): r19 exhausted a
+    * run-global 600 s inside one burst, starving later legs' retries.
+    * Replenishes for each leg and each second chance; the cumulative
+    * wait across the run rides the detail line (`quiet_wait_s`). */
   private val QuietWaitBudgetS = 600
+
+  /** In-guest contention gate (ROUND-20 scaladoc): an attempt whose
+    * other-process CPU — Δ(host busy jiffies) − Δ(self+children) —
+    * exceeds this rate (cpu-seconds per wall second) is treated as
+    * dirty even at zero steal. Idle floor measured on this guest:
+    * ~0.01 (kernel housekeeping + the waiting sbt parent); a second
+    * working JVM reads ≥ 1.0 — 0.25 clears the floor by 25× while
+    * catching anything that burns a quarter core. */
+  private val OtherRateCleanThreshold = 0.25
+
+  /** End-of-run second chance (ROUND-20 scaladoc): retry budget for the
+    * one late re-run a still-dirty query leg gets after the other legs
+    * complete. Smaller than MaxLegAttempts — by this point the run has
+    * already spent its patience; the second chance is a bet that the
+    * burst ENDED, not a second siege. */
+  private val SecondChanceAttempts = 3
 
   /** Per-query outlier guard (ROUND-19 scaladoc): a med/min spread above
     * this inside one pass set is a mid-leg burst signature (r18's q8 read
     * 1.95×; the eleven clean builder windows never exceeded ~1.4×) —
     * re-run once after a fresh quiet check, keep the lower-median read. */
   private val OutlierMedMinRatio = 1.5
+
+  /** Timed-leg protocol tag (r19 ADVICE): names the pass-selection rule
+    * in force — median-of-iters with a one-shot downward-only outlier
+    * rerun at ratio 1.5. comparable_with_prior keys on clean-run + set
+    * hash only; this tag is what lets a cross-round reader check the
+    * SELECTION rule also matched (r19 totals were measured under the
+    * same rule but carried no machine-visible marker). Advance the
+    * string whenever the rule changes. */
+  private val LegProtocol = "med-outlier-rerun-1.5"
 
   /** The bucketed-leg-only graph entry (not a SparkEntry gate query — its
     * input is the at-rest EdgeStore layout, not the raw parquet dir). */
@@ -191,14 +273,26 @@ object Bench {
     * the bucketed leg (the intended at-rest configuration). */
   private val TopKBenchQuery = "a14_group_topk"
 
-  /** Query-set hashes of the PRIOR round's committed legs (r15: plain =
-    * 10 names, bucketed = those + g_pagerank_edgestore). UPDATE these
-    * literals whenever the bench set changes — comparable_with_prior*
-    * keys on them, which is exactly the point: a set change flips
-    * comparability to false for one round until the constant is
-    * advanced, leaving a machine-visible seam instead of a
-    * silently-shifted total. (r16 grows both sets — q8 + the bm25 leg —
-    * so both flags read false this round by construction.) */
+  /** r19 verdict item 7: the pre-flight sketch family's bucketed-leg
+    * representative — x_kmv_intersection is k-row-bounded (TakeOrdered-64
+    * sketches; flat 1.01→1.11 s at 10× in r19_kmv_scale) so it trends
+    * the sketch-gate wall per round without destabilizing the total. An
+    * ordinary SparkEntry gate query over events (not a star table — it
+    * resolves identically in both layouts; it rides the bucketed leg
+    * because that is the at-rest configuration a planner's pre-flight
+    * read runs against). */
+  private val KmvBenchQuery = "x_kmv_intersection"
+
+  /** Query-set hashes of the PRIOR round's committed legs (r19: plain =
+    * the 11 names of PrevPlainSet, bucketed = those + graph + bm25 +
+    * topk). UPDATE these literals whenever the bench set changes —
+    * comparable_with_prior* keys on them, which is exactly the point: a
+    * set change flips comparability to false for one round until the
+    * constant is advanced, leaving a machine-visible seam instead of a
+    * silently-shifted total. (r20 grows the bucketed set by
+    * x_kmv_intersection, so comparable_with_prior_bucketed reads false
+    * this round by construction; total_bucketed_prev_set is the
+    * cross-seam comparable subtotal.) */
   private val PriorPlainSetHash = "249406e1"
   private val PriorBucketedSetHash = "2cf10af4"
 
@@ -214,6 +308,26 @@ object Bench {
     "q3_shipping_priority", "q5_local_supplier", "q8_market_share",
     "w3_moving_avg", "t4_tumbling_hour", "t4_session", "x4_cosine_topk",
     "d_minhash_pipeline")
+
+  /** One steal-gated leg's committed read: the chosen attempt's result
+    * plus its steal / other-process CPU / wall, and EVERY attempt's
+    * steal and other-rate (an end-of-run second chance APPENDS to the
+    * arrays so the full attempt history rides the detail line). */
+  private case class LegRead[T](res: T, stealS: Double, otherS: Double,
+      wallS: Double, stealAttempts: Seq[Double],
+      otherRateAttempts: Seq[Double]) {
+    def otherRate: Double = if (wallS > 0) otherS / wallS else 0.0
+    /** Clean = trustworthy absolutes: bounded host steal AND no in-guest
+      * co-worker burning CPU this JVM can't see in the steal column. */
+    def clean: Boolean =
+      stealS <= StealCleanThresholdS && otherRate <= OtherRateCleanThreshold
+    /** Ordering for "keep the cleaner attempt": steal seconds plus the
+      * other-CPU seconds in EXCESS of the clean allowance — an attempt
+      * inside both thresholds scores ~0, contamination of either kind
+      * adds its full measured seconds. */
+    def score: Double =
+      stealS + math.max(0.0, otherS - OtherRateCleanThreshold * wallS)
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -238,59 +352,89 @@ object Bench {
     // scheduler) so it doesn't land on the first query's warmup pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def stealJiffies: Long = try {
+    // /proc readers (ROUND-20 scaladoc): steal = host CPU taken FROM the
+    // guest (aggregate cpu line, col 8); busy = guest CPU consumed by ANY
+    // process (user+nice+system+irq+softirq — idle/iowait/steal excluded);
+    // self = this JVM plus reaped children (utime+stime+cutime+cstime).
+    // busyΔ − selfΔ over a leg is the in-guest contention signal the
+    // steal column is blind to (a second JVM in the guest).
+    def procCpu: (Long, Long) = try {
       val cols = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toLong else 0L
+      def c(i: Int) = if (cols.length > i) cols(i).toLong else 0L
+      (c(8), c(1) + c(2) + c(3) + c(6) + c(7))
+    } catch { case _: Throwable => (0L, 0L) }
+    def selfJiffies: Long = try {
+      val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+      // comm (field 2) may contain spaces — split after its closing ')';
+      // utime/stime/cutime/cstime are fields 14–17, i.e. 11–14 of the rest
+      val f = s.substring(s.lastIndexOf(')') + 2).trim.split("\\s+")
+      (11 to 14).map(f(_).toLong).sum
     } catch { case _: Throwable => 0L }
 
-    // Wait-for-quiet (scaladoc at the constants): block until a 3-s steal
-    // sample reads quiet, bounded per-call and by the run-global budget.
-    var quietWaitSpent = 0.0
+    // Wait-for-quiet (scaladoc at the constants): block until a 3-s sample
+    // reads quiet on BOTH rates (host steal AND in-guest other-process
+    // CPU — r20), bounded per attempt and by the per-leg budget
+    // (replenished at each stealGated call — ROUND-20 scaladoc).
+    var quietWaitSpent = 0.0  // run-cumulative, reporting only
+    var quietBudgetLeft = 0.0 // per-stealGated-call, replenished
     def waitForQuiet(label: String): Unit = {
       var waited = 0.0
       var quiet = false
-      while (!quiet && waited < QuietWaitPerRetryS &&
-          quietWaitSpent + waited < QuietWaitBudgetS) {
-        val before = stealJiffies
+      while (!quiet && waited < QuietWaitPerRetryS && quietBudgetLeft > 0) {
+        val (st0, b0) = procCpu; val s0 = selfJiffies
         Thread.sleep(QuietSampleS * 1000L)
-        val rate = (stealJiffies - before) / 100.0 / QuietSampleS
-        waited += QuietSampleS
-        if (rate <= QuietRateThreshold) quiet = true
+        val (st1, b1) = procCpu; val s1 = selfJiffies
+        val stealRate = (st1 - st0) / 100.0 / QuietSampleS
+        val otherRate =
+          math.max(0.0, ((b1 - b0) - (s1 - s0)) / 100.0 / QuietSampleS)
+        waited += QuietSampleS; quietBudgetLeft -= QuietSampleS
+        if (stealRate <= QuietRateThreshold &&
+            otherRate <= OtherRateCleanThreshold) quiet = true
         else {
           System.err.println(
-            f"[bench] $label: host steal rate $rate%.2f s/s — waiting " +
-              f"for a quiet window (${waited}%.0f s so far)")
-          Thread.sleep(12000L); waited += 12
+            f"[bench] $label: steal rate $stealRate%.2f / other-cpu rate " +
+              f"$otherRate%.2f — waiting for a quiet window " +
+              f"(${waited}%.0f s this attempt)")
+          Thread.sleep(12000L); waited += 12; quietBudgetLeft -= 12
         }
       }
       quietWaitSpent += waited
     }
 
     // Steal-gated retry (r15 protocol, scaladoc): run `leg` up to
-    // MaxLegAttempts times, stopping at the first steal-clean attempt;
-    // keep the attempt with the LOWEST steal. Returns (result, chosen
-    // attempt's steal, all attempts' steal). Warmups inside the leg
-    // repeat per attempt — by attempt 2 the JVM is hot, so a retry is
-    // strictly closer to steady state, never worse. Each attempt first
-    // waits for a quiet host window (r17 item 1) so retries don't burn
-    // inside the very burst that dirtied the previous attempt.
-    def stealGated[T](label: String)(leg: () => T): (T, Double, Seq[Double]) = {
-      var attempts = Vector.empty[(T, Double)]
-      while (attempts.size < MaxLegAttempts &&
-          !attempts.exists(_._2 <= StealCleanThresholdS)) {
+    // `maxAttempts` times, stopping at the first CLEAN attempt (steal
+    // AND other-rate inside thresholds — r20); keep the attempt with the
+    // lowest contamination score. Warmups inside the leg repeat per
+    // attempt — by attempt 2 the JVM is hot, so a retry is strictly
+    // closer to steady state, never worse. Each attempt first waits for
+    // a quiet host window (r17 item 1) so retries don't burn inside the
+    // very burst that dirtied the previous attempt.
+    def stealGated[T](label: String, maxAttempts: Int = MaxLegAttempts)(
+        leg: () => T): LegRead[T] = {
+      quietBudgetLeft = QuietWaitBudgetS // replenish per leg (ROUND-20)
+      var attempts = Vector.empty[LegRead[T]]
+      while (attempts.size < maxAttempts && !attempts.exists(_.clean)) {
         waitForQuiet(label)
-        val before = stealJiffies
+        val (st0, b0) = procCpu; val s0 = selfJiffies
+        val t0 = System.nanoTime()
         val r = leg()
-        val s = (stealJiffies - before) / 100.0
-        attempts :+= ((r, s))
-        if (s > StealCleanThresholdS && attempts.size < MaxLegAttempts)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (st1, b1) = procCpu; val s1 = selfJiffies
+        val steal = (st1 - st0) / 100.0
+        val other = math.max(0.0, ((b1 - b0) - (s1 - s0)) / 100.0)
+        val read = LegRead(r, steal, other, wall, Seq(steal),
+          Seq(if (wall > 0) other / wall else 0.0))
+        attempts :+= read
+        if (!read.clean && attempts.size < maxAttempts)
           System.err.println(
-            f"[bench] $label leg saw $s%.1f s host-CPU steal — retrying " +
-              s"(attempt ${attempts.size}/$MaxLegAttempts)")
+            f"[bench] $label leg dirty (steal $steal%.1f s, other-cpu " +
+              f"rate ${read.otherRate}%.2f) — retrying " +
+              s"(attempt ${attempts.size}/$maxAttempts)")
       }
-      val (res, s) = attempts.minBy(_._2)
-      (res, s, attempts.map(_._2))
+      val chosen = attempts.minBy(_.score)
+      chosen.copy(stealAttempts = attempts.map(_.stealS),
+        otherRateAttempts = attempts.map(_.otherRate))
     }
 
     // ETL throughput: the reference's own workload (parse logs → 4 tables).
@@ -310,20 +454,20 @@ object Bench {
     // r13: the r12 "-9% etl drift" turned out to be bursty HOST CPU STEAL
     // (guest VM; /proc/stat col 8), not code. etl_logs_per_sec_best is the
     // interference-immune ceiling; etl_steal_s the chosen attempt's steal.
-    val ((etlLogsPerSec, etlLogsPerSecBest), etlStealS, etlStealAttempts) =
-      stealGated("etl") { () =>
-        try {
-          val nLogs = 400
-          val glob = tools.BenchTune.genEtlLogs(nLogs)
-          tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
-          tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
-          val secs = (1 to 5).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
-          (nLogs / median(secs), nLogs / secs.min)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] etl failed: ${e.getMessage}")
-          (-1.0, -1.0)
-        }
+    val etlLeg = stealGated("etl") { () =>
+      try {
+        val nLogs = 400
+        val glob = tools.BenchTune.genEtlLogs(nLogs)
+        tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
+        tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
+        val secs = (1 to 5).map(_ => tools.BenchTune.timedLoad(spark, glob)._2)
+        (nLogs / median(secs), nLogs / secs.min)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] etl failed: ${e.getMessage}")
+        (-1.0, -1.0)
       }
+    }
+    val (etlLogsPerSec, etlLogsPerSecBest) = etlLeg.res
 
     // BenchProtocol.force: noop sink materializes every output row with all
     // columns — count() would let Catalyst prune the actual work (scaladoc)
@@ -389,10 +533,16 @@ object Bench {
       (rs, reruns.toSeq)
     }
 
+    // per-leg result alias: (per-query (median, min) readings, rerun names)
+    type LegRes = (Seq[(String, (Double, Double))], Seq[String])
+
     // plain leg — steal-gated (r15; r13 item 1 added the sampling, r14
-    // item 1 the retry: the committed artifact must carry a clean run)
-    val ((results, rerunsPlain), stealPlainS, stealPlainAttempts) =
-      stealGated("plain") { () => timeLeg(names, qs) }
+    // item 1 the retry: the committed artifact must carry a clean run).
+    // `var` + runner: the end-of-run second chance (ROUND-20) may replace
+    // a dirty read with a cleaner late one.
+    def runPlainLeg(maxAttempts: Int = MaxLegAttempts): LegRead[LegRes] =
+      stealGated("plain", maxAttempts) { () => timeLeg(names, qs) }
+    var plainLeg = runPlainLeg()
     spark.sharedState.cacheManager.clearCache()
 
     // ---- bucketed leg (r12 verdict item 4) --------------------------------
@@ -408,8 +558,8 @@ object Bench {
     // directly comparable to total. Skipped only when the driver already
     // pinned a layout via env (then this run IS that layout's leg).
     val BucketedLayout = "orderkey"
-    val bucketedNames =
-      names :+ GraphBenchQuery :+ Bm25BenchQuery :+ TopKBenchQuery
+    val bucketedNames = names :+ GraphBenchQuery :+ Bm25BenchQuery :+
+      TopKBenchQuery :+ KmvBenchQuery
     // the bm25 leg's query terms come from the (untimed) postings build
     // below — the closure reads this at call time, after prep ran
     var bm25Terms: Seq[String] = Seq.empty
@@ -421,10 +571,12 @@ object Bench {
           ((s: SparkSession, _: String) =>
             sources.InvertedIndex.bm25TopK(
               s, sources.InvertedIndex.BenchTable, bm25Terms, 20)))
-    val (bucketedResults, rerunsBk, stealBkS, stealBkAttempts):
-        (Option[Seq[(String, (Double, Double))]], Seq[String], Double,
-          Seq[Double]) =
-      if (Tables.activeLayout.isDefined) (None, Seq.empty, -1.0, Seq.empty)
+    // runner survives the first run so the end-of-run second chance can
+    // re-time without re-prepping (the at-rest tables written below
+    // persist for the JVM's lifetime)
+    var bucketedRunner: Option[Int => LegRead[LegRes]] = None
+    var bucketedLeg: Option[LegRead[LegRes]] =
+      if (Tables.activeLayout.isDefined) None
       else {
         try {
           // untimed prep, outside the retried window: steal during a
@@ -432,16 +584,18 @@ object Bench {
           tools.BenchTune.writeBucketedTables(spark, sfDir, BucketedLayout)
           queries.GraphQueries.writeBenchEdgeStore(spark, sfDir)
           bm25Terms = sources.InvertedIndex.writeBenchPostings(spark, sfDir)
-          System.setProperty("graft.bucketed", BucketedLayout)
-          try {
-            val ((rs, rr), s, as) =
-              stealGated("bucketed") { () => timeLeg(bucketedNames, qsBk) }
-            (Some(rs), rr, s, as)
-          } finally System.clearProperty("graft.bucketed")
+          val runner = (maxAttempts: Int) => {
+            System.setProperty("graft.bucketed", BucketedLayout)
+            try stealGated("bucketed", maxAttempts) { () =>
+              timeLeg(bucketedNames, qsBk)
+            } finally System.clearProperty("graft.bucketed")
+          }
+          bucketedRunner = Some(runner)
+          Some(runner(MaxLegAttempts))
         } catch { case e: Throwable =>
           System.clearProperty("graft.bucketed")
           System.err.println(s"[bench] bucketed leg failed: ${e.getMessage}")
-          (None, Seq.empty, -1.0, Seq.empty)
+          None
         }
       }
     spark.sharedState.cacheManager.clearCache()
@@ -479,10 +633,9 @@ object Bench {
             .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
         }))
     }
-    val (custResults, rerunsCk, stealCkS, stealCkAttempts):
-        (Option[Seq[(String, (Double, Double))]], Seq[String], Double,
-          Seq[Double]) =
-      if (Tables.activeLayout.isDefined) (None, Seq.empty, -1.0, Seq.empty)
+    var custkeyRunner: Option[Int => LegRead[LegRes]] = None
+    var custkeyLeg: Option[LegRead[LegRes]] =
+      if (Tables.activeLayout.isDefined) None
       else {
         try {
           // fresh-table discipline (BenchTune.writeBucketedTables): the
@@ -498,15 +651,74 @@ object Bench {
           sources.Bucketing.writeBucketedSorted(
             Tables.orders(spark, sfDir), CustkeyTable, "o_custkey",
             Seq("o_custkey", "o_orderdate", "o_orderkey"), 32) // untimed
-          val ((rs, rr), s, as) =
-            stealGated("custkey") { () => timeLeg(custkeyNames, qsCust) }
-          (Some(rs), rr, s, as)
+          val runner = (maxAttempts: Int) =>
+            stealGated("custkey", maxAttempts) { () =>
+              timeLeg(custkeyNames, qsCust) }
+          custkeyRunner = Some(runner)
+          Some(runner(MaxLegAttempts))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] custkey leg failed: ${e.getMessage}")
-          (None, Seq.empty, -1.0, Seq.empty)
+          None
         }
       }
     spark.sharedState.cacheManager.clearCache()
+
+    // ---- end-of-run second chance (ROUND-20 scaladoc) ----------------------
+    // By the time all legs have run, ~15 min have passed since the first
+    // leg's attempts — the host alternates quiet/bursty on tens of
+    // minutes, so a leg whose whole 6-attempt budget landed inside a
+    // burst gets one more steal-gated run in what is statistically a
+    // different window. Query legs only: a late ETL re-run would break
+    // its fresh-JVM contract (ROUND-10 scaladoc), so a dirty ETL read
+    // stands, attempts published. The CLEANER read (by contamination
+    // score) is committed; attempt arrays concatenate so nothing hides.
+    var secondChance = 0
+    def cleanerOf[T](first: LegRead[T], second: LegRead[T]): LegRead[T] = {
+      val chosen = if (second.score < first.score) second else first
+      chosen.copy(
+        stealAttempts = first.stealAttempts ++ second.stealAttempts,
+        otherRateAttempts =
+          first.otherRateAttempts ++ second.otherRateAttempts)
+    }
+    if (!plainLeg.clean) {
+      secondChance += 1
+      System.err.println("[bench] plain leg still dirty — second chance")
+      plainLeg = cleanerOf(plainLeg, runPlainLeg(SecondChanceAttempts))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    bucketedLeg = (bucketedLeg, bucketedRunner) match {
+      case (Some(l), Some(run)) if !l.clean =>
+        secondChance += 1
+        System.err.println("[bench] bucketed leg still dirty — second chance")
+        val merged = Some(cleanerOf(l, run(SecondChanceAttempts)))
+        spark.sharedState.cacheManager.clearCache()
+        merged
+      case (l, _) => l
+    }
+    custkeyLeg = (custkeyLeg, custkeyRunner) match {
+      case (Some(l), Some(run)) if !l.clean =>
+        secondChance += 1
+        System.err.println("[bench] custkey leg still dirty — second chance")
+        val merged = Some(cleanerOf(l, run(SecondChanceAttempts)))
+        spark.sharedState.cacheManager.clearCache()
+        merged
+      case (l, _) => l
+    }
+
+    // names the emission section reads (pre-r20 shape, kept stable)
+    val (results, rerunsPlain) = plainLeg.res
+    val stealPlainS = plainLeg.stealS
+    val stealPlainAttempts = plainLeg.stealAttempts
+    val bucketedResults = bucketedLeg.map(_.res._1)
+    val rerunsBk = bucketedLeg.map(_.res._2).getOrElse(Seq.empty)
+    val stealBkS = bucketedLeg.map(_.stealS).getOrElse(-1.0)
+    val stealBkAttempts = bucketedLeg.map(_.stealAttempts).getOrElse(Seq.empty)
+    val custResults = custkeyLeg.map(_.res._1)
+    val rerunsCk = custkeyLeg.map(_.res._2).getOrElse(Seq.empty)
+    val stealCkS = custkeyLeg.map(_.stealS).getOrElse(-1.0)
+    val stealCkAttempts = custkeyLeg.map(_.stealAttempts).getOrElse(Seq.empty)
+    val etlStealS = etlLeg.stealS
+    val etlStealAttempts = etlLeg.stealAttempts
 
     // 3-decimal per-query maps: 1 ms resolution on sub-second legs, and
     // the char budget is what lets ALL FOUR maps (plain/bucketed ×
@@ -517,6 +729,8 @@ object Bench {
         .mkString("{", ",", "}")
     def fmtArr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    def fmtArr2(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val qJson = fmt(results, _._1)
     val qMinJson = fmt(results, _._2)
     val nFailed = results.count(_._2._1 < 0)
@@ -552,7 +766,11 @@ object Bench {
       if (prevPlain.size == PrevPlainSet.size &&
           prevPlain.forall(_._2._1 >= 0)) prevPlain.map(_._2._1).sum
       else -1.0
-    val prevBkNames = PrevPlainSet + GraphBenchQuery + Bm25BenchQuery
+    // r19's committed bucketed set (incl. the topk entry that joined in
+    // r18) — total_bucketed_prev_set is directly comparable with r19's
+    // committed total_bucketed across this round's KMV-growth seam
+    val prevBkNames =
+      PrevPlainSet + GraphBenchQuery + Bm25BenchQuery + TopKBenchQuery
     val totalBkPrevSet =
       bucketedResults.map(_.filter(p => prevBkNames.contains(p._1))) match {
         case Some(rs) if rs.size == prevBkNames.size &&
@@ -592,12 +810,17 @@ object Bench {
     // one-boolean answer to "can this artifact's absolutes be trusted"
     // (r16 verdict item 1: the committed run carried 4.3/25.8 s steal and
     // a reader had to reconstruct that from the attempts arrays)
-    val bkRan = bucketedResults.isDefined
-    val ckRan = custResults.isDefined
-    val stealClean = etlStealS >= 0 && etlStealS <= StealCleanThresholdS &&
-      stealPlainS >= 0 && stealPlainS <= StealCleanThresholdS &&
-      (!bkRan || (stealBkS >= 0 && stealBkS <= StealCleanThresholdS)) &&
-      (!ckRan || (stealCkS >= 0 && stealCkS <= StealCleanThresholdS))
+    val executedLegs: Seq[LegRead[_]] =
+      Seq(etlLeg, plainLeg) ++ bucketedLeg.toSeq ++ custkeyLeg.toSeq
+    val stealClean = executedLegs.forall(_.stealS <= StealCleanThresholdS)
+    // contention_clean (ROUND-20): no executed leg's chosen attempt had
+    // in-guest other-process CPU above the clean rate — the second
+    // boolean a reader needs now that zero steal no longer implies an
+    // uncontended guest
+    val contentionClean =
+      executedLegs.forall(_.otherRate <= OtherRateCleanThreshold)
+    val stealMaxS = executedLegs.map(_.stealS).max
+    val otherRateMax = executedLegs.map(_.otherRate).max
     // EMISSION (r17 verdict items 1 + wrong #3): the driver records the
     // LAST 2000 chars of stdout (sbt's trailing "[success] …" line costs
     // ~75 of them), so everything the committed artifact must preserve
@@ -610,15 +833,14 @@ object Bench {
     // iters, etl protocol tag, wait accounting) to the truncatable
     // detail line printed first. A guard warns on stderr if the metric
     // line ever outgrows the window again.
-    // r19 char budget: the custkey maps + rerun count cost ~200 chars, so
-    // the constant/re-derivable cross-round seam fields (layout_bucketed,
-    // total_*_prev_set — equal to total/total_bucketed while the sets are
-    // unchanged) and the custkey leg's secondary accounting move to the
-    // truncatable detail line; steal_clean on the metric line still
-    // covers every executed leg including custkey, and total_custkey's
-    // -1 sentinel still flags a failed/skipped leg on the line of record.
-    println(f"""{"metric":"bench_detail","iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_protocol":"first-400-med5","etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_custkey_attempts_s":${fmtArr(stealCkAttempts)},"steal_custkey_s":$stealCkS%.1f,"failed_custkey":$nFailedCk,"failed_bucketed":$nFailedBk,"layout_bucketed":"$BucketedLayout","total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"outlier_reruns":$rerunNames,"outlier_medmin_ratio":$OutlierMedMinRatio%.1f,"max_leg_attempts":$MaxLegAttempts,"quiet_wait_s":$quietWaitSpent%.0f,"steal_clean_threshold_s":$StealCleanThresholdS%.1f}""")
-    val metricLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"noop-sink","layout":"$layout","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","failed":$nFailed,"queries":$qJson,"queries_min":$qMinJson,"total_bucketed":$totalBk%.4f,"total_bucketed_shared":$totalBkShared%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"total_custkey":$totalCk%.4f,"queries_custkey":$qCkJson,"queries_custkey_min":$qCkMinJson,"q_reruns":$qReruns,"etl_logs_per_sec":$etlLogsPerSec%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_clean":$stealClean,"sf":"$sfDir"}"""
+    // r20 char budget (ROUND-20 scaladoc): the KMV bucketed key, the
+    // leg_protocol tag, and the two contention fields cost ~160 chars,
+    // paid for by moving protocol (constant), total_bucketed_shared
+    // (re-derivable from queries_bucketed over the plain names),
+    // queries_custkey_min, and the per-leg steal scalars (summarized by
+    // steal_max_s; attempts arrays below) to this truncatable line.
+    println(f"""{"metric":"bench_detail","protocol":"noop-sink","iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_protocol":"first-400-med5","etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_custkey_s":$stealCkS%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_custkey_attempts_s":${fmtArr(stealCkAttempts)},"other_rate_etl_attempts":${fmtArr2(etlLeg.otherRateAttempts)},"other_rate_plain_attempts":${fmtArr2(plainLeg.otherRateAttempts)},"other_rate_bucketed_attempts":${fmtArr2(bucketedLeg.map(_.otherRateAttempts).getOrElse(Seq.empty))},"other_rate_custkey_attempts":${fmtArr2(custkeyLeg.map(_.otherRateAttempts).getOrElse(Seq.empty))},"other_rate_clean_threshold":$OtherRateCleanThreshold%.2f,"second_chance":$secondChance,"second_chance_attempts":$SecondChanceAttempts,"total_bucketed_shared":$totalBkShared%.4f,"queries_custkey_min":$qCkMinJson,"failed_custkey":$nFailedCk,"failed_bucketed":$nFailedBk,"layout_bucketed":"$BucketedLayout","total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"outlier_reruns":$rerunNames,"outlier_medmin_ratio":$OutlierMedMinRatio%.1f,"max_leg_attempts":$MaxLegAttempts,"quiet_wait_s":$quietWaitSpent%.0f,"steal_clean_threshold_s":$StealCleanThresholdS%.1f}""")
+    val metricLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","layout":"$layout","leg_protocol":"$LegProtocol","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","failed":$nFailed,"queries":$qJson,"queries_min":$qMinJson,"total_bucketed":$totalBk%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"total_custkey":$totalCk%.4f,"queries_custkey":$qCkJson,"q_reruns":$qReruns,"etl_logs_per_sec":$etlLogsPerSec%.1f,"steal_max_s":$stealMaxS%.1f,"other_rate_max":$otherRateMax%.2f,"steal_clean":$stealClean,"contention_clean":$contentionClean,"sf":"$sfDir"}"""
     if (metricLine.length > 1900)
       System.err.println(s"[bench] WARNING: metric line is " +
         s"${metricLine.length} chars — may outgrow the ~1925-char budget " +
