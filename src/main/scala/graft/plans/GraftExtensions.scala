@@ -114,6 +114,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_topk(score, id, k) takes double, bigint and an int literal")
       }))
+    // bounded-heap one-pass KMV sketch with membership flags: the
+    // map-side-combined alternative to distinct + TakeOrdered-k
+    // (exchange O(partitions×k), no distinct key exchange anywhere)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName,
+        "graft_kmv"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, i, a, b, Literal(k: Int, IntegerType)) =>
+          graft.functions.KmvSketch(h, i, a, b, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_kmv(h, id, in_a, in_b, k) takes bigint, bigint, boolean, " +
+            "boolean and an int literal")
+      }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

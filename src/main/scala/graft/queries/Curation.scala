@@ -1320,7 +1320,67 @@ object Curation {
             round((round(CASE WHEN n_sketch < 64 THEN shared::DOUBLE
               ELSE shared * u_est_d / 64 END, 2) - inter_exact) * 100.0
               / inter_exact, 2) END) <= 25.0 AS in_bound
-        FROM est, ex, mm""")))
+        FROM est, ex, mm""")),
+
+    // ---- ONE-PASS distributed KMV — the 100 TB form of the sketch ----------
+    // r19 verdict item 4: x_kmv_intersection's sketch is TakeOrdered-64
+    // over the MATERIALIZED distinct key union — correct and flat at
+    // 10×, but the distinct is a full key exchange. graft_kmv
+    // (functions/KmvSketch, the TopKPairs bounded-heap pattern) computes
+    // the identical sketch in ONE pass over RAW event rows: per-map-task
+    // k-bounded buffers merged by the k-smallest law the intersection
+    // gate asserts as data (exchange = O(partitions × k) sketch bytes,
+    // no distinct anywhere — the plan's only exchange carries ≤ k
+    // entries per map partition). Multiset semantics make the raw scan
+    // legal: duplicate keys share (h, id), so the k-smallest set is
+    // duplicate-invariant, and per-key membership flags OR inside the
+    // buffer (a user clicking in one row and purchasing in another
+    // carries both flags — exactly the oracle's bool_or). The gate
+    // output IS the sketch — one row per retained entry, rank = position
+    // in (h, id) order — so the oracle's ORDER BY h, id LIMIT 64 over
+    // per-key bool_or flags re-derives every row bit-for-bit: hash
+    // equality here IS the aggregate ≡ TakeOrdered equivalence.
+    // Shuffle-bytes evidence at 10×: r20_kmv_onepass (BENCH_SCALE).
+    QueryDef(
+      "x_kmv_onepass",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Md5Hash64.md5_le64
+        val k = 64
+        val ev = Tables.events(s, d)
+        val rows = ev
+          .filter($"event_type" === "click" ||
+            ($"event_type" === "purchase" && $"value" >= 200))
+          .select($"user_id",
+            ($"event_type" === "click").as("in_a"),
+            ($"event_type" === "purchase").as("in_b"),
+            shiftrightunsigned(md5_le64($"user_id".cast("string")), 1)
+              .as("h"))
+        rows
+          .agg(graft.functions.KmvSketch.kmv(
+            $"h", $"user_id", $"in_a", $"in_b", k).as("sk"))
+          .select(posexplode($"sk").as(Seq("pos", "e")))
+          .select(($"pos" + 1).cast("int").as("rank"),
+            $"e.h".as("h"), $"e.id".as("user_id"),
+            $"e.in_a".as("in_a"), $"e.in_b".as("in_b"))
+          .orderBy($"rank")
+      },
+      Some("""WITH f AS (
+          SELECT user_id,
+            event_type = 'click' AS a,
+            event_type = 'purchase' AND value >= 200 AS b
+          FROM events
+          WHERE event_type = 'click'
+             OR (event_type = 'purchase' AND value >= 200)),
+        u AS (
+          SELECT user_id, bool_or(a) AS in_a, bool_or(b) AS in_b,
+            (md5_number_upper(CAST(user_id AS VARCHAR)) >> 1)::BIGINT AS h
+          FROM f GROUP BY user_id),
+        sk AS (SELECT * FROM u ORDER BY h, user_id LIMIT 64)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, user_id) AS INTEGER)
+            AS rank,
+          h, user_id, in_a, in_b
+        FROM sk ORDER BY rank""")))
 
   /** One pre-flight decision row for a candidate join: `big`/`small` are
     * the two sides' key-count vectors (k STRING, c BIGINT — since r20,
