@@ -1843,6 +1843,78 @@ object Text {
         FROM sh JOIN first f USING (s)
         GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
 
+    // ---- Winnow-pruned shingle novelty (the sketch-rate scale form) --------
+    // r19 verdict item 5: x_novelty was the 10× sweep's second-worst
+    // factor (6.44×) — its shingle-keyed min-aggregation and join-back
+    // shuffle EVERY distinct (doc, shingle) row, a volume that grows
+    // with corpus tokens. This form runs the SAME first-owner novelty
+    // protocol over each doc's WINNOW FINGERPRINT set instead
+    // (x_winnow_fingerprints' w=4 window minima over positional 3-gram
+    // md5 hashes): the shuffled volume drops to the winnow rate
+    // (≈ 2/(w+1) of positions, distinct-collapsed) and the keys are
+    // 8-byte longs instead of shingle strings. APPROXIMATE by design —
+    // novelty is estimated over a deterministic locality-sensitive
+    // SAMPLE of each doc's shingles (any shared run ≥ w+k−1 = 6 tokens
+    // is guaranteed represented; lone shared 3-grams may not be) — but
+    // the sample is md5-deterministic, so every row is hash-exact
+    // oracle data, and clone/boilerplate suppression behaves like the
+    // exact form (clones share ALL fingerprints). The exact gate stays
+    // the semantics anchor; 10×/100× walls for both probed in
+    // r20_curation_pruned.
+    QueryDef(
+      "x_novelty_pruned",
+      (s, d) => {
+        import s.implicits._
+        val w = 4
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 3)
+        // positional 3-gram hashes, then window minima — the `h`
+        // projection is a separate select so the window lambda reads a
+        // bound attribute (the x_winnow interpreted-HOF rationale)
+        val hashes = docs.select($"doc_id", transform(
+          sequence(lit(1), greatest(size($"toks") - 2, lit(1))),
+          i => shiftrightunsigned(graft.functions.Md5Hash64.md5_le64(
+            concat_ws(" ", element_at($"toks", i),
+              element_at($"toks", i + 1), element_at($"toks", i + 2))), 4))
+          .as("h"))
+        val fps = hashes.select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), greatest(size($"h") - w + 1, lit(1))),
+            j => array_min(slice($"h", j, lit(w)))))).as("fp"))
+          .localCheckpoint(true) // first-owner agg + join-back both read it
+        val first = fps.groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+        fps.join(first, "fp")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .select($"doc_id", $"n_fps", $"n_novel",
+            expr("(n_novel * 1000000) div n_fps").as("novelty_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        hs AS (
+          SELECT doc_id, list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> CAST(md5_number_upper(
+              concat_ws(' ', t[i], t[i+1], t[i+2])) >> 4 AS BIGINT)) AS h
+          FROM toks),
+        fps AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(h) - 4 + 1, 1)),
+            j -> list_aggregate(h[j:j+3], 'min')))) AS fp
+          FROM hs),
+        first AS (SELECT fp, MIN(doc_id) AS first_doc FROM fps GROUP BY fp)
+        SELECT fps.doc_id, COUNT(*) AS n_fps,
+          CAST(SUM(CASE WHEN f.first_doc = fps.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          (CAST(SUM(CASE WHEN f.first_doc = fps.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000) // COUNT(*) AS novelty_fp
+        FROM fps JOIN first f USING (fp)
+        GROUP BY fps.doc_id ORDER BY fps.doc_id""")),
+
     // ---- PMI collocations (adjacent-bigram association mining) -------------
     // Pointwise mutual information for adjacent token pairs:
     // pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) from the bigram

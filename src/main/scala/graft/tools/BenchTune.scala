@@ -3381,7 +3381,8 @@ object BenchTune {
     ProbeHarness.withSpark("preflight-scale") { spark =>
       for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
         def q() = graft.SparkEntry.queries("x_join_preflight_decision")(spark, dir)
-        val (med, mn, steal) = ProbeHarness.timedForce(3)(q _)
+        val (med, mn, steal) =
+          ProbeHarness.timedForce(if (tag == "100x") 1 else 3)(q _)
         q().collect().foreach { r =>
           println(s"[preflight] $tag ${r.getAs[String]("join_id")}: " +
             s"n_big=${r.getAs[Long]("n_big")} n_small=${r.getAs[Long]("n_small")} " +
@@ -3396,6 +3397,97 @@ object BenchTune {
         }
         println(f"[preflight] $tag wall median=$med%.2f min=$mn%.2f " +
           f"steal=$steal%.1f s")
+      }
+    }
+
+  /** Incremental semantic dedup: exact flat assignment vs the r20
+    * default's coarse dispatch (r19 verdict item 3) at each ladder rung.
+    * Drives the SHIPPED auto overload both ways; the flat arm is the
+    * pre-r20 path (O(n·k) cosines with k ∝ n). */
+  def semIncIvfProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("seminc-ivf") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        val e = graft.Tables.embeddings(spark, dir)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("ev"))
+          .localCheckpoint(true)
+        val n = e.count()
+        val k = graft.ext.SemDedup.autoK(n,
+          graft.ext.SemDedup.DefaultTargetClusterSize)
+        val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        def run(exact: Boolean) = graft.BenchProtocol.force(
+          graft.ext.SemDedup.incrementalSemDedup(e, wave, waves = Seq(0, 1),
+            tau = 0.35, targetClusterSize =
+              graft.ext.SemDedup.DefaultTargetClusterSize, exact = exact))
+        // the flat arm is the measured superlinear shape — bound it to
+        // one timed pass at the 100× rung
+        val p = if (tag == "100x") 1 else 3
+        val (medC, mnC, stC) = ProbeHarness.timedPasses(p)(run(false))
+        val (medF, mnF, stF) = ProbeHarness.timedPasses(p)(run(true))
+        println(f"[semincivf] $tag%-5s n=$n%-8d k=$k " +
+          f"coarse median=$medC%.2f min=$mnC%.2f steal=$stC%.1f | " +
+          f"flat median=$medF%.2f min=$mnF%.2f steal=$stF%.1f")
+      }
+    }
+
+  /** One-pass KMV (graft_kmv over raw rows) vs the materialized
+    * distinct + TakeOrdered sketch (r19 verdict item 4): wall and
+    * shuffle WRITE bytes per rung — the exchange the aggregate removes
+    * is the distinct's full key shuffle. */
+  def kmvOnepassProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("kmv-onepass") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.functions.Md5Hash64.md5_le64
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        val raw = graft.Tables.events(spark, dir)
+          .filter($"event_type" === "click" ||
+            ($"event_type" === "purchase" && $"value" >= 200))
+          .select($"user_id", ($"event_type" === "click").as("in_a"),
+            ($"event_type" === "purchase").as("in_b"),
+            shiftrightunsigned(md5_le64($"user_id".cast("string")), 1)
+              .as("h"))
+        def onepass() = graft.BenchProtocol.force(raw
+          .agg(graft.functions.KmvSketch.kmv(
+            $"h", $"user_id", $"in_a", $"in_b", 64).as("sk"))
+          .select(posexplode($"sk")))
+        def takeOrdered() = graft.BenchProtocol.force(raw
+          .groupBy($"h", $"user_id")
+          .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+          .orderBy($"h", $"user_id").limit(64))
+        val (med1, mn1, st1) = ProbeHarness.timedPasses(3)(onepass())
+        val b1 = ProbeHarness.shuffleWriteBytes(spark)(onepass())
+        val (med2, mn2, st2) = ProbeHarness.timedPasses(3)(takeOrdered())
+        val b2 = ProbeHarness.shuffleWriteBytes(spark)(takeOrdered())
+        println(f"[kmvonepass] $tag%-5s onepass median=$med1%.2f min=$mn1%.2f " +
+          f"steal=$st1%.1f shuffle=${b1 / 1024}%d KiB | distinct+takeordered " +
+          f"median=$med2%.2f min=$mn2%.2f steal=$st2%.1f " +
+          f"shuffle=${b2 / 1024}%d KiB")
+      }
+    }
+
+  /** Exact vs fingerprint-pruned novelty/decontamination (r19 verdict
+    * item 5) per docs-ladder rung: the pruned forms must hold ~linear
+    * per decade where the exact gram-keyed shapes read 6.4×. */
+  def curationPrunedProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("curation-pruned") { spark =>
+      val qs = graft.SparkEntry.queries
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir, Seq(
+          "10xd" -> "/tmp/graft_10xd", "100xd" -> "/tmp/graft_100xd"))) {
+        for (name <- Seq("x_novelty", "x_novelty_pruned",
+            "x_decontamination", "x_decontamination_pruned")) {
+          spark.sharedState.cacheManager.clearCache()
+          // the exact arms are the documented superlinear shapes — one
+          // timed pass at the 100× rung keeps the probe bounded
+          val passes = if (tag == "100xd") 1 else 3
+          val (med, mn, steal) =
+            ProbeHarness.timedForce(passes)(() => qs(name)(spark, dir))
+          println(f"[curationpruned] $tag%-5s $name%-26s median=$med%.2f " +
+            f"min=$mn%.2f steal=$steal%.1f")
+        }
       }
     }
 
@@ -3560,6 +3652,9 @@ object BenchTune {
     if (args.headOption.contains("ivfpqhard")) { ivfPqHardProbe(sfDir); return }
     if (args.headOption.contains("cmsauto")) { cmsAutoProbe(sfDir); return }
     if (args.headOption.contains("preflight")) { preflightProbe(sfDir); return }
+    if (args.headOption.contains("semincivf")) { semIncIvfProbe(sfDir); return }
+    if (args.headOption.contains("kmvonepass")) { kmvOnepassProbe(sfDir); return }
+    if (args.headOption.contains("curationpruned")) { curationPrunedProbe(sfDir); return }
     if (args.headOption.contains("storecompact")) { storeCompactProbe(sfDir); return }
     if (args.headOption.contains("mhincdistinct")) { mhIncDistinctProbe(sfDir); return }
     if (args.headOption.contains("sq8store")) { sq8StoreProbe(sfDir); return }

@@ -423,6 +423,43 @@ class PlanSpec extends AnyFunSuite {
       s"decision gate plans a non-cross nested loop:\n$pre")
   }
 
+  test("round-20 queries keep scale-correct plan shapes") {
+    def nonCrossBnlj(p: String): Int = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross"))
+
+    // d_minhash_ttl_reentry inherits the incremental-dedup family
+    // contract: every suppression arm (in-wave window, windowed store,
+    // forgotten-store audit) is a band-key equi-join
+    val ttl = plan("d_minhash_ttl_reentry")
+    assert(!ttl.contains("CartesianProduct") &&
+      !ttl.contains("BroadcastNestedLoopJoin"),
+      s"TTL re-entry gate degraded to all-pairs:\n$ttl")
+
+    // x_kmv_onepass: the WHOLE point is one object-hash aggregation with
+    // no distinct exchange — no join of any kind may appear, and the
+    // aggregate must ride ObjectHashAggregate (partial per map task,
+    // merge on the reduce side), never a sort-based full exchange
+    val kmv = plan("x_kmv_onepass")
+    assert(kmv.contains("ObjectHashAggregate"),
+      s"one-pass KMV lost its object-hash aggregation path:\n$kmv")
+    assert(!kmv.contains("Join"), s"one-pass KMV plans a join:\n$kmv")
+    assert(!kmv.contains("CartesianProduct"), kmv)
+
+    // the pruned curation pair: candidate detection and gram overlap are
+    // broadcast hash joins (bench/fingerprint sets are the small sides);
+    // no cartesian, no non-cross nested loop anywhere
+    for (q <- Seq("x_novelty_pruned", "x_decontamination_pruned")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n$p")
+      assert(nonCrossBnlj(p) == 0,
+        s"$q plans a non-cross nested loop:\n$p")
+    }
+    val decon = plan("x_decontamination_pruned")
+    assert(decon.contains("BroadcastHashJoin"),
+      s"pruned decontamination lost its broadcast joins:\n$decon")
+  }
+
   test("approx_count_distinct lands within its error bound of exact") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sfDir)
