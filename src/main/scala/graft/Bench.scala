@@ -312,8 +312,11 @@ object Bench {
   /** One steal-gated leg's committed read: the chosen attempt's result
     * plus its steal / other-process CPU / wall, and EVERY attempt's
     * steal and other-rate (an end-of-run second chance APPENDS to the
-    * arrays so the full attempt history rides the detail line). */
-  private case class LegRead[T](res: T, stealS: Double, otherS: Double,
+    * arrays so the full attempt history rides the detail line).
+    * private[graft] so the clean/score boundary arithmetic — the rules
+    * that decide what the committed artifact certifies — is unit-pinned
+    * in BenchLegSpec, not only exercised by live runs. */
+  private[graft] case class LegRead[T](res: T, stealS: Double, otherS: Double,
       wallS: Double, stealAttempts: Seq[Double],
       otherRateAttempts: Seq[Double]) {
     def otherRate: Double = if (wallS > 0) otherS / wallS else 0.0
