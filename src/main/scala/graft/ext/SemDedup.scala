@@ -190,37 +190,31 @@ object SemDedup {
     incrementalSemDedup(e, waveCol, waves, tau, targetClusterSize,
       exact = false)
 
-  /** r19 verdict item 3: the auto-k incremental path's LAST superlinear
-    * term was its flat O(n·k) assignment — with k ∝ n that is
-    * O(n²/target) (160M cosines at the 100× corpus, the bulk of its
-    * 33 s). The default now dispatches assignment through the two-level
-    * coarse quantizer ([[IvfAnn.assignCoarse]], O(n·√k)) above
-    * [[CoarseDispatchK]] — the SAME rule, threshold, and quantizer as
-    * the batch default, so batch and incremental can never disagree on
-    * when the approximation engages. `exact = true` forces the flat
-    * SQL-derivable assignment at any k — the gate arm
-    * (`d_semdedup_incremental_auto` derives k = 8 < 64, so the gate
-    * rides the flat path under either flag). The fold (in-wave
-    * pure-pair + kept-only store) is IDENTICAL in both modes — only
-    * cell membership can differ, and only for vectors whose nearest
-    * fine centroid lives in an unprobed coarse group (the standard IVF
-    * trade, agreement spec-pinned at [[IvfAnn.assignCoarse]]).
-    * Measured at the 100× corpus: 33.0 s flat → see BENCH_SCALE
-    * `r20_seminc_ivf`. */
+  /** r19 verdict item 3 (two stages, both r20): the auto-k incremental
+    * path's superlinear terms are gone on the SHIPPED path.
+    *
+    *  - **Assignment**: dispatches through the two-level coarse
+    *    quantizer ([[IvfAnn.assignCoarse]], O(n·√k)) above
+    *    [[CoarseDispatchK]] — the SAME rule, threshold, and quantizer
+    *    as the batch default, so batch and incremental can never
+    *    disagree on when the approximation engages. `exact = true`
+    *    forces the flat SQL-derivable assignment at any k — the gate
+    *    arm (`d_semdedup_incremental_auto` derives k = 8 < 64) rides
+    *    the flat assignment under either flag.
+    *  - **Fold**: runs as the per-cluster typed kernel
+    *    ([[incrementalSemDedupKernel]]) — BIT-IDENTICAL to the
+    *    relational fold (spec-pinned under both assignment modes, so
+    *    the hash-exact gates are untouched by the routing) without
+    *    materializing the in-cell candidate pairs as wide rows.
+    *
+    * Steal-clean 100× walls (r20_seminc_ivf): 26.9 s flat relational →
+    * 10.9 s coarse relational → 4.55 s shipped kernel. The relational
+    * overloads below remain the oracle-documented forms the explicit-k
+    * gates derive in SQL. */
   def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
-      tau: Double, targetClusterSize: Int, exact: Boolean): DataFrame = {
-    // barrier: the count and the subsequent seeding/assignment must see
-    // the SAME rows (semanticDedup's auto overload rationale)
-    val ec = e.localCheckpoint(true)
-    val n = ec.select(col("vec_id")).count()
-    val k = autoK(n, targetClusterSize)
-    val out =
-      if (!exact && k > CoarseDispatchK)
-        incrementalSemDedupCoarse(ec, waveCol, waves, nCentroids = k,
-          tau = tau)
-      else incrementalSemDedup(ec, waveCol, waves, nCentroids = k, tau = tau)
-    out.withColumn("k_auto", lit(k))
-  }
+      tau: Double, targetClusterSize: Int, exact: Boolean): DataFrame =
+    incrementalSemDedupKernel(e, waveCol, waves, tau, targetClusterSize,
+      exact)
 
   def incrementalSemDedup(e: DataFrame, waveCol: Column, waves: Seq[Int],
       nCentroids: Int, tau: Double): DataFrame =
@@ -237,6 +231,118 @@ object SemDedup {
       waves: Seq[Int], nCentroids: Int, tau: Double): DataFrame =
     incrementalFold(
       assignLabeled(e, waveCol, coarse = true, nCentroids), waves, tau)
+
+  /** The incremental fold as ONE per-cluster typed kernel — the scale
+    * arm of [[incrementalSemDedup]] (r20). After the coarse dispatch
+    * removed the O(n·k) assignment term, the relational fold's
+    * remaining 100× cost is MATERIALIZING the in-cell candidate pairs
+    * as wide rows (two 64-double vectors per row — ~25M rows at the
+    * 100× corpus; they never cross the network, the cluster equi-join
+    * co-locates them, but each still pays row construction + codegen
+    * dispatch). Every suppression rule is cluster-local (in-wave pure
+    * pairs; the kept-only store registers (cluster, vector) rows), and
+    * the auto-k invariant bounds the EXPECTED cluster at
+    * ~targetClusterSize vectors, so the whole fold runs inside one
+    * `flatMapGroups` per cluster: one shuffle (the cluster exchange the
+    * relational form also pays), zero pair-row materialization, in-loop
+    * cosines replicating CosineSim's exact arithmetic (sequential
+    * accumulation, dot / (√na·√nb)) and Spark's round(_, 4)
+    * (scala BigDecimal HALF_UP; non-finite cosines compare raw, like
+    * round's pass-through) — so verdicts are BIT-IDENTICAL to the
+    * relational fold, spec-pinned on the gate corpus under both
+    * assignment modes. Same caveat as the relational form: the
+    * ~target bound is in expectation — a pathological cluster that
+    * attracts far more than target vectors concentrates its quadratic
+    * work (and here its memory) in one task. `waveCol` must be
+    * int-valued (the incremental gates' convention). */
+  def incrementalSemDedupKernel(e: DataFrame, waveCol: Column,
+      waves: Seq[Int], tau: Double, targetClusterSize: Int,
+      exact: Boolean = false): DataFrame = {
+    require(waves == waves.sorted && waves.distinct == waves,
+      "waves must be ascending and distinct (arrival order)")
+    val ec = e.localCheckpoint(true)
+    val n = ec.select(col("vec_id")).count()
+    val k = autoK(n, targetClusterSize)
+    val assigned =
+      assignLabeled(ec, waveCol, coarse = !exact && k > CoarseDispatchK, k)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val waveOrder = waves.toArray
+    val out = assigned
+      .select(col("cluster"), col("vec_id"), col("wave").cast("int"),
+        col("ev"))
+      .as[(Int, Long, Int, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster, it) =>
+        val rows = it.toArray
+        val m = rows.length
+        val evs = new Array[Array[Double]](m)
+        val nrm = new Array[Double](m)
+        var i = 0
+        while (i < m) {
+          val v = rows(i)._4.toArray
+          evs(i) = v
+          var s = 0.0; var p = 0
+          while (p < v.length) { s += v(p) * v(p); p += 1 }
+          nrm(i) = math.sqrt(s)
+          i += 1
+        }
+        // round(cos, 4) >= tau with CosineSim's exact arithmetic; the
+        // norm accumulations above replay the kernel's per-side order,
+        // so the doubles are bit-identical to the fused expression
+        def simTau(a: Int, b: Int): Boolean = {
+          val x = evs(a); val y = evs(b)
+          if (x.length != y.length) false // cosine null -> filter false
+          else {
+            var dot = 0.0; var p = 0
+            while (p < x.length) { dot += x(p) * y(p); p += 1 }
+            val c = dot / (nrm(a) * nrm(b))
+            if (java.lang.Double.isFinite(c))
+              BigDecimal(c).setScale(4,
+                scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble >= tau
+            else c >= tau // round passes NaN/Inf through; NaN >= tau = false
+          }
+        }
+        // in-wave pure-pair suppression (suppressors may themselves be
+        // suppressed): any same-wave smaller-id neighbor at >= tau
+        val hitBatch = new Array[Boolean](m)
+        rows.indices.groupBy(rows(_)._3).values.foreach { idxs =>
+          val byId = idxs.toArray.sortBy(rows(_)._2)
+          var a = 1
+          while (a < byId.length) {
+            var b = 0
+            while (!hitBatch(byId(a)) && b < a) {
+              if (simTau(byId(a), byId(b))) hitBatch(byId(a)) = true
+              b += 1
+            }
+            a += 1
+          }
+        }
+        // store fold: kept vectors of earlier DECLARED waves only; rows
+        // labeled outside `waves` never probe the store, never register
+        val hitStore = new Array[Boolean](m)
+        val store = scala.collection.mutable.ArrayBuffer.empty[Int]
+        waveOrder.foreach { w =>
+          val bw = rows.indices.filter(rows(_)._3 == w)
+          bw.foreach { a =>
+            var s = 0
+            while (!hitStore(a) && s < store.length) {
+              if (simTau(a, store(s))) hitStore(a) = true
+              s += 1
+            }
+          }
+          bw.foreach { a => if (!hitStore(a) && !hitBatch(a)) store += a }
+        }
+        rows.indices.iterator.map { a =>
+          (rows(a)._2, rows(a)._3, cluster, hitBatch(a), hitStore(a),
+            !(hitBatch(a) || hitStore(a)))
+        }
+      }
+      .toDF("vec_id", "wave", "cluster", "hit_batch", "hit_store", "kept")
+      .orderBy(col("vec_id"))
+    out.withColumn("k_auto", lit(k))
+  }
 
   /** Shared assignment stage: label waves, seed the stationary codebook
     * (md5-ordered, lloydIters = 0 — the batch analogue of the stream's

@@ -3418,16 +3418,27 @@ object BenchTune {
           graft.ext.SemDedup.DefaultTargetClusterSize)
         val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
           .between("0", "7"), 0).otherwise(1)
-        def run(exact: Boolean) = graft.BenchProtocol.force(
+        // shipped path = the auto overload (kernel fold since r20);
+        // relational coarse/flat arms reconstructed at the same derived
+        // k from the explicit-k oracle-documented overloads
+        def runShipped() = graft.BenchProtocol.force(
           graft.ext.SemDedup.incrementalSemDedup(e, wave, waves = Seq(0, 1),
             tau = 0.35, targetClusterSize =
-              graft.ext.SemDedup.DefaultTargetClusterSize, exact = exact))
+              graft.ext.SemDedup.DefaultTargetClusterSize))
+        def runRelCoarse() = graft.BenchProtocol.force(
+          graft.ext.SemDedup.incrementalSemDedupCoarse(e, wave,
+            waves = Seq(0, 1), nCentroids = k, tau = 0.35))
+        def runRelFlat() = graft.BenchProtocol.force(
+          graft.ext.SemDedup.incrementalSemDedup(e, wave, waves = Seq(0, 1),
+            nCentroids = k, tau = 0.35))
         // the flat arm is the measured superlinear shape — bound it to
         // one timed pass at the 100× rung
         val p = if (tag == "100x") 1 else 3
-        val (medC, mnC, stC) = ProbeHarness.timedPasses(p)(run(false))
-        val (medF, mnF, stF) = ProbeHarness.timedPasses(p)(run(true))
+        val (medK, mnK, stK) = ProbeHarness.timedPasses(p)(runShipped())
+        val (medC, mnC, stC) = ProbeHarness.timedPasses(p)(runRelCoarse())
+        val (medF, mnF, stF) = ProbeHarness.timedPasses(p)(runRelFlat())
         println(f"[semincivf] $tag%-5s n=$n%-8d k=$k " +
+          f"kernel median=$medK%.2f min=$mnK%.2f steal=$stK%.1f | " +
           f"coarse median=$medC%.2f min=$mnC%.2f steal=$stC%.1f | " +
           f"flat median=$medF%.2f min=$mnF%.2f steal=$stF%.1f")
       }

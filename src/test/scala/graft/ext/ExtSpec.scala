@@ -359,6 +359,38 @@ class ExtSpec extends AnyFunSuite {
       s"coarse/flat verdict agreement too low: $agree/${flat.size}")
   }
 
+  test("incremental SemDedup kernel fold is row-identical to the " +
+      "relational fold (r20)") {
+    // n = 400 ⇒ target 50 derives k = 8 (flat regime), target 5 derives
+    // k = 80 (coarse regime) — the RELATIONAL twins are reconstructed
+    // from the explicit-k oracle-documented overloads at those k, since
+    // the shipped auto overload now routes through the kernel
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 400)
+    val wv = ($"vec_id" % 3).cast("int")
+    val waves = Seq(0, 1, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // flat regime: kernel (shipped default AND exact=true — k ≤ 64 keeps
+    // assignment flat either way) == relational explicit-k fold
+    val relFlat8 = rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      nCentroids = 8, tau = 0.3).withColumn("k_auto", lit(8)))
+    assert(rows(SemDedup.incrementalSemDedup(e, wv, waves,
+      tau = 0.3, targetClusterSize = 50)) == relFlat8)
+    assert(rows(SemDedup.incrementalSemDedupKernel(e, wv, waves,
+      tau = 0.3, targetClusterSize = 50, exact = true)) == relFlat8)
+    // coarse regime: kernel and relational share assignLabeled, so rows
+    // stay bit-identical THROUGH the approximate assignment too
+    assert(rows(SemDedup.incrementalSemDedup(e, wv, waves,
+        tau = 0.3, targetClusterSize = 5)) ==
+      rows(SemDedup.incrementalSemDedupCoarse(e, wv, waves,
+        nCentroids = 80, tau = 0.3).withColumn("k_auto", lit(80))))
+    assert(rows(SemDedup.incrementalSemDedup(e, wv, waves,
+        tau = 0.3, targetClusterSize = 5, exact = true)) ==
+      rows(SemDedup.incrementalSemDedup(e, wv, waves,
+        nCentroids = 80, tau = 0.3).withColumn("k_auto", lit(80))))
+  }
+
   test("multimodal: stubbed decode extracts metadata per partition") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),
