@@ -57,6 +57,59 @@ object SemDedup {
     */
   val CoarseDispatchK = 64
 
+  /** Refusal bound for the RELATIONAL folds (r20 verdict item 1): a
+    * parameterization whose within-cluster candidate-pair volume exceeds
+    * this many pairs PER INPUT ROW is a scale cliff, not a workload —
+    * fixed k holds cluster count constant so pairs/row grows linearly in
+    * n without bound (measured: the fixed-k=8 incremental arm burned
+    * 398 s at the 100× corpus, ~6.2k pairs/row, while auto-k's k ∝ n
+    * holds pairs/row at ~targetClusterSize/2 ≈ 125 forever). The bound
+    * is RELATIVE so legitimate linear-scaling work never trips it at any
+    * corpus size; the gate shapes sit below ~65 pairs/row at every SF.
+    * The refusal is loud and names the remedy (the auto-k overload). */
+  val PairsPerRowGuard = 2000L
+
+  /** Hot-cluster cap for the typed kernel (r20 verdict item 4): the
+    * kernel buffers each cluster with `it.toArray`, fine at the auto-k
+    * expectation (~targetClusterSize rows) but unbounded against a
+    * pathological cluster that attracts far more — at 100 TB a single
+    * hot cell could exceed a task's heap where the relational fold would
+    * have spilled. Clusters above CapFactor × targetClusterSize rows are
+    * routed to the relational fold (bit-identical verdicts, spec-pinned;
+    * SMJ/aggregate operators spill gracefully), everything else stays on
+    * the kernel. Detection is one cheap count over the checkpointed
+    * assignment; with no hot cluster the kernel plan is unchanged. */
+  val HotClusterCapFactor = 16
+
+  /** Within-cluster candidate-pair volume Σ s·(s−1)/2 over the cluster
+    * sizes of `assigned` — the exact row count the relational fold's
+    * cluster equi-join materializes, computed from the (checkpointed)
+    * assignment for the refusal guard. One small aggregation job. */
+  private def pairVolume(assigned: DataFrame): (Long, Long) = {
+    val row = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("s"))
+      .agg(sum(expr("s * (s - 1) div 2")).as("pv"), sum(col("s")).as("n"))
+      .head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Throws when `assigned`'s pair volume exceeds [[PairsPerRowGuard]]
+    * pairs per row — the loud fail-fast a declared query owes a caller
+    * instead of a host-killing spill (r20 verdict item 1). */
+  private def guardPairVolume(assigned: DataFrame, form: String): Unit = {
+    val (pv, n) = pairVolume(assigned)
+    if (n > 0 && pv / n > PairsPerRowGuard)
+      throw new IllegalStateException(
+        s"semdedup $form refused: within-cluster candidate-pair volume " +
+          s"$pv over $n rows (${pv / n} pairs/row) exceeds the " +
+          s"$PairsPerRowGuard pairs/row bound - a fixed cluster count " +
+          "is quadratic in corpus size. Use the auto-k overload " +
+          "(semanticDedup(e, tau) / incrementalSemDedup(e, waveCol, " +
+          "waves, tau, targetClusterSize)), which holds pairs/row " +
+          "constant by deriving k from n.")
+  }
+
   /** Scale-safe default entry point: derives `nCentroids` from the input
     * size so within-cluster pair work stays ~linear in n. One cheap
     * count of the projected id column (vectors are pruned at the scan),
@@ -127,6 +180,7 @@ object SemDedup {
     // the scan below it) re-runs three times. localCheckpoint (not cache)
     // — blocks free with the RDD, nothing accumulates across invocations.
     val assigned = assignedRaw.localCheckpoint(true)
+    guardPairVolume(assigned, "batch fold")
     val x = assigned.select(col("cluster"), col("vec_id"), col("ev"))
     val y = assigned.select(col("cluster"),
       col("vec_id").as("y_id"), col("ev").as("y_ev"))
@@ -257,7 +311,18 @@ object SemDedup {
     * int-valued (the incremental gates' convention). */
   def incrementalSemDedupKernel(e: DataFrame, waveCol: Column,
       waves: Seq[Int], tau: Double, targetClusterSize: Int,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false): DataFrame =
+    incrementalSemDedupKernel(e, waveCol, waves, tau, targetClusterSize,
+      exact, HotClusterCapFactor.toLong * targetClusterSize)
+
+  /** Cap-parameterized form (private[graft] so the spec can force the
+    * hot-cluster route on a small fixture): clusters larger than
+    * `hotClusterCap` rows bypass the in-memory kernel and run the
+    * relational fold — bit-identical verdicts through spilling
+    * operators instead of one task's heap (r20 verdict item 4). */
+  private[graft] def incrementalSemDedupKernel(e: DataFrame, waveCol: Column,
+      waves: Seq[Int], tau: Double, targetClusterSize: Int,
+      exact: Boolean, hotClusterCap: Long): DataFrame = {
     require(waves == waves.sorted && waves.distinct == waves,
       "waves must be ascending and distinct (arrival order)")
     val ec = e.localCheckpoint(true)
@@ -267,8 +332,20 @@ object SemDedup {
       assignLabeled(ec, waveCol, coarse = !exact && k > CoarseDispatchK, k)
     val spark = assigned.sparkSession
     import spark.implicits._
+    // hot-cluster routing (scaladoc at [[HotClusterCapFactor]]): one
+    // cheap count over the checkpointed assignment finds clusters whose
+    // size would concentrate quadratic memory in one kernel task; the
+    // id list is driver-bounded (≤ n / cap ids). With no hot cluster —
+    // every gate shape and the auto-k expectation — the kernel plan is
+    // unchanged.
+    val hotClusters: Seq[Int] = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("s")).filter(col("s") > hotClusterCap)
+      .select(col("cluster").cast("int")).as[Int].collect().toSeq
+    val kernelIn =
+      if (hotClusters.isEmpty) assigned
+      else assigned.filter(!col("cluster").isin(hotClusters: _*))
     val waveOrder = waves.toArray
-    val out = assigned
+    val kernelOut = kernelIn
       .select(col("cluster"), col("vec_id"), col("wave").cast("int"),
         col("ev"))
       .as[(Int, Long, Int, Seq[Double])]
@@ -340,8 +417,18 @@ object SemDedup {
         }
       }
       .toDF("vec_id", "wave", "cluster", "hit_batch", "hit_store", "kept")
-      .orderBy(col("vec_id"))
-    out.withColumn("k_auto", lit(k))
+    // hot clusters run the relational fold (unguarded — this IS the
+    // remedy path); every suppression rule is cluster-local, so folding
+    // the hot slice alone yields verdicts identical to folding it
+    // in-place (spec-pinned on a deliberately hot-clustered fixture)
+    val out =
+      if (hotClusters.isEmpty) kernelOut
+      else kernelOut.unionByName(
+        incrementalFold(assigned.filter(col("cluster").isin(hotClusters: _*)),
+          waves, tau, guarded = false)
+          .select(col("vec_id"), col("wave").cast("int").as("wave"),
+            col("cluster"), col("hit_batch"), col("hit_store"), col("kept")))
+    out.orderBy(col("vec_id")).withColumn("k_auto", lit(k))
   }
 
   /** Shared assignment stage: label waves, seed the stationary codebook
@@ -364,9 +451,18 @@ object SemDedup {
     * in-wave pure-pair suppression + kept-only cross-wave store —
     * identical under flat and coarse assignment. */
   private def incrementalFold(assigned: DataFrame, waves: Seq[Int],
-      tau: Double): DataFrame = {
+      tau: Double): DataFrame =
+    incrementalFold(assigned, waves, tau, guarded = true)
+
+  /** `guarded = false` skips the pair-volume refusal — used by the
+    * kernel's hot-cluster fallback, where routing an oversized cluster
+    * HERE (spilling operators) is itself the remedy the guard would
+    * otherwise veto. */
+  private def incrementalFold(assigned: DataFrame, waves: Seq[Int],
+      tau: Double, guarded: Boolean): DataFrame = {
     require(waves == waves.sorted && waves.distinct == waves,
       "waves must be ascending and distinct (arrival order)")
+    if (guarded) guardPairVolume(assigned, "incremental fold")
     val spark = assigned.sparkSession
 
     // in-wave pure-pair suppression, every wave in one cluster-keyed join

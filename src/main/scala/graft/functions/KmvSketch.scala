@@ -134,16 +134,61 @@ object KmvSketch {
   * one root comparison unless it belongs in the k-smallest set. Flags
   * live in a parallel byte array (bit 0 = in_a, bit 1 = in_b) and are
   * OR-merged when a key recurs (multiset tolerance — scaladoc above).
-  * The duplicate probe is a linear scan of the ≤ k live entries,
-  * reached only when (h, id) is ≤ the root: O(1) for the stream's bulk
-  * once saturated, O(k) for the rare retained-key hit (k ≤ 65536 and
-  * gate-typical k = 64).
+  *
+  * Duplicate detection (r20 ADVICE: the unconditional linear probe made
+  * filling one buffer O(k²) comparisons — ~2³² at the allowed k = 65536,
+  * per map task): an open-addressed FINGERPRINT SET over mixed (h, id)
+  * gates the probe. `contains == false` proves the key is not retained
+  * (every live key's fingerprint is present by construction), so the
+  * O(n) scan — still the authority on equality, so a fingerprint
+  * collision can never corrupt flags — runs only on true duplicates,
+  * stale fingerprints of evicted keys, or mix collisions. Stale entries
+  * are dropped by rebuilding from the live keys once the set reaches 2k
+  * entries (amortized O(1)); fill cost is now O(k) expected.
   */
 final class KmvBuf(k: Int) {
   private val hs = new Array[Long](k)
   private val ids = new Array[Long](k)
   private val flags = new Array[Byte](k)
   private var n = 0
+
+  // fingerprint set: power-of-two capacity ≥ 4k keeps load ≤ 0.5 at the
+  // 2k rebuild bound; 0 marks an empty slot (mix never returns 0)
+  private val fpCap = { var c = 8; while (c < 4 * k) c <<= 1; c }
+  private val fpMask = fpCap - 1
+  private val fp = new Array[Long](fpCap)
+  private var fpCount = 0
+
+  @inline private def mix(h: Long, id: Long): Long = {
+    var x = h * -7046029254386353131L + id
+    x ^= (x >>> 32)
+    if (x == 0L) 1L else x
+  }
+  private def fpContains(x: Long): Boolean = {
+    var i = (x & fpMask).toInt
+    while (fp(i) != 0L) {
+      if (fp(i) == x) return true
+      i = (i + 1) & fpMask
+    }
+    false
+  }
+  private def fpAdd(x: Long): Unit = {
+    if (fpCount >= 2 * k) { // rebuild from live keys, dropping stale ones
+      java.util.Arrays.fill(fp, 0L)
+      fpCount = 0
+      var j = 0
+      while (j < n) {
+        val y = mix(hs(j), ids(j))
+        var i = (y & fpMask).toInt
+        while (fp(i) != 0L && fp(i) != y) i = (i + 1) & fpMask
+        if (fp(i) == 0L) { fp(i) = y; fpCount += 1 }
+        j += 1
+      }
+    }
+    var i = (x & fpMask).toInt
+    while (fp(i) != 0L && fp(i) != x) i = (i + 1) & fpMask
+    if (fp(i) == 0L) { fp(i) = x; fpCount += 1 }
+  }
 
   // entry i greater-than candidate (h, id)? Total order: h ASC, id ASC.
   @inline private def greater(i: Int, h: Long, id: Long): Boolean =
@@ -155,18 +200,23 @@ final class KmvBuf(k: Int) {
       // strictly beyond the current kth smallest and not the root itself
       return
     }
-    // duplicate probe: OR flags into a retained occurrence of this key
-    var i = 0
-    while (i < n) {
-      if (hs(i) == h && ids(i) == id) {
-        flags(i) = (flags(i) | f).toByte
-        return
+    // duplicate probe, fingerprint-gated: OR flags into a retained
+    // occurrence of this key (the linear scan stays authoritative)
+    val x = mix(h, id)
+    if (fpContains(x)) {
+      var i = 0
+      while (i < n) {
+        if (hs(i) == h && ids(i) == id) {
+          flags(i) = (flags(i) | f).toByte
+          return
+        }
+        i += 1
       }
-      i += 1
     }
+    fpAdd(x)
     if (n < k) {
       // grow: append then sift up (max-heap on (h, id))
-      i = n
+      var i = n
       hs(i) = h; ids(i) = id; flags(i) = f; n += 1
       while (i > 0) {
         val p = (i - 1) >> 1
@@ -181,7 +231,7 @@ final class KmvBuf(k: Int) {
     } else {
       // replace the largest root, sift down
       hs(0) = h; ids(0) = id; flags(0) = f
-      i = 0
+      var i = 0
       var done = false
       while (!done) {
         val l = 2 * i + 1; val r = l + 1

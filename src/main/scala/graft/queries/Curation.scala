@@ -1325,18 +1325,38 @@ object Curation {
         import graft.functions.Md5Hash64.md5_le64
         val k = 64
         val ev = Tables.events(s, d)
-        val a = ev.filter($"event_type" === "click")
-          .select($"user_id").distinct().withColumn("in_a", lit(true))
-        val b = ev.filter($"event_type" === "purchase" && $"value" >= 200)
-          .select($"user_id").distinct().withColumn("in_b", lit(true))
-        val uni = a.join(b, Seq("user_id"), "full_outer")
+        // r21 (guide §2.3/§2.4): the r20 form built the flagged key union
+        // as DISTINCT(a) ⟗ DISTINCT(b) — two event scans and four
+        // exchanges (two distinct aggs + the full-outer SMJ's two) just
+        // to recover per-key bool_or flags. One filtered scan + one
+        // map-side-combined groupBy computes the IDENTICAL relation
+        // (user ∈ a∪b with membership flags) in ONE exchange: in_a/in_b
+        // are max-of-boolean ≡ bool_or, exactly the x_kmv_onepass
+        // oracle's `u` CTE. Plan: 5 Exchange → 1, 2 scans → 1
+        // (plans/r21/x_kmv_intersection_{before,after}.txt).
+        val uni = ev
+          .filter($"event_type" === "click" ||
+            ($"event_type" === "purchase" && $"value" >= 200))
           .select($"user_id",
-            coalesce($"in_a", lit(false)).as("in_a"),
-            coalesce($"in_b", lit(false)).as("in_b"),
+            ($"event_type" === "click").as("a"),
+            ($"event_type" === "purchase").as("b"))
+          .groupBy($"user_id")
+          .agg(max($"a").as("in_a"), max($"b").as("in_b"))
+          .select($"user_id", $"in_a", $"in_b",
             shiftrightunsigned(md5_le64($"user_id".cast("string")), 1)
               .as("h"))
           .localCheckpoint(true) // feeds sketch + exact arm + merge law
-        val sk = uni.orderBy($"h", $"user_id").limit(k)
+        // r21 (r20 verdict item 5): the estimator's sketch now rides the
+        // one-pass graft_kmv aggregate (k-bounded per-partition buffers,
+        // exchange = O(partitions × k)) instead of TakeOrdered over uni —
+        // bit-identical by the x_kmv_onepass gate's pinned equivalence
+        // (aggregate ≡ ORDER BY h, id LIMIT k over bool_or flags).
+        val sk = uni
+          .agg(graft.functions.KmvSketch.kmv(
+            $"h", $"user_id", $"in_a", $"in_b", k).as("sks"))
+          .select(explode($"sks").as("e"))
+          .select($"e.id".as("user_id"), $"e.in_a".as("in_a"),
+            $"e.in_b".as("in_b"), $"e.h".as("h"))
         // merge-law arm: per-set k-sketches, merged, re-cut to k
         val skAB = uni.filter($"in_a").orderBy($"h", $"user_id").limit(k)
           .select($"user_id")
@@ -1536,14 +1556,30 @@ object Curation {
     val est = cells(bc).as("ca").join(cells(sc).as("cb"), Seq("d", "cell"))
       .groupBy($"d").agg(sum($"ca.cc" * $"cb.cc").as("ip"))
       .agg(min($"ip").as("cms_est_out"))
+    // r21 (guide §2.4; r20 verdict item 6): the r20 Bloom pass-mass
+    // exploded the BIG vector 4× and re-grouped it by (k, c) — an
+    // exchange of ~n_big_keys partially-aggregated rows (1.5M keys for
+    // the f4b family at 10×) spent only to AND the four depth hits back
+    // together. The AND needs no re-group: probe each depth's distinct
+    // cell set with its own broadcast-hash left join (one scan of the
+    // checkpointed vector, zero exchanges below the final 1-row
+    // aggregate) and sum c where all four probes hit. bloom_pass_rows is
+    // bit-identical (bits was distinct per (d, cell), so the old
+    // count(b) === 4 ≡ all four per-depth matches non-null); plan diff:
+    // 1 Exchange + 4× row explosion → 0 Exchange
+    // (plans/r21/x_join_preflight_decision_{before,after}.txt).
     val bits = sc.select(explode(sequence(lit(0), lit(3))).as("d"), $"k")
       .select($"d", sketchCell($"d", $"k", m).as("cell")).distinct()
-    val passRows = bc
-      .select($"k", $"c", explode(sequence(lit(0), lit(3))).as("d"))
-      .withColumn("cell", sketchCell($"d", $"k", m))
-      .join(broadcast(bits.withColumn("b", lit(1))), Seq("d", "cell"), "left")
-      .groupBy($"k", $"c").agg((count($"b") === 4).as("pass"))
-      .agg(sum(when($"pass", $"c").otherwise(0L)).as("bloom_pass_rows"))
+      .localCheckpoint(true) // tiny (≤ 4·n_small_keys rows), feeds 4 probes
+    val passProbe = (0 until 4).foldLeft(bc.select($"k", $"c")) { (acc, dep) =>
+      val bitsD = bits.filter($"d" === dep)
+        .select($"cell".as(s"cell$dep")).withColumn(s"b$dep", lit(1))
+      acc.withColumn(s"cell$dep", sketchCell(lit(dep), $"k", m))
+        .join(broadcast(bitsD), Seq(s"cell$dep"), "left")
+    }
+    val passRows = passProbe
+      .agg(sum(when((0 until 4).map(dep => col(s"b$dep").isNotNull)
+        .reduce(_ && _), $"c").otherwise(0L)).as("bloom_pass_rows"))
     sizes.crossJoin(broadcast(est)).crossJoin(broadcast(passRows))
       .select(lit(joinId).as("join_id"), $"n_big", $"n_small",
         $"n_big_keys", $"n_small_keys", $"hot",

@@ -120,6 +120,36 @@ object Similarity {
       .select(col("vec_id"), explode(array(bandSigs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
       .localCheckpoint(true)
+    // Refusal guard (r20 verdict item 1): the fixed-band-bits raw form is
+    // output-bound-quadratic — at the 100× corpus the 8×8 default
+    // exhausted >75 GB of local shuffle disk and killed the sweep leg
+    // (r20_allquery_100x) while its shipped siblings passed in-sweep. A
+    // declared query must refuse a fatal parameterization loudly: the
+    // EXACT candidate-pair volume Σ s·(s−1)/2 over bucket sizes is one
+    // cheap map-side-combined aggregation over the already-checkpointed
+    // 24-byte banded rows, measured BEFORE the pair explosion. The bound
+    // is per input vector, so the linear-scaling auto/collapsed forms
+    // (pairs/vector ≲ nBands·targetBucket/2, constant in n) never trip it
+    // at any corpus size, while fixed bits trip once buckets blow up
+    // (scale evidence: BENCH_SCALE r21_lsh_guard). Gate shapes sit at
+    // ≤ ~31 pairs/vector at every SF.
+    val volRow = banded
+      .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("s"))
+      .agg(sum(expr("s * (s - 1) div 2")).as("pv"),
+        (sum(col("s")) / lit(nBands)).cast("long").as("n"))
+      .head()
+    val (pairVol, nVec) =
+      (if (volRow.isNullAt(0)) 0L else volRow.getLong(0),
+        if (volRow.isNullAt(1)) 0L else volRow.getLong(1))
+    if (nVec > 0 && pairVol / nVec > LshPairsPerVectorGuard)
+      throw new IllegalStateException(
+        s"lshCandidatePairs refused: bucket-pair volume $pairVol over " +
+          s"$nVec vectors (${pairVol / nVec} pairs/vector) exceeds the " +
+          s"$LshPairsPerVectorGuard pairs/vector bound - fixed band bits " +
+          "are quadratic in corpus size. Use lshCandidatePairsAuto " +
+          "(derives band bits to hold bucket size constant) or " +
+          "lshCandidatePairsCollapsed (additionally collapses exact " +
+          "clones, which collide in every band by construction).")
     val a = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("a"))
     val b = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("b"))
     val cand = a.join(b, Seq("band_idx", "band_sig"))
@@ -153,6 +183,16 @@ object Similarity {
     val n = math.max(1L, e.select(col("vec_id")).count())
     lshCandidatePairs(e, dim, nBands, autoBandBits(n, targetBucket))
   }
+
+  /** Refusal bound for [[lshCandidatePairs]] (r20 verdict item 1),
+    * in candidate pairs per input vector. The auto rule holds expected
+    * pairs/vector at ~nBands·targetBucket/2 = 1024 forever (8 bands ×
+    * 256 target ÷ 2), so the bound must clear that with margin while
+    * catching the fixed-bits raw form's quadratic growth (which crossed
+    * ~3k pairs/vector at the 100× corpus and killed the sweep leg at
+    * >75 GB of spill). 2000 ≈ 2× the auto ceiling: legitimate
+    * linear-scaling forms never trip it at any corpus size. */
+  private[graft] val LshPairsPerVectorGuard = 2000L
 
   /** ceil(log2(n / targetBucket)) floored at 8 bits (the gate-row
     * default, so small corpora reproduce the oracle-pinned form). */

@@ -130,6 +130,26 @@ class ApproxRecallSpec extends AnyFunSuite {
     assert(auto == fixed, "auto must equal the fixed 8x8 form below the knee")
   }
 
+  test("lshCandidatePairs refuses a fatal bucket-pair blowup loudly (r21)") {
+    // 700 identical vectors collide in every band: bucket-pair volume is
+    // 8 × 700·699/2 ≈ 1.96M ≈ 2.8k pairs/vector — past the 2000 bound
+    // that killed the r20 100× sweep leg at >75 GB of spill. The refusal
+    // must fire BEFORE the pair explosion and name the shipped remedies.
+    val clones = (0 until 700).map(i => i.toLong -> Seq.fill(64)(0.1))
+      .toDF("vec_id", "ev")
+    val ex = intercept[IllegalStateException] {
+      graft.queries.Similarity.lshCandidatePairs(clones, dim = 64)
+    }
+    assert(ex.getMessage.contains("refused") &&
+      ex.getMessage.contains("lshCandidatePairsAuto") &&
+      ex.getMessage.contains("lshCandidatePairsCollapsed"),
+      s"refusal must name the remedies: ${ex.getMessage}")
+    // the guard bound clears the auto rule's ceiling: the gate corpus
+    // (and every declared-query shape) stays far below it
+    val gate = SparkEntry.queries("x4_ann_lsh_pairs")(spark, sf)
+    assert(gate.count() == 100)
+  }
+
   test("lshCandidatePairsCollapsed: rep pairs over a cloned corpus equal raw " +
       "pairs over the originals; clones map to their original rep") {
     val base = Tables.embeddings(spark, sf)

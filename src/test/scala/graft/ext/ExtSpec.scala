@@ -391,6 +391,56 @@ class ExtSpec extends AnyFunSuite {
         nCentroids = 80, tau = 0.3).withColumn("k_auto", lit(80))))
   }
 
+  test("incremental SemDedup kernel routes hot clusters to the relational " +
+      "fold with identical verdicts (r21, r20 verdict item 4)") {
+    // same fixture as the row-identical pin above; target 50 ⇒ k = 8 ⇒
+    // ~50-row clusters. A cap of 30 forces SOME clusters hot (routed to
+    // the relational fold) and leaves others on the kernel; a cap of 1
+    // routes EVERYTHING. Both must be row-identical to the uncapped
+    // kernel — the cap is a memory guard, never a semantics knob.
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+      .filter($"vec_id" < 400)
+    val wv = ($"vec_id" % 3).cast("int")
+    val waves = Seq(0, 1, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val uncapped = rows(SemDedup.incrementalSemDedupKernel(e, wv, waves,
+      tau = 0.3, targetClusterSize = 50, exact = false,
+      hotClusterCap = Long.MaxValue))
+    val mixed = rows(SemDedup.incrementalSemDedupKernel(e, wv, waves,
+      tau = 0.3, targetClusterSize = 50, exact = false, hotClusterCap = 30L))
+    assert(mixed == uncapped, "mixed kernel/relational routing changed verdicts")
+    val allHot = rows(SemDedup.incrementalSemDedupKernel(e, wv, waves,
+      tau = 0.3, targetClusterSize = 50, exact = false, hotClusterCap = 1L))
+    assert(allHot == uncapped, "all-hot relational routing changed verdicts")
+  }
+
+  test("relational semdedup folds refuse a fatal pair-volume " +
+      "parameterization loudly (r21, r20 verdict item 1)") {
+    // 40k dim-2 vectors at fixed k = 8: ~5k-row clusters ⇒ ~2.5k candidate
+    // pairs per row — past the 2000 pairs/row bound (the fixed-k arm
+    // burned 398 s at the 100× corpus in r20's sweep). The guard fires
+    // from one cheap count over the assignment, BEFORE the pair join.
+    val big = (0 until 40000).map { i =>
+      val th = i.toDouble / 40000.0 * math.Pi
+      (i.toLong, Seq(math.cos(th), math.sin(th)))
+    }.toDF("vec_id", "ev")
+    val exBatch = intercept[IllegalStateException] {
+      SemDedup.semanticDedup(big, nCentroids = 8, tau = 0.99)
+    }
+    assert(exBatch.getMessage.contains("refused") &&
+      exBatch.getMessage.contains("auto-k"),
+      s"batch refusal must name the auto-k remedy: ${exBatch.getMessage}")
+    val exInc = intercept[IllegalStateException] {
+      SemDedup.incrementalSemDedup(big, ($"vec_id" % 2).cast("int"),
+        waves = Seq(0, 1), nCentroids = 8, tau = 0.99)
+    }
+    assert(exInc.getMessage.contains("refused"), exInc.getMessage)
+    // the auto-k overloads hold pairs/row constant and must keep running
+    // on the same corpus the fixed-k forms refuse
+    assert(SemDedup.semanticDedup(big, tau = 0.99).count() == 40000)
+  }
+
   test("multimodal: stubbed decode extracts metadata per partition") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", Array.tabulate(64)(_.toByte)),
