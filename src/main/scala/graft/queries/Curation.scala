@@ -1523,10 +1523,16 @@ object Curation {
       small: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val w = 1024
-    // one materialization per side: each feeds sizes + CMS + Bloom
-    // (cheap — the inputs are key-count vector slices, not the corpus)
-    val bc = big.localCheckpoint(true)
-    val sc = small.localCheckpoint(true)
+    // r21: no per-side re-checkpoint. The inputs are cheap row-filters
+    // over the PARENT table vector, which the gate body already
+    // checkpoints — a second localCheckpoint here duplicated every
+    // family vector in block storage (at the 100× corpus the f4 pair
+    // alone is ~22M rows, and the duplicate copies were a material part
+    // of the heap pressure that OOMs that rung). Re-running a filter
+    // over the checkpointed parent per consumer is a narrow in-memory
+    // scan (guide §5: caching competes with execution memory).
+    val bc = big
+    val sc = small
     // ONE driver-side action per family (r19 verdict item 2): collect
     // the 1-row sizes aggregate over the vectors; its n_small_keys
     // sizes the Bloom (previously a separate count() action) and the
@@ -1556,30 +1562,49 @@ object Curation {
     val est = cells(bc).as("ca").join(cells(sc).as("cb"), Seq("d", "cell"))
       .groupBy($"d").agg(sum($"ca.cc" * $"cb.cc").as("ip"))
       .agg(min($"ip").as("cms_est_out"))
-    // r21 (guide §2.4; r20 verdict item 6): the r20 Bloom pass-mass
-    // exploded the BIG vector 4× and re-grouped it by (k, c) — an
-    // exchange of ~n_big_keys partially-aggregated rows (1.5M keys for
-    // the f4b family at 10×) spent only to AND the four depth hits back
-    // together. The AND needs no re-group: probe each depth's distinct
-    // cell set with its own broadcast-hash left join (one scan of the
-    // checkpointed vector, zero exchanges below the final 1-row
-    // aggregate) and sum c where all four probes hit. bloom_pass_rows is
-    // bit-identical (bits was distinct per (d, cell), so the old
-    // count(b) === 4 ≡ all four per-depth matches non-null); plan diff:
-    // 1 Exchange + 4× row explosion → 0 Exchange
-    // (plans/r21/x_join_preflight_decision_{before,after}.txt).
-    val bits = sc.select(explode(sequence(lit(0), lit(3))).as("d"), $"k")
-      .select($"d", sketchCell($"d", $"k", m).as("cell")).distinct()
-      .localCheckpoint(true) // tiny (≤ 4·n_small_keys rows), feeds 4 probes
-    val passProbe = (0 until 4).foldLeft(bc.select($"k", $"c")) { (acc, dep) =>
-      val bitsD = bits.filter($"d" === dep)
-        .select($"cell".as(s"cell$dep")).withColumn(s"b$dep", lit(1))
-      acc.withColumn(s"cell$dep", sketchCell(lit(dep), $"k", m))
-        .join(broadcast(bitsD), Seq(s"cell$dep"), "left")
-    }
-    val passRows = passProbe
-      .agg(sum(when((0 until 4).map(dep => col(s"b$dep").isNotNull)
-        .reduce(_ && _), $"c").otherwise(0L)).as("bloom_pass_rows"))
+    // r21 (guide §3.2/§5; r20 verdict item 6): the Bloom pass-mass now
+    // probes a REAL bitmap instead of joining a cell-set relation. The
+    // r20 shape (explode 4×, broadcast-hash join against the distinct
+    // (d, cell) rows, regroup by (k, c)) builds a hash relation of up to
+    // 4·min(n_small_keys, m) entries — ~100 B/entry, which at the 100×
+    // corpus (f4's ~15M cells) is a multi-GB broadcast build that OOMs
+    // the 8g session (reproduced on the unmodified r20 code; broadcast
+    // builds cannot spill where the regroup could). The same membership
+    // set as a PACKED BITMAP is 4·m bits ≤ 8 MB by construction
+    // (m ≤ 2²⁴): one map-side-combined bit_or aggregation packs the
+    // small side's cells into ≤ 4m/64 words, the words collect to the
+    // driver (bounded by m, the same class as the IVF-centroid
+    // collects), and the probe is a pure per-row expression over an
+    // array literal — getbit(word[dc div 64], dc mod 64) — for all four
+    // depths at once. The pass arm loses its join, its 4× explode, AND
+    // its (k, c) regroup exchange: one narrow scan of the checkpointed
+    // vector into a 1-row aggregate, zero exchanges, zero joins
+    // (plans/r21/x_join_preflight_decision_{before,after}.txt), and the
+    // per-family broadcast footprint drops ~200× (hash relation → 8 MB
+    // bitmap). bloom_pass_rows is bit-identical: d·m + cell is a
+    // bijective packing of (d, cell) with cell < m, and bit_or over
+    // duplicates ≡ the old distinct.
+    val nWords = (4L * m / 64).toInt
+    val wordRows = sc.select(explode(sequence(lit(0), lit(3))).as("d"), $"k")
+      .select(($"d".cast("long") * m + sketchCell($"d", $"k", m)).as("dc"))
+      .select(expr("cast(dc div 64 as int)").as("w"),
+        expr("shiftleft(1L, cast(dc % 64 as int))").as("bit"))
+      .groupBy($"w").agg(bit_or($"bit").as("word"))
+      .collect()
+    val bitmap = new Array[Long](nWords)
+    wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bmLit = lit(bitmap)
+    def hitAt(dep: Int): org.apache.spark.sql.Column =
+      expr(s"(shiftrightunsigned(word$dep, cast(dc$dep % 64 as int)) & 1)" +
+        " = 1")
+    val passRows = (0 until 4).foldLeft(bc.select($"k", $"c")) { (acc, dep) =>
+        acc.withColumn(s"dc$dep",
+            lit(dep.toLong * m) + sketchCell(lit(dep), $"k", m))
+          .withColumn(s"word$dep",
+            element_at(bmLit, expr(s"cast(dc$dep div 64 as int)") + 1))
+      }
+      .agg(sum(when((0 until 4).map(hitAt).reduce(_ && _), $"c")
+        .otherwise(0L)).as("bloom_pass_rows"))
     sizes.crossJoin(broadcast(est)).crossJoin(broadcast(passRows))
       .select(lit(joinId).as("join_id"), $"n_big", $"n_small",
         $"n_big_keys", $"n_small_keys", $"hot",

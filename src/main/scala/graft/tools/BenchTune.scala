@@ -3480,6 +3480,101 @@ object BenchTune {
       }
     }
 
+  /** r21: the x_kmv_intersection gate's union-construction rework —
+    * the r20 form (two DISTINCTs full-outer-joined) vs the r21 single
+    * map-side-combined groupBy, plus the gate end-to-end on the shipped
+    * code. Wall + shuffle WRITE bytes per rung. */
+  def kmvGateProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("kmv-gate") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.functions.Md5Hash64.md5_le64
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        val ev = graft.Tables.events(spark, dir)
+        def h = shiftrightunsigned(md5_le64($"user_id".cast("string")), 1)
+        def uniR20() = graft.BenchProtocol.force {
+          val a = ev.filter($"event_type" === "click")
+            .select($"user_id").distinct().withColumn("in_a", lit(true))
+          val b = ev.filter($"event_type" === "purchase" && $"value" >= 200)
+            .select($"user_id").distinct().withColumn("in_b", lit(true))
+          a.join(b, Seq("user_id"), "full_outer")
+            .select($"user_id", coalesce($"in_a", lit(false)).as("in_a"),
+              coalesce($"in_b", lit(false)).as("in_b"), h.as("h"))
+        }
+        def uniR21() = graft.BenchProtocol.force(ev
+          .filter($"event_type" === "click" ||
+            ($"event_type" === "purchase" && $"value" >= 200))
+          .select($"user_id", ($"event_type" === "click").as("a"),
+            ($"event_type" === "purchase").as("b"))
+          .groupBy($"user_id")
+          .agg(max($"a").as("in_a"), max($"b").as("in_b"))
+          .select($"user_id", $"in_a", $"in_b", h.as("h")))
+        def gate() = graft.BenchProtocol.force(
+          graft.SparkEntry.queries("x_kmv_intersection")(spark, dir))
+        val (m0, n0, s0) = ProbeHarness.timedPasses(3)(uniR20())
+        val b0 = ProbeHarness.shuffleWriteBytes(spark)(uniR20())
+        val (m1, n1, s1) = ProbeHarness.timedPasses(3)(uniR21())
+        val b1 = ProbeHarness.shuffleWriteBytes(spark)(uniR21())
+        val (mg, ng, sg) = ProbeHarness.timedPasses(3)(gate())
+        println(f"[kmvgate] $tag%-5s uni-r20 median=$m0%.2f min=$n0%.2f " +
+          f"steal=$s0%.1f shuffle=${b0 / 1024}%d KiB | uni-r21 " +
+          f"median=$m1%.2f min=$n1%.2f steal=$s1%.1f " +
+          f"shuffle=${b1 / 1024}%d KiB | gate median=$mg%.2f min=$ng%.2f " +
+          f"steal=$sg%.1f")
+      }
+    }
+
+  /** r21: the refusal guards and the kernel hot-cluster cap at scale —
+    * the raw LSH-pairs and fixed-k semdedup arms must REFUSE at the
+    * 100× corpus (instead of the r20 sweep's 75 GB spill / 398 s burn)
+    * while their shipped siblings pass in the same session; the capped
+    * kernel (cap forced below target) must complete via the relational
+    * route. */
+  def r21GuardsProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("r21-guards") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val qs = graft.SparkEntry.queries
+      def run(tag: String, dir: String, name: String): Unit = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          graft.BenchProtocol.force(qs(name)(spark, dir))
+          println(f"[r21guards] $tag%-5s $name%-28s completed in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case e: IllegalStateException =>
+          println(f"[r21guards] $tag%-5s $name%-28s REFUSED in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s: " +
+            e.getMessage.takeWhile(_ != '-').trim)
+        }
+      }
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        Seq("x4_ann_lsh_pairs", "x4_lsh_collapsed",
+          "d_semdedup_incremental", "d_semdedup_incremental_auto")
+          .foreach(run(tag, dir, _))
+        // kernel hot-cluster cap: default (16× target) vs forced-hot
+        // (cap below target routes nearly every cluster relationally)
+        val e = graft.Tables.embeddings(spark, dir)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("ev"))
+          .localCheckpoint(true)
+        val wave = when(substring(md5($"vec_id".cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1)
+        val tgt = graft.ext.SemDedup.DefaultTargetClusterSize
+        def kernel(cap: Long) = graft.BenchProtocol.force(
+          graft.ext.SemDedup.incrementalSemDedupKernel(e, wave, Seq(0, 1),
+            tau = 0.35, targetClusterSize = tgt, exact = false,
+            hotClusterCap = cap))
+        val p = if (tag == "100x") 1 else 3
+        val (mD, nD, sD) = ProbeHarness.timedPasses(p)(
+          kernel(graft.ext.SemDedup.HotClusterCapFactor.toLong * tgt))
+        val (mH, nH, sH) = ProbeHarness.timedPasses(p)(kernel(tgt / 2L))
+        println(f"[r21guards] $tag%-5s kernel default-cap median=$mD%.2f " +
+          f"min=$nD%.2f steal=$sD%.1f | forced-hot median=$mH%.2f " +
+          f"min=$nH%.2f steal=$sH%.1f")
+      }
+    }
+
   /** Exact vs fingerprint-pruned novelty/decontamination (r19 verdict
     * item 5) per docs-ladder rung: the pruned forms must hold ~linear
     * per decade where the exact gram-keyed shapes read 6.4×. */
@@ -3665,6 +3760,8 @@ object BenchTune {
     if (args.headOption.contains("preflight")) { preflightProbe(sfDir); return }
     if (args.headOption.contains("semincivf")) { semIncIvfProbe(sfDir); return }
     if (args.headOption.contains("kmvonepass")) { kmvOnepassProbe(sfDir); return }
+    if (args.headOption.contains("kmvgate")) { kmvGateProbe(sfDir); return }
+    if (args.headOption.contains("r21guards")) { r21GuardsProbe(sfDir); return }
     if (args.headOption.contains("curationpruned")) { curationPrunedProbe(sfDir); return }
     if (args.headOption.contains("storecompact")) { storeCompactProbe(sfDir); return }
     if (args.headOption.contains("mhincdistinct")) { mhIncDistinctProbe(sfDir); return }
