@@ -242,6 +242,26 @@ object Bench {
     * burst ENDED, not a second siege. */
   private val SecondChanceAttempts = 3
 
+  /** r21 (r20 verdict item 2b): a leg that is STILL dirty after its
+    * second chance gets ONE more late pass when its best read is
+    * MARGINAL — steal within [[MarginalStealFactor]] × the clean
+    * threshold. r20 committed steal_clean: false at 2.8 s vs the 2.0
+    * bound: exactly the near-miss one more quiet window tends to clear,
+    * where a 50 s read signals a siege not worth a third wait. */
+  private val MarginalStealFactor = 2.0
+
+  /** Driver tail-window budget (r20 verdict item 2a): the driver
+    * records the LAST [[TailWindowChars]] chars of stdout, and sbt's
+    * trailing success line consumes ~[[SbtSuccessLineChars]] of them —
+    * the metric line of record must fit in what remains or its FRONT
+    * is cut and the artifact's JSON no longer parses. Pinned in
+    * BenchLegSpec against the latest committed artifact so field
+    * accumulation turns a test red before it truncates a round. */
+  private[graft] val TailWindowChars = 2000
+  private[graft] val SbtSuccessLineChars = 77
+  private[graft] def metricLineBudget: Int =
+    TailWindowChars - SbtSuccessLineChars
+
   /** Per-query outlier guard (ROUND-19 scaladoc): a med/min spread above
     * this inside one pass set is a mid-leg burst signature (r18's q8 read
     * 1.95×; the eleven clean builder windows never exceeded ~1.4×) —
@@ -361,19 +381,25 @@ object Bench {
     // self = this JVM plus reaped children (utime+stime+cutime+cstime).
     // busyΔ − selfΔ over a leg is the in-guest contention signal the
     // steal column is blind to (a second JVM in the guest).
+    // signal_ok (r20 ADVICE): the catch-all zeros below make a FAILED
+    // /proc read indistinguishable from a genuinely quiet host — steal 0
+    // and other 0 would certify contention_clean with no data. Any read
+    // that throws flips this flag so the artifact records whether the
+    // gate actually had a signal.
+    var procSignalOk = true
     def procCpu: (Long, Long) = try {
       val cols = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+")
       def c(i: Int) = if (cols.length > i) cols(i).toLong else 0L
       (c(8), c(1) + c(2) + c(3) + c(6) + c(7))
-    } catch { case _: Throwable => (0L, 0L) }
+    } catch { case _: Throwable => procSignalOk = false; (0L, 0L) }
     def selfJiffies: Long = try {
       val s = scala.io.Source.fromFile("/proc/self/stat").mkString
       // comm (field 2) may contain spaces — split after its closing ')';
       // utime/stime/cutime/cstime are fields 14–17, i.e. 11–14 of the rest
       val f = s.substring(s.lastIndexOf(')') + 2).trim.split("\\s+")
       (11 to 14).map(f(_).toLong).sum
-    } catch { case _: Throwable => 0L }
+    } catch { case _: Throwable => procSignalOk = false; 0L }
 
     // Wait-for-quiet (scaladoc at the constants): block until a 3-s sample
     // reads quiet on BOTH rates (host steal AND in-guest other-process
@@ -683,28 +709,35 @@ object Bench {
         otherRateAttempts =
           first.otherRateAttempts ++ second.otherRateAttempts)
     }
-    if (!plainLeg.clean) {
-      secondChance += 1
-      System.err.println("[bench] plain leg still dirty — second chance")
-      plainLeg = cleanerOf(plainLeg, runPlainLeg(SecondChanceAttempts))
-      spark.sharedState.cacheManager.clearCache()
+    // r21 (r20 verdict item 2b): every dirty leg gets one second chance
+    // as in r20; a leg STILL dirty whose best read is marginal (steal ≤
+    // MarginalStealFactor × threshold) gets exactly one more — the 2.8 s
+    // near-miss r20 committed is the case this clears, while a siege
+    // (large steal) stops at one late pass as before.
+    def secondChanceLoop[T](label: String, first: LegRead[T],
+        run: Int => LegRead[T]): LegRead[T] = {
+      var best = first
+      var tries = 0
+      while (!best.clean && (tries == 0 || (tries == 1 &&
+          best.stealS <= MarginalStealFactor * StealCleanThresholdS))) {
+        secondChance += 1; tries += 1
+        System.err.println(
+          s"[bench] $label leg still dirty — second chance ($tries)")
+        best = cleanerOf(best, run(SecondChanceAttempts))
+        spark.sharedState.cacheManager.clearCache()
+      }
+      best
     }
+    if (!plainLeg.clean)
+      plainLeg = secondChanceLoop("plain", plainLeg, runPlainLeg)
     bucketedLeg = (bucketedLeg, bucketedRunner) match {
       case (Some(l), Some(run)) if !l.clean =>
-        secondChance += 1
-        System.err.println("[bench] bucketed leg still dirty — second chance")
-        val merged = Some(cleanerOf(l, run(SecondChanceAttempts)))
-        spark.sharedState.cacheManager.clearCache()
-        merged
+        Some(secondChanceLoop("bucketed", l, run))
       case (l, _) => l
     }
     custkeyLeg = (custkeyLeg, custkeyRunner) match {
       case (Some(l), Some(run)) if !l.clean =>
-        secondChance += 1
-        System.err.println("[bench] custkey leg still dirty — second chance")
-        val merged = Some(cleanerOf(l, run(SecondChanceAttempts)))
-        spark.sharedState.cacheManager.clearCache()
-        merged
+        Some(secondChanceLoop("custkey", l, run))
       case (l, _) => l
     }
 
@@ -824,6 +857,22 @@ object Bench {
       executedLegs.forall(_.otherRate <= OtherRateCleanThreshold)
     val stealMaxS = executedLegs.map(_.stealS).max
     val otherRateMax = executedLegs.map(_.otherRate).max
+    // r21 (r20 verdict item 2a): the r20 tail capture TRUNCATED the
+    // detail line and lost the attempt history and second_chance count —
+    // the round's own trust fields. A COMPACT history now rides the
+    // metric line of record: per-leg attempt counts [etl, plain,
+    // bucketed, custkey] (-1 = leg not executed; counts include
+    // second-chance passes since the arrays concatenate) plus the
+    // second_chance total. The full per-attempt steal/other arrays stay
+    // on the truncatable detail line. signal_ok joins the metric line
+    // only when FALSE (the rare no-data case must be loud; the common
+    // true spends no budget — r20 ADVICE).
+    val attCounts = Seq(
+      etlLeg.stealAttempts.size, plainLeg.stealAttempts.size,
+      bucketedLeg.map(_.stealAttempts.size).getOrElse(-1),
+      custkeyLeg.map(_.stealAttempts.size).getOrElse(-1))
+    val attJson = attCounts.mkString("[", ",", "]")
+    val sigOkField = if (procSignalOk) "" else ""","signal_ok":false"""
     // EMISSION (r17 verdict items 1 + wrong #3): the driver records the
     // LAST 2000 chars of stdout (sbt's trailing "[success] …" line costs
     // ~75 of them), so everything the committed artifact must preserve
@@ -842,12 +891,17 @@ object Bench {
     // (re-derivable from queries_bucketed over the plain names),
     // queries_custkey_min, and the per-leg steal scalars (summarized by
     // steal_max_s; attempts arrays below) to this truncatable line.
-    println(f"""{"metric":"bench_detail","protocol":"noop-sink","iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_protocol":"first-400-med5","etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_custkey_s":$stealCkS%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_custkey_attempts_s":${fmtArr(stealCkAttempts)},"other_rate_etl_attempts":${fmtArr2(etlLeg.otherRateAttempts)},"other_rate_plain_attempts":${fmtArr2(plainLeg.otherRateAttempts)},"other_rate_bucketed_attempts":${fmtArr2(bucketedLeg.map(_.otherRateAttempts).getOrElse(Seq.empty))},"other_rate_custkey_attempts":${fmtArr2(custkeyLeg.map(_.otherRateAttempts).getOrElse(Seq.empty))},"other_rate_clean_threshold":$OtherRateCleanThreshold%.2f,"second_chance":$secondChance,"second_chance_attempts":$SecondChanceAttempts,"total_bucketed_shared":$totalBkShared%.4f,"queries_custkey_min":$qCkMinJson,"failed_custkey":$nFailedCk,"failed_bucketed":$nFailedBk,"layout_bucketed":"$BucketedLayout","total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"outlier_reruns":$rerunNames,"outlier_medmin_ratio":$OutlierMedMinRatio%.1f,"max_leg_attempts":$MaxLegAttempts,"quiet_wait_s":$quietWaitSpent%.0f,"steal_clean_threshold_s":$StealCleanThresholdS%.1f}""")
-    val metricLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","layout":"$layout","leg_protocol":"$LegProtocol","comparable_with_prior":$comparable,"bench_n":${names.size},"bench_set":"$plainSetHash","failed":$nFailed,"queries":$qJson,"queries_min":$qMinJson,"total_bucketed":$totalBk%.4f,"comparable_with_prior_bucketed":$comparableBk,"bench_n_bucketed":${bucketedNames.size},"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"total_custkey":$totalCk%.4f,"queries_custkey":$qCkJson,"q_reruns":$qReruns,"etl_logs_per_sec":$etlLogsPerSec%.1f,"steal_max_s":$stealMaxS%.1f,"other_rate_max":$otherRateMax%.2f,"steal_clean":$stealClean,"contention_clean":$contentionClean,"sf":"$sfDir"}"""
-    if (metricLine.length > 1900)
+    println(f"""{"metric":"bench_detail","protocol":"noop-sink","iters":$Iters,"iters_q1":$HeadlineIters,"iters_iterative":$IterativeIters,"etl_protocol":"first-400-med5","etl_logs_per_sec_best":$etlLogsPerSecBest%.1f,"etl_steal_s":$etlStealS%.1f,"steal_plain_s":$stealPlainS%.1f,"steal_bucketed_s":$stealBkS%.1f,"steal_custkey_s":$stealCkS%.1f,"etl_steal_attempts_s":${fmtArr(etlStealAttempts)},"steal_plain_attempts_s":${fmtArr(stealPlainAttempts)},"steal_bucketed_attempts_s":${fmtArr(stealBkAttempts)},"steal_custkey_attempts_s":${fmtArr(stealCkAttempts)},"other_rate_etl_attempts":${fmtArr2(etlLeg.otherRateAttempts)},"other_rate_plain_attempts":${fmtArr2(plainLeg.otherRateAttempts)},"other_rate_bucketed_attempts":${fmtArr2(bucketedLeg.map(_.otherRateAttempts).getOrElse(Seq.empty))},"other_rate_custkey_attempts":${fmtArr2(custkeyLeg.map(_.otherRateAttempts).getOrElse(Seq.empty))},"other_rate_clean_threshold":$OtherRateCleanThreshold%.2f,"second_chance_attempts":$SecondChanceAttempts,"signal_ok":$procSignalOk,"bench_n":${names.size},"bench_n_bucketed":${bucketedNames.size},"total_bucketed_shared":$totalBkShared%.4f,"queries_custkey_min":$qCkMinJson,"failed_custkey":$nFailedCk,"failed_bucketed":$nFailedBk,"layout_bucketed":"$BucketedLayout","total_prev_set":$totalPrevSet%.4f,"total_bucketed_prev_set":$totalBkPrevSet%.4f,"outlier_reruns":$rerunNames,"outlier_medmin_ratio":$OutlierMedMinRatio%.1f,"max_leg_attempts":$MaxLegAttempts,"quiet_wait_s":$quietWaitSpent%.0f,"steal_clean_threshold_s":$StealCleanThresholdS%.1f}""")
+    // r21 char budget (r20 verdict item 2a): second_chance + att cost
+    // ~37 chars, paid for by moving bench_n / bench_n_bucketed to the
+    // detail line (both re-derivable: they EQUAL the sizes of the
+    // queries / queries_bucketed maps riding this same line) and by
+    // totals at 3 decimals like the per-query maps (1 ms resolution).
+    val metricLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","layout":"$layout","leg_protocol":"$LegProtocol","comparable_with_prior":$comparable,"bench_set":"$plainSetHash","failed":$nFailed,"queries":$qJson,"queries_min":$qMinJson,"total_bucketed":$totalBk%.3f,"comparable_with_prior_bucketed":$comparableBk,"bench_set_bucketed":"$bkSetHash","queries_bucketed":$qBkJson,"queries_bucketed_min":$qBkMinJson,"total_custkey":$totalCk%.3f,"queries_custkey":$qCkJson,"q_reruns":$qReruns,"second_chance":$secondChance,"att":$attJson$sigOkField,"etl_logs_per_sec":$etlLogsPerSec%.1f,"steal_max_s":$stealMaxS%.1f,"other_rate_max":$otherRateMax%.2f,"steal_clean":$stealClean,"contention_clean":$contentionClean,"sf":"$sfDir"}"""
+    if (metricLine.length > metricLineBudget)
       System.err.println(s"[bench] WARNING: metric line is " +
-        s"${metricLine.length} chars — may outgrow the ~1925-char budget " +
-        "(2000-char driver tail window minus sbt's success line)")
+        s"${metricLine.length} chars — outgrows the $metricLineBudget-char " +
+        "budget (2000-char driver tail window minus sbt's success line)")
     println(metricLine)
     spark.stop()
   }

@@ -172,15 +172,120 @@ object SemDedup {
     verdicts(IvfAnn.assignCoarse(ec, IvfAnn.seedCentroids(ec, k)), tau)
   }
 
+  /** Per-cluster in-loop cosine shared by the batch and incremental
+    * typed kernels: replicates CosineSim's exact arithmetic (sequential
+    * accumulation, dot / (√na·√nb)) and Spark's round(_, 4) semantics
+    * (scala BigDecimal HALF_UP; non-finite cosines compare raw, like
+    * round's pass-through), so kernel verdicts are BIT-IDENTICAL to the
+    * relational folds — spec-pinned in both fold families. Constructed
+    * per group inside flatMapGroups, never serialized. */
+  private final class PairSim(evs: Array[Array[Double]], tau: Double) {
+    private val nrm = new Array[Double](evs.length)
+    locally {
+      var i = 0
+      while (i < evs.length) {
+        val v = evs(i); var s = 0.0; var p = 0
+        while (p < v.length) { s += v(p) * v(p); p += 1 }
+        nrm(i) = math.sqrt(s); i += 1
+      }
+    }
+    def similar(a: Int, b: Int): Boolean = {
+      val x = evs(a); val y = evs(b)
+      if (x.length != y.length) false // cosine null -> filter false
+      else {
+        var dot = 0.0; var p = 0
+        while (p < x.length) { dot += x(p) * y(p); p += 1 }
+        val c = dot / (nrm(a) * nrm(b))
+        if (java.lang.Double.isFinite(c))
+          BigDecimal(c).setScale(4,
+            scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+        else c >= tau // round passes NaN/Inf through; NaN >= tau = false
+      }
+    }
+  }
+
   /** The shared drop-rule tail over an assignment frame
-    * (vec_id, ev, cluster). */
+    * (vec_id, ev, cluster) — r21: runs as a per-cluster TYPED KERNEL
+    * (the batch twin of [[incrementalSemDedupKernel]]'s fold; r20 built
+    * the kernel only for the incremental family and the batch relational
+    * fold kept materializing the in-cell pair rows — the worst 10×
+    * factor in r20's full-surface sweep, d_semdedup_auto at 11.36×).
+    * Same discipline: bit-identical verdicts (PairSim), hot clusters
+    * (above [[HotClusterCapFactor]] × the MEAN cluster size) route to
+    * the spilling relational fold, pair-volume guard first. */
   private def verdicts(assignedRaw: DataFrame, tau: Double): DataFrame = {
-    // materialization barrier: `assigned` feeds both pair-join sides and
-    // the final verdict join; without it the typed assignment kernel (and
-    // the scan below it) re-runs three times. localCheckpoint (not cache)
-    // — blocks free with the RDD, nothing accumulates across invocations.
+    // materialization barrier: `assigned` feeds the kernel, the hot
+    // detection, and (when routed) both relational join sides; without
+    // it the assignment re-runs per consumer. localCheckpoint (not
+    // cache) — blocks free with the RDD.
     val assigned = assignedRaw.localCheckpoint(true)
     guardPairVolume(assigned, "batch fold")
+    verdictsRouted(assigned, tau, capOverride = None)
+  }
+
+  /** Kernel + hot-cluster routing over a CHECKPOINTED assignment;
+    * private[graft] with an explicit cap override so the spec can force
+    * every route on a small fixture. The batch fold has no
+    * targetClusterSize, so the default cap is relative to the measured
+    * MEAN cluster size (≡ 16 × target under auto-k, where n/k ≈
+    * target). */
+  private[graft] def verdictsRouted(assigned: DataFrame, tau: Double,
+      capOverride: Option[Long]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("s"))
+      .localCheckpoint(true) // ≤ k rows
+    val stats = sizes.agg(count(lit(1)).as("nc"), sum(col("s")).as("n"))
+      .head()
+    val nClusters = stats.getLong(0)
+    val n = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val cap = capOverride.getOrElse(HotClusterCapFactor.toLong *
+      math.max(1L, if (nClusters > 0) n / nClusters else 1L))
+    val hotClusters: Seq[Int] = sizes.filter(col("s") > cap)
+      .select(col("cluster").cast("int")).as[Int].collect().toSeq
+    val kernelIn =
+      if (hotClusters.isEmpty) assigned
+      else assigned.filter(!col("cluster").isin(hotClusters: _*))
+    val kernelOut = kernelIn
+      .select(col("cluster"), col("vec_id"), col("ev"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster, it) =>
+        val rows = it.toArray
+        val sim = new PairSim(rows.map(_._3.toArray), tau)
+        // dropped iff ANY smaller-id same-cluster neighbor is similar —
+        // including neighbors that are themselves dropped (the pure
+        // pair rule; object scaladoc)
+        val order = rows.indices.toArray.sortBy(rows(_)._2)
+        val dropped = new Array[Boolean](rows.length)
+        var ai = 1
+        while (ai < order.length) {
+          val a = order(ai)
+          var bi = 0
+          while (!dropped(a) && bi < ai) {
+            if (sim.similar(a, order(bi))) dropped(a) = true
+            bi += 1
+          }
+          ai += 1
+        }
+        rows.indices.iterator.map(i => (rows(i)._2, cluster, !dropped(i)))
+      }
+      .toDF("vec_id", "cluster", "kept")
+    val out =
+      if (hotClusters.isEmpty) kernelOut
+      else kernelOut.unionByName(
+        verdictsRelational(
+          assigned.filter(col("cluster").isin(hotClusters: _*)), tau)
+          .select(col("vec_id"), col("cluster"), col("kept")))
+    out.orderBy(col("vec_id"))
+  }
+
+  /** The oracle-documented relational fold — the hot-cluster remedy
+    * path (SMJ/aggregate operators spill where the kernel's per-cluster
+    * buffer cannot) and the spec's equality anchor. Input must already
+    * be materialized (checkpointed) by the caller. */
+  private[graft] def verdictsRelational(assigned: DataFrame,
+      tau: Double): DataFrame = {
     val x = assigned.select(col("cluster"), col("vec_id"), col("ev"))
     val y = assigned.select(col("cluster"),
       col("vec_id").as("y_id"), col("ev").as("y_ev"))
@@ -353,34 +458,10 @@ object SemDedup {
       .flatMapGroups { (cluster, it) =>
         val rows = it.toArray
         val m = rows.length
-        val evs = new Array[Array[Double]](m)
-        val nrm = new Array[Double](m)
-        var i = 0
-        while (i < m) {
-          val v = rows(i)._4.toArray
-          evs(i) = v
-          var s = 0.0; var p = 0
-          while (p < v.length) { s += v(p) * v(p); p += 1 }
-          nrm(i) = math.sqrt(s)
-          i += 1
-        }
-        // round(cos, 4) >= tau with CosineSim's exact arithmetic; the
-        // norm accumulations above replay the kernel's per-side order,
-        // so the doubles are bit-identical to the fused expression
-        def simTau(a: Int, b: Int): Boolean = {
-          val x = evs(a); val y = evs(b)
-          if (x.length != y.length) false // cosine null -> filter false
-          else {
-            var dot = 0.0; var p = 0
-            while (p < x.length) { dot += x(p) * y(p); p += 1 }
-            val c = dot / (nrm(a) * nrm(b))
-            if (java.lang.Double.isFinite(c))
-              BigDecimal(c).setScale(4,
-                scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toDouble >= tau
-            else c >= tau // round passes NaN/Inf through; NaN >= tau = false
-          }
-        }
+        // round(cos, 4) >= tau with CosineSim's exact arithmetic —
+        // [[PairSim]] (r21: factored out, shared with the batch kernel)
+        val sim = new PairSim(rows.map(_._4.toArray), tau)
+        def simTau(a: Int, b: Int): Boolean = sim.similar(a, b)
         // in-wave pure-pair suppression (suppressors may themselves be
         // suppressed): any same-wave smaller-id neighbor at >= tau
         val hitBatch = new Array[Boolean](m)

@@ -3524,6 +3524,41 @@ object BenchTune {
       }
     }
 
+  /** r21: the BATCH semdedup fold A/B — the r21 per-cluster typed
+    * kernel vs the r20 relational fold, from the SAME checkpointed
+    * assignment (auto-k sizing, coarse dispatch above the threshold
+    * like the shipped path), per rung. The batch twin of
+    * r20_seminc_ivf's fold measurement. */
+  def batchSemProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("batch-sem") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        val ec = graft.Tables.embeddings(spark, dir)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("ev"))
+          .localCheckpoint(true)
+        val n = ec.count()
+        val k = graft.ext.SemDedup.autoK(n,
+          graft.ext.SemDedup.DefaultTargetClusterSize)
+        val assigned = (if (k > graft.ext.SemDedup.CoarseDispatchK)
+          graft.ext.IvfAnn.assignCoarse(ec,
+            graft.ext.IvfAnn.seedCentroids(ec, k))
+        else graft.ext.IvfAnn.build(ec, k, lloydIters = 0).assigned)
+          .localCheckpoint(true)
+        def kernel() = graft.BenchProtocol.force(
+          graft.ext.SemDedup.verdictsRouted(assigned, 0.35, None))
+        def relational() = graft.BenchProtocol.force(
+          graft.ext.SemDedup.verdictsRelational(assigned, 0.35))
+        val p = if (tag == "100x") 1 else 3
+        val (mK, nK, sK) = ProbeHarness.timedPasses(p)(kernel())
+        val (mR, nR, sR) = ProbeHarness.timedPasses(p)(relational())
+        println(f"[batchsem] $tag%-5s n=$n%-8d k=$k " +
+          f"kernel median=$mK%.2f min=$nK%.2f steal=$sK%.1f | " +
+          f"relational median=$mR%.2f min=$nR%.2f steal=$sR%.1f")
+      }
+    }
+
   /** r21: the refusal guards and the kernel hot-cluster cap at scale —
     * the raw LSH-pairs and fixed-k semdedup arms must REFUSE at the
     * 100× corpus (instead of the r20 sweep's 75 GB spill / 398 s burn)
@@ -3762,6 +3797,7 @@ object BenchTune {
     if (args.headOption.contains("kmvonepass")) { kmvOnepassProbe(sfDir); return }
     if (args.headOption.contains("kmvgate")) { kmvGateProbe(sfDir); return }
     if (args.headOption.contains("r21guards")) { r21GuardsProbe(sfDir); return }
+    if (args.headOption.contains("batchsem")) { batchSemProbe(sfDir); return }
     if (args.headOption.contains("curationpruned")) { curationPrunedProbe(sfDir); return }
     if (args.headOption.contains("storecompact")) { storeCompactProbe(sfDir); return }
     if (args.headOption.contains("mhincdistinct")) { mhIncDistinctProbe(sfDir); return }

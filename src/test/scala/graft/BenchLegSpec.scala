@@ -53,4 +53,42 @@ class BenchLegSpec extends AnyFunSuite {
     assert(leg(0.0, 5.0, 0.0).otherRate == 0.0)
     assert(leg(0.0, 5.0, 0.0).clean)
   }
+
+  test("metric line fits the driver tail window as fields accumulate " +
+      "(r21, r20 verdict item 2a)") {
+    // budget arithmetic: 2000-char tail window minus sbt's success line
+    assert(Bench.metricLineBudget ==
+      Bench.TailWindowChars - Bench.SbtSuccessLineChars)
+    assert(Bench.SbtSuccessLineChars >= 75,
+      "success-line allowance must cover the observed ~73-75 chars + LF")
+    // ground truth: the LATEST committed artifact's metric line, plus the
+    // worst-case rendering of every field added since, must still fit.
+    // This turns field accumulation into a red test BEFORE a run truncates.
+    val benches = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    assume(benches.nonEmpty)
+    val txt = scala.io.Source.fromFile(benches.last).mkString
+    val lineStart = txt.indexOf("{\\\"metric\\\":\\\"total\\\"")
+    if (lineStart >= 0) {
+      val lineEnd = txt.indexOf("\\n", lineStart)
+      // the tail field is JSON-escaped — unescape \" before measuring,
+      // or every quote counts twice and the budget check overstates.
+      // Model the r21 emission on that round's data: bench_n /
+      // bench_n_bucketed moved to the detail line (re-derivable from the
+      // map sizes), so strip them if the artifact predates the move.
+      val asEmitted = txt
+        .substring(lineStart, if (lineEnd > lineStart) lineEnd else txt.length)
+        .replace("\\\"", "\"")
+        .replaceAll(""""bench_n":\d+,""", "")
+        .replaceAll(""""bench_n_bucketed":\d+,""", "")
+      // worst realistic widths for the r21 fields: second_chance ≤ 6
+      // (3 legs × ≤ 2 passes), att counts ≤ 12 (6 attempts + 2 × 3
+      // second-chance attempts), signal_ok only in the rare no-data case
+      val worstNewFields =
+        ""","second_chance":6,"att":[12,12,12,12],"signal_ok":false""".length
+      assert(asEmitted.length + worstNewFields <= Bench.metricLineBudget,
+        s"metric line modeled at ${asEmitted.length} chars + worst-case " +
+          s"r21 fields ($worstNewFields) exceeds ${Bench.metricLineBudget}")
+    }
+  }
 }

@@ -415,6 +415,30 @@ class ExtSpec extends AnyFunSuite {
     assert(allHot == uncapped, "all-hot relational routing changed verdicts")
   }
 
+  test("batch semdedup kernel fold is row-identical to the relational " +
+      "fold across every hot-cluster route (r21)") {
+    // r20 built the typed kernel only for the incremental family; r21
+    // routes the BATCH fold through it too (d_semdedup_auto was the
+    // worst 10x factor in r20's sweep). Default cap (16 x mean size),
+    // a forced mixed route, and an all-relational route must all be
+    // row-identical to the oracle-documented relational fold, and the
+    // shipped explicit-k entry point must match through the routing.
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ev"))
+    val assigned = IvfAnn.build(e, nCentroids = 8, lloydIters = 0)
+      .assigned.localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val rel = rows(SemDedup.verdictsRelational(assigned, 0.35))
+    assert(rows(SemDedup.verdictsRouted(assigned, 0.35, None)) == rel,
+      "kernel route changed batch verdicts")
+    assert(rows(SemDedup.verdictsRouted(assigned, 0.35, Some(30L))) == rel,
+      "mixed kernel/relational route changed batch verdicts")
+    assert(rows(SemDedup.verdictsRouted(assigned, 0.35, Some(1L))) == rel,
+      "all-hot relational route changed batch verdicts")
+    assert(rows(SemDedup.semanticDedup(e, nCentroids = 8, tau = 0.35)) == rel,
+      "shipped explicit-k entry diverged through the routing")
+  }
+
   test("relational semdedup folds refuse a fatal pair-volume " +
       "parameterization loudly (r21, r20 verdict item 1)") {
     // 40k dim-2 vectors at fixed k = 8: ~5k-row clusters ⇒ ~2.5k candidate
