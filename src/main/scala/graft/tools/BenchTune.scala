@@ -72,6 +72,14 @@ object BenchTune {
                   e.getMessage.contains("CoarseDispatchK") =>
               val agree = semdedupScaleTwin(spark, sfDir)
               f"  TWIN-OK (coarse default; kept-agreement $agree%.4f vs flat)"
+            // r21: the scale guards refuse a fatal parameterization BEFORE
+            // the explosion (r20 verdict item 1 — this replaced the 548 s /
+            // >75 GB spill death of the r20 sweep's one failing leg). A
+            // refusal is the guard working as designed; the sweep records
+            // it distinctly from a failure, with the measured volume.
+            case e: IllegalStateException
+                if e.getMessage != null && e.getMessage.contains("refused") =>
+              s"  REFUSED (scale guard): ${e.getMessage.takeWhile(_ != '-').trim}"
             case e: Throwable => s"  FAILED ${e.getMessage.take(60)}"
           }
         println(f"[all] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s$res")
