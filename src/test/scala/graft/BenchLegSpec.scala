@@ -81,6 +81,11 @@ class BenchLegSpec extends AnyFunSuite {
         .replace("\\\"", "\"")
         .replaceAll(""""bench_n":\d+,""", "")
         .replaceAll(""""bench_n_bucketed":\d+,""", "")
+        // strip the r21 fields an r21+ artifact already carries, so the
+        // worst-case widths below are not double-counted against it
+        .replaceAll(""","second_chance":\d+""", "")
+        .replaceAll(""","att":\[[^\]]*\]""", "")
+        .replaceAll(""","signal_ok":(true|false)""", "")
       // worst realistic widths for the r21 fields: second_chance ≤ 6
       // (3 legs × ≤ 2 passes), att counts ≤ 12 (6 attempts + 2 × 3
       // second-chance attempts), signal_ok only in the rare no-data case
