@@ -1267,32 +1267,54 @@ object Curation {
           .localCheckpoint(true)
         def tag(fam: String, k: org.apache.spark.sql.Column) =
           struct(lit(fam).as("fam"), k.cast("string").as("k"))
-        val ev = Tables.events(s, d)
-        val evVec = vec(ev,
-          when($"event_type" === "click", tag("f1b", $"user_id")),
-          when($"event_type" === "purchase" && $"value" >= 200,
-            tag("f1s", $"user_id")))
-          .withColumn("c", when($"fam" === "f1s", lit(1L)).otherwise($"c"))
-        val liVec = vec(Tables.lineitem(s, d),
-          tag("f2b", when($"l_quantity" <= 25.0, lit(0L))
-            .otherwise(pmod($"l_orderkey", lit(50L)) + lit(1L))),
-          tag("f4b", $"l_orderkey"))
-        val orVec = vec(Tables.orders(s, d),
-          tag("f2s", pmod($"o_orderkey", lit(51L))),
-          tag("f3b", $"o_custkey"),
-          when($"o_totalprice" >= 250000.0, tag("f4s", $"o_orderkey")))
-        val cuVec = vec(Tables.customer(s, d), tag("f3s", $"c_custkey"))
-        def side(v: org.apache.spark.sql.DataFrame, fam: String) =
-          v.filter($"fam" === fam).select($"k", $"c")
-        preflightRow(s, "clicks~hv_purchasers",
-          side(evVec, "f1b"), side(evVec, "f1s"))
-          .unionByName(preflightRow(s, "lineitem_skew~orders_mod51",
-            side(liVec, "f2b"), side(orVec, "f2s")))
-          .unionByName(preflightRow(s, "orders~customer",
-            side(orVec, "f3b"), side(cuVec, "f3s")))
-          .unionByName(preflightRow(s, "lineitem~big_orders",
-            side(liVec, "f4b"), side(orVec, "f4s")))
-          .orderBy($"join_id")
+        // r22 (guide §2.6 overlap independent jobs; r21 verdict item 1):
+        // the four per-table vector builds and the four family rows are
+        // mutually independent, but ran as 12 SERIAL driver actions
+        // (4 checkpoints + 4 sizes heads + 4 bitmap collects — measured
+        // 4.3 s of the 9.1 s 10× wall, 14.8 s of 27.2 s at 100×, r22
+        // preflightbreak probe). A 4-thread pool submits them
+        // concurrently so each job's tail back-fills the others' idle
+        // cores; the frames, values and assembly order are unchanged —
+        // only the job submission overlaps.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ecPool: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          import scala.concurrent.{Await, Future}
+          val evVecF = Future(vec(Tables.events(s, d),
+            when($"event_type" === "click", tag("f1b", $"user_id")),
+            when($"event_type" === "purchase" && $"value" >= 200,
+              tag("f1s", $"user_id")))
+            .withColumn("c", when($"fam" === "f1s", lit(1L)).otherwise($"c")))
+          val liVecF = Future(vec(Tables.lineitem(s, d),
+            tag("f2b", when($"l_quantity" <= 25.0, lit(0L))
+              .otherwise(pmod($"l_orderkey", lit(50L)) + lit(1L))),
+            tag("f4b", $"l_orderkey")))
+          val orVecF = Future(vec(Tables.orders(s, d),
+            tag("f2s", pmod($"o_orderkey", lit(51L))),
+            tag("f3b", $"o_custkey"),
+            when($"o_totalprice" >= 250000.0, tag("f4s", $"o_orderkey"))))
+          val cuVecF = Future(vec(Tables.customer(s, d),
+            tag("f3s", $"c_custkey")))
+          def side(v: org.apache.spark.sql.DataFrame, fam: String) =
+            v.filter($"fam" === fam).select($"k", $"c")
+          val rows = Seq(
+            evVecF.map(ev => preflightRow(s, "clicks~hv_purchasers",
+              side(ev, "f1b"), side(ev, "f1s"))),
+            liVecF.zip(orVecF).map { case (li, or) =>
+              preflightRow(s, "lineitem_skew~orders_mod51",
+                side(li, "f2b"), side(or, "f2s")) },
+            orVecF.zip(cuVecF).map { case (or, cu) =>
+              preflightRow(s, "orders~customer",
+                side(or, "f3b"), side(cu, "f3s")) },
+            liVecF.zip(orVecF).map { case (li, or) =>
+              preflightRow(s, "lineitem~big_orders",
+                side(li, "f4b"), side(or, "f4s")) })
+          Await.result(Future.sequence(rows),
+              scala.concurrent.duration.Duration.Inf)
+            .reduce(_.unionByName(_))
+            .orderBy($"join_id")
+        } finally pool.shutdown()
       },
       Some(preflightOracle)),
 
@@ -1593,7 +1615,13 @@ object Curation {
       .collect()
     val bitmap = new Array[Long](nWords)
     wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
-    val bmLit = lit(bitmap)
+    // r22 (r21 verdict item 1): primitive UnsafeArrayData literal. The
+    // plain lit(bitmap) boxed the words, and every task java-deserialized
+    // up to 1M boxed Longs from its closure — 26 s (10×) / 71 s (100×) of
+    // measured executorDeserializeTime across the two large families, and
+    // the allocation burst behind a flaky 100× executor OOM. Same Literal
+    // plan node, same values; serialization is now one raw byte blob.
+    val bmLit = org.apache.spark.sql.graft.CatalystBridge.longArrayLit(bitmap)
     def hitAt(dep: Int): org.apache.spark.sql.Column =
       expr(s"(shiftrightunsigned(word$dep, cast(dc$dep % 64 as int)) & 1)" +
         " = 1")

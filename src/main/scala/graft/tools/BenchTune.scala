@@ -3408,6 +3408,75 @@ object BenchTune {
       }
     }
 
+  /** r22 (r21 verdict item 1): per-JOB wall breakdown of the preflight
+    * gate. Each driver action's callSite names its Curation.scala line
+    * (localCheckpoint = vec builds, head = sizes rows, collect = bitmap
+    * words, noop save = output), so the fixed bitmap-build cost is
+    * attributed, not guessed. Pass 2 (warm) of each rung prints;
+    * broadcast-exchange jobs overlap the main job, so the job sum can
+    * exceed wall — the per-site ranking is the signal. */
+  def preflightBreakProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("preflight-break") { spark =>
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir); pass <- 1 to 2) {
+        spark.sharedState.cacheManager.clearCache()
+        val t0s = scala.collection.concurrent.TrieMap[Int, Long]()
+        val jobs = scala.collection.concurrent.TrieMap[Int, (String, Long)]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            t0s(e.jobId) = System.nanoTime()
+            // the action's callsite is the name of the job's RESULT stage
+            // (the highest-id one); earlier stages are its shuffle parents
+            jobs(e.jobId) = (e.stageInfos.sortBy(_.stageId).lastOption
+              .map(_.name).getOrElse("?"), 0L)
+          }
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            for (t0 <- t0s.get(e.jobId); cs <- jobs.get(e.jobId).map(_._1))
+              jobs(e.jobId) = (cs, System.nanoTime() - t0)
+        }
+        // per-stage task-time attribution: run vs (closure) deserialize —
+        // the boxed-literal cost lands in executorDeserializeTime
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, String, Int, Long, Long)]()
+        val sl = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = e.stageInfo
+            stages.add((si.stageId, si.name.takeWhile(_ != '$').take(44),
+              si.numTasks, si.taskMetrics.executorRunTime,
+              si.taskMetrics.executorDeserializeTime))
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        spark.sparkContext.addSparkListener(sl)
+        val w0 = System.nanoTime()
+        graft.BenchProtocol.force(
+          graft.SparkEntry.queries("x_join_preflight_decision")(spark, dir))
+        val wall = (System.nanoTime() - w0) / 1e9
+        org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(l)
+        spark.sparkContext.removeSparkListener(sl)
+        if (pass == 2) {
+          val bySite = jobs.values.groupBy(_._1).view
+            .mapValues(v => (v.map(_._2).sum / 1e9, v.size)).toSeq
+            .sortBy(-_._2._1)
+          bySite.foreach { case (cs, (s, n)) =>
+            println(f"[preflightbreak] $tag%-5s $cs%-44s n=$n%-3d sum=$s%.2f s")
+          }
+          import scala.jdk.CollectionConverters._
+          stages.asScala.toSeq.sortBy(t => -(t._4 + t._5)).take(10)
+            .foreach { case (id, nm, nt, run, deser) =>
+              println(f"[preflightbreak] $tag%-5s stage$id%-4d $nm%-44s " +
+                f"tasks=$nt%-3d run=${run / 1e3}%.1f s deser=${deser / 1e3}%.1f s")
+            }
+          println(f"[preflightbreak] $tag%-5s TOTAL wall=$wall%.2f s " +
+            f"jobs=${bySite.map(_._2._1).sum}%.2f s (gap = driver-side)")
+        }
+      }
+    }
+
   /** Incremental semantic dedup: exact flat assignment vs the r20
     * default's coarse dispatch (r19 verdict item 3) at each ladder rung.
     * Drives the SHIPPED auto overload both ways; the flat arm is the
@@ -3800,6 +3869,7 @@ object BenchTune {
     if (args.headOption.contains("neardupinc")) { neardupIncProbe(sfDir); return }
     if (args.headOption.contains("ivfpqhard")) { ivfPqHardProbe(sfDir); return }
     if (args.headOption.contains("cmsauto")) { cmsAutoProbe(sfDir); return }
+    if (args.headOption.contains("preflightbreak")) { preflightBreakProbe(sfDir); return }
     if (args.headOption.contains("preflight")) { preflightProbe(sfDir); return }
     if (args.headOption.contains("semincivf")) { semIncIvfProbe(sfDir); return }
     if (args.headOption.contains("kmvonepass")) { kmvOnepassProbe(sfDir); return }

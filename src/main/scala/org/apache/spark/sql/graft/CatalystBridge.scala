@@ -28,6 +28,22 @@ object CatalystBridge {
           .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
     }.flatten
 
+  /** A long-array literal backed by UnsafeArrayData instead of the boxed
+    * GenericArrayData that `lit(Array[Long])` builds. Identical plan node
+    * (a Literal) and values; the difference is task-closure serialization:
+    * UnsafeArrayData ships as one raw byte blob, where the boxed form
+    * java-serializes every element through the ObjectInputStream handle
+    * table — measured 26 s (10×) / 71 s (100×) of per-task deserialize
+    * time on the preflight gate's ≤1M-word bitmaps, and the allocation
+    * burst behind its flaky 100× executor OOM (r22 preflightbreak probe).
+    */
+  def longArrayLit(a: Array[Long]): Column =
+    column(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(a),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)))
+
   /** Block until the listener bus has delivered all queued events —
     * `private[spark]` in SparkContext, needed by dev probes that read
     * task metrics (shuffle bytes) right after an action returns.
