@@ -439,6 +439,25 @@ class ExtSpec extends AnyFunSuite {
       "shipped explicit-k entry diverged through the routing")
   }
 
+  test("batch guard: a skew-hot cluster routes relationally instead of " +
+      "refusing (r22, r21 ADVICE)") {
+    // 32 two-row clusters + one 4500-row hot cluster: total pair volume
+    // is ~2200 pairs/row — past the 2000 bound, so the r21 pre-routing
+    // guard refused this shape even though the hot-cluster router was
+    // built to absorb exactly it (and named the auto-k remedy the caller
+    // may already be on). The r22 guard measures the KERNEL-BOUND slice
+    // only (1 pair/row here): the hot cluster routes to the spilling
+    // relational fold and the fold completes. The uniform fixed-k cliff
+    // (no hot cluster ⇒ guarded slice = everything) still refuses —
+    // pinned by the r21 test below on the 40k fixed-k=8 fixture.
+    val rows = (0 until 64).map(i =>
+      (i.toLong, Seq(1.0, i.toDouble), i / 2)) ++
+      (0 until 4500).map(i => (1000L + i, Seq(1.0, 0.0), 999))
+    val assigned = rows.toDF("vec_id", "ev", "cluster").localCheckpoint(true)
+    val out = SemDedup.verdictsRouted(assigned, 0.9999, None)
+    assert(out.count() == 4564, "skew-hot batch fold must complete")
+  }
+
   test("relational semdedup folds refuse a fatal pair-volume " +
       "parameterization loudly (r21, r20 verdict item 1)") {
     // 40k dim-2 vectors at fixed k = 8: ~5k-row clusters ⇒ ~2.5k candidate
