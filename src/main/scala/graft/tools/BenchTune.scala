@@ -496,12 +496,26 @@ object BenchTune {
 
   /** One full 4-table load of `glob`; returns (total rows, seconds). */
   def timedLoad(spark: SparkSession, glob: String): (Long, Double) = {
+    val (rows, total, _, _) = timedLoadSplit(spark, glob)
+    (rows, total)
+  }
+
+  /** timedLoad with the phase split (r21 verdict item 6): `plan` = the
+    * load() call — driver-side file listing, id mint and plan build, the
+    * r18 loadmicro bottleneck at 400 files — and `fill` = the four
+    * counts (parse + fill execution). Published on the bench DETAIL line
+    * so the 363–530 logs/s window variance is attributable to the
+    * listing phase without changing what the leg measures. */
+  def timedLoadSplit(spark: SparkSession, glob: String)
+      : (Long, Double, Double, Double) = {
     val t0 = System.nanoTime()
     val t = graft.parse.LogPipeline.load(spark, glob)
+    val t1 = System.nanoTime()
     val rows = t.experiments.count() + t.experiment.count() +
       t.generations.count() + t.summary.count()
+    val t2 = System.nanoTime()
     t.release()
-    (rows, (System.nanoTime() - t0) / 1e9)
+    (rows, (System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
   /** ETL throughput vs shuffle-partition count (the load path's shuffles

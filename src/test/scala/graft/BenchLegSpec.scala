@@ -86,14 +86,25 @@ class BenchLegSpec extends AnyFunSuite {
         .replaceAll(""","second_chance":\d+""", "")
         .replaceAll(""","att":\[[^\]]*\]""", "")
         .replaceAll(""","signal_ok":(true|false)""", "")
+        // model the r22 emission: comparable_with_prior_bucketed moved
+        // to the detail line (strip it from pre-r22 artifacts), and the
+        // x_kmv_onepass bucketed entries joined (strip from r22+
+        // artifacts, re-added at worst-case width below)
+        .replaceAll(""","comparable_with_prior_bucketed":(true|false)""", "")
+        .replaceAll(""","x_kmv_onepass":-?\d+(\.\d+)?""", "")
       // worst realistic widths for the r21 fields: second_chance ≤ 6
       // (3 legs × ≤ 2 passes), att counts ≤ 12 (6 attempts + 2 × 3
       // second-chance attempts), signal_ok only in the rare no-data case
       val worstNewFields =
         ""","second_chance":6,"att":[12,12,12,12],"signal_ok":false""".length
-      assert(asEmitted.length + worstNewFields <= Bench.metricLineBudget,
+      // the r22 bucketed entries, med + min maps, at failure-sentinel or
+      // two-digit width
+      val worstOnepass = 2 * ""","x_kmv_onepass":99.999""".length
+      assert(asEmitted.length + worstNewFields + worstOnepass <=
+          Bench.metricLineBudget,
         s"metric line modeled at ${asEmitted.length} chars + worst-case " +
-          s"r21 fields ($worstNewFields) exceeds ${Bench.metricLineBudget}")
+          s"r21/r22 fields (${worstNewFields + worstOnepass}) exceeds " +
+          s"${Bench.metricLineBudget}")
     }
   }
 }
