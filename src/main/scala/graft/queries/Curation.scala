@@ -1356,15 +1356,25 @@ object Curation {
         // are max-of-boolean ≡ bool_or, exactly the x_kmv_onepass
         // oracle's `u` CTE. Plan: 5 Exchange → 1, 2 scans → 1
         // (plans/r21/x_kmv_intersection_{before,after}.txt).
+        // r22 (r21 verdict item 5, the §1 residual): the two membership
+        // flags ride the exchange PACKED into one tinyint — bit_or of
+        // (a·2 | b) ≡ (bool_or(a), bool_or(b)) bit-exactly, and the
+        // partial-agg UnsafeRow drops one 8-byte field slot (kmvgate
+        // probe: union shuffle 5273 → 4101 KiB at 100×, −22%). Flags
+        // unpack right after the aggregation, so the checkpointed
+        // relation downstream is IDENTICAL to the r21 form.
         val uni = ev
           .filter($"event_type" === "click" ||
             ($"event_type" === "purchase" && $"value" >= 200))
           .select($"user_id",
-            ($"event_type" === "click").as("a"),
-            ($"event_type" === "purchase").as("b"))
+            (when($"event_type" === "click", 2).otherwise(0) +
+              when($"event_type" === "purchase", 1).otherwise(0))
+              .cast("tinyint").as("f"))
           .groupBy($"user_id")
-          .agg(max($"a").as("in_a"), max($"b").as("in_b"))
-          .select($"user_id", $"in_a", $"in_b",
+          .agg(bit_or($"f").as("f"))
+          .select($"user_id",
+            ($"f".bitwiseAND(2) =!= 0).as("in_a"),
+            ($"f".bitwiseAND(1) =!= 0).as("in_b"),
             shiftrightunsigned(md5_le64($"user_id".cast("string")), 1)
               .as("h"))
           .localCheckpoint(true) // feeds sketch + exact arm + merge law

@@ -3600,17 +3600,34 @@ object BenchTune {
           .groupBy($"user_id")
           .agg(max($"a").as("in_a"), max($"b").as("in_b"))
           .select($"user_id", $"in_a", $"in_b", h.as("h")))
+        // r22 (r21 verdict item 5): the shipped packed-flag-byte form —
+        // bit_or of (a·2 | b) drops one 8-byte UnsafeRow slot from the
+        // partial-agg exchange rows
+        def uniR22() = graft.BenchProtocol.force(ev
+          .filter($"event_type" === "click" ||
+            ($"event_type" === "purchase" && $"value" >= 200))
+          .select($"user_id",
+            (when($"event_type" === "click", 2).otherwise(0) +
+              when($"event_type" === "purchase", 1).otherwise(0))
+              .cast("tinyint").as("f"))
+          .groupBy($"user_id").agg(bit_or($"f").as("f"))
+          .select($"user_id", ($"f".bitwiseAND(2) =!= 0).as("in_a"),
+            ($"f".bitwiseAND(1) =!= 0).as("in_b"), h.as("h")))
         def gate() = graft.BenchProtocol.force(
           graft.SparkEntry.queries("x_kmv_intersection")(spark, dir))
         val (m0, n0, s0) = ProbeHarness.timedPasses(3)(uniR20())
         val b0 = ProbeHarness.shuffleWriteBytes(spark)(uniR20())
         val (m1, n1, s1) = ProbeHarness.timedPasses(3)(uniR21())
         val b1 = ProbeHarness.shuffleWriteBytes(spark)(uniR21())
+        val (m2, n2, s2) = ProbeHarness.timedPasses(3)(uniR22())
+        val b2 = ProbeHarness.shuffleWriteBytes(spark)(uniR22())
         val (mg, ng, sg) = ProbeHarness.timedPasses(3)(gate())
         println(f"[kmvgate] $tag%-5s uni-r20 median=$m0%.2f min=$n0%.2f " +
           f"steal=$s0%.1f shuffle=${b0 / 1024}%d KiB | uni-r21 " +
           f"median=$m1%.2f min=$n1%.2f steal=$s1%.1f " +
-          f"shuffle=${b1 / 1024}%d KiB | gate median=$mg%.2f min=$ng%.2f " +
+          f"shuffle=${b1 / 1024}%d KiB | uni-r22-packed " +
+          f"median=$m2%.2f min=$n2%.2f steal=$s2%.1f " +
+          f"shuffle=${b2 / 1024}%d KiB | gate median=$mg%.2f min=$ng%.2f " +
           f"steal=$sg%.1f")
       }
     }
