@@ -96,30 +96,7 @@ object Similarity {
     */
   def lshCandidatePairs(e: DataFrame, dim: Int, nBands: Int = 8,
       bandBits: Int = 8): DataFrame = {
-    val planes = md5Hyperplanes(nBands * bandBits, dim)
-    val bandSigs = (0 until nBands).map { bandIdx =>
-      struct(lit(bandIdx).as("band_idx"),
-        lshSignature(col("ev"),
-          planes.slice(bandIdx * bandBits, (bandIdx + 1) * bandBits))
-          .as("band_sig"))
-    }
-    // the band self-join shuffles ONLY (vec_id, band_idx, band_sig) — ~24
-    // bytes/row; embeddings join back afterwards, once per surviving
-    // candidate side, so vectors never ride the candidate-generation
-    // shuffle (the same rule MinHashDedup documents for documents)
-    // cache() before the self-join: the 64-hyperplane signature projection
-    // is interpreted HOF work, and without a materialization barrier it
-    // re-evaluates on BOTH join sides (same measured trap as
-    // MinHashDedup.candidatePairs). Cached rows are ~24 bytes each.
-    // eager localCheckpoint = the materialization barrier the interpreted
-    // HOF signature projection needs (same re-evaluation trap as the cache
-    // this replaces) WITHOUT registering in the CacheManager: the blocks
-    // free when the RDD is GC'd, so repeated invocations in a long-lived
-    // session no longer accumulate storage entries. Rows are ~24 bytes.
-    val banded = e
-      .select(col("vec_id"), explode(array(bandSigs: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
-      .localCheckpoint(true)
+    val banded = lshBanded(e, dim, nBands, bandBits)
     // Refusal guard (r20 verdict item 1): the fixed-band-bits raw form is
     // output-bound-quadratic — at the 100× corpus the 8×8 default
     // exhausted >75 GB of local shuffle disk and killed the sweep leg
@@ -133,14 +110,7 @@ object Similarity {
     // at any corpus size, while fixed bits trip once buckets blow up
     // (scale evidence: BENCH_SCALE r21_lsh_guard). Gate shapes sit at
     // ≤ ~31 pairs/vector at every SF.
-    val volRow = banded
-      .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("s"))
-      .agg(sum(expr("s * (s - 1) div 2")).as("pv"),
-        (sum(col("s")) / lit(nBands)).cast("long").as("n"))
-      .head()
-    val (pairVol, nVec) =
-      (if (volRow.isNullAt(0)) 0L else volRow.getLong(0),
-        if (volRow.isNullAt(1)) 0L else volRow.getLong(1))
+    val (pairVol, nVec) = lshPairVolume(banded, nBands)
     if (nVec > 0 && pairVol / nVec > LshPairsPerVectorGuard)
       throw new IllegalStateException(
         s"lshCandidatePairs refused: bucket-pair volume $pairVol over " +
@@ -184,6 +154,47 @@ object Similarity {
     lshCandidatePairs(e, dim, nBands, autoBandBits(n, targetBucket))
   }
 
+  /** The checkpointed (vec_id, band_idx, band_sig) banded frame — the
+    * ~24-byte/row proxy the candidate self-join runs on. The band
+    * self-join shuffles ONLY these rows; embeddings join back afterwards,
+    * once per surviving candidate side, so vectors never ride the
+    * candidate-generation shuffle (the same rule MinHashDedup documents
+    * for documents). The eager localCheckpoint is the materialization
+    * barrier the interpreted HOF signature projection needs (it would
+    * re-evaluate on BOTH join sides — same measured trap as
+    * MinHashDedup.candidatePairs) WITHOUT registering in the
+    * CacheManager: blocks free when the RDD is GC'd. Factored out of
+    * [[lshCandidatePairs]] (r22) so the margin probe measures the exact
+    * frame the guard sees. */
+  private[graft] def lshBanded(e: DataFrame, dim: Int, nBands: Int,
+      bandBits: Int): DataFrame = {
+    val planes = md5Hyperplanes(nBands * bandBits, dim)
+    val bandSigs = (0 until nBands).map { bandIdx =>
+      struct(lit(bandIdx).as("band_idx"),
+        lshSignature(col("ev"),
+          planes.slice(bandIdx * bandBits, (bandIdx + 1) * bandBits))
+          .as("band_sig"))
+    }
+    e.select(col("vec_id"), explode(array(bandSigs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+      .localCheckpoint(true)
+  }
+
+  /** EXACT candidate-pair volume Σ s·(s−1)/2 over bucket sizes and the
+    * vector count of a [[lshBanded]] frame — one cheap map-side-combined
+    * aggregation, measured BEFORE any pair explosion. Shared by the
+    * refusal guard and the BenchTune `lshmargin` probe. */
+  private[graft] def lshPairVolume(banded: DataFrame,
+      nBands: Int): (Long, Long) = {
+    val volRow = banded
+      .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("s"))
+      .agg(sum(expr("s * (s - 1) div 2")).as("pv"),
+        (sum(col("s")) / lit(nBands)).cast("long").as("n"))
+      .head()
+    (if (volRow.isNullAt(0)) 0L else volRow.getLong(0),
+      if (volRow.isNullAt(1)) 0L else volRow.getLong(1))
+  }
+
   /** Refusal bound for [[lshCandidatePairs]] (r20 verdict item 1),
     * in candidate pairs per input vector. The auto rule holds expected
     * pairs/vector at ~nBands·targetBucket/2 = 1024 forever (8 bands ×
@@ -191,7 +202,18 @@ object Similarity {
     * catching the fixed-bits raw form's quadratic growth (which crossed
     * ~3k pairs/vector at the 100× corpus and killed the sweep leg at
     * >75 GB of spill). 2000 ≈ 2× the auto ceiling: legitimate
-    * linear-scaling forms never trip it at any corpus size. */
+    * linear-scaling forms never trip it at any corpus size.
+    *
+    * CORPUS-GROWTH MARGIN (r21 verdict item 7, measured by the BenchTune
+    * `lshmargin` probe, BENCH_SCALE `r22_lsh_margin`): the raw 8×8 arm's
+    * pairs/vector grow ~linearly in n (quadratic pair volume) — measured
+    * 38 at the sf0.1 gate (2,000 vectors), 416 at 10×, 4,204 at 100×
+    * against this 2000 bound (auto reads 1,450 at 100× via 10-bit
+    * bands). Interpolating, the GATE corpus itself would cross the bound
+    * at roughly 45–50× today's sf0.1 vector count (~95k vectors) — if a
+    * future fixture grows past that, this bound needs a documented bump
+    * BEFORE the gate refuses its own oracle run (the probe line is the
+    * early warning). */
   private[graft] val LshPairsPerVectorGuard = 2000L
 
   /** ceil(log2(n / targetBucket)) floored at 8 bits (the gate-row

@@ -3667,6 +3667,36 @@ object BenchTune {
       }
     }
 
+  /** r22 (r21 verdict item 7): the LSH refusal guard's corpus-growth
+    * margin as a measured line — exact candidate pairs/vector of the raw
+    * 8×8 arm and the auto arm vs the 2000 bound per rung, from the
+    * factored pre-explosion volume aggregation (no pair join runs, so
+    * the refusing rungs are measurable too). The raw arm's pairs/vector
+    * grow ~linearly in n; the printed headroom is the early warning for
+    * a future gate-corpus growth (scaladoc at LshPairsPerVectorGuard). */
+  def lshMarginProbe(sfDir: String): Unit =
+    ProbeHarness.withSpark("lsh-margin") { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val S = graft.queries.Similarity
+      for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
+        val e = graft.Tables.embeddings(spark, dir)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("ev"))
+          .localCheckpoint(true)
+        val n = e.count()
+        def vol(bits: Int, arm: String): Unit = {
+          val (pv, nv) = S.lshPairVolume(S.lshBanded(e, 64, 8, bits), 8)
+          println(f"[lshmargin] $tag%-5s $arm%-10s n=$nv%-8d " +
+            f"pairs=$pv%-12d pairs_per_vec=${if (nv > 0) pv / nv else 0}%-6d " +
+            f"bound=${S.LshPairsPerVectorGuard} " +
+            f"refuses=${nv > 0 && pv / nv > S.LshPairsPerVectorGuard}")
+        }
+        vol(8, "raw-8x8")
+        vol(S.autoBandBits(n), "auto")
+      }
+    }
+
   /** r21: the refusal guards and the kernel hot-cluster cap at scale —
     * the raw LSH-pairs and fixed-k semdedup arms must REFUSE at the
     * 100× corpus (instead of the r20 sweep's 75 GB spill / 398 s burn)
@@ -3905,6 +3935,7 @@ object BenchTune {
     if (args.headOption.contains("semincivf")) { semIncIvfProbe(sfDir); return }
     if (args.headOption.contains("kmvonepass")) { kmvOnepassProbe(sfDir); return }
     if (args.headOption.contains("kmvgate")) { kmvGateProbe(sfDir); return }
+    if (args.headOption.contains("lshmargin")) { lshMarginProbe(sfDir); return }
     if (args.headOption.contains("r21guards")) { r21GuardsProbe(sfDir); return }
     if (args.headOption.contains("batchsem")) { batchSemProbe(sfDir); return }
     if (args.headOption.contains("curationpruned")) { curationPrunedProbe(sfDir); return }
