@@ -510,10 +510,10 @@ object Bench {
     val etlLeg = stealGated("etl") { () =>
       try {
         val nLogs = 400
-        val glob = tools.BenchTune.genEtlLogs(nLogs)
-        tools.BenchTune.timedLoad(spark, glob) // warm 1: codegen + dict build
-        tools.BenchTune.timedLoad(spark, glob) // warm 2: settle JIT
-        val runs = (1 to 5).map(_ => tools.BenchTune.timedLoadSplit(spark, glob))
+        val glob = tools.BenchLegPrep.genEtlLogs(nLogs)
+        tools.BenchLegPrep.timedLoad(spark, glob) // warm 1: codegen + dict build
+        tools.BenchLegPrep.timedLoad(spark, glob) // warm 2: settle JIT
+        val runs = (1 to 5).map(_ => tools.BenchLegPrep.timedLoadSplit(spark, glob))
         val secs = runs.map(_._2)
         (nLogs / median(secs), nLogs / secs.min,
           median(runs.map(_._3)), median(runs.map(_._4)))
@@ -636,7 +636,7 @@ object Bench {
         try {
           // untimed prep, outside the retried window: steal during a
           // rewrite does not contaminate the timings
-          tools.BenchTune.writeBucketedTables(spark, sfDir, BucketedLayout)
+          tools.BenchLegPrep.writeBucketedTables(spark, sfDir, BucketedLayout)
           queries.GraphQueries.writeBenchEdgeStore(spark, sfDir)
           bm25Terms = sources.InvertedIndex.writeBenchPostings(spark, sfDir)
           val runner = (maxAttempts: Int) => {
@@ -693,7 +693,7 @@ object Bench {
       if (Tables.activeLayout.isDefined) None
       else {
         try {
-          // fresh-table discipline (BenchTune.writeBucketedTables): the
+          // fresh-table discipline (BenchLegPrep.writeBucketedTables): the
           // catalog is per-JVM but the warehouse dir survives runs —
           // drop both or saveAsTable fails with LOCATION_ALREADY_EXISTS
           spark.sql(s"DROP TABLE IF EXISTS $CustkeyTable")

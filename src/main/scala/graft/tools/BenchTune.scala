@@ -79,7 +79,8 @@ object BenchTune {
             // it distinctly from a failure, with the measured volume.
             case e: IllegalStateException
                 if e.getMessage != null && e.getMessage.contains("refused") =>
-              s"  REFUSED (scale guard): ${e.getMessage.takeWhile(_ != '-').trim}"
+              s"  REFUSED (scale guard): " +
+                ProbeHarness.refusalSummary(e.getMessage)
             case e: Throwable => s"  FAILED ${e.getMessage.take(60)}"
           }
         println(f"[all] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s$res")
@@ -173,7 +174,7 @@ object BenchTune {
       println(f"[headline-bk] prep $what%-18s ${(System.nanoTime() - t0) / 1e9}%8.1f s (untimed)")
       r
     }
-    prep("bucketed_tables") { writeBucketedTables(spark, sfDir, "orderkey") }
+    prep("bucketed_tables") { BenchLegPrep.writeBucketedTables(spark, sfDir, "orderkey") }
     prep("edge_store") {
       graft.queries.GraphQueries.writeBenchEdgeStore(spark, sfDir) }
     val bm25Terms = prep("bm25_postings") {
@@ -469,54 +470,12 @@ object BenchTune {
   /** ETL throughput: generate N synthetic Clojush logs, time the full
     * LogPipeline.load + count of all four tables. The reference processes
     * one log per sequential JVM subprocess; this measures the parallel
-    * file-per-task path.
-    */
-  /** Write `nLogs` synthetic Clojush logs; returns the glob to load.
-    * The temp dir self-cleans on JVM exit (deleteOnExit runs in reverse
-    * registration order, so the dir — registered first — goes last).
-    */
-  def genEtlLogs(nLogs: Int): String = {
-    val dir = java.nio.file.Files.createTempDirectory("etl_bench")
-    dir.toFile.deleteOnExit()
-    val rnd = new scala.util.Random(42)
-    (1 to nLogs).foreach { i =>
-      val gens = (0 to 20).map { g =>
-        s"-*- Report at generation $g\n" +
-          (1 to 10).map(k => s"metric-$k: ${rnd.nextDouble()}").mkString("\n")
-      }.mkString("\n;;;;\n")
-      val log = s"Clojush version = 1.2.3\n" +
-        (1 to 20).map(k => s"param-$k = ${rnd.nextInt(1000)}").mkString("\n") +
-        s"\n;;;;\n$gens\n;;;;\nSUCCESS at generation 20"
-      val f = dir.resolve(f"run$i%04d_u$i.log")
-      java.nio.file.Files.writeString(f, log)
-      f.toFile.deleteOnExit()
-    }
-    dir.toString + "/*.log"
-  }
-
-  /** One full 4-table load of `glob`; returns (total rows, seconds). */
-  def timedLoad(spark: SparkSession, glob: String): (Long, Double) = {
-    val (rows, total, _, _) = timedLoadSplit(spark, glob)
-    (rows, total)
-  }
-
-  /** timedLoad with the phase split (r21 verdict item 6): `plan` = the
-    * load() call — driver-side file listing, id mint and plan build, the
-    * r18 loadmicro bottleneck at 400 files — and `fill` = the four
-    * counts (parse + fill execution). Published on the bench DETAIL line
-    * so the 363–530 logs/s window variance is attributable to the
-    * listing phase without changing what the leg measures. */
-  def timedLoadSplit(spark: SparkSession, glob: String)
-      : (Long, Double, Double, Double) = {
-    val t0 = System.nanoTime()
-    val t = graft.parse.LogPipeline.load(spark, glob)
-    val t1 = System.nanoTime()
-    val rows = t.experiments.count() + t.experiment.count() +
-      t.generations.count() + t.summary.count()
-    val t2 = System.nanoTime()
-    t.release()
-    (rows, (System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
-  }
+    * file-per-task path. The log generator and timed load live in
+    * [[BenchLegPrep]] (r22 — they are bench-leg infrastructure shared
+    * with graft.Bench, not probes), aliased here for the etl probes. */
+  private def genEtlLogs(nLogs: Int): String = BenchLegPrep.genEtlLogs(nLogs)
+  private def timedLoad(spark: SparkSession, glob: String): (Long, Double) =
+    BenchLegPrep.timedLoad(spark, glob)
 
   /** ETL throughput vs shuffle-partition count (the load path's shuffles
     * are file-count scale, so it wants far fewer than the query engine).
@@ -842,40 +801,9 @@ object BenchTune {
     * largest single unaddressed mover; the full-bench A/B runs through
     * `graft.Bench` with the env set.
     */
-  /** Drop-and-rewrite the bucketed catalog tables for `layout` over the
-    * corpus at `sfDir` — ALWAYS a fresh write, never reuse: the test
-    * corpus regenerates at the same path between rounds, and a stale
-    * bucketed copy would silently serve old rows (dirTag only disambiguates
-    * PATHS, not generations). Shared by the bucketwrite probe and the
-    * per-round bucketed bench leg (graft.Bench). */
-  def writeBucketedTables(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, layout: String): Unit = {
-    val keys = graft.Tables.BucketedLayouts(layout)
-    keys.foreach { case (table, key) =>
-      val t = graft.Tables.bucketedName(layout, table, sfDir)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get("spark-warehouse", t)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      val t0 = System.nanoTime()
-      // events persists ADAPTED and sorted by (user_id, ts) — bucketed
-      // event reads skip the ts dispatch and arrive in per-user event
-      // order (Tables.BucketedLayouts scaladoc); the source frame is the
-      // shared Tables.bucketedSource definition
-      val sortCols = if (table == "events") Seq(key, "ts") else Seq(key)
-      graft.sources.Bucketing.writeBucketedSorted(
-        graft.Tables.bucketedSource(spark, sfDir, table), t, key, sortCols, 32)
-      println(f"[bucketwrite] $t by $key " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s (32 buckets)")
-    }
-  }
-
   def bucketWrite(sfDir: String, layout: String): Unit = {
     val spark = ProbeHarness.session("bucket-write")
-    writeBucketedTables(spark, sfDir, layout)
+    BenchLegPrep.writeBucketedTables(spark, sfDir, layout)
 
     // q3 A/B through the REAL query path (Tables resolution toggled by
     // the JVM property — DataFrames capture the layout at build time)
@@ -2376,7 +2304,7 @@ object BenchTune {
     * included as the no-benefit control — bucketing must not hurt them. */
   def eventAbProbe(sfDir: String): Unit = {
     val spark = ProbeHarness.session("event-ab")
-    writeBucketedTables(spark, sfDir, "orderkey")
+    BenchLegPrep.writeBucketedTables(spark, sfDir, "orderkey")
     val queries = Seq("t4_session", "t_funnel", "t_retention_cohorts",
       "t_session_paths", "x_gap_detection", "t4_tumbling_hour")
     def exch(df: org.apache.spark.sql.DataFrame): Int =
@@ -3433,58 +3361,17 @@ object BenchTune {
     ProbeHarness.withSpark("preflight-break") { spark =>
       for ((tag, dir) <- ProbeHarness.corpora(sfDir); pass <- 1 to 2) {
         spark.sharedState.cacheManager.clearCache()
-        val t0s = scala.collection.concurrent.TrieMap[Int, Long]()
-        val jobs = scala.collection.concurrent.TrieMap[Int, (String, Long)]()
-        val l = new org.apache.spark.scheduler.SparkListener {
-          override def onJobStart(
-              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            t0s(e.jobId) = System.nanoTime()
-            // the action's callsite is the name of the job's RESULT stage
-            // (the highest-id one); earlier stages are its shuffle parents
-            jobs(e.jobId) = (e.stageInfos.sortBy(_.stageId).lastOption
-              .map(_.name).getOrElse("?"), 0L)
-          }
-          override def onJobEnd(
-              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-            for (t0 <- t0s.get(e.jobId); cs <- jobs.get(e.jobId).map(_._1))
-              jobs(e.jobId) = (cs, System.nanoTime() - t0)
-        }
-        // per-stage task-time attribution: run vs (closure) deserialize —
-        // the boxed-literal cost lands in executorDeserializeTime
-        val stages = new java.util.concurrent.ConcurrentLinkedQueue[
-          (Int, String, Int, Long, Long)]()
-        val sl = new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
-              : Unit = {
-            val si = e.stageInfo
-            stages.add((si.stageId, si.name.takeWhile(_ != '$').take(44),
-              si.numTasks, si.taskMetrics.executorRunTime,
-              si.taskMetrics.executorDeserializeTime))
-          }
-        }
-        spark.sparkContext.addSparkListener(l)
-        spark.sparkContext.addSparkListener(sl)
-        val w0 = System.nanoTime()
-        graft.BenchProtocol.force(
-          graft.SparkEntry.queries("x_join_preflight_decision")(spark, dir))
-        val wall = (System.nanoTime() - w0) / 1e9
-        org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
-        spark.sparkContext.removeSparkListener(l)
-        spark.sparkContext.removeSparkListener(sl)
+        val (wall, bySite, stages) =
+          ProbeHarness.jobStageBreakdown(spark)(graft.BenchProtocol.force(
+            graft.SparkEntry.queries("x_join_preflight_decision")(spark, dir)))
         if (pass == 2) {
-          val bySite = jobs.values.groupBy(_._1).view
-            .mapValues(v => (v.map(_._2).sum / 1e9, v.size)).toSeq
-            .sortBy(-_._2._1)
           bySite.foreach { case (cs, (s, n)) =>
             println(f"[preflightbreak] $tag%-5s $cs%-44s n=$n%-3d sum=$s%.2f s")
           }
-          import scala.jdk.CollectionConverters._
-          stages.asScala.toSeq.sortBy(t => -(t._4 + t._5)).take(10)
-            .foreach { case (id, nm, nt, run, deser) =>
-              println(f"[preflightbreak] $tag%-5s stage$id%-4d $nm%-44s " +
-                f"tasks=$nt%-3d run=${run / 1e3}%.1f s deser=${deser / 1e3}%.1f s")
-            }
+          stages.foreach { case (id, nm, nt, run, deser) =>
+            println(f"[preflightbreak] $tag%-5s stage$id%-4d $nm%-44s " +
+              f"tasks=$nt%-3d run=$run%.1f s deser=$deser%.1f s")
+          }
           println(f"[preflightbreak] $tag%-5s TOTAL wall=$wall%.2f s " +
             f"jobs=${bySite.map(_._2._1).sum}%.2f s (gap = driver-side)")
         }
@@ -3525,13 +3412,10 @@ object BenchTune {
         // the flat arm is the measured superlinear shape — bound it to
         // one timed pass at the 100× rung
         val p = if (tag == "100x") 1 else 3
-        val (medK, mnK, stK) = ProbeHarness.timedPasses(p)(runShipped())
-        val (medC, mnC, stC) = ProbeHarness.timedPasses(p)(runRelCoarse())
-        val (medF, mnF, stF) = ProbeHarness.timedPasses(p)(runRelFlat())
         println(f"[semincivf] $tag%-5s n=$n%-8d k=$k " +
-          f"kernel median=$medK%.2f min=$mnK%.2f steal=$stK%.1f | " +
-          f"coarse median=$medC%.2f min=$mnC%.2f steal=$stC%.1f | " +
-          f"flat median=$medF%.2f min=$mnF%.2f steal=$stF%.1f")
+          s"kernel ${ProbeHarness.timedLine(p)(runShipped())} | " +
+          s"coarse ${ProbeHarness.timedLine(p)(runRelCoarse())} | " +
+          s"flat ${ProbeHarness.timedLine(p)(runRelFlat())}")
       }
     }
 
@@ -3560,14 +3444,10 @@ object BenchTune {
           .groupBy($"h", $"user_id")
           .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
           .orderBy($"h", $"user_id").limit(64))
-        val (med1, mn1, st1) = ProbeHarness.timedPasses(3)(onepass())
-        val b1 = ProbeHarness.shuffleWriteBytes(spark)(onepass())
-        val (med2, mn2, st2) = ProbeHarness.timedPasses(3)(takeOrdered())
-        val b2 = ProbeHarness.shuffleWriteBytes(spark)(takeOrdered())
-        println(f"[kmvonepass] $tag%-5s onepass median=$med1%.2f min=$mn1%.2f " +
-          f"steal=$st1%.1f shuffle=${b1 / 1024}%d KiB | distinct+takeordered " +
-          f"median=$med2%.2f min=$mn2%.2f steal=$st2%.1f " +
-          f"shuffle=${b2 / 1024}%d KiB")
+        println(f"[kmvonepass] $tag%-5s onepass " +
+          s"${ProbeHarness.timedShuffleLine(spark, 3)(onepass())} | " +
+          s"distinct+takeordered " +
+          s"${ProbeHarness.timedShuffleLine(spark, 3)(takeOrdered())}")
       }
     }
 
@@ -3615,20 +3495,12 @@ object BenchTune {
             ($"f".bitwiseAND(1) =!= 0).as("in_b"), h.as("h")))
         def gate() = graft.BenchProtocol.force(
           graft.SparkEntry.queries("x_kmv_intersection")(spark, dir))
-        val (m0, n0, s0) = ProbeHarness.timedPasses(3)(uniR20())
-        val b0 = ProbeHarness.shuffleWriteBytes(spark)(uniR20())
-        val (m1, n1, s1) = ProbeHarness.timedPasses(3)(uniR21())
-        val b1 = ProbeHarness.shuffleWriteBytes(spark)(uniR21())
-        val (m2, n2, s2) = ProbeHarness.timedPasses(3)(uniR22())
-        val b2 = ProbeHarness.shuffleWriteBytes(spark)(uniR22())
-        val (mg, ng, sg) = ProbeHarness.timedPasses(3)(gate())
-        println(f"[kmvgate] $tag%-5s uni-r20 median=$m0%.2f min=$n0%.2f " +
-          f"steal=$s0%.1f shuffle=${b0 / 1024}%d KiB | uni-r21 " +
-          f"median=$m1%.2f min=$n1%.2f steal=$s1%.1f " +
-          f"shuffle=${b1 / 1024}%d KiB | uni-r22-packed " +
-          f"median=$m2%.2f min=$n2%.2f steal=$s2%.1f " +
-          f"shuffle=${b2 / 1024}%d KiB | gate median=$mg%.2f min=$ng%.2f " +
-          f"steal=$sg%.1f")
+        println(f"[kmvgate] $tag%-5s " +
+          s"uni-r20 ${ProbeHarness.timedShuffleLine(spark, 3)(uniR20())} | " +
+          s"uni-r21 ${ProbeHarness.timedShuffleLine(spark, 3)(uniR21())} | " +
+          s"uni-r22-packed " +
+          s"${ProbeHarness.timedShuffleLine(spark, 3)(uniR22())} | " +
+          s"gate ${ProbeHarness.timedLine(3)(gate())}")
       }
     }
 
@@ -3659,11 +3531,9 @@ object BenchTune {
         def relational() = graft.BenchProtocol.force(
           graft.ext.SemDedup.verdictsRelational(assigned, 0.35))
         val p = if (tag == "100x") 1 else 3
-        val (mK, nK, sK) = ProbeHarness.timedPasses(p)(kernel())
-        val (mR, nR, sR) = ProbeHarness.timedPasses(p)(relational())
         println(f"[batchsem] $tag%-5s n=$n%-8d k=$k " +
-          f"kernel median=$mK%.2f min=$nK%.2f steal=$sK%.1f | " +
-          f"relational median=$mR%.2f min=$nR%.2f steal=$sR%.1f")
+          s"kernel ${ProbeHarness.timedLine(p)(kernel())} | " +
+          s"relational ${ProbeHarness.timedLine(p)(relational())}")
       }
     }
 
@@ -3718,7 +3588,7 @@ object BenchTune {
         } catch { case e: IllegalStateException =>
           println(f"[r21guards] $tag%-5s $name%-28s REFUSED in " +
             f"${(System.nanoTime() - t0) / 1e9}%.2f s: " +
-            e.getMessage.takeWhile(_ != '-').trim)
+            ProbeHarness.refusalSummary(e.getMessage))
         }
       }
       for ((tag, dir) <- ProbeHarness.corpora(sfDir)) {
@@ -3739,12 +3609,10 @@ object BenchTune {
             tau = 0.35, targetClusterSize = tgt, exact = false,
             hotClusterCap = cap))
         val p = if (tag == "100x") 1 else 3
-        val (mD, nD, sD) = ProbeHarness.timedPasses(p)(
-          kernel(graft.ext.SemDedup.HotClusterCapFactor.toLong * tgt))
-        val (mH, nH, sH) = ProbeHarness.timedPasses(p)(kernel(tgt / 2L))
-        println(f"[r21guards] $tag%-5s kernel default-cap median=$mD%.2f " +
-          f"min=$nD%.2f steal=$sD%.1f | forced-hot median=$mH%.2f " +
-          f"min=$nH%.2f steal=$sH%.1f")
+        println(f"[r21guards] $tag%-5s kernel default-cap " +
+          s"${ProbeHarness.timedLine(p)(kernel(
+            graft.ext.SemDedup.HotClusterCapFactor.toLong * tgt))} | " +
+          s"forced-hot ${ProbeHarness.timedLine(p)(kernel(tgt / 2L))}")
       }
     }
 
@@ -3762,10 +3630,9 @@ object BenchTune {
           // the exact arms are the documented superlinear shapes — one
           // timed pass at the 100× rung keeps the probe bounded
           val passes = if (tag == "100xd") 1 else 3
-          val (med, mn, steal) =
-            ProbeHarness.timedForce(passes)(() => qs(name)(spark, dir))
-          println(f"[curationpruned] $tag%-5s $name%-26s median=$med%.2f " +
-            f"min=$mn%.2f steal=$steal%.1f")
+          println(f"[curationpruned] $tag%-5s $name%-26s " +
+            ProbeHarness.timedLine(passes)(
+              graft.BenchProtocol.force(qs(name)(spark, dir))))
         }
       }
     }
@@ -3855,11 +3722,10 @@ object BenchTune {
         def run() = graft.BenchProtocol.force(
           graft.ext.MinHashDedup.incrementalKeeps(
             docs, wave, waves = Seq(0, 1), numHashes = 32, bands = 8))
-        val (med, mn, steal) = ProbeHarness.timedPasses(3)(run())
         val bytes = ProbeHarness.shuffleWriteBytes(spark)(run())
         println(f"[mhincdistinct] $tag%-5s docs=${docs.count()}%-8d " +
-          f"median=$med%.2f min=$mn%.2f steal=$steal%.1f " +
-          f"shuffle_write=${bytes / 1024 / 1024}%d MiB")
+          ProbeHarness.timedLine(3)(run()) +
+          f" shuffle_write=${bytes / 1024 / 1024}%d MiB")
       }
     }
 
@@ -4150,60 +4016,13 @@ object BenchTune {
       }
       spark.stop(); return
     }
-    if (args.headOption.contains("shuffle")) {
-      // sweep shuffle partitions over the bench set (one session per value:
-      // shuffle.partitions is read at planning, sessions cache plans)
-      Seq(4, 8, 16, 32, 64).foreach { sp =>
-        val spark = SparkSession.builder()
-          .master("local[32]")
-          .appName(s"bench-shuffle-$sp")
-          .config("spark.sql.shuffle.partitions", sp.toString)
-          .config("spark.sql.adaptive.enabled", "false")
-          .config("spark.shuffle.compress", "false")
-          .config("spark.shuffle.spill.compress", "false")
-          .config("spark.broadcast.compress", "false")
-          .config("spark.locality.wait", "0ms")
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
-        val qs = SparkEntry.queries
-        SparkEntry.benchQueries.foreach { n =>
-          val times = (1 to 4).map { _ =>
-            val t0 = System.nanoTime()
-            qs(n)(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          println(f"[sp$sp%-3d] $n%-24s min=${times.drop(1).min}%.3f")
-        }
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-      }
-      return
-    }
-    Seq(("aqe_on", "true"), ("aqe_off", "false")).foreach { case (tag, aqe) =>
-      val spark = SparkSession.builder()
-        .master("local[32]")
-        .appName(s"bench-tune-$tag")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", aqe)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      val qs = SparkEntry.queries
-      SparkEntry.benchQueries.foreach { n =>
-        val times = (1 to 4).map { _ =>
-          val t0 = System.nanoTime()
-          qs(n)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        println(f"[$tag] $n%-24s ${times.map(t => f"$t%.3f").mkString(" ")}")
-      }
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-    }
+    // r22: the r1-era no-arg AQE A/B and the `shuffle` partition sweep
+    // are REMOVED — both forced via count(), the protocol the round-8
+    // noop-sink discontinuity documented as under-measuring (ColumnPruning
+    // strips the real work; Bench scaladoc), so their readings could only
+    // mislead next to every noop-forced probe above. Config A/Bs belong
+    // in `probe <names>` arms on the shared harness.
+    System.err.println(
+      "usage: runMain graft.tools.BenchTune <probe> [args] — see main()")
   }
 }

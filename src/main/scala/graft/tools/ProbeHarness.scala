@@ -61,6 +61,79 @@ object ProbeHarness {
   def timedForce(passes: Int)(df: () => DataFrame): (Double, Double, Double) =
     timedPasses(passes)(graft.BenchProtocol.force(df()))
 
+  /** r22: the guard-refusal headline — everything before the " - "
+    * separator, i.e. the measured volume and the bound, without the
+    * remedy paragraph. (The r21 form used takeWhile(_ != '-'), which
+    * truncated at the first hyphenATED WORD — 'within-cluster',
+    * 'bucket-pair' — and dropped exactly the volume it documents.) */
+  def refusalSummary(msg: String): String = {
+    val i = msg.indexOf(" - ")
+    (if (i >= 0) msg.substring(0, i) else msg).trim
+  }
+
+  /** One timed arm's standard print fragment —
+    * "median=M min=N steal=S" — shared by the multi-arm probes. */
+  def timedLine(passes: Int)(body: => Unit): String = {
+    val (med, mn, steal) = timedPasses(passes)(body)
+    f"median=$med%.2f min=$mn%.2f steal=$steal%.1f"
+  }
+
+  /** [[timedLine]] plus the arm's shuffle WRITE KiB. */
+  def timedShuffleLine(spark: SparkSession, passes: Int)(body: => Unit)
+      : String =
+    f"${timedLine(passes)(body)} " +
+      f"shuffle=${shuffleWriteBytes(spark)(body) / 1024}%d KiB"
+
+  /** Per-JOB and per-STAGE wall attribution of one `body` run: each
+    * driver action's callsite is the name of its job's RESULT stage, so
+    * serial driver actions are attributed by code line; per-stage
+    * executorRunTime/DeserializeTime localizes task-side cost (closure
+    * deserialization shows in deser). Returns (wall s,
+    * callsite → (sumSecs, nJobs), top stages by run+deser as
+    * (stageId, name, tasks, runS, deserS)). Broadcast-pool jobs overlap
+    * the main job, so job sums can exceed wall — the ranking is the
+    * signal. */
+  def jobStageBreakdown(spark: SparkSession)(body: => Unit)
+      : (Double, Seq[(String, (Double, Int))],
+        Seq[(Int, String, Int, Double, Double)]) = {
+    val t0s = scala.collection.concurrent.TrieMap[Int, Long]()
+    val jobs = scala.collection.concurrent.TrieMap[Int, (String, Long)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, Int, Long, Long)]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        t0s(e.jobId) = System.nanoTime()
+        jobs(e.jobId) = (e.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.name).getOrElse("?"), 0L)
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        for (t0 <- t0s.get(e.jobId); cs <- jobs.get(e.jobId).map(_._1))
+          jobs(e.jobId) = (cs, System.nanoTime() - t0)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        stages.add((si.stageId, si.name.takeWhile(_ != '$').take(44),
+          si.numTasks, si.taskMetrics.executorRunTime,
+          si.taskMetrics.executorDeserializeTime))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val w0 = System.nanoTime()
+    try {
+      body
+      org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(l)
+    import scala.jdk.CollectionConverters._
+    ((System.nanoTime() - w0) / 1e9,
+      jobs.values.groupBy(_._1).view
+        .mapValues(v => (v.map(_._2).sum / 1e9, v.size)).toSeq
+        .sortBy(-_._2._1),
+      stages.asScala.toSeq.sortBy(t => -(t._4 + t._5)).take(10)
+        .map(t => (t._1, t._2, t._3, t._4 / 1e3, t._5 / 1e3)))
+  }
+
   /** Total shuffle WRITE bytes of `body` — the 100 TB cost proxy (local
     * shuffles cross page cache; on a cluster these bytes cross the
     * network). Registers a listener for the call's duration only. */
